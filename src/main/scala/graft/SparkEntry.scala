@@ -1,13 +1,45 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full oracle-checked operator inventory (SURVEY §2 +
+  * north-star extensions); `oracleSql` holds the DuckDB-equivalent SQL for
+  * every SQL-expressible query. Cross-engine determinism policy lives in
+  * [[graft.queries.Det]].
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0.
+    * TPC-H Q1-shaped pricing summary over lineitem (SURVEY §2.4 A1/A3/A8).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import Det._
+    Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sumExact(col("l_quantity")).as("sum_qty"),
+        sumExact(col("l_extendedprice")).as("sum_base_price"),
+        revenueExact(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        avgExact(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val groups: Seq[(Map[String, Q], Map[String, String])] = Seq(
+    (AggQueries.defs, AggQueries.oracles)
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    groups.iterator.flatMap(_._1).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    groups.iterator.flatMap(_._2).toMap
 }

@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Cross-engine determinism policy shared by every oracle-checked query.
+  *
+  * The driver hash-compares our parquet output against DuckDB running the
+  * declared SQL, so values must match byte-for-byte, not just "close":
+  *
+  *  - SUM over doubles is order-dependent in the last ulps (Spark sums
+  *    per-partition in arbitrary order). We cast to DECIMAL(18,2) first:
+  *    decimal addition is exact and associative, so Spark and DuckDB agree
+  *    bit-for-bit. Final cast back to DOUBLE for a stable output schema.
+  *  - AVG is expressed as exact-decimal SUM / COUNT (double division of two
+  *    identical values is deterministic IEEE-754 on both engines).
+  *  - Windowed stats over tiny frames (rolling mean/std) stay in doubles but
+  *    get round(_, 4) on both sides.
+  *  - Every query ends in orderBy over a unique key; Spark's ASC NULLS FIRST
+  *    default differs from DuckDB's NULLS LAST, so order keys are non-null.
+  *  - md5 is the shared deterministic hash (identical hex on both engines);
+  *    Spark xxhash64 / DuckDB hash() do NOT match and never cross the oracle.
+  */
+object Det {
+  /** Exact fixed-point view of a 2-decimal double (prices, quantities). */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Order-independent exact sum of a 2-decimal double column, as double.
+    * DuckDB equivalent: CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE).
+    */
+  def sumExact(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  /** Deterministic average: exact sum / count.
+    * DuckDB: CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / COUNT(x).
+    */
+  def avgExact(c: Column): Column = sumExact(c) / count(c)
+
+  /** Exact revenue-style product sum: price*(1-discount) computed entirely
+    * in decimal, then the exact decimal sum cast to double.
+    * DuckDB: CAST(SUM(CAST(p AS DECIMAL(18,2)) * (1 - CAST(d AS DECIMAL(18,2)))) AS DOUBLE).
+    */
+  def revenueExact(price: Column, discount: Column): Column =
+    sum(dec(price) * (lit(1).cast(DecimalType(18, 2)) - dec(discount))).cast(DoubleType)
+}

@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class EntrySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("flagship entry returns rows with the declared columns") {
+    val df = SparkEntry.entry(spark)
+    assert(df.columns.toSet == Set("l_returnflag", "l_linestatus", "sum_qty",
+      "sum_base_price", "sum_disc_price", "avg_qty", "count_order"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // sanity: grouped counts sum to table count
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    assert(total == Tables.lineitem(spark, SparkTestSession.sf0001).count())
+  }
+
+  test("every query name with an oracle exists in queries") {
+    val qs = SparkEntry.queries.keySet
+    val missing = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(missing.isEmpty, s"oracleSql keys without a query: $missing")
+  }
+
+  test("all queries run at sf0.001 and return rows") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, SparkTestSession.sf0001).count()
+      assert(n > 0, s"query $name returned 0 rows")
+    }
+  }
+}
