@@ -30,7 +30,11 @@ object SparkEntry {
   }
 
   private val groups: Seq[(Map[String, Q], Map[String, String])] = Seq(
-    (AggQueries.defs, AggQueries.oracles)
+    (AggQueries.defs, AggQueries.oracles),
+    (WindowQueries.defs, WindowQueries.oracles),
+    (JoinQueries.defs, JoinQueries.oracles),
+    (ScalarQueries.defs, ScalarQueries.oracles),
+    (SetPivotQueries.defs, SetPivotQueries.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

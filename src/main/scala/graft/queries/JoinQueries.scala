@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.3 join surface. The reference itself performs no relational key
+  * joins (only pandas index alignments, J1-J3 — designed out per SURVEY
+  * §7.3.3), but the engine ships the full Spark join surface:
+  * broadcast/sort-merge, inner/left/semi/anti, equi + range, and an as-of
+  * join composed from union + window (the operator Spark lacks natively).
+  *
+  * Scale notes: dimension sides (region/nation/customer at TPC-H ratios) are
+  * broadcast — no shuffle of the fact table; fact-fact joins shuffle on the
+  * join key once and AQE handles skew. The as-of avoids the O(n·m)
+  * range-join blowup entirely: one shuffle on user_id, one sort, linear scan.
+  */
+object JoinQueries {
+  import Det._
+
+  val defs: Map[String, Q] = Map(
+    // inner equi-join, broadcast dim: revenue per market segment
+    "j1_inner_broadcast" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sumExact(col("o_totalprice")).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // 5-table star join: revenue per nation within one region (TPC-H Q5 shape)
+    "j2_star_join_5way" -> ((s, d) => {
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(revenueExact(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    // left outer + count of matches (zero-preserving)
+    "j3_left_join_count" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    // left semi (EXISTS): customers with at least one high-value order
+    "j4_semi_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // left anti (NOT EXISTS): customers with no top-value order
+    "j5_anti_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 490000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // As-of join (operator Spark lacks): for each purchase, the latest click
+    // by the same user at-or-before the purchase. Composed as union + running
+    // last(ignoreNulls) over (user_id, time) — one shuffle, no range-join
+    // explosion; the same plan holds at 100 TB (shuffle on user_id only).
+    "j6_asof_join" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .withColumn("click_id",
+          when(col("event_type") === "click", col("event_id")))
+        .withColumn("last_click", last(col("click_id"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("last_click").as("click_id"))
+        .orderBy("purchase_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "j1_inner_broadcast" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "j2_star_join_5way" ->
+      """SELECT n_name,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                COUNT(*) AS n_items
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name ORDER BY n_name""",
+
+    "j3_left_join_count" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+
+    "j4_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+         ORDER BY c_custkey""",
+
+    "j5_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 490000)
+         ORDER BY c_custkey""",
+
+    "j6_asof_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND c.ts <= p.ts
+         ORDER BY purchase_id""")
+}

@@ -1,0 +1,175 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** SURVEY §2.5 window-function inventory (W1-W6), §2.6 sorts/top-k (O1-O5)
+  * and the M1 time-ordered split, over `events` (per-user time series — the
+  * analogue of the reference's per-city series, ml/features.py:27-50).
+  *
+  * pandas-parity traps encoded here (SURVEY §2.5 notes):
+  *  - rolling(w) ⇒ min_periods = w ⇒ guard with count(...) >= w;
+  *  - .std() is ddof=1 ⇒ stddev_samp;
+  *  - dayofweek 0=Monday ⇒ Spark `weekday`, DuckDB `isodow - 1`;
+  *  - shift(±k) never crosses group boundaries ⇒ lag/lead over partitionBy.
+  *
+  * Scale: one hash shuffle on user_id per window stage; all window exprs over
+  * the same spec fuse into a single WindowExec. The global-order ops (o2, m1)
+  * note their 100 TB strategy inline.
+  */
+object WindowQueries {
+
+  // per-user, time-ordered — event_id is the unique monotone tiebreak
+  private val W = Window.partitionBy("user_id").orderBy("event_id")
+
+  val defs: Map[String, Q] = Map(
+    // W1 lag k∈{1,3} + W2 lead 1 (features.py:35-39,50)
+    "w1_lag_lead" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          lag(col("value"), 1).over(W).as("lag1"),
+          lag(col("value"), 3).over(W).as("lag3"),
+          lead(col("value"), 1).over(W).as("next_value"))
+        .orderBy("event_id")
+    }),
+
+    // W3/W4 rolling mean/std, window 3, pandas min_periods=w semantics
+    // (features.py:44-46): partial windows yield NULL, not partial stats.
+    "w3_rolling_mean_std" -> ((s, d) => {
+      val frame = W.rowsBetween(-2, 0)
+      val full = count(col("value")).over(frame) >= 3
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          when(full, round(avg(col("value")).over(frame), 4)).as("roll_mean"),
+          when(full, round(stddev_samp(col("value")).over(frame), 4)).as("roll_std"))
+        .orderBy("event_id")
+    }),
+
+    // W5 temporal extraction (features.py:30-31): hour + 0=Monday weekday
+    "w5_hour_weekday" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          hour(col("ts")).as("h"),
+          weekday(col("ts")).as("dow"))
+        .orderBy("event_id")
+    }),
+
+    // W6 epoch↔timestamp (features.py:9-13): ts → epoch seconds → ts again,
+    // formatted (proves the round trip; F1's "yyyyMMdd_HHmmss" batch-id fmt)
+    "w6_epoch_roundtrip" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          unix_timestamp(col("ts")).as("epoch_s"),
+          date_format(timestamp_seconds(unix_timestamp(col("ts"))),
+            "yyyyMMdd_HHmmss").as("batch_id"))
+        .orderBy("event_id")
+    }),
+
+    // O2 top-k by time (main.py:130: sort_values('timestamp').tail(limit)).
+    // Plans as TakeOrderedAndProject — no full sort at any scale.
+    "o2_topk_by_time" -> ((s, d) => {
+      Tables.events(s, d)
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .limit(100)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    }),
+
+    // S5/T4 latest-per-key snapshot (load.py:51-62 current_weather) via the
+    // idiomatic row_number()=1; deterministic tiebreak on event_id.
+    "o3_latest_per_key" -> ((s, d) => {
+      val byRecency = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(byRecency))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("latest_event"),
+          col("event_type"), col("value"))
+        .orderBy("user_id")
+    }),
+
+    // O5 argmax-of-metric per group (registry.py:23-28 best-run selection).
+    // row_number idiom on both engines (DuckDB arg_max lacks tiebreaks).
+    "o5_argmax_per_group" -> ((s, d) => {
+      val byValue = Window.partitionBy("event_type")
+        .orderBy(col("value").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(byValue))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("event_id").as("best_event"),
+          col("value").as("best_value"))
+        .orderBy("event_type")
+    }),
+
+    // M1 TimeSeriesSplit(n_splits=5) chunking (training.py:25-26): 6 equal
+    // time-ordered chunks; fold i trains on chunks 0..i, validates on i+1.
+    // Global row_number here; at 100 TB: range-partition by ts and derive
+    // fold boundaries from approx quantiles instead of a global window.
+    "m1_ts_split_chunks" -> ((s, d) => {
+      val global = Window.orderBy("event_id")
+      val n = Tables.events(s, d).count()
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(global))
+        .select(col("event_id"),
+          expr(s"((rn - 1) * 6) div ${n}L").cast(IntegerType).as("chunk"))
+        .orderBy("event_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "w1_lag_lead" ->
+      """SELECT event_id, user_id, value,
+                lag(value, 1)  OVER (PARTITION BY user_id ORDER BY event_id) AS lag1,
+                lag(value, 3)  OVER (PARTITION BY user_id ORDER BY event_id) AS lag3,
+                lead(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_value
+         FROM events ORDER BY event_id""",
+
+    "w3_rolling_mean_std" ->
+      """SELECT event_id, user_id,
+                CASE WHEN cnt >= 3 THEN round(m, 4) END AS roll_mean,
+                CASE WHEN cnt >= 3 THEN round(sd, 4) END AS roll_std
+         FROM (
+           SELECT event_id, user_id,
+                  count(value) OVER w AS cnt,
+                  avg(value) OVER w AS m,
+                  stddev_samp(value) OVER w AS sd
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+         ORDER BY event_id""",
+
+    "w5_hour_weekday" ->
+      """SELECT event_id, CAST(hour(ts) AS INT) AS h,
+                CAST(isodow(ts) - 1 AS INT) AS dow
+         FROM events ORDER BY event_id""",
+
+    "w6_epoch_roundtrip" ->
+      """SELECT event_id, epoch_ms(ts) // 1000 AS epoch_s,
+                strftime(to_timestamp(epoch_ms(ts) // 1000), '%Y%m%d_%H%M%S') AS batch_id
+         FROM events ORDER BY event_id""",
+
+    "o2_topk_by_time" ->
+      """SELECT event_id, event_type, value
+         FROM (SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 100)
+         ORDER BY event_id""",
+
+    "o3_latest_per_key" ->
+      """SELECT user_id, event_id AS latest_event, event_type, value
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
+
+    "o5_argmax_per_group" ->
+      """SELECT event_type, event_id AS best_event, value AS best_value
+         FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                 ORDER BY value DESC, event_id DESC) AS rn FROM events)
+         WHERE rn = 1 ORDER BY event_type""",
+
+    "m1_ts_split_chunks" ->
+      """SELECT event_id,
+                CAST(((rn - 1) * 6) // (SELECT count(*) FROM events) AS INT) AS chunk
+         FROM (SELECT event_id, row_number() OVER (ORDER BY event_id) AS rn
+               FROM events)
+         ORDER BY event_id""")
+}
