@@ -34,7 +34,8 @@ object SparkEntry {
     (WindowQueries.defs, WindowQueries.oracles),
     (JoinQueries.defs, JoinQueries.oracles),
     (ScalarQueries.defs, ScalarQueries.oracles),
-    (SetPivotQueries.defs, SetPivotQueries.oracles)
+    (SetPivotQueries.defs, SetPivotQueries.oracles),
+    (ExtQueries.defs, ExtQueries.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

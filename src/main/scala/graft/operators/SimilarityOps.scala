@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Baseline: brute-force cosine (codegen'd zip_with/aggregate — exact).
+  * Scale path: sign-bucket partitioning (IVF/LSH-flavored): vectors are
+  * assigned a bucket from the sign pattern of their leading dimensions, and
+  * a query probes only its own bucket — at 1000 executors that's a partition
+  * -pruned scan instead of a full pass. Both variants are oracle-checked.
+  *
+  * All arithmetic is double (floats cast up first), accumulated left-to-
+  * right, matching the DuckDB oracle's list_reduce evaluation order
+  * bit-for-bit.
+  */
+object SimilarityOps {
+
+  private def asDouble(a: Column): Column = transform(a, x => x.cast(DoubleType))
+
+  /** Dot product of two float vectors, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Squared L2 norm. */
+  def norm2(a: Column): Column =
+    aggregate(asDouble(a), lit(0.0), (acc, v) => acc + v * v)
+
+  /** Cosine similarity = dot / (||a|| * ||b||). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Sign-pattern bucket from the first `bits` dimensions: bit i set iff
+    * dimension i+1 > 0. A deterministic, data-independent coarse quantizer
+    * (the fixed "hyperplanes" are the axis planes).
+    */
+  def signBucket(a: Column, bits: Int = 8): Column =
+    (0 until bits).map { i =>
+      when(element_at(a, i + 1) > 0.0f, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _).cast(IntegerType)
+
+  /** Brute-force all-pairs cosine ≥ threshold (exact near-dup join).
+    * O(n²) pairs but each pair is one fused codegen expression; prefer
+    * [[DedupOps.minhashNearDups]]-style blocking or `signBucket` pre-join
+    * at corpus scale.
+    */
+  def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Exact top-k by cosine against one query vector (deterministic tiebreak
+    * on id). Plans as TakeOrderedAndProject — no global sort.
+    */
+  def topK(emb: DataFrame, idCol: String, vecCol: String,
+      query: Column, k: Int): DataFrame =
+    emb.withColumn("cos", cosine(col(vecCol), query))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("cos"), 4).as("cos"))
+
+  /** Bucketed ANN: restrict the scan to the query's sign bucket before
+    * ranking. At scale the table is written partitioned by bucket, making
+    * this a partition-pruned read of ~1/2^bits of the data.
+    */
+  def topKBucketed(emb: DataFrame, idCol: String, vecCol: String,
+      query: Column, queryBucket: Column, k: Int): DataFrame =
+    emb.withColumn("bucket", signBucket(col(vecCol)))
+      .filter(col("bucket") === queryBucket)
+      .withColumn("cos", cosine(col(vecCol), query))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("bucket"), round(col("cos"), 4).as("cos"))
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Text-analysis operators for the LLM-data-pipeline surface (north star):
+  * tokenization, shingling, fingerprinting, quality scoring, language ID.
+  *
+  * All pure `functions._` compositions — codegen'd, no UDFs, so the hot path
+  * stays inside WholeStageCodegen at any scale. md5 is the only hash used in
+  * oracle-checked paths (identical hex output in DuckDB).
+  */
+object TextOps {
+
+  /** Whitespace tokenization (single-space corpus; a BPE-ish regex variant
+    * is `tokensRegex`).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish tokenizer: lowercase word pieces + digits + punctuation as
+    * separate tokens (regex split keeping it deterministic).
+    */
+  def tokensRegex(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Word n-gram shingles over a token array. Guarded so short docs yield an
+    * empty array (Spark's sequence(1,0) would count DOWN, unlike DuckDB
+    * range).
+    */
+  def shingles(toks: Column, n: Int = 3): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Canonical document fingerprint: md5 over the sorted distinct token set.
+    * Detects bag-of-words duplicates regardless of word order. (The rolling
+    * hash variant used for SimHash lives in DedupOps.)
+    */
+  def fingerprint(toks: Column): Column =
+    md5(concat_ws(" ", sort_array(array_distinct(toks))))
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
+
+  /** Fraction of tokens that are stopwords (0 when the doc is empty). */
+  def stopwordRatio(toks: Column): Column = {
+    val sw = filter(toks, t => t.isInCollection(stopwords))
+    when(size(toks) > 0,
+      size(sw).cast(DoubleType) / size(toks).cast(DoubleType))
+      .otherwise(lit(0.0))
+  }
+
+  /** Mean token length in characters. */
+  def avgTokenLen(toks: Column): Column =
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        .cast(DoubleType) / size(toks).cast(DoubleType))
+      .otherwise(lit(0.0))
+
+  /** Composite quality score in [0,1]: longer docs with less stopword mass
+    * and informative tokens score higher. Pure double arithmetic — the same
+    * formula is evaluated by the DuckDB oracle.
+    */
+  def qualityScore(nChars: Column, toks: Column): Column = {
+    val lenScore = least(size(toks).cast(DoubleType) / 100.0, lit(1.0))
+    val swScore = lit(1.0) - stopwordRatio(toks)
+    val charScore = least(nChars.cast(DoubleType) / 500.0, lit(1.0))
+    lenScore * 0.4 + swScore * 0.3 + charScore * 0.3
+  }
+
+  /** Marker vocabularies for the n-gram-heuristic language/domain ID.
+    * (The synthetic corpus is a single vocabulary, so profiles are "domain"
+    * profiles; the mechanism — marker counting + argmax with deterministic
+    * tiebreak — is the real operator.)
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "db"     -> Seq("table", "query", "row", "join", "filter", "scan", "sort", "merge", "hash", "agg"),
+    "gen"    -> Seq("the", "fast", "small", "slow", "key", "value", "data"),
+    "stream" -> Seq("stream", "batch", "window", "spark", "partition", "shuffle"))
+
+  /** Count of tokens (with multiplicity) drawn from a marker set. */
+  def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers)))
+
+  /** Argmax over profile scores; ties resolve to the lexicographically
+    * smallest profile name (db < gen < stream). Mirrors the oracle CASE.
+    */
+  def langId(toks: Column): Column = {
+    val Seq(db, gen, stream) = langProfiles.map(p => markerCount(toks, p._2))
+    when(db >= gen && db >= stream, "db")
+      .when(gen >= stream, "gen")
+      .otherwise("stream")
+  }
+}

@@ -1,0 +1,265 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.{DedupOps, SimilarityOps, TextOps}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** North-star extension inventory (builder prompt + SURVEY §7.1 step 7):
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding
+  * cosine), similarity search (brute-force + bucketed ANN), text analysis
+  * (tokens, quality, language-ID, fingerprint), multimodal binary plumbing.
+  *
+  * Everything except SimHash (xxhash64-based, not portable) is fully
+  * oracle-checked against DuckDB — including the complete MinHash-LSH
+  * pipeline, which uses md5 end to end for engine-identical signatures.
+  */
+object ExtQueries {
+
+  private val mdToks = "string_split(text, ' ')"
+  private val mdShingles =
+    "list_distinct(list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]))"
+  private def ddbSum(l: String) = s"list_reduce($l, (x,y) -> x+y)"
+  private def ddbDot(a: String, b: String) =
+    ddbSum(s"list_transform(list_zip($a,$b), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))")
+  private def ddbNorm2(a: String) =
+    ddbSum(s"list_transform($a, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))")
+  private def ddbList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("[", ",", "]")
+
+  val defs: Map[String, Q] = Map(
+    // ---- dedup ----
+    "x1_dedup_exact" -> ((s, d) => {
+      DedupOps.exactDedup(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("survivor")
+    }),
+
+    "x2_dedup_minhash_lsh" -> ((s, d) => {
+      DedupOps.minhashNearDups(Tables.documents(s, d), "text", "doc_id", 0.8)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash: Spark-native xxhash64 — rows-only gate (no portable oracle),
+    // exact semantics unit-tested in DedupOpsSpec.
+    "x3_dedup_simhash" -> ((s, d) => {
+      DedupOps.simhashNearDups(Tables.documents(s, d), "text", "doc_id", 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "x4_dedup_jaccard" -> ((s, d) => {
+      DedupOps.jaccardNearDups(Tables.documents(s, d), "text", "doc_id", 0.8)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // ---- similarity search ----
+    "x5_embed_neardup_pairs" -> ((s, d) => {
+      SimilarityOps.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "x6_sim_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      SimilarityOps.topK(
+        emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q)),
+        "vec_id", "embedding", col("qv"), 10)
+    }),
+
+    "x7_sim_topk_bucketed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      SimilarityOps.topKBucketed(
+        emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q)),
+        "vec_id", "embedding", col("qv"), SimilarityOps.signBucket(col("qv")), 5)
+    }),
+
+    // ---- text analysis ----
+    "x8_text_tokens" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_distinct"),
+          size(TextOps.tokensRegex(col("text"))).as("n_regex_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "x9_text_quality" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          size(toks).as("n_tokens"),
+          round(TextOps.avgTokenLen(toks), 4).as("avg_token_len"),
+          round(TextOps.stopwordRatio(toks), 4).as("stopword_ratio"),
+          round(TextOps.qualityScore(col("n_chars"), toks), 4).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "x10_text_langid" -> ((s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      val scores = TextOps.langProfiles.map { case (name, markers) =>
+        TextOps.markerCount(toks, markers).as(s"s_$name")
+      }
+      Tables.documents(s, d)
+        .select(Seq(col("doc_id"), TextOps.langId(toks).as("lang_pred")) ++ scores: _*)
+        .orderBy("doc_id")
+    }),
+
+    "x11_text_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextOps.fingerprint(TextOps.tokens(col("text"))).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- multimodal binary plumbing ----
+    // The payload is a deterministic stand-in blob (utf-8 of text); real
+    // image/audio decode is stubbed behind MultimodalOps (unit-tested) —
+    // this query proves the binary column + metadata path cross-engine.
+    "x12_multimodal_meta" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .select(col("doc_id"),
+          octet_length(col("payload")).as("n_bytes"),
+          md5(col("text")).as("content_hash"),
+          col("lang"), col("source"))
+        .orderBy("doc_id")
+    }))
+
+  // DuckDB oracle SQL. Shared shapes: t = tokens, sh = distinct 3-shingles.
+  val oracles: Map[String, String] = {
+    val sigCols = (0 until 12).map(i =>
+      s"list_min(list_transform(sh, s -> md5(s||':$i'))) AS mh$i").mkString(", ")
+    val bandCols = (0 until 3).map(b =>
+      s"md5(mh${4*b}||'|'||mh${4*b+1}||'|'||mh${4*b+2}||'|'||mh${4*b+3}) AS band$b"
+    ).mkString(", ")
+    val swList = ddbList(TextOps.stopwords)
+    val profiles = TextOps.langProfiles.map { case (n, m) =>
+      n -> s"CAST(len(list_filter(t, x -> list_contains(${ddbList(m)}, x))) AS INT)"
+    }
+
+    Map(
+      "x1_dedup_exact" ->
+        """SELECT md5(text) AS text_hash, min(doc_id) AS survivor,
+                  COUNT(*) AS n_copies
+           FROM documents GROUP BY md5(text) ORDER BY survivor""",
+
+      "x2_dedup_minhash_lsh" ->
+        s"""WITH base AS (
+              SELECT doc_id, $mdShingles AS sh
+              FROM (SELECT doc_id, $mdToks AS t FROM documents)),
+            sig AS (SELECT doc_id, sh, $sigCols FROM base),
+            banded AS (SELECT doc_id, $bandCols FROM sig),
+            exploded AS (
+              SELECT doc_id, unnest([0,1,2]) AS band_idx,
+                     unnest([band0,band1,band2]) AS band_key FROM banded),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM exploded a JOIN exploded b
+                ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+            verified AS (
+              SELECT doc_a, doc_b,
+                     CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                       / (len(sa.sh) + len(sb.sh)
+                          - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) AS jac
+              FROM cand
+              JOIN base sa ON doc_a = sa.doc_id
+              JOIN base sb ON doc_b = sb.doc_id)
+            SELECT doc_a, doc_b, round(jac, 4) AS jaccard
+            FROM verified WHERE jac >= 0.8 ORDER BY doc_a, doc_b""",
+
+      "x4_dedup_jaccard" ->
+        s"""WITH sh AS (
+              SELECT doc_id, unnest(sh) AS s FROM (
+                SELECT doc_id, $mdShingles AS sh
+                FROM (SELECT doc_id, $mdToks AS t FROM documents))),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+            ORDER BY doc_a, doc_b""",
+
+      "x5_embed_neardup_pairs" ->
+        s"""SELECT id_a, id_b, round(cos, 4) AS cos FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     ${ddbDot("a.embedding", "b.embedding")}
+                       / (sqrt(${ddbNorm2("a.embedding")})
+                          * sqrt(${ddbNorm2("b.embedding")})) AS cos
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            WHERE cos >= 0.4 ORDER BY id_a, id_b""",
+
+      "x6_sim_topk" ->
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id, round(cos, 4) AS cos FROM (
+              SELECT vec_id,
+                     ${ddbDot("embedding", "qv")}
+                       / (sqrt(${ddbNorm2("embedding")}) * sqrt(${ddbNorm2("qv")})) AS cos
+              FROM embeddings, q WHERE vec_id <> 0)
+            ORDER BY cos DESC, vec_id LIMIT 10""",
+
+      "x7_sim_topk_bucketed" -> {
+        def bucket(v: String) = (0 until 8).map(i =>
+          s"(CASE WHEN $v[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id, bucket, round(cos, 4) AS cos FROM (
+              SELECT vec_id, CAST(${bucket("embedding")} AS INT) AS bucket,
+                     ${ddbDot("embedding", "qv")}
+                       / (sqrt(${ddbNorm2("embedding")}) * sqrt(${ddbNorm2("qv")})) AS cos
+              FROM embeddings, q
+              WHERE vec_id <> 0
+                AND ${bucket("embedding")} = (SELECT ${bucket("qv")} FROM q))
+            ORDER BY cos DESC, vec_id LIMIT 5"""
+      },
+
+      "x8_text_tokens" ->
+        """SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+                  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                       x -> len(x) > 0)) AS INT) AS n_regex_tokens
+           FROM (SELECT doc_id, text FROM documents) ORDER BY doc_id""",
+
+      "x9_text_quality" ->
+        s"""SELECT doc_id, n_chars,
+                  CAST(len(t) AS INT) AS n_tokens,
+                  round(CAST(${ddbSum("list_transform(t, s -> len(s))")} AS DOUBLE)
+                        / len(t), 4) AS avg_token_len,
+                  round(sw, 4) AS stopword_ratio,
+                  round(least(len(t) / 100.0, 1.0) * 0.4
+                        + (1.0 - sw) * 0.3
+                        + least(n_chars / 500.0, 1.0) * 0.3, 4) AS quality
+           FROM (
+             SELECT doc_id, n_chars, t,
+                    CAST(len(list_filter(t, x -> list_contains($swList, x))) AS DOUBLE)
+                      / len(t) AS sw
+             FROM (SELECT doc_id, n_chars, $mdToks AS t FROM documents))
+           ORDER BY doc_id""",
+
+      "x10_text_langid" -> {
+        val Seq(db, gen, stream) = profiles.map(_._2)
+        s"""SELECT doc_id,
+                  CASE WHEN $db >= $gen AND $db >= $stream THEN 'db'
+                       WHEN $gen >= $stream THEN 'gen'
+                       ELSE 'stream' END AS lang_pred,
+                  $db AS s_db, $gen AS s_gen, $stream AS s_stream
+           FROM (SELECT doc_id, $mdToks AS t FROM documents) ORDER BY doc_id"""
+      },
+
+      "x11_text_fingerprint" ->
+        """SELECT doc_id,
+                  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+           FROM documents ORDER BY doc_id""",
+
+      "x12_multimodal_meta" ->
+        """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                  md5(text) AS content_hash, lang, source
+           FROM documents ORDER BY doc_id""")
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{DedupOps, SimilarityOps, TextOps}
+
+class ExtOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("shingles: 3-grams of a 5-token doc; short docs empty") {
+    val df = Seq("a b c d e", "a b").toDF("text")
+      .select(TextOps.shingles(TextOps.tokens(col("text"))).as("sh"))
+    val Array(r1, r2) = df.collect()
+    assert(r1.getSeq[String](0) == Seq("a b c", "b c d", "c d e"))
+    assert(r2.getSeq[String](0).isEmpty)
+  }
+
+  test("fingerprint is order-insensitive over the token bag") {
+    val df = Seq("b a c a", "a b c c").toDF("text")
+      .select(TextOps.fingerprint(TextOps.tokens(col("text"))).as("f"))
+    val fps = df.collect().map(_.getString(0))
+    assert(fps(0) == fps(1)) // same distinct-token set {a,b,c}
+  }
+
+  test("jaccard: hand-computed value") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(DedupOps.jaccard(col("x"), col("y")).as("j"))
+    assert(math.abs(df.head().getDouble(0) - 2.0 / 4.0) < 1e-12)
+  }
+
+  test("exact dedup keeps min-id survivor and counts copies") {
+    val docs = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("doc_id", "text")
+    val out = DedupOps.exactDedup(docs, "text", "doc_id")
+      .orderBy("survivor").collect()
+    assert(out.map(r => (r.getAs[Long]("survivor"), r.getAs[Long]("n_copies"))).toSeq
+      == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds an exact duplicate pair with jaccard 1.0") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val docs = Seq((1L, base), (2L, base), (3L, "z1 z2 z3 z4 z5 z6 z7 z8"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.minhashNearDups(docs, "text", "doc_id", 0.8).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("doc_a") == 1L)
+    assert(pairs.head.getAs[Long]("doc_b") == 2L)
+    assert(pairs.head.getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("simhash: identical docs have distance 0; near-identical within 3") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "qq ww ee rr tt yy uu ii oo pp")).toDF("doc_id", "text")
+    val pairs = DedupOps.simhashNearDups(docs, "text", "doc_id", 3).collect()
+    assert(pairs.exists(r => r.getAs[Long]("doc_a") == 1L
+      && r.getAs[Long]("doc_b") == 2L && r.getAs[Int]("hamming") == 0))
+    assert(!pairs.exists(r => r.getAs[Long]("doc_b") == 3L))
+  }
+
+  test("cosine: orthogonal = 0, parallel = 1") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(1.0f, 2.0f), Seq(2.0f, 4.0f))).toDF("a", "b")
+      .select(SimilarityOps.cosine(col("a"), col("b")).as("c"))
+    val vs = df.collect().map(_.getDouble(0))
+    assert(math.abs(vs(0)) < 1e-12)
+    assert(math.abs(vs(1) - 1.0) < 1e-12)
+  }
+
+  test("signBucket maps sign pattern of leading dims") {
+    val df = Seq(Seq(1.0f, -1.0f, 1.0f, -1.0f, -1.0f, -1.0f, -1.0f, -1.0f))
+      .toDF("v").select(SimilarityOps.signBucket(col("v")).as("b"))
+    assert(df.head().getInt(0) == (1 | 4)) // dims 1 and 3 positive
+  }
+
+  test("topK returns k best with deterministic tiebreak") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.topK(emb, "vec_id", "embedding",
+      array(lit(1.0f), lit(0.0f)), 2).collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 4L)) // cos=1 both, id asc
+  }
+
+  test("langId tiebreak is lexicographic (db wins ties)") {
+    val df = Seq("table stream").toDF("text")
+      .select(TextOps.langId(TextOps.tokens(col("text"))).as("l"))
+    assert(df.head().getString(0) == "db")
+  }
+
+  test("quality score bounded in [0,1]") {
+    val docs = Tables.documents(spark, SparkTestSession.sf0001)
+    val qs = docs.select(TextOps.qualityScore(col("n_chars"),
+      TextOps.tokens(col("text"))).as("q")).collect().map(_.getDouble(0))
+    assert(qs.forall(q => q >= 0.0 && q <= 1.0))
+  }
+}
