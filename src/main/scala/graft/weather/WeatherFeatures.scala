@@ -26,8 +26,8 @@ import org.apache.spark.sql.functions._
 object WeatherFeatures {
 
   val lagCols = Seq("temperature", "humidity", "wind_speed", "pressure")
-  val lags = Seq(1, 3)
-  val rollWindow = 3
+  val defaultLags = Seq(1, 3)
+  val defaultRollWindow = 3
 
   private val byCity: WindowSpec =
     Window.partitionBy("city").orderBy("timestamp")
@@ -40,9 +40,11 @@ object WeatherFeatures {
 
   /** Full feature set (features.py:16-79). `inference = true` keeps rows
     * whose target is null (features.py:71-72); training mode drops any row
-    * with a null feature or target (features.py:70-77).
+    * with a null feature or target (features.py:70-77). `lags`/`rollWindow`
+    * are the knobs the fallback ladder lightens (training.py:29-40).
     */
-  def engineer(df: DataFrame, inference: Boolean = false): DataFrame = {
+  def engineer(df: DataFrame, inference: Boolean = false,
+      lags: Seq[Int] = defaultLags, rollWindow: Int = defaultRollWindow): DataFrame = {
     val ts = timestamp_seconds(col("timestamp"))       // features.py:9-13 (coerce ⇒ NULL)
     var out = df
       .withColumn("hour", hour(ts))                    // :30

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml.{ModelRegistry, WeatherModels}
+import graft.sources.SyntheticWeather
+
+class MlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // 10 cities × 30 steps = 300 rows — enough for the full feature tier
+  lazy val featured = WeatherModels.featuresWithFallback(
+    SyntheticWeather.batches(spark, 30)).cache()
+
+  test("M1: expanding time-series splits are ordered and disjoint") {
+    val splits = WeatherModels.timeSeriesSplits(featured, nSplits = 5)
+    assert(splits.length == 5)
+    var prevTrain = 0L
+    for ((train, valid) <- splits) {
+      val tn = train.count(); val vn = valid.count()
+      assert(tn > prevTrain, "training window must expand")
+      assert(vn > 0)
+      val maxTrainTs = train.agg(org.apache.spark.sql.functions.max("timestamp"))
+        .head().getLong(0)
+      val minValidTs = valid.agg(org.apache.spark.sql.functions.min("timestamp"))
+        .head().getLong(0)
+      assert(maxTrainTs <= minValidTs, "validation must come after training")
+      prevTrain = tn
+    }
+  }
+
+  test("M4/M5: fallback ladder lightens features; <20 rows is rejected") {
+    val tiny = SyntheticWeather.batches(spark, 4).limit(35)
+    val light = WeatherModels.featuresWithFallback(tiny, inference = true)
+    assert(light.columns.contains("temperature_lag2"))
+    assert(!light.columns.contains("temperature_lag3"))
+    intercept[IllegalArgumentException] {
+      WeatherModels.featuresWithFallback(SyntheticWeather.batches(spark, 1).limit(10))
+    }
+  }
+
+  test("M2/M6/M7: regressor trains, scores in-plan, metrics in sane band") {
+    val feats = WeatherModels.featureCols(featured)
+    assert(feats.nonEmpty)
+    val model = WeatherModels.regressorPipeline(feats, numTrees = 20).fit(featured)
+    val scored = model.transform(featured) // M6: appends pred col, J1 obsolete
+    assert(scored.columns.contains("pred_temperature"))
+    val m = WeatherModels.regressionMetrics(scored)
+    // temperatures span ~[10,45]; an in-sample forest must beat ~half range
+    assert(m("mae") > 0 && m("mae") < 10, s"mae=${m("mae")}")
+    assert(m("rmse") >= m("mae"))
+  }
+
+  test("M3: classifier trains and decodes string predictions") {
+    val feats = WeatherModels.featureCols(featured)
+    val model = WeatherModels.classifierPipeline(feats, numTrees = 20).fit(featured)
+    val scored = WeatherModels.decodePredictions(model, model.transform(featured))
+    val preds = scored.select("pred_condition").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(SyntheticWeather.conditions.toSet))
+    val m = WeatherModels.classificationMetrics(scored)
+    assert(m("accuracy") > 0.2 && m("accuracy") <= 1.0) // > random over 5 classes
+  }
+
+  test("M8/M9: registry versioning, best-by-metric, stage promotion + load") {
+    val root = java.nio.file.Files.createTempDirectory("graft-registry").toString
+    val reg = new ModelRegistry(spark, root)
+    val feats = WeatherModels.featureCols(featured)
+    val model = WeatherModels.regressorPipeline(feats, numTrees = 5).fit(featured)
+    val v1 = reg.save("temp_rf", model, Map("rmse" -> 3.0))
+    val v2 = reg.save("temp_rf", model, Map("rmse" -> 2.0))
+    assert(v1 == 1 && v2 == 2)
+    assert(reg.bestVersion("temp_rf", "rmse", ascending = true).contains(2))
+    reg.promote("temp_rf", 2)
+    val loaded = reg.load("temp_rf")
+    assert(loaded.isDefined)
+    assert(loaded.get.transform(featured).columns.contains("pred_temperature"))
+  }
+
+  test("M1+M2: cross-validated regressor produces per-fold metrics") {
+    val (_, folds) = WeatherModels.crossValidateRegressor(
+      featured, numTrees = 5, nSplits = 3)
+    assert(folds.length == 3)
+    assert(folds.forall(f => f("rmse") > 0 && !f("rmse").isNaN))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.SyntheticWeather
+import graft.streaming.WeatherStream
+import graft.weather.{WeatherRecord, WeatherSinks}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def syntheticRecords(nSteps: Int): Seq[WeatherRecord] = {
+    import spark.implicits._
+    SyntheticWeather.batches(spark, nSteps).as[WeatherRecord].collect().toSeq
+  }
+
+  test("T1-T5: micro-batch fan-out appends raw/batches/stats and replaces snapshot") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val sinks = new WeatherSinks(root)
+    val input = MemoryStream[WeatherRecord]
+    val q = WeatherStream.startFanout(input.toDF(), sinks)
+    try {
+      val rows = syntheticRecords(4) // 10 cities × 4 steps
+      val (b1, b2) = rows.splitAt(20)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+
+      assert(sinks.scan(spark, "raw_weather_data").count() == 40)   // T3 append
+      val cur = sinks.scan(spark, "current_weather")                // T4 overwrite
+      assert(cur.select("batch_id").distinct().count() == 1)
+      assert(cur.count() == 20)
+      assert(sinks.scan(spark, "weather_batches")                   // T2 identity
+        .select("batch_id").distinct().count() == 2)
+      val stats = sinks.scan(spark, "weather_statistics")           // T5 per-batch agg
+      assert(stats.count() == 2)
+      assert(stats.agg(sum("total_records")).head().getLong(0) == 40L)
+    } finally q.stop()
+  }
+
+  test("T4 stateful: mapGroupsWithState keeps the newest record per city") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[WeatherRecord]
+    val q = WeatherStream.latestPerCity(input.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("latest_city").start()
+    try {
+      val rows = syntheticRecords(3)
+      val byStep = rows.groupBy(_.timestamp).toSeq.sortBy(_._1).map(_._2)
+      input.addData(byStep.head); q.processAllAvailable()
+      input.addData(byStep(1) ++ byStep(2)); q.processAllAvailable()
+      val out = spark.sql("select city, max(timestamp) ts from latest_city group by city")
+      val maxTs = rows.map(_.timestamp).max
+      assert(out.collect().forall(_.getLong(1) == maxTs)) // every city at newest step
+      assert(out.count() == 10)
+    } finally q.stop()
+  }
+
+  test("T6: watermarked event-time stats buckets by 5-minute window") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[WeatherRecord]
+    val agg = WeatherStream.eventTimeStats(input.toDF())
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("et_stats").start()
+    try {
+      val rows = syntheticRecords(6) // 6 consecutive 5-min steps
+      input.addData(rows)
+      // advance the watermark far enough to close all windows
+      input.addData(Seq(rows.head.copy(timestamp = rows.map(_.timestamp).max + 3600)))
+      q.processAllAvailable()
+      val out = spark.sql("select * from et_stats")
+      assert(out.count() >= 6) // one closed window per step
+      assert(out.agg(sum("total_records")).head().getLong(0) == 60L)
+    } finally q.stop()
+  }
+}
