@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.commons.codec.digest.DigestUtils
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused native forms of the dedup hash kernels. The compositional
+  * higher-order-function versions in [[graft.operators.DedupOps]] are the
+  * executable spec (and stay oracle-portable); these one-pass expressions
+  * produce identical values (asserted in tests) without per-row array
+  * allocation or interpreted lambda evaluation — on a corpus-scale dedup
+  * they are the difference between the hash kernel and the lambda
+  * interpreter dominating the profile.
+  *
+  * CodegenFallback is deliberate: the per-row work is a compiled JVM loop
+  * already (one call per row, thousands of hash ops inside), so generated
+  * Java would buy nothing.
+  */
+
+/** 64-bit SimHash over a token array: bit j of the result is the sign of
+  * Σ_tokens (bit j of xxhash64(token, seed=42) ? +1 : -1) — exactly
+  * [[graft.operators.DedupOps.simhash]] (Spark's xxhash64 default seed
+  * is 42).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}
+
+/** md5-based MinHash signature over a shingle array: slot i is the
+  * lexicographic minimum of md5(shingle ++ ":" ++ i) hex strings — exactly
+  * [[graft.operators.DedupOps.minhashSignature]], one pass, one digest
+  * reuse, no intermediate arrays.
+  */
+case class MinHashHexSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType)
+  override def prettyName: String = "minhash_hex_sig"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val minima = new Array[String](numHashes)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i).toString
+      var k = 0
+      while (k < numHashes) {
+        val hex = DigestUtils.md5Hex(s + ":" + k)
+        if (minima(k) == null || hex.compareTo(minima(k)) < 0) minima(k) = hex
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(minima.map(m =>
+      if (m == null) null else UTF8String.fromString(m)))
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashHexSig =
+    copy(child = c)
+}
+
+/** Distinct word n-gram shingles in first-occurrence order — fused
+  * equivalent of array_distinct([[graft.operators.TextOps.shingles]]):
+  * one pass, no per-index lambda evaluation, no intermediate array.
+  */
+case class DistinctShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType)
+  override def prettyName: String = "distinct_shingles"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m = arr.numElements() - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val sep = UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i < m) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): DistinctShingles =
+    copy(child = c)
+}
+
+object HashExprs {
+  def simhash64(toks: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(toks)))
+
+  def minhashHexSig(shingles: Column, numHashes: Int): Column =
+    Bridge.column(MinHashHexSig(Bridge.expression(shingles), numHashes))
+
+  def distinctShingles(toks: Column, n: Int = 3): Column =
+    Bridge.column(DistinctShingles(Bridge.expression(toks), n))
+}

@@ -62,15 +62,21 @@ object DedupOps {
       threshold: Double, numHashes: Int = 12, rowsPerBand: Int = 4): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val base = docs.select(col(idCol).as("doc_id"),
-      array_distinct(shingles(tokens(col(textCol)))).as("sh"))
-    val sig = base.select(Seq(col("doc_id"), col("sh")) ++
-      minhashSignature(col("sh"), numHashes): _*)
-    val banded = sig.select(Seq(col("doc_id"), col("sh")) ++
-      bandKeys(numHashes, rowsPerBand): _*)
+      graft.functions.HashExprs.distinctShingles(tokens(col(textCol))).as("sh"))
+    // fused one-pass signature kernel (== minhashSignature, see HashExprs).
+    // Cached: the band self-join and the verification join would otherwise
+    // each recompute the full shingle+signature lineage. Size is
+    // O(docs × (shingles + numHashes)) — the doc TEXT never enters.
+    val sig = base.withColumn("sig",
+      graft.functions.HashExprs.minhashHexSig(col("sh"), numHashes))
+      .persist()
+    val bandCols = (0 until numBands).map { b =>
+      md5(concat_ws("|", (0 until rowsPerBand).map(r =>
+        element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
+    }
     // one row per (doc, band) — shuffle key is the band hash
-    val exploded = banded.select(col("doc_id"), col("sh"),
-      posexplode(array((0 until numBands).map(b => col(s"band$b")): _*))
-        .as(Seq("band_idx", "band_key")))
+    val exploded = sig.select(col("doc_id"), col("sh"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
     val a = exploded.select(col("band_idx"), col("band_key"),
       col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = exploded.select(col("band_idx"), col("band_key"),
@@ -97,8 +103,16 @@ object DedupOps {
     */
   def jaccardNearDups(docs: DataFrame, textCol: String, idCol: String,
       threshold: Double): DataFrame = {
+    // join on the 64-bit hash of the shingle, not the string: the inverted-
+    // index shuffle carries 8-byte keys instead of ~25-byte text (collision
+    // probability over a corpus-scale shingle vocabulary is ~2^-64·n² —
+    // ignorable)
+    // cached: both sides of the self-join read this (otherwise the shingle
+    // lineage runs twice); rows are (long, long) — 16 bytes each
     val sh = docs.select(col(idCol).as("doc_id"),
-        explode(array_distinct(shingles(tokens(col(textCol))))).as("s"))
+        explode(graft.functions.HashExprs.distinctShingles(tokens(col(textCol)))).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+      .persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("x").join(sh.as("y"), col("x.s") === col("y.s")
         && col("x.doc_id") < col("y.doc_id"))
@@ -136,7 +150,7 @@ object DedupOps {
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       maxDist: Int = 3): DataFrame = {
     val sim = docs.select(col(idCol).as("doc_id"),
-      simhash(tokens(col(textCol))).as("sim"))
+      graft.functions.HashExprs.simhash64(tokens(col(textCol))).as("sim"))
     val chunks = sim.select(col("doc_id"), col("sim"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL)): _*))

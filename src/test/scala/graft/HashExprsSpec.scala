@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.HashExprs
+import graft.operators.{DedupOps, TextOps}
+
+class HashExprsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  lazy val docs = Tables.documents(spark, SparkTestSession.sf0001)
+
+  test("fused SimHash64 equals the compositional simhash on real docs") {
+    val both = docs.select(
+      DedupOps.simhash(TextOps.tokens(col("text"))).as("spec"),
+      HashExprs.simhash64(TextOps.tokens(col("text"))).as("fast"))
+    assert(both.filter(col("spec") =!= col("fast")).count() == 0L)
+  }
+
+  test("fused DistinctShingles equals array_distinct(shingles) on real docs") {
+    val spec = docs.select(col("doc_id"),
+      array_distinct(TextOps.shingles(TextOps.tokens(col("text")))).as("sh"))
+    val fast = docs.select(col("doc_id"),
+      HashExprs.distinctShingles(TextOps.tokens(col("text"))).as("sh"))
+    assert(spec.exceptAll(fast).count() == 0L)
+    assert(fast.exceptAll(spec).count() == 0L)
+  }
+
+  test("fused MinHashHexSig equals the compositional signature on real docs") {
+    val sh = array_distinct(TextOps.shingles(TextOps.tokens(col("text"))))
+    val spec = docs.select(Seq(col("doc_id")) ++
+      DedupOps.minhashSignature(sh, 12): _*)
+    val fast = docs.select(col("doc_id"),
+      HashExprs.minhashHexSig(sh, 12).as("sig"))
+      .select(Seq(col("doc_id")) ++
+        (0 until 12).map(i => element_at(col("sig"), i + 1).as(s"mh$i")): _*)
+    assert(spec.exceptAll(fast).count() == 0L)
+    assert(fast.exceptAll(spec).count() == 0L)
+  }
+}
