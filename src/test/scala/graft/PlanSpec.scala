@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (the 100 TB discipline): filters reach the
+  * parquet scan, projections prune columns, small dims broadcast, top-k
+  * plans as TakeOrderedAndProject, aggregations are two-phase (map-side
+  * partial). A plan regression here is a scale bug even when results stay
+  * correct.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.sf0001
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("p6: range predicates are pushed to the parquet scan") {
+    val p = plan("p6_range_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"), p)
+    assert(p.contains("GreaterThanOrEqual(l_quantity,10.0)"), p)
+  }
+
+  test("p6: scan reads only the referenced columns (pruning)") {
+    val p = plan("p6_range_filter")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+    assert(!readSchema.contains("l_returnflag"), readSchema)
+  }
+
+  test("j1/j2: dimension joins broadcast (no fact-table shuffle join)") {
+    assert(plan("j1_inner_broadcast").contains("BroadcastHashJoin"))
+    val p5 = plan("j2_star_join_5way")
+    assert(p5.contains("BroadcastHashJoin"), p5)
+    assert(!p5.contains("SortMergeJoin"), "5-way star must broadcast all dims")
+  }
+
+  test("o2: top-k by time plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("o2_topk_by_time")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("a1/a3: aggregations are two-phase (map-side partial)") {
+    val p = plan("a3_avg")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("partial"), p)
+  }
+
+  test("entry: whole-stage codegen covers the aggregation") {
+    val df = SparkEntry.entry(spark)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    // whole-stage-codegen stages render as "*(n) Operator" in plan strings
+    assert(p.contains("*(") , p)
+    assert("\\*\\(\\d+\\) HashAggregate".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("x5: fused cosine join has no zip_with/aggregate lambda chain") {
+    val p = plan("x5_embed_neardup_pairs")
+    assert(p.contains("cosine_sim"), p)
+    assert(!p.contains("zip_with"), p)
+  }
+}
