@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.operators.DedupOps
+import graft.weather.WeatherStats
+
+/** Property-based invariants (SURVEY §5.2.4) over generated weather batches:
+  * semantics that must hold for ANY input, not just fixtures.
+  */
+object WeatherProps extends Properties("weather") {
+  lazy val spark = SparkTestSession.spark
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private val cityGen = Gen.oneOf("A", "B", "C", "D")
+  private val recGen = for {
+    c <- cityGen
+    t <- Gen.choose(-20.0, 55.0)
+    w <- Gen.oneOf("Clear", "Rain", "Clouds")
+  } yield (c, math.rint(t * 100) / 100, w)
+  // distinct per-row timestamps (index-derived) so orderings are unambiguous
+  private val batchGen = Gen.nonEmptyListOf(recGen).map(_.take(60).zipWithIndex
+    .map { case ((c, t, w), i) => (c, t, w, 1000L + i * 7L) })
+
+  private def toDf(rows: List[(String, Double, String, Long)]) = {
+    import spark.implicits._
+    rows.toDF("city", "temperature", "weather", "timestamp")
+      .withColumn("humidity", lit(50))
+  }
+
+  property("stats doc: bands partition the batch; bounds ordered") =
+    forAll(batchGen) { rows =>
+      val stats = WeatherStats.statsDoc(toDf(rows), lit("b"), lit(null).cast("timestamp")).head()
+      val dist = stats.getAs[org.apache.spark.sql.Row]("temperature_distribution")
+      val bands = Seq("very_cold", "cold", "cool", "moderate", "warm", "hot").map(dist.getAs[Long])
+      val (mn, av, mx) = (stats.getAs[Double]("min_temperature"),
+        stats.getAs[Double]("avg_temperature"), stats.getAs[Double]("max_temperature"))
+      bands.sum == rows.size &&
+        stats.getAs[Long]("total_records") == rows.size &&
+        stats.getAs[Long]("cities_count") <= rows.size &&
+        mn <= av + 1e-9 && av <= mx + 1e-9
+    }
+
+  property("latest-per-key snapshot: exactly one row per city, at its max ts") =
+    forAll(batchGen) { rows =>
+      val w = Window.partitionBy("city").orderBy(col("timestamp").desc)
+      val latest = toDf(rows).withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).collect()
+      val expected = rows.groupBy(_._1).view.mapValues(_.map(_._4).max).toMap
+      latest.length == expected.size &&
+        latest.forall(r => expected(r.getAs[String]("city")) == r.getAs[Long]("timestamp"))
+    }
+
+  property("lag(1) over city partition equals pandas groupby-shift") =
+    forAll(batchGen) { rows =>
+      val w = Window.partitionBy("city").orderBy("timestamp")
+      val got = toDf(rows)
+        .select(col("city"), col("timestamp"), lag(col("temperature"), 1).over(w).as("l"))
+        .collect().map(r => (r.getAs[String](0), r.getAs[Long](1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      val expected = rows.groupBy(_._1).iterator.flatMap { case (_, rs) =>
+        val sorted = rs.sortBy(_._4)
+        sorted.zip(None +: sorted.init.map(r => Some(r._2)))
+          .map { case (r, prev) => (r._1, r._4, prev) }
+      }.toSet
+      got == expected
+    }
+
+  property("exact dedup: survivors are min-ids and copies sum to total") =
+    forAll(Gen.nonEmptyListOf(Gen.oneOf("x", "y", "z", "w"))) { texts =>
+      import spark.implicits._
+      val docs = texts.take(40).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = DedupOps.exactDedup(docs, "text", "doc_id").collect()
+      val byText = texts.take(40).zipWithIndex.groupBy(_._1)
+      out.length == byText.size &&
+        out.map(_.getAs[Long]("n_copies")).sum == math.min(texts.size, 40) &&
+        out.forall { r =>
+          byText.values.exists(g => g.map(_._2.toLong).min == r.getAs[Long]("survivor"))
+        }
+    }
+
+  property("jaccard ∈ [0,1]; 1 iff equal sets") =
+    forAll(Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e")),
+      Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e"))) { (xs, ys) =>
+      import spark.implicits._
+      val j = Seq((xs.distinct, ys.distinct)).toDF("x", "y")
+        .select(DedupOps.jaccard(col("x"), col("y")).as("j")).head().getDouble(0)
+      j >= 0.0 && j <= 1.0 &&
+        ((j == 1.0) == (xs.distinct.toSet == ys.distinct.toSet))
+    }
+}
