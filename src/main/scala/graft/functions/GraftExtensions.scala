@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions registration (the public extension point — SURVEY
+  * §7.2's path (c)) exposing the native kernels to the SQL surface:
+  *
+  *   spark.sql("SELECT cosine_sim(a.embedding, b.embedding) ...")
+  *
+  * Wire with:
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  * or config: spark.sql.extensions=graft.functions.GraftExtensions
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(array<float>, array<float>) - fused cosine similarity"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(array<string>) - 64-bit SimHash of a token array"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+
+    ext.injectFunction((FunctionIdentifier("minhash_hex_sig"),
+      info("minhash_hex_sig", "minhash_hex_sig(array<string>, k) - md5 MinHash signature"),
+      (args: Seq[Expression]) => MinHashHexSig(args(0),
+        args(1).eval().asInstanceOf[Int])))
+
+    ext.injectFunction((FunctionIdentifier("distinct_shingles"),
+      info("distinct_shingles", "distinct_shingles(array<string>, n) - distinct word n-grams"),
+      (args: Seq[Expression]) => DistinctShingles(args(0),
+        args(1).eval().asInstanceOf[Int])))
+  }
+}

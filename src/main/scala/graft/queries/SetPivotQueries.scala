@@ -58,6 +58,31 @@ object SetPivotQueries {
       base.select(col("event_id") +: oh: _*).orderBy("event_id")
     }),
 
+    // union ALL (bag semantics; duplicates preserved)
+    "set_union_all" -> ((s, d) => {
+      val a = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey"))
+      val b = Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+        .select(col("o_custkey").as("c_custkey"))
+      a.union(b).orderBy("c_custkey")
+    }),
+
+    // cube: all grouping sets over the two-level hierarchy
+    "agg_cube" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      val c = Tables.customer(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .cube(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n_cust"))
+        .orderBy("region", "nation")
+    }),
+
     // A-extra: rollup (grouping-sets surface, free built-in — SURVEY §2.4
     // note). Subtotals + grand total over a two-level hierarchy.
     "agg_rollup" -> ((s, d) => {
@@ -93,6 +118,23 @@ object SetPivotQueries {
          EXCEPT
          SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
          ORDER BY c_custkey""",
+
+    "set_union_all" ->
+      """SELECT c_custkey FROM (
+           SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+           UNION ALL
+           SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 450000)
+         ORDER BY c_custkey""",
+
+    "agg_cube" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+                coalesce(n_name, 'ALL') AS nation,
+                COUNT(*) AS n_cust
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY CUBE (r_name, n_name)
+         ORDER BY region, nation""",
 
     "e1_pivot_counts" ->
       """SELECT user_id,

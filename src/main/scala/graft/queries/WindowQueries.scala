@@ -103,6 +103,31 @@ object WindowQueries {
         .orderBy("event_type")
     }),
 
+    // W7 running (cumulative) aggregate — exact decimal accumulation so the
+    // prefix sums match DuckDB's segment-tree evaluation bit-for-bit
+    "w7_running_sum" -> ((s, d) => {
+      val frame = W.rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .over(frame).cast("double").as("running_value"),
+          count(lit(1)).over(frame).as("running_n"))
+        .orderBy("event_id")
+    }),
+
+    // W8 ranking family (not in the reference; part of the full window
+    // surface): rank/dense_rank with real ties (event_type ordering) and
+    // ntile over the unique order
+    "w8_ranks" -> ((s, d) => {
+      val byType = Window.partitionBy("user_id").orderBy("event_type")
+      Tables.events(s, d)
+        .select(col("event_id"),
+          rank().over(byType).as("rnk"),
+          dense_rank().over(byType).as("drnk"),
+          ntile(4).over(W).as("quartile"))
+        .orderBy("event_id")
+    }),
+
     // M1 TimeSeriesSplit(n_splits=5) chunking (training.py:25-26): 6 equal
     // time-ordered chunks; fold i trains on chunks 0..i, validates on i+1.
     // Global row_number here; at 100 TB: range-partition by ts and derive
@@ -165,6 +190,22 @@ object WindowQueries {
          FROM (SELECT *, row_number() OVER (PARTITION BY event_type
                  ORDER BY value DESC, event_id DESC) AS rn FROM events)
          WHERE rn = 1 ORDER BY event_type""",
+
+    "w7_running_sum" ->
+      """SELECT event_id, user_id,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value,
+                COUNT(*) OVER w AS running_n
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
+    "w8_ranks" ->
+      """SELECT event_id,
+                CAST(rank() OVER (PARTITION BY user_id ORDER BY event_type) AS INT) AS rnk,
+                CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS INT) AS drnk,
+                CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS quartile
+         FROM events ORDER BY event_id""",
 
     "m1_ts_split_chunks" ->
       """SELECT event_id,

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native kernels registered through SparkSessionExtensions must be
+  * callable from plain SQL in a session built with GraftExtensions.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  // the shared session is built with GraftExtensions (as GraftSession is)
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("cosine_sim / simhash64 / minhash_hex_sig / distinct_shingles in SQL") {
+    val r = spark.sql(
+      """SELECT
+           cosine_sim(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+                      array(CAST(2.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS cos,
+           simhash64(array('a', 'b', 'a')) AS sh,
+           minhash_hex_sig(array('a b c', 'b c d'), 2) AS sig,
+           distinct_shingles(array('w1', 'w2', 'w3', 'w1', 'w2', 'w3'), 3) AS shg
+      """).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-15)
+    assert(r.getAs[scala.collection.Seq[String]]("sig").length == 2)
+    val shg = r.getAs[scala.collection.Seq[String]]("shg")
+    assert(shg.contains("w1 w2 w3") && shg.contains("w3 w1 w2"))
+    assert(shg.length == 3) // 4 windows, 3 distinct (w1w2w3 repeats)
+  }
+}

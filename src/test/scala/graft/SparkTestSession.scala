@@ -11,6 +11,7 @@ object SparkTestSession {
     SparkSession.builder()
       .master("local[8]")
       .appName("graft-test")
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
