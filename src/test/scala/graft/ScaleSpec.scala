@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SkewOps
+
+/** Scale-path mechanics: bucketed co-located joins (no shuffle), salted
+  * joins for skew (same results as the plain join), approximate distinct
+  * within its error envelope.
+  */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.sf0001
+
+  test("bucketed tables join without a shuffle exchange") {
+    val o = Tables.orders(spark, sf)
+    val l = Tables.lineitem(spark, sf)
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("orders_b")
+    l.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("lineitem_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("lineitem_b").join(spark.table("orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must be shuffle-free:\n$plan")
+      assert(joined.count() == l.count()) // every lineitem has its order
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join equals the plain join on skewed data") {
+    import spark.implicits._
+    // 90% of rows share one hot key
+    val big = spark.range(5000)
+      .select(when(col("id") % 10 < 9, lit(1L)).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+    val small = Seq((1L, "hot"), (17L, "cold"), (23L, "cold")).toDF("k", "v")
+    val plain = big.join(small, Seq("k")).agg(
+      count(lit(1)), sum(col("payload"))).head()
+    val salted = SkewOps.saltedJoin(big, small, "k", salt = 8).agg(
+      count(lit(1)), sum(col("payload"))).head()
+    assert(plain == salted)
+  }
+
+  test("approx_count_distinct within its error envelope vs exact") {
+    val o = Tables.orders(spark, sf)
+    val r = o.agg(
+      countDistinct(col("o_custkey")).as("exact"),
+      approx_count_distinct(col("o_custkey"), 0.02).as("approx")).head()
+    val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"exact=$exact approx=$approx")
+  }
+}

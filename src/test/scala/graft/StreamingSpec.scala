@@ -59,6 +59,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("T8: sliding windows emit overlapping buckets per city") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[WeatherRecord]
+    val q = WeatherStream.slidingTempAvg(input.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sliding").start()
+    try {
+      val rows = syntheticRecords(6)
+      input.addData(rows)
+      input.addData(Seq(rows.head.copy(timestamp = rows.map(_.timestamp).max + 7200)))
+      q.processAllAvailable()
+      val out = spark.sql("select * from sliding where city = 'Mumbai'")
+      // 6 steps × 5 min with 10-min windows sliding 5 min ⇒ ≥ 6 closed buckets
+      assert(out.count() >= 6)
+    } finally q.stop()
+  }
+
+  test("T8: session windows close after the gap") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[WeatherRecord]
+    val q = WeatherStream.sessionStats(input.toDF(), gap = "15 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions").start()
+    try {
+      val rows = syntheticRecords(3) // 3 obs, 5 min apart → one session/city
+      input.addData(rows)
+      input.addData(Seq(rows.head.copy(timestamp = rows.map(_.timestamp).max + 7200)))
+      q.processAllAvailable()
+      val out = spark.sql("select * from sessions where city = 'Mumbai'")
+      assert(out.count() == 1) // the 3 observations merge into one session
+      assert(out.head().getAs[Long]("n_obs") == 3L)
+    } finally q.stop()
+  }
+
   test("T6: watermarked event-time stats buckets by 5-minute window") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
