@@ -67,6 +67,14 @@ object WeatherModels {
         || Seq("temperature", "feels_like", "humidity", "pressure",
           "wind_speed", "hour", "dayofweek").contains(c))
 
+  /** E2 inference-side null fill (predict.py:80-81): partition-edge lag /
+    * rolling NULLs become 0.0 so every recent row gets a prediction — the
+    * reference's _align_features fill, reduced to one na.fill because the
+    * schema is already aligned by construction.
+    */
+  def fillInferenceNulls(featured: DataFrame): DataFrame =
+    featured.na.fill(0.0, featureCols(featured).toIndexedSeq)
+
   /** M2: temperature regressor (RandomForestRegressor ×`numTrees`, seed 42 —
     * training.py:43-45).
     */

@@ -14,6 +14,7 @@ import org.apache.spark.sql.functions._
   */
 class WeatherEngine(spark: SparkSession, tablesRoot: String) {
   val sinks = new WeatherSinks(tablesRoot)
+  lazy val registry = new graft.ml.ModelRegistry(spark, s"$tablesRoot/models")
 
   /** Run one ETL batch over already-flattened records.
     * `clock` pins batch identity for determinism (tests inject a fixed one;
@@ -55,4 +56,77 @@ class WeatherEngine(spark: SparkSession, tablesRoot: String) {
   }
 
   def listTables(): Seq[String] = sinks.listTables()
+
+  // ---- ML endpoints (SURVEY §3.2/§3.3: /train, /predict/temp,
+  // /predict/weather, /monitor/eval, /registry/promote) ----
+  import graft.ml.WeatherModels
+
+  /** /train (main.py:115-121 → training.py:147): scan the raw log,
+    * featurize with the fallback ladder, CV + final-fit both models, save
+    * to the registry at Staging. Returns per-fold regressor metrics.
+    */
+  def train(numTrees: Int = 200, nSplits: Int = 5): Seq[Map[String, Double]] = {
+    val raw = sinks.scan(spark, "raw_weather_data")
+    val featured = WeatherModels.featuresWithFallback(raw).cache()
+    try {
+      val (regModel, folds) =
+        WeatherModels.crossValidateRegressor(featured, numTrees, nSplits)
+      val cvRmse = folds.map(_("rmse")).sum / folds.size
+      registry.save("temp_rf", regModel, Map("rmse" -> cvRmse))
+      val feats = WeatherModels.featureCols(featured)
+      val clfModel = WeatherModels.classifierPipeline(feats, numTrees).fit(featured)
+      val clfMetrics = WeatherModels.classificationMetrics(clfModel.transform(featured))
+      registry.save("cond_rf", clfModel, clfMetrics)
+      folds
+    } finally featured.unpersist()
+  }
+
+  /** /predict/temp (main.py:124-150): newest `limit` rows → inference
+    * features → Production-or-latest model → in-plan scoring → persisted
+    * prediction rows. No positional concat (J1): transform appends columns.
+    */
+  def predictTemp(limit: Int = 100, persist: Boolean = true): DataFrame = {
+    val recent = latest("raw_weather_data", limit)
+    val featured = WeatherModels.fillInferenceNulls(
+      WeatherModels.featuresWithFallback(recent, inference = true))
+    val model = registry.load("temp_rf")
+      .getOrElse(throw new IllegalStateException("no trained temp_rf model"))
+    val scored = model.transform(featured)
+      .select("city", "timestamp", "temperature", "pred_temperature")
+    if (persist) sinks.appendPredictions(scored, "regression")
+    scored
+  }
+
+  /** /predict/weather (main.py:207-233). */
+  def predictWeather(limit: Int = 100, persist: Boolean = true): DataFrame = {
+    val recent = latest("raw_weather_data", limit)
+    val featured = WeatherModels.fillInferenceNulls(
+      WeatherModels.featuresWithFallback(recent, inference = true))
+    val model = registry.load("cond_rf")
+      .getOrElse(throw new IllegalStateException("no trained cond_rf model"))
+    val scored = WeatherModels.decodePredictions(model, model.transform(featured))
+      .select("city", "timestamp", "weather", "pred_condition")
+    if (persist) sinks.appendPredictions(scored, "classification")
+    scored
+  }
+
+  /** /monitor/eval (main.py:153-191): score the newest `limit` rows that
+    * have a known next-step target and report regression metrics.
+    */
+  def evaluate(limit: Int = 500): Map[String, Double] = {
+    val recent = latest("raw_weather_data", limit)
+    val featured = WeatherModels.fillInferenceNulls(
+      WeatherModels.featuresWithFallback(recent, inference = true))
+      .filter(org.apache.spark.sql.functions.col("target_temp_next").isNotNull)
+    val model = registry.load("temp_rf")
+      .getOrElse(throw new IllegalStateException("no trained temp_rf model"))
+    WeatherModels.regressionMetrics(model.transform(featured))
+  }
+
+  /** /registry/promote (main.py:194-204): best rmse → Production. */
+  def promoteBest(): Option[Int] = {
+    val best = registry.bestVersion("temp_rf", "rmse", ascending = true)
+    best.foreach(v => registry.promote("temp_rf", v))
+    best
+  }
 }

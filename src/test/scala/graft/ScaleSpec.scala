@@ -15,6 +15,16 @@ class ScaleSpec extends AnyFunSuite {
   test("bucketed tables join without a shuffle exchange") {
     val o = Tables.orders(spark, sf)
     val l = Tables.lineitem(spark, sf)
+    // the in-memory catalog forgets tables across JVMs but the warehouse
+    // dirs persist — clear both
+    for (t <- Seq("orders_b", "lineitem_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(dir).deleteRecursively()
+      }
+    }
     o.write.mode("overwrite").bucketBy(8, "o_orderkey")
       .sortBy("o_orderkey").saveAsTable("orders_b")
     l.write.mode("overwrite").bucketBy(8, "l_orderkey")
