@@ -29,6 +29,16 @@ object WeatherTransform {
       doc.getField("dt").as("timestamp"))                               // :18
   }
 
+  /** S2: split a flattened batch into (good, quarantine). The reference
+    * logs-and-skips failed records (extract.py:19-20); here a malformed
+    * document flattens to an all-null row (PERMISSIVE from_json), and the
+    * quarantine keeps it for inspection instead of dropping it silently.
+    */
+  def quarantine(flat: DataFrame): (DataFrame, DataFrame) = {
+    val bad = col("city").isNull || col("timestamp").isNull
+    (flat.filter(!bad), flat.filter(bad))
+  }
+
   /** Read a captured flat CSV batch (header row, declared schema — the
     * reference's golden outputs, e.g. data/weather_data_20250903_200821.csv).
     */

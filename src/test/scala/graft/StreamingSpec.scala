@@ -40,6 +40,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("T1: file-based ingestion — readStream over a drop directory") {
+    import spark.implicits._
+    val dropDir = java.nio.file.Files.createTempDirectory("graft-drop").toString
+    val root = java.nio.file.Files.createTempDirectory("graft-filestream").toString
+    val sinks = new WeatherSinks(root)
+    // batch 1 lands before the stream starts, batch 2 while it runs
+    val rows = syntheticRecords(2)
+    val (b1, b2) = rows.partition(_.timestamp == rows.map(_.timestamp).min)
+    b1.toDF().write.mode("append").parquet(dropDir)
+    val stream = spark.readStream
+      .schema(b1.toDF().schema)
+      .parquet(dropDir)
+    val q = WeatherStream.startFanout(stream, sinks)
+    try {
+      q.processAllAvailable()
+      b2.toDF().write.mode("append").parquet(dropDir)
+      q.processAllAvailable()
+      assert(sinks.scan(spark, "raw_weather_data").count() == 20)
+      assert(sinks.scan(spark, "weather_batches")
+        .select("batch_id").distinct().count() == 2)
+    } finally q.stop()
+  }
+
+  test("S2: malformed JSON documents are quarantined, not dropped silently") {
+    import spark.implicits._
+    val raw = Seq(
+      """{"name":"Lima","dt":100,"sys":{"country":"PE"},"main":{"temp":20.0,
+         "feels_like":20.0,"humidity":50,"pressure":1000},
+         "weather":[{"main":"Clear","description":"clear sky"}],
+         "wind":{"speed":1.0}}""".replaceAll("\n\\s*", ""),
+      """not json at all""").toDF("json")
+    val (good, bad) = graft.weather.WeatherTransform.quarantine(
+      graft.weather.WeatherTransform.flatten(raw))
+    assert(good.count() == 1 && bad.count() == 1)
+    assert(good.head().getAs[String]("city") == "Lima")
+  }
+
   test("T4 stateful: mapGroupsWithState keeps the newest record per city") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
