@@ -35,7 +35,8 @@ object SparkEntry {
     (JoinQueries.defs, JoinQueries.oracles),
     (ScalarQueries.defs, ScalarQueries.oracles),
     (SetPivotQueries.defs, SetPivotQueries.oracles),
-    (ExtQueries.defs, ExtQueries.oracles)
+    (ExtQueries.defs, ExtQueries.oracles),
+    (MiscQueries.defs, MiscQueries.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Breadth queries rounding out the scalar/aggregate surface beyond the
+  * reference's own usage (SURVEY §2.4/§2.8 "ship the full surface"):
+  * percentiles, correlation, date parts, null-handling, string family,
+  * explode/word-frequency.
+  */
+object MiscQueries {
+
+  val defs: Map[String, Q] = Map(
+    // exact interpolated percentiles (median + tail) per group
+    "a9_percentiles" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("median_value"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95_value"))
+        .orderBy("event_type")
+    }),
+
+    // Pearson correlation + sample covariance per group
+    "a10_corr" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qty_disc"))
+        .orderBy("l_returnflag")
+    }),
+
+    // date-part extraction and arithmetic
+    "f2_date_parts" -> ((s, d) => {
+      val dt = col("o_orderdate").cast("date")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          // dates cross the oracle as ISO strings: pandas renders DuckDB
+          // DATE as datetime64 but parquet date32 as datetime.date, which
+          // would hash-mismatch even for equal values
+          date_format(date_add(dt, 30), "yyyy-MM-dd").as("plus30"),
+          date_format(last_day(dt), "yyyy-MM-dd").as("month_end"),
+          datediff(lit("2024-06-01").cast("date"), dt).as("days_to_june"))
+        .orderBy("o_orderkey")
+    }),
+
+    // null-handling family: coalesce/nullif/greatest/least/case
+    "f3_null_funcs" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          coalesce(nullif(col("event_type"), lit("error")), lit("ERR")).as("type_or_err"),
+          greatest(col("value"), lit(100.0)).as("at_least_100"),
+          least(col("value"), lit(100.0)).as("at_most_100"),
+          when(col("value") > 150, "high").when(col("value") > 50, "mid")
+            .otherwise("low").as("band"))
+        .orderBy("event_id")
+    }),
+
+    // wider string family: substring/trim/pad/replace/regexp_replace/split
+    "f5_string_more" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          substring(col("p_name"), 1, 4).as("prefix4"),
+          trim(lit(" pad ")).as("trimmed"),
+          lpad(col("p_brand"), 10, "#").as("padded"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+          size(split(col("p_name"), " ")).as("n_words"),
+          upper(col("p_type")).as("utype"))
+        .orderBy("p_partkey")
+    }),
+
+    // explode + word frequency over the corpus (the classic flatten-agg)
+    "x13_word_freq" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy("token")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "a9_percentiles" ->
+      """SELECT event_type,
+                round(quantile_cont(value, 0.5), 4) AS median_value,
+                round(quantile_cont(value, 0.95), 4) AS p95_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "a10_corr" ->
+      """SELECT l_returnflag,
+                round(corr(l_extendedprice, l_quantity), 6) AS corr_qty_price,
+                round(covar_samp(l_discount, l_quantity), 6) AS covar_qty_disc
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "f2_date_parts" ->
+      """SELECT o_orderkey,
+                CAST(year(o_orderdate) AS INT) AS y,
+                CAST(month(o_orderdate) AS INT) AS m,
+                CAST(day(o_orderdate) AS INT) AS dom,
+                strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
+                strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+                CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2024-06-01') AS INT) AS days_to_june
+         FROM orders ORDER BY o_orderkey""",
+
+    "f3_null_funcs" ->
+      """SELECT event_id,
+                coalesce(nullif(event_type, 'error'), 'ERR') AS type_or_err,
+                greatest(value, 100.0) AS at_least_100,
+                least(value, 100.0) AS at_most_100,
+                CASE WHEN value > 150 THEN 'high'
+                     WHEN value > 50 THEN 'mid'
+                     ELSE 'low' END AS band
+         FROM events ORDER BY event_id""",
+
+    "f5_string_more" ->
+      """SELECT p_partkey,
+                substr(p_name, 1, 4) AS prefix4,
+                trim(' pad ') AS trimmed,
+                lpad(p_brand, 10, '#') AS padded,
+                regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+                CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+                upper(p_type) AS utype
+         FROM part ORDER BY p_partkey""",
+
+    "x13_word_freq" ->
+      """SELECT token, COUNT(*) AS freq FROM (
+           SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         GROUP BY token ORDER BY token""")
+}
