@@ -104,6 +104,25 @@ object WeatherModels {
     new Pipeline().setStages(Array(indexer, assembler, rf))
   }
 
+  /** M3 alternative: logistic-regression classifier
+    * (LogisticRegression(max_iter=1000), training.py:71-74 — the
+    * reference's model_type="logreg" branch).
+    */
+  def logisticPipeline(features: Array[String], maxIter: Int = 1000): Pipeline = {
+    val indexer = new StringIndexer()
+      .setInputCol("target_condition").setOutputCol("label")
+      .setStringOrderType("alphabetAsc")
+      .setHandleInvalid("keep")
+    val assembler = new VectorAssembler()
+      .setInputCols(features).setOutputCol("features")
+    val lr = new org.apache.spark.ml.classification.LogisticRegression()
+      .setFeaturesCol("features").setLabelCol("label")
+      .setPredictionCol("pred_label").setProbabilityCol("prob")
+      .setRawPredictionCol("raw")
+      .setMaxIter(maxIter)
+    new Pipeline().setStages(Array(indexer, assembler, lr))
+  }
+
   /** Decode numeric class predictions back to condition strings using the
     * fitted StringIndexer's label mapping (the prediction column carries no
     * label metadata, so IndexToString cannot ride inside the pipeline).

@@ -61,6 +61,15 @@ class MlSpec extends AnyFunSuite {
     assert(m("accuracy") > 0.2 && m("accuracy") <= 1.0) // > random over 5 classes
   }
 
+  test("M3 alt: logistic regression classifier trains and scores") {
+    val feats = WeatherModels.featureCols(featured)
+    val model = WeatherModels.logisticPipeline(feats, maxIter = 50).fit(featured)
+    val scored = model.transform(featured)
+    val m = WeatherModels.classificationMetrics(scored)
+    assert(m("accuracy") > 0.15 && m("accuracy") <= 1.0)
+    assert(m("f1") >= 0.0 && m("f1") <= 1.0)
+  }
+
   test("M8/M9: registry versioning, best-by-metric, stage promotion + load") {
     val root = java.nio.file.Files.createTempDirectory("graft-registry").toString
     val reg = new ModelRegistry(spark, root)
