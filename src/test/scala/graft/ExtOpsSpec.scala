@@ -48,6 +48,14 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(pairs.head.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("survivors drops only the doc_b side of near-dup pairs") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 3L, 1.0)).toDF("doc_a", "doc_b", "jaccard")
+    val kept = DedupOps.survivors(docs, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+  }
+
   test("simhash: identical docs have distance 0; near-identical within 3") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
