@@ -58,7 +58,12 @@ object SimilarityOps {
     */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
+    // the pair join is a broadcast-nested-loop whose parallelism equals the
+    // STREAMED side's partition count — a single input file would serialize
+    // the O(n²) work onto one task, so spread it explicitly
+    val par = emb.sparkSession.sparkContext.defaultParallelism
     val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      .repartition(par, col("id_a"))
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cos", cosineFast(col("va"), col("vb")))

@@ -31,6 +31,24 @@ class WeatherSpec extends AnyFunSuite {
     assert(wc.values.sum == 54L)
   }
 
+  test("golden: second captured batch agrees with the first's invariants") {
+    val df = WeatherTransform.readCsv(spark,
+      "/root/reference/data/weather_data_20250903_213719.csv")
+    val stats = WeatherStats.fullStatsDoc(df, lit("golden2"),
+      lit("2025-09-03 21:37:19").cast("timestamp")).head()
+    assert(stats.getAs[Long]("total_records") == 54L)
+    assert(stats.getAs[Long]("cities_count") == 54L)
+    val dist = stats.getAs[org.apache.spark.sql.Row]("temperature_distribution")
+    assert(Seq("very_cold", "cold", "cool", "moderate", "warm", "hot")
+      .map(dist.getAs[Long]).sum == 54L)
+    // both captured batches cover the same 54 canonicalized cities
+    val c1 = WeatherTransform.readCsv(spark, goldenCsv)
+      .select("city").collect().map(_.getString(0)).toSet
+    val c2 = df.select("city").collect().map(_.getString(0)).toSet
+    assert(c1 == c2)
+    assert(c1.contains("Bengaluru") && c1.contains("Kyiv")) // API-canonical names
+  }
+
   test("flatten maps the nested JSON shape exactly (transform.py:8-19)") {
     val raw = Seq(
       """{"name":"Mumbai","dt":1756909914,"sys":{"country":"IN"},
