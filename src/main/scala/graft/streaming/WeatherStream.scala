@@ -55,6 +55,36 @@ object WeatherStream {
       }
       .start()
 
+  /** The reference's scheduled ETL + retrain loop (ml/scheduler.py:22-59:
+    * every 5 minutes run ETL, then retrain; failures logged, loop
+    * continues). Engine-native: each micro-batch runs the full ETL fan-out
+    * through the facade, and every `retrainEvery`-th batch retrains both
+    * models into the registry. Trigger cadence supplies the "5 minutes"
+    * (T1); per-batch try/catch supplies the failure isolation (T7).
+    */
+  def startEtlRetrainLoop(records: DataFrame, engine: graft.weather.WeatherEngine,
+      retrainEvery: Int, numTrees: Int = 20, nSplits: Int = 3,
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+    records.writeStream
+      .queryName("weather-etl-retrain")
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        try {
+          if (!batch.isEmpty) {
+            engine.runEtl(batch, current_timestamp())
+            if ((batchId + 1) % retrainEvery == 0) {
+              engine.train(numTrees = numTrees, nSplits = nSplits)
+              ()
+            }
+          }
+        } catch {
+          case e: Exception => // scheduler.py:30-33: log and keep looping
+            System.err.println(s"[retrain-loop] batch $batchId failed: ${e.getMessage}")
+        }
+      }
+      .start()
+
   /** T4 stateful variant: continuously-maintained latest record per city via
     * mapGroupsWithState — state is one record per key, O(cities), bounded.
     */

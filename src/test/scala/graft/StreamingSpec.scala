@@ -132,6 +132,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("scheduled ETL+retrain loop: trains after N batches, survives bad batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-retrain").toString
+    val engine = new graft.weather.WeatherEngine(spark, root)
+    val input = MemoryStream[WeatherRecord]
+    val q = WeatherStream.startEtlRetrainLoop(input.toDF(), engine,
+      retrainEvery = 2, numTrees = 5, nSplits = 2)
+    try {
+      val rows = syntheticRecords(10) // 100 rows; enough for the light tier
+      val (b1, b2) = rows.splitAt(40)
+      input.addData(b1); q.processAllAvailable()
+      assert(engine.registry.load("temp_rf").isEmpty) // batch 1: ETL only
+      input.addData(b2); q.processAllAvailable()
+      // batch 2 triggered a retrain over the accumulated raw log
+      assert(engine.registry.load("temp_rf").isDefined)
+      assert(engine.query("raw_weather_data").count() == 100)
+      assert(q.isActive) // loop survived everything (T7)
+    } finally q.stop()
+  }
+
   test("T6: watermarked event-time stats buckets by 5-minute window") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
