@@ -36,9 +36,12 @@ class WeatherSinks(root: String) {
   def appendRaw(df: DataFrame): Unit =
     df.write.mode("append").parquet(rawPath)
 
-  /** S5: replace the current snapshot (load.py:51-62). */
+  /** S5: replace the current snapshot (load.py:51-62; is_current +
+    * updated_at stamps per load.py:56-58).
+    */
   def overwriteCurrent(df: DataFrame): Unit =
     df.withColumn("is_current", lit(true))
+      .withColumn("updated_at", current_timestamp())
       .write.mode("overwrite").parquet(currentPath)
 
   /** S6: partitioned batch log — `batch_id=` directories instead of the
