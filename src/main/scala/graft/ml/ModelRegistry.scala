@@ -31,7 +31,7 @@ class ModelRegistry(spark: SparkSession, root: String) {
     val v = nextVersion(name)
     model.write.overwrite().save(s"$root/$name/v$v")
     Seq((name, v, stage, metrics.getOrElse("rmse", Double.NaN),
-      metrics.getOrElse("f1", Double.NaN), System.currentTimeMillis()))
+      metrics.getOrElse("f1", Double.NaN), System.nanoTime()))
       .toDF("name", "version", "stage", "rmse", "f1", "saved_at")
       .write.mode("append").parquet(metaPath)
     v
@@ -53,7 +53,7 @@ class ModelRegistry(spark: SparkSession, root: String) {
     */
   def promote(name: String, version: Int, stage: String = "Production"): Unit = {
     import spark.implicits._
-    Seq((name, version, stage, Double.NaN, Double.NaN, System.currentTimeMillis()))
+    Seq((name, version, stage, Double.NaN, Double.NaN, System.nanoTime()))
       .toDF("name", "version", "stage", "rmse", "f1", "saved_at")
       .write.mode("append").parquet(metaPath)
   }

@@ -67,6 +67,27 @@ object WeatherModels {
         || Seq("temperature", "feels_like", "humidity", "pressure",
           "wind_speed", "hour", "dayofweek").contains(c))
 
+  /** Inference-side featurization matched to the MODEL's tier, not the
+    * inference window's row count: the fallback ladder is keyed on training
+    * size, and re-deriving it from however many rows the caller asks to
+    * score would produce a different feature schema (missing *_lag3, or a
+    * rolling window of different width) — a crash or silent skew. The tier
+    * is recovered from the fitted VectorAssembler's input columns.
+    */
+  def featuresForModel(model: PipelineModel, df: DataFrame): DataFrame = {
+    val required = model.stages.collectFirst {
+      case a: VectorAssembler => a.getInputCols
+    }.getOrElse(throw new IllegalStateException("no VectorAssembler stage"))
+    val featured =
+      if (required.exists(_.endsWith("_lag3")))
+        WeatherFeatures.engineer(df, inference = true) // full tier
+      else if (required.exists(_.endsWith("_lag2")))
+        WeatherFeatures.engineer(df, inference = true, lags = Seq(1, 2), rollWindow = 2)
+      else
+        WeatherFeatures.engineer(df, inference = true, lags = Seq(1), rollWindow = 2)
+    fillInferenceNulls(featured)
+  }
+
   /** E2 inference-side null fill (predict.py:80-81): partition-edge lag /
     * rolling NULLs become 0.0 so every recent row gets a prediction — the
     * reference's _align_features fill, reduced to one na.fill because the
@@ -144,7 +165,8 @@ object WeatherModels {
     val r = scored.agg(
       avg(abs(err)).as("mae"),
       sqrt(avg(err * err)).as("rmse")).head()
-    Map("mae" -> r.getDouble(0), "rmse" -> r.getDouble(1))
+    if (r.isNullAt(0)) Map("mae" -> Double.NaN, "rmse" -> Double.NaN)
+    else Map("mae" -> r.getDouble(0), "rmse" -> r.getDouble(1))
   }
 
   /** A11/M7: classification metrics (accuracy + weighted F1). */

@@ -18,6 +18,11 @@ object SkewOps {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salt: Int, joinType: String = "inner", seed: Long = 42L): DataFrame = {
     require(salt > 0)
+    // right/full outer would emit each unmatched small-side row once per
+    // replica — multiplicity-corrupting, so only big-side-preserving types
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi").contains(joinType.toLowerCase),
+      s"saltedJoin supports big-side-preserving join types only, got $joinType")
     val salted = big.withColumn("__salt", (rand(seed) * salt).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))

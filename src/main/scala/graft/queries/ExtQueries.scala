@@ -195,27 +195,30 @@ object ExtQueries {
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
             WHERE cos >= 0.4 ORDER BY id_a, id_b""",
 
+      // NB: order by the RAW cosine (inner column), not the rounded output
+      // alias — Spark ranks before rounding, and an alias-bound ORDER BY
+      // would tiebreak differently when two values round equal
       "x6_sim_topk" ->
         s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-            SELECT vec_id, round(cos, 4) AS cos FROM (
+            SELECT vec_id, round(raw_cos, 4) AS cos FROM (
               SELECT vec_id,
                      ${ddbDot("embedding", "qv")}
-                       / (sqrt(${ddbNorm2("embedding")}) * sqrt(${ddbNorm2("qv")})) AS cos
+                       / (sqrt(${ddbNorm2("embedding")}) * sqrt(${ddbNorm2("qv")})) AS raw_cos
               FROM embeddings, q WHERE vec_id <> 0)
-            ORDER BY cos DESC, vec_id LIMIT 10""",
+            ORDER BY raw_cos DESC, vec_id LIMIT 10""",
 
       "x7_sim_topk_bucketed" -> {
         def bucket(v: String) = (0 until 8).map(i =>
           s"(CASE WHEN $v[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
         s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-            SELECT vec_id, bucket, round(cos, 4) AS cos FROM (
+            SELECT vec_id, bucket, round(raw_cos, 4) AS cos FROM (
               SELECT vec_id, CAST(${bucket("embedding")} AS INT) AS bucket,
                      ${ddbDot("embedding", "qv")}
-                       / (sqrt(${ddbNorm2("embedding")}) * sqrt(${ddbNorm2("qv")})) AS cos
+                       / (sqrt(${ddbNorm2("embedding")}) * sqrt(${ddbNorm2("qv")})) AS raw_cos
               FROM embeddings, q
               WHERE vec_id <> 0
                 AND ${bucket("embedding")} = (SELECT ${bucket("qv")} FROM q))
-            ORDER BY cos DESC, vec_id LIMIT 5"""
+            ORDER BY raw_cos DESC, vec_id LIMIT 5"""
       },
 
       "x8_text_tokens" ->

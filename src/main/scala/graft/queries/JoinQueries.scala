@@ -130,10 +130,20 @@ object JoinQueries {
                            WHERE o_custkey = c_custkey AND o_totalprice > 490000)
          ORDER BY c_custkey""",
 
+    // the window form mirrors the Spark plan exactly (same (ts, event_id)
+    // tie order); DuckDB's ASOF JOIN agrees except when a click and a
+    // purchase share a timestamp, where ASOF's inclusive bound can pick a
+    // click the running window hasn't seen yet
     "j6_asof_join" ->
-      """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
-         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-           ON p.user_id = c.user_id AND c.ts <= p.ts
+      """SELECT event_id AS purchase_id, user_id, last_click AS click_id
+         FROM (
+           SELECT event_id, user_id, event_type,
+                  last_value(CASE WHEN event_type = 'click' THEN event_id END
+                             IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS last_click
+           FROM events WHERE event_type IN ('purchase', 'click'))
+         WHERE event_type = 'purchase'
          ORDER BY purchase_id""")
 }

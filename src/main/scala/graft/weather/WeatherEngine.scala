@@ -23,7 +23,10 @@ class WeatherEngine(spark: SparkSession, tablesRoot: String) {
   def runEtl(records: DataFrame, clock: org.apache.spark.sql.Column): DataFrame = {
     val stamped = WeatherTransform.withBatchMetadata(records, clock).cache()
     try {
-      val batchId = stamped.select(col("batch_id")).head().getString(0)
+      // batch id derives from the injected clock, not the data — an empty
+      // batch still gets a well-formed (zero-count) stats document
+      val batchId = spark.range(1)
+        .select(date_format(clock, "yyyyMMdd_HHmmss")).head().getString(0)
       sinks.saveCsv(records, batchId)                       // S3
       sinks.appendRaw(stamped)                              // S4
       sinks.overwriteCurrent(stamped)                       // S5
@@ -42,10 +45,13 @@ class WeatherEngine(spark: SparkSession, tablesRoot: String) {
     * sort_values('timestamp').tail(limit), planned as TakeOrderedAndProject
     * — never a full sort).
     */
-  def latest(table: String, limit: Int): DataFrame =
-    sinks.scan(spark, table)
-      .orderBy(col("timestamp").desc)
-      .limit(limit)
+  def latest(table: String, limit: Int): DataFrame = {
+    val df = sinks.scan(spark, table)
+    // deterministic cut: timestamps tie across cities within a batch, so
+    // the limit boundary needs a total order (Det policy)
+    val tiebreaks = Seq("city", "batch_id").filter(df.columns.contains).map(col)
+    df.orderBy(col("timestamp").desc +: tiebreaks: _*).limit(limit)
+  }
 
   /** Predicate scan of a stored table (load.py:129-154 — but with pushdown:
     * the filter reaches the parquet reader).
@@ -66,17 +72,17 @@ class WeatherEngine(spark: SparkSession, tablesRoot: String) {
     * to the registry at Staging. Returns per-fold regressor metrics.
     */
   def train(numTrees: Int = 200, nSplits: Int = 5): Seq[Map[String, Double]] = {
-    val raw = sinks.scan(spark, "raw_weather_data")
+    val raw = sinks.scan(spark, WeatherConfig.rawTable)
     val featured = WeatherModels.featuresWithFallback(raw).cache()
     try {
       val (regModel, folds) =
         WeatherModels.crossValidateRegressor(featured, numTrees, nSplits)
       val cvRmse = folds.map(_("rmse")).sum / folds.size
-      registry.save("temp_rf", regModel, Map("rmse" -> cvRmse))
+      registry.save(WeatherConfig.tempModelName, regModel, Map("rmse" -> cvRmse))
       val feats = WeatherModels.featureCols(featured)
       val clfModel = WeatherModels.classifierPipeline(feats, numTrees).fit(featured)
       val clfMetrics = WeatherModels.classificationMetrics(clfModel.transform(featured))
-      registry.save("cond_rf", clfModel, clfMetrics)
+      registry.save(WeatherConfig.conditionModelName, clfModel, clfMetrics)
       folds
     } finally featured.unpersist()
   }
@@ -86,12 +92,10 @@ class WeatherEngine(spark: SparkSession, tablesRoot: String) {
     * prediction rows. No positional concat (J1): transform appends columns.
     */
   def predictTemp(limit: Int = 100, persist: Boolean = true): DataFrame = {
-    val recent = latest("raw_weather_data", limit)
-    val featured = WeatherModels.fillInferenceNulls(
-      WeatherModels.featuresWithFallback(recent, inference = true))
-    val model = registry.load("temp_rf")
+    val recent = latest(WeatherConfig.rawTable, limit)
+    val model = registry.load(WeatherConfig.tempModelName)
       .getOrElse(throw new IllegalStateException("no trained temp_rf model"))
-    val scored = model.transform(featured)
+    val scored = model.transform(WeatherModels.featuresForModel(model, recent))
       .select("city", "timestamp", "temperature", "pred_temperature")
     if (persist) sinks.appendPredictions(scored, "regression")
     scored
@@ -99,12 +103,11 @@ class WeatherEngine(spark: SparkSession, tablesRoot: String) {
 
   /** /predict/weather (main.py:207-233). */
   def predictWeather(limit: Int = 100, persist: Boolean = true): DataFrame = {
-    val recent = latest("raw_weather_data", limit)
-    val featured = WeatherModels.fillInferenceNulls(
-      WeatherModels.featuresWithFallback(recent, inference = true))
-    val model = registry.load("cond_rf")
+    val recent = latest(WeatherConfig.rawTable, limit)
+    val model = registry.load(WeatherConfig.conditionModelName)
       .getOrElse(throw new IllegalStateException("no trained cond_rf model"))
-    val scored = WeatherModels.decodePredictions(model, model.transform(featured))
+    val scored = WeatherModels.decodePredictions(model,
+      model.transform(WeatherModels.featuresForModel(model, recent)))
       .select("city", "timestamp", "weather", "pred_condition")
     if (persist) sinks.appendPredictions(scored, "classification")
     scored
@@ -114,19 +117,18 @@ class WeatherEngine(spark: SparkSession, tablesRoot: String) {
     * have a known next-step target and report regression metrics.
     */
   def evaluate(limit: Int = 500): Map[String, Double] = {
-    val recent = latest("raw_weather_data", limit)
-    val featured = WeatherModels.fillInferenceNulls(
-      WeatherModels.featuresWithFallback(recent, inference = true))
-      .filter(org.apache.spark.sql.functions.col("target_temp_next").isNotNull)
-    val model = registry.load("temp_rf")
+    val recent = latest(WeatherConfig.rawTable, limit)
+    val model = registry.load(WeatherConfig.tempModelName)
       .getOrElse(throw new IllegalStateException("no trained temp_rf model"))
+    val featured = WeatherModels.featuresForModel(model, recent)
+      .filter(org.apache.spark.sql.functions.col("target_temp_next").isNotNull)
     WeatherModels.regressionMetrics(model.transform(featured))
   }
 
   /** /registry/promote (main.py:194-204): best rmse → Production. */
   def promoteBest(): Option[Int] = {
-    val best = registry.bestVersion("temp_rf", "rmse", ascending = true)
-    best.foreach(v => registry.promote("temp_rf", v))
+    val best = registry.bestVersion(WeatherConfig.tempModelName, "rmse", ascending = true)
+    best.foreach(v => registry.promote(WeatherConfig.tempModelName, v))
     best
   }
 }

@@ -19,11 +19,11 @@ import org.apache.spark.sql.functions._
   * delete_many-then-insert semantics without its read-gap.
   */
 class WeatherSinks(root: String) {
-  val rawPath = s"$root/raw_weather_data"
-  val currentPath = s"$root/current_weather"
-  val batchesPath = s"$root/weather_batches"
-  val statsPath = s"$root/weather_statistics"
-  val predictionsPath = s"$root/predictions"
+  val rawPath = s"$root/${WeatherConfig.rawTable}"
+  val currentPath = s"$root/${WeatherConfig.currentTable}"
+  val batchesPath = s"$root/${WeatherConfig.batchesTable}"
+  val statsPath = s"$root/${WeatherConfig.statsTable}"
+  val predictionsPath = s"$root/${WeatherConfig.predictionsTable}"
 
   /** S3: timestamped CSV export (load.py:8-20). */
   def saveCsv(df: DataFrame, batchId: String): String = {

@@ -61,6 +61,22 @@ class MlSpec extends AnyFunSuite {
     assert(m("accuracy") > 0.2 && m("accuracy") <= 1.0) // > random over 5 classes
   }
 
+  test("featuresForModel recovers the training tier regardless of window size") {
+    import org.apache.spark.sql.functions.col
+    // train on the MIDDLE tier (35 rows → lags {1,2}, rollWindow 2)
+    val small = WeatherModels.featuresWithFallback(
+      SyntheticWeather.batches(spark, 4).limit(35))
+    val feats = WeatherModels.featureCols(small)
+    assert(feats.exists(_.endsWith("_lag2")) && !feats.exists(_.endsWith("_lag3")))
+    val model = WeatherModels.regressorPipeline(feats, numTrees = 5).fit(small)
+    // score a LARGE window: naive re-laddering would build lag3 features
+    // and crash the assembler; featuresForModel must rebuild the lag2 tier
+    val big = SyntheticWeather.batches(spark, 30)
+    val scored = model.transform(WeatherModels.featuresForModel(model, big))
+    assert(scored.count() == big.count())
+    assert(scored.filter(col("pred_temperature").isNull).count() == 0)
+  }
+
   test("M3 alt: logistic regression classifier trains and scores") {
     val feats = WeatherModels.featureCols(featured)
     val model = WeatherModels.logisticPipeline(feats, maxIter = 50).fit(featured)
