@@ -129,7 +129,7 @@ object ScalarQueries {
 
     "p1b_json_agg" ->
       """SELECT event_type,
-                SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                 COUNT(json_extract_string(props, '$.k')) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
 

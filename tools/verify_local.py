@@ -63,6 +63,18 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows spark={len(got)} duckdb={len(exp)}")
             n_fail += 1
             continue
+        # The driver hashes stringified values, so an int64 column on one
+        # side rendered float64 on the other ("123" vs "123.0") is a FAIL
+        # even though float(a)==float(b). Catch dtype-kind drift here.
+        kind_drift = [
+            (c, str(got[c].dtype), str(exp[c].dtype))
+            for c in got.columns
+            if {got[c].dtype.kind, exp[c].dtype.kind} == {"i", "f"}
+        ]
+        if kind_drift:
+            print(f"FAIL {name}: int/float dtype drift {kind_drift}")
+            n_fail += 1
+            continue
         bad = []
         for ci, c in enumerate(got.columns):
             gv, ev = got[c].tolist(), exp[c].tolist()
