@@ -11,8 +11,13 @@ object Bench {
       .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
     // fixed alphabetical order: per-round timings stay comparable and cache
     // effects hit the same queries each round
+    // optional comma-separated filter for timing individual queries locally;
+    // the driver never sets it, so the full suite runs per-round
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>

@@ -106,21 +106,23 @@ object DedupOps {
     // join on the 64-bit hash of the shingle, not the string: the inverted-
     // index shuffle carries 8-byte keys instead of ~25-byte text (collision
     // probability over a corpus-scale shingle vocabulary is ~2^-64·n² —
-    // ignorable)
+    // ignorable). Each row also carries its doc's shingle-set size, so the
+    // pair aggregation has |A| and |B| in hand and no doc-keyed size join
+    // (two shuffles fewer) is needed afterwards — at any scale the extra
+    // long per row is cheaper than re-shuffling the pair set twice.
     // cached: both sides of the self-join read this (otherwise the shingle
-    // lineage runs twice); rows are (long, long) — 16 bytes each
+    // lineage runs twice); rows are (long, long, long) — 24 bytes each
     val sh = docs.select(col(idCol).as("doc_id"),
-        explode(graft.functions.HashExprs.distinctShingles(tokens(col(textCol)))).as("s0"))
-      .select(col("doc_id"), xxhash64(col("s0")).as("s"))
+        graft.functions.HashExprs.distinctShingles(tokens(col(textCol))).as("sharr"))
+      .select(col("doc_id"), size(col("sharr")).cast(LongType).as("n"),
+        explode(col("sharr")).as("s0"))
+      .select(col("doc_id"), col("n"), xxhash64(col("s0")).as("s"))
       .persist()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("x").join(sh.as("y"), col("x.s") === col("y.s")
+    sh.as("x").join(sh.as("y"), col("x.s") === col("y.s")
         && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .agg(count(lit(1)).as("inter"),
+        first(col("x.n")).as("na"), first(col("y.n")).as("nb"))
       .withColumn("jaccard",
         col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
