@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
@@ -80,6 +81,24 @@ object SimilarityOps {
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
       .select(col(idCol), round(col("cos"), 4).as("cos"))
+
+  /** IVF coarse quantization: assign every vector to its nearest centroid
+    * by cosine (deterministic tiebreak on centroid id). `cents` must have
+    * columns (cent_id, cv) and be small enough to broadcast — the k of a
+    * k-centroid IVF index, not the data. At scale the assignment is one
+    * broadcast-join pass and the table is then written partitioned by
+    * cent_id, so a query probes ~1/k of the data (its own cell).
+    */
+  def assignCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame = {
+    val byVec = Window.partitionBy(idCol)
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    emb.crossJoin(broadcast(cents))
+      .withColumn("cent_cos", cosineFast(col(vecCol), col("cv")))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .drop("rn", "cent_cos", "cv")
+  }
 
   /** Bucketed ANN: restrict the scan to the query's sign bucket before
     * ranking. At scale the table is written partitioned by bucket, making

@@ -72,6 +72,26 @@ object ExtQueries {
         "vec_id", "embedding", col("qv"), SimilarityOps.signBucket(col("qv")), 5)
     }),
 
+    // IVF-style ANN (the second "scale path" variant next to x7's sign-
+    // bucket LSH): 4 fixed member vectors act as centroids, every vector is
+    // assigned to its nearest cell, and the query probes only its own cell.
+    "x14_sim_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id").between(1, 4))
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val assigned = SimilarityOps.assignCentroids(emb, "vec_id", "embedding", cents)
+      val qCell = assigned.filter(col("vec_id") === 0)
+        .select(col("cent_id").as("q_cent"))
+      assigned.filter(col("vec_id") =!= 0)
+        .join(broadcast(qCell), col("cent_id") === col("q_cent"))
+        .crossJoin(broadcast(q))
+        .withColumn("raw_cos", SimilarityOps.cosineFast(col("embedding"), col("qv")))
+        .orderBy(col("raw_cos").desc, col("vec_id"))
+        .limit(5)
+        .select(col("vec_id"), col("cent_id"), round(col("raw_cos"), 4).as("cos"))
+    }),
+
     // ---- text analysis ----
     "x8_text_tokens" -> ((s, d) => {
       val toks = TextOps.tokens(col("text"))
@@ -218,6 +238,27 @@ object ExtQueries {
               FROM embeddings, q
               WHERE vec_id <> 0
                 AND ${bucket("embedding")} = (SELECT ${bucket("qv")} FROM q))
+            ORDER BY raw_cos DESC, vec_id LIMIT 5"""
+      },
+
+      "x14_sim_ivf" -> {
+        def cos(a: String, b: String) =
+          s"${ddbDot(a, b)} / (sqrt(${ddbNorm2(a)}) * sqrt(${ddbNorm2(b)}))"
+        s"""WITH cents AS (
+              SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+              WHERE vec_id BETWEEN 1 AND 4),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT e.vec_id, e.embedding, c.cent_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cent_id) AS rn
+              FROM embeddings e CROSS JOIN cents c),
+            assigned AS (SELECT vec_id, embedding, cent_id FROM scored WHERE rn = 1)
+            SELECT vec_id, cent_id, round(raw_cos, 4) AS cos FROM (
+              SELECT a.vec_id, a.cent_id, ${cos("a.embedding", "qv")} AS raw_cos
+              FROM assigned a, q
+              WHERE a.vec_id <> 0
+                AND a.cent_id = (SELECT cent_id FROM assigned WHERE vec_id = 0))
             ORDER BY raw_cos DESC, vec_id LIMIT 5"""
       },
 

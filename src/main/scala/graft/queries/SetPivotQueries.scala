@@ -83,6 +83,41 @@ object SetPivotQueries {
         .orderBy("region", "nation")
     }),
 
+    // E1-inverse: unpivot/melt — the wide→long reshape (pandas melt; the
+    // pivot surface must round-trip both ways). Narrow slice keyed by
+    // (orderkey, linenumber, metric); value columns share DoubleType so the
+    // melt needs no cast.
+    "p11_unpivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 1000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+        // (orderkey, linenumber) is NOT unique in the synthetic data — val
+        // joins the sort key so any residual ties are full-row duplicates
+        .orderBy("l_orderkey", "l_linenumber", "metric", "val")
+    }),
+
+    // A-extra: arbitrary GROUPING SETS (beyond cube/rollup): per-status,
+    // per-priority, and grand-total margins in one pass — one shuffle, the
+    // expand operator replicates rows per set map-side.
+    "agg_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          Det.sumExact(col("o_totalprice")).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority")
+    }),
+
     // A-extra: rollup (grouping-sets surface, free built-in — SURVEY §2.4
     // note). Subtotals + grand total over a two-level hierarchy.
     "agg_rollup" -> ((s, d) => {
@@ -153,6 +188,22 @@ object SetPivotQueries {
                 event_type = 'signup'   AS is_signup,
                 event_type = 'view'     AS is_view
          FROM events ORDER BY event_id""",
+
+    "p11_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, val FROM (
+           SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+           FROM lineitem WHERE l_orderkey <= 1000)
+         UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount))
+         ORDER BY l_orderkey, l_linenumber, metric, val""",
+
+    "agg_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                coalesce(o_orderpriority, 'ALL') AS priority,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY status, priority""",
 
     "agg_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region,

@@ -128,6 +128,41 @@ object WindowQueries {
         .orderBy("event_id")
     }),
 
+    // W8b distribution ranks (percent_rank / cume_dist) over the unique
+    // per-user order — single divisions of identical integers on both
+    // engines, so the doubles match bit-for-bit without rounding.
+    "w9_dist_ranks" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          percent_rank().over(W).as("pr"),
+          cume_dist().over(W).as("cd"))
+        .orderBy("event_id")
+    }),
+
+    // O6 sessionization (gaps-and-islands): a new session starts when the
+    // per-user gap exceeds 8 hours; session_id is the running count of
+    // boundaries. Timestamps cross the oracle as epoch SECONDS (ns parquet:
+    // Spark truncates to µs, DuckDB keeps ns — see Tables.events) and the
+    // window orders on (epoch_s, event_id) so both engines see the same
+    // sequence even for same-second ties. Scale: one shuffle on user_id;
+    // state is O(1) per row — the streaming twin is session_window.
+    "o6_sessionize" -> ((s, d) => {
+      val gapS = 28800L
+      val byTime = Window.partitionBy("user_id").orderBy("epoch_s", "event_id")
+      Tables.events(s, d)
+        .withColumn("epoch_s", expr("unix_micros(ts) div 1000000"))
+        .withColumn("new_sess",
+          when(col("epoch_s") - lag(col("epoch_s"), 1).over(byTime) > gapS, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess"))
+          .over(byTime.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("epoch_s")).as("start_s"),
+          max(col("epoch_s")).as("end_s"))
+        .orderBy("user_id", "session_id")
+    }),
+
     // M1 TimeSeriesSplit(n_splits=5) chunking (training.py:25-26): 6 equal
     // time-ordered chunks; fold i trains on chunks 0..i, validates on i+1.
     // Global row_number here; at 100 TB: range-partition by ts and derive
@@ -206,6 +241,35 @@ object WindowQueries {
                 CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS INT) AS drnk,
                 CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY event_id) AS INT) AS quartile
          FROM events ORDER BY event_id""",
+
+    "w9_dist_ranks" ->
+      """SELECT event_id,
+                percent_rank() OVER (PARTITION BY user_id ORDER BY event_id) AS pr,
+                cume_dist()    OVER (PARTITION BY user_id ORDER BY event_id) AS cd
+         FROM events ORDER BY event_id""",
+
+    // CAST the running SUM: DuckDB widens SUM(BIGINT) to HUGEINT, which
+    // pandas renders float64 and the driver's stringified hash rejects
+    "o6_sessionize" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, epoch_ms(ts) // 1000 AS epoch_s FROM events),
+         flagged AS (
+           SELECT user_id, event_id, epoch_s,
+                  CASE WHEN epoch_s - lag(epoch_s) OVER
+                         (PARTITION BY user_id ORDER BY epoch_s, event_id) > 28800
+                       THEN 1 ELSE 0 END AS new_sess
+           FROM ev),
+         sess AS (
+           SELECT user_id, epoch_s,
+                  CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                    ORDER BY epoch_s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, COUNT(*) AS n_events,
+                min(epoch_s) AS start_s, max(epoch_s) AS end_s
+         FROM sess GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
 
     "m1_ts_split_chunks" ->
       """SELECT event_id,
