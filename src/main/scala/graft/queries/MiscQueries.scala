@@ -75,6 +75,32 @@ object MiscQueries {
         .orderBy("p_partkey")
     }),
 
+    // regex family: extract-all (scalarized as a joined string — array
+    // outputs never cross the oracle), count, and an rlike filter
+    "f7_regex_funcs" -> ((s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_name").rlike("^[a-n]"))
+        .select(col("p_partkey"),
+          concat_ws(",", regexp_extract_all(col("p_name"), lit("([a-z]+)"), lit(1)))
+            .as("alpha_runs"),
+          size(regexp_extract_all(col("p_name"), lit("([a-z]+)"), lit(1)))
+            .as("n_runs"),
+          regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"))
+        .orderBy("p_partkey")
+    }),
+
+    // time-bucket aggregation (date_trunc) — the batch analogue of the T5
+    // tumbling-window stats stream: one shuffle on the month bucket,
+    // partial aggregation map-side; bucket crosses the oracle as a string
+    "f8_month_buckets" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")),
+          "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          Det.sumExact(col("o_totalprice")).as("month_total"))
+        .orderBy("month")
+    }),
+
     // explode + word frequency over the corpus (the classic flatten-agg)
     "x13_word_freq" -> ((s, d) => {
       Tables.documents(s, d)
@@ -125,6 +151,22 @@ object MiscQueries {
                 CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
                 upper(p_type) AS utype
          FROM part ORDER BY p_partkey""",
+
+    "f7_regex_funcs" ->
+      """SELECT p_partkey,
+                array_to_string(regexp_extract_all(p_name, '([a-z]+)', 1), ',')
+                  AS alpha_runs,
+                CAST(len(regexp_extract_all(p_name, '([a-z]+)', 1)) AS INT)
+                  AS n_runs,
+                regexp_extract(p_type, '^(\w+)', 1) AS type_head
+         FROM part WHERE regexp_matches(p_name, '^[a-n]')
+         ORDER BY p_partkey""",
+
+    "f8_month_buckets" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                COUNT(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_total
+         FROM orders GROUP BY 1 ORDER BY month""",
 
     "x13_word_freq" ->
       """SELECT token, COUNT(*) AS freq FROM (

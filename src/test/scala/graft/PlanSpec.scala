@@ -61,4 +61,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("cosine_sim"), p)
     assert(!p.contains("zip_with"), p)
   }
+
+  test("x14: IVF centroid assignment is broadcast, never a shuffle join") {
+    val p = plan("x14_sim_ivf")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("o6: sessionization shuffles once on user_id (windows share the spec)") {
+    val p = plan("o6_sessionize")
+    // both window functions + the session aggregate reuse the user_id
+    // hash partitioning: exactly one exchange hashes on user_id alone
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.count(_.contains("user_id")) == 1, p)
+  }
+
+  test("f8: month-bucket aggregation is two-phase over a pruned scan") {
+    val p = plan("f8_month_buckets")
+    assert(p.contains("partial"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("o_orderstatus"), readSchema)
+  }
 }
