@@ -163,6 +163,19 @@ object WindowQueries {
         .orderBy("user_id", "session_id")
     }),
 
+    // W8c frame-edge family: first/last/nth value over a running frame —
+    // rounds out the window surface (first_value = per-user baseline,
+    // last_value over the running frame = current, nth = second reading)
+    "w10_first_last" -> ((s, d) => {
+      val frame = W.rowsBetween(Window.unboundedPreceding, 0)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          first(col("value")).over(frame).as("first_val"),
+          last(col("value")).over(frame).as("running_last"),
+          nth_value(col("value"), 2).over(frame).as("second_val"))
+        .orderBy("event_id")
+    }),
+
     // M1 TimeSeriesSplit(n_splits=5) chunking (training.py:25-26): 6 equal
     // time-ordered chunks; fold i trains on chunks 0..i, validates on i+1.
     // Global row_number here; at 100 TB: range-partition by ts and derive
@@ -270,6 +283,16 @@ object WindowQueries {
                 min(epoch_s) AS start_s, max(epoch_s) AS end_s
          FROM sess GROUP BY user_id, session_id
          ORDER BY user_id, session_id""",
+
+    "w10_first_last" ->
+      """SELECT event_id, user_id,
+                first_value(value) OVER w AS first_val,
+                last_value(value)  OVER w AS running_last,
+                nth_value(value, 2) OVER w AS second_val
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
 
     "m1_ts_split_chunks" ->
       """SELECT event_id,
