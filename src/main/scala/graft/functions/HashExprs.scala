@@ -59,6 +59,46 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
 }
 
+/** 60-bit SimHash over the token multiset using md5-derived bits: each
+  * token hashes to the integer value of the first 15 hex chars of its md5
+  * (60 bits — fits a signed long on both engines), and bit j of the result
+  * is the sign of the per-bit vote. Unlike [[SimHash64]] (xxhash64), this
+  * form is engine-portable: DuckDB computes the identical value via
+  * CAST('0x' || substr(md5(x),1,15) AS BIGINT), so the full near-dup
+  * pipeline is oracle-checked end to end.
+  */
+case class Md5SimHash60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_simhash60"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val votes = new Array[Int](60)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val hex = DigestUtils.md5Hex(arr.getUTF8String(i).toString)
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      var j = 0
+      while (j < 60) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): Md5SimHash60 = copy(c)
+}
+
 /** md5-based MinHash signature over a shingle array: slot i is the
   * lexicographic minimum of md5(shingle ++ ":" ++ i) hex strings — exactly
   * [[graft.operators.DedupOps.minhashSignature]], one pass, one digest
@@ -129,6 +169,9 @@ case class DistinctShingles(child: Expression, n: Int)
 object HashExprs {
   def simhash64(toks: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(toks)))
+
+  def md5Simhash60(toks: Column): Column =
+    Bridge.column(Md5SimHash60(Bridge.expression(toks)))
 
   def minhashHexSig(shingles: Column, numHashes: Int): Column =
     Bridge.column(MinHashHexSig(Bridge.expression(shingles), numHashes))

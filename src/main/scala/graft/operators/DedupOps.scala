@@ -169,6 +169,32 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Engine-portable SimHash near-dup pairs: 60-bit md5-derived SimHash
+    * ([[graft.functions.Md5SimHash60]]), 4×15-bit chunk banding (pigeonhole:
+    * Hamming ≤ 3 ⇒ ≥ 1 identical chunk), exact popcount verification.
+    * Identical bit-for-bit in DuckDB, so — unlike [[simhashNearDups]] —
+    * the whole pipeline crosses the oracle.
+    */
+  def simhashNearDupsPortable(docs: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val sim = docs.select(col(idCol).as("doc_id"),
+      graft.functions.HashExprs.md5Simhash60(tokens(col(textCol))).as("sim"))
+    val chunks = sim.select(col("doc_id"), col("sim"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("sim"), c * 15).bitwiseAND(0x7FFFL)): _*))
+        .as(Seq("chunk_idx", "chunk")))
+    val a = chunks.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("doc_a"), col("sim").as("sim_a"))
+    val b = chunks.select(col("chunk_idx"), col("chunk"),
+      col("doc_id").as("doc_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** Keep one survivor per near-dup cluster: union-find-lite via min-id
     * propagation (one iteration is enough for pair output of transitive
     * planted dup clusters of size 2; larger clusters would iterate).

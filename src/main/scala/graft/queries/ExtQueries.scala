@@ -45,6 +45,13 @@ object ExtQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // portable twin of x3: md5-derived 60-bit SimHash — the identical
+    // pipeline is re-computed by DuckDB, so this one IS hash-compared
+    "x3b_simhash_md5" -> ((s, d) => {
+      DedupOps.simhashNearDupsPortable(Tables.documents(s, d), "text", "doc_id", 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "x4_dedup_jaccard" -> ((s, d) => {
       DedupOps.jaccardNearDups(Tables.documents(s, d), "text", "doc_id", 0.8)
         .orderBy("doc_a", "doc_b")
@@ -187,6 +194,33 @@ object ExtQueries {
               JOIN base sb ON doc_b = sb.doc_id)
             SELECT doc_a, doc_b, round(jac, 4) AS jaccard
             FROM verified WHERE jac >= 0.8 ORDER BY doc_a, doc_b""",
+
+      "x3b_simhash_md5" -> {
+        // bit j vote: strictly more set than unset among token hashes
+        val bitTerms = (0 until 60).map(j =>
+          s"CASE WHEN 2 * len(list_filter(hs, h -> (h >> $j) & 1 = 1)) > len(hs) THEN ${1L << j} ELSE 0 END"
+        ).mkString(" + ")
+        val chunkList = (0 until 4).map(c => s"(sim >> ${c * 15}) & 32767")
+          .mkString("[", ",", "]")
+        s"""WITH hx AS (
+              SELECT doc_id, list_transform($mdToks, x ->
+                CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)) AS hs
+              FROM documents),
+            sig AS (SELECT doc_id, CAST($bitTerms AS BIGINT) AS sim FROM hx),
+            banded AS (
+              SELECT doc_id, sim, unnest([0,1,2,3]) AS chunk_idx,
+                     unnest($chunkList) AS chunk FROM sig),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.sim AS sim_a, b.sim AS sim_b
+              FROM banded a JOIN banded b
+                ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+               AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+            FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+            ORDER BY doc_a, doc_b"""
+      },
 
       "x4_dedup_jaccard" ->
         s"""WITH sh AS (

@@ -7,6 +7,7 @@ import graft.operators.{DedupOps, TextOps}
 
 class HashExprsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
+  import spark.implicits._
 
   lazy val docs = Tables.documents(spark, SparkTestSession.sf0001)
 
@@ -15,6 +16,30 @@ class HashExprsSpec extends AnyFunSuite {
       DedupOps.simhash(TextOps.tokens(col("text"))).as("spec"),
       HashExprs.simhash64(TextOps.tokens(col("text"))).as("fast"))
     assert(both.filter(col("spec") =!= col("fast")).count() == 0L)
+  }
+
+  test("Md5SimHash60 matches a hand-computed value and the SQL bit recipe") {
+    import org.apache.commons.codec.digest.DigestUtils
+    // hand-computed: one token → sim is exactly that token's 60-bit hash
+    val one = Seq("hello").toDF("text")
+      .select(HashExprs.md5Simhash60(TextOps.tokens(col("text"))).as("sim"))
+    val expect = java.lang.Long.parseLong(
+      DigestUtils.md5Hex("hello").substring(0, 15), 16)
+    assert(one.head().getLong(0) == expect)
+    // compositional recipe (the DuckDB oracle's formula) on real docs
+    val hashed = transform(TextOps.tokens(col("text")),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    val bits = (0 until 60).map { j =>
+      val set = size(filter(hashed,
+        h => shiftright(h, j).bitwiseAND(1L) === 1L))
+      when(set * 2 > size(hashed), lit(1L << j)).otherwise(lit(0L))
+    }
+    val spec = docs.select(col("doc_id"),
+      bits.reduce(_ + _).as("sim"))
+    val fast = docs.select(col("doc_id"),
+      HashExprs.md5Simhash60(TextOps.tokens(col("text"))).as("sim"))
+    assert(spec.exceptAll(fast).count() == 0L)
+    assert(fast.exceptAll(spec).count() == 0L)
   }
 
   test("fused DistinctShingles equals array_distinct(shingles) on real docs") {
