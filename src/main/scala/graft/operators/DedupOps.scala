@@ -61,8 +61,13 @@ object DedupOps {
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       threshold: Double, numHashes: Int = 12, rowsPerBand: Int = 4): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val base = docs.select(col(idCol).as("doc_id"),
-      graft.functions.HashExprs.distinctShingles(tokens(col(textCol))).as("sh"))
+    // a single input file would otherwise put the whole signature build +
+    // band-join probe on ONE task (join parallelism = streamed-side
+    // partitions) — spread by doc before the expensive kernels run
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val base = docs.repartition(par, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.HashExprs.distinctShingles(tokens(col(textCol))).as("sh"))
     // fused one-pass signature kernel (== minhashSignature, see HashExprs).
     // Cached: the band self-join and the verification join would otherwise
     // each recompute the full shingle+signature lineage. Size is
@@ -111,8 +116,12 @@ object DedupOps {
     // (two shuffles fewer) is needed afterwards — at any scale the extra
     // long per row is cheaper than re-shuffling the pair set twice.
     // cached: both sides of the self-join read this (otherwise the shingle
-    // lineage runs twice); rows are (long, long, long) — 24 bytes each
-    val sh = docs.select(col(idCol).as("doc_id"),
+    // lineage runs twice); rows are (long, long, long) — 24 bytes each.
+    // repartition first: a single input file would serialize the shingle
+    // kernel AND the whole join probe onto one task
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val sh = docs.repartition(par, col(idCol))
+      .select(col(idCol).as("doc_id"),
         graft.functions.HashExprs.distinctShingles(tokens(col(textCol))).as("sharr"))
       .select(col("doc_id"), size(col("sharr")).cast(LongType).as("n"),
         explode(col("sharr")).as("s0"))
@@ -151,8 +160,10 @@ object DedupOps {
     */
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       maxDist: Int = 3): DataFrame = {
-    val sim = docs.select(col(idCol).as("doc_id"),
-      graft.functions.HashExprs.simhash64(tokens(col(textCol))).as("sim"))
+    val sim = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.HashExprs.simhash64(tokens(col(textCol))).as("sim"))
     val chunks = sim.select(col("doc_id"), col("sim"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL)): _*))
@@ -177,8 +188,10 @@ object DedupOps {
     */
   def simhashNearDupsPortable(docs: DataFrame, textCol: String, idCol: String,
       maxDist: Int = 3): DataFrame = {
-    val sim = docs.select(col(idCol).as("doc_id"),
-      graft.functions.HashExprs.md5Simhash60(tokens(col(textCol))).as("sim"))
+    val sim = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        graft.functions.HashExprs.md5Simhash60(tokens(col(textCol))).as("sim"))
     val chunks = sim.select(col("doc_id"), col("sim"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sim"), c * 15).bitwiseAND(0x7FFFL)): _*))
