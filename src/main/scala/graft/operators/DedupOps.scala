@@ -107,7 +107,20 @@ object DedupOps {
     * pair work is Σ_shingle freq², bounded by shingle selectivity.
     */
   def jaccardNearDups(docs: DataFrame, textCol: String, idCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    jaccardNearDups(docs, textCol, idCol, threshold, None)
+
+  /** As above, with an optional document-frequency cap: shingles appearing
+    * in more than `maxShingleDf` docs are dropped from the index before the
+    * pair join (set sizes are recomputed over the remaining shingles). This
+    * is THE skew control at corpus scale — pair work is Σ df², so one
+    * boilerplate shingle shared by 1M docs costs 10¹² pairs unless capped.
+    * Capping trades exactness on boilerplate-heavy pairs for a hard bound
+    * on per-key join fan-out; the uncapped form stays the oracle-checked
+    * reference semantics.
+    */
+  def jaccardNearDups(docs: DataFrame, textCol: String, idCol: String,
+      threshold: Double, maxShingleDf: Option[Long]): DataFrame = {
     // join on the 64-bit hash of the shingle, not the string: the inverted-
     // index shuffle carries 8-byte keys instead of ~25-byte text (collision
     // probability over a corpus-scale shingle vocabulary is ~2^-64·n² —
@@ -120,13 +133,19 @@ object DedupOps {
     // repartition first: a single input file would serialize the shingle
     // kernel AND the whole join probe onto one task
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val sh = docs.repartition(par, col(idCol))
+    val sh0 = docs.repartition(par, col(idCol))
       .select(col(idCol).as("doc_id"),
         graft.functions.HashExprs.distinctShingles(tokens(col(textCol))).as("sharr"))
       .select(col("doc_id"), size(col("sharr")).cast(LongType).as("n"),
         explode(col("sharr")).as("s0"))
       .select(col("doc_id"), col("n"), xxhash64(col("s0")).as("s"))
-      .persist()
+    val sh = maxShingleDf.fold(sh0) { cap =>
+      // drop corpus-hot shingles, then recount each doc's remaining set
+      val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select("s")
+      sh0.join(hot, Seq("s"), "left_anti")
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    }.persist()
     sh.as("x").join(sh.as("y"), col("x.s") === col("y.s")
         && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

@@ -80,6 +80,40 @@ class Round2OpsSpec extends AnyFunSuite {
     assert(coss.sameElements(coss.sortBy(-_: Double)), "descending cosine")
   }
 
+  test("batch sessionize agrees with session_window on session counts") {
+    // session_window merges events < gap apart; o6 splits on diff > gap —
+    // identical partitions unless a diff equals the gap exactly (ns-
+    // resolution timestamps make that measure-zero on this data)
+    val batch = SparkEntry.queries("o6_sessionize")(spark, SparkTestSession.sf0001)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+    val viaWindow = Tables.events(spark, SparkTestSession.sf0001)
+      .groupBy(session_window(col("ts"), "28800 seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+    assert(batch.exceptAll(viaWindow).count() == 0)
+    assert(viaWindow.exceptAll(batch).count() == 0)
+  }
+
+  test("jaccard df cap: no-op at high cap, removes hot-shingle-only pairs") {
+    import graft.operators.DedupOps
+    val docs = Tables.documents(spark, SparkTestSession.sf0001)
+    val exact = DedupOps.jaccardNearDups(docs, "text", "doc_id", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = DedupOps.jaccardNearDups(docs, "text", "doc_id", 0.8, Some(1000000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == capped, "a cap above every df must not change results")
+    // two docs whose only overlap is one corpus-hot shingle: capping the
+    // shingle removes the pair entirely
+    val hand = Seq(
+      (1L, "the quick brown fox jumps"), (2L, "the quick brown cat sleeps"),
+      (3L, "the quick brown dog barks"), (4L, "unrelated words entirely here now"))
+      .toDF("doc_id", "text")
+    val uncapped = DedupOps.jaccardNearDups(hand, "text", "doc_id", 0.1)
+    assert(uncapped.count() > 0)
+    val hardCap = DedupOps.jaccardNearDups(hand, "text", "doc_id", 0.1, Some(1L))
+    assert(hardCap.count() == 0, "df>1 shingles dropped => no shared shingles left")
+  }
+
   test("percent_rank/cume_dist bounds and extremes per partition") {
     val out = SparkEntry.queries("w9_dist_ranks")(spark, SparkTestSession.sf0001)
     val stats = out.agg(min("pr"), max("pr"), min("cd"), max("cd")).head()
