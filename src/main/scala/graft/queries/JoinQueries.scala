@@ -47,6 +47,19 @@ object JoinQueries {
         .orderBy("n_name")
     }),
 
+    // supplier-side dimension join (rounds out the fixture surface):
+    // per-nation supplier counts + exact-decimal balance stats
+    "j7_supplier_stats" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      sup.join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          Det.sumExact(col("s_acctbal")).as("total_bal"),
+          max(col("s_acctbal")).as("max_bal"))
+        .orderBy("n_name")
+    }),
+
     // left outer + count of matches (zero-preserving)
     "j3_left_join_count" -> ((s, d) => {
       val c = Tables.customer(s, d)
@@ -111,6 +124,13 @@ object JoinQueries {
          JOIN nation   ON c_nationkey = n_nationkey
          JOIN region   ON n_regionkey = r_regionkey
          WHERE r_name = 'ASIA'
+         GROUP BY n_name ORDER BY n_name""",
+
+    "j7_supplier_stats" ->
+      """SELECT n_name, COUNT(*) AS n_suppliers,
+                CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+                max(s_acctbal) AS max_bal
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
 
     "j3_left_join_count" ->

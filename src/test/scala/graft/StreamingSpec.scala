@@ -40,6 +40,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup emits duplicate payloads once across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[WeatherRecord]
+    val q = WeatherStream.dedupStream(input.toDF()).writeStream
+      .format("memory").outputMode("append")
+      .queryName("dedup_out").start()
+    try {
+      val rows = syntheticRecords(1) // 10 cities, one step
+      input.addData(rows); q.processAllAvailable()
+      input.addData(rows); q.processAllAvailable() // exact re-send next batch
+      input.addData(rows.take(3)); q.processAllAvailable()
+      val out = spark.sql("select * from dedup_out")
+      assert(out.count() == 10, "every duplicate within the horizon dropped")
+      assert(out.select("city").distinct().count() == 10)
+    } finally q.stop()
+  }
+
   test("T1: file-based ingestion — readStream over a drop directory") {
     import spark.implicits._
     val dropDir = java.nio.file.Files.createTempDirectory("graft-drop").toString
