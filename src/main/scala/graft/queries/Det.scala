@@ -36,6 +36,24 @@ object Det {
     */
   def avgExact(c: Column): Column = sumExact(c) / count(c)
 
+  /** Exact half-up rounding of a non-negative integer ratio num/den to 4
+    * decimals, in pure integer arithmetic. round(double, 4) is NOT
+    * engine-portable when the true value sits on a .00005 boundary (Spark
+    * rounds the decimal expansion of the double, DuckDB rounds a float-
+    * scaled copy — observed divergent at sf0.1). Integer math sidesteps
+    * the boundary entirely: floor((num·2·10⁴ + den) / (2·den)) / 10⁴.
+    * The final divisions are exact in IEEE754 (integer-valued quotient,
+    * then a /10⁴ applied identically on both engines).
+    * DuckDB equivalent: ((num*20000 + den) // (2*den)) / 10000.0
+    */
+  def round4Rat(num: Column, den: Column): Column = {
+    val a = num.cast(org.apache.spark.sql.types.LongType) * lit(20000L) +
+      den.cast(org.apache.spark.sql.types.LongType)
+    val b = den.cast(org.apache.spark.sql.types.LongType) * lit(2L)
+    // (a - a mod b)/b is an exact integer-valued double division (a div b)
+    ((a - pmod(a, b)) / b).cast(org.apache.spark.sql.types.LongType) / lit(10000.0)
+  }
+
   /** Exact revenue-style product sum: price*(1-discount) computed entirely
     * in decimal, then the exact decimal sum cast to double.
     * DuckDB: CAST(SUM(CAST(p AS DECIMAL(18,2)) * (1 - CAST(d AS DECIMAL(18,2)))) AS DOUBLE).

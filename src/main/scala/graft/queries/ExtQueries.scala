@@ -110,14 +110,27 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // rounded ratios computed in exact integer arithmetic (Det.round4Rat):
+    // round(double, 4) diverges across engines on .00005 boundaries — the
+    // float form (TextOps.qualityScore) remains the non-oracle API
     "x9_text_quality" -> ((s, d) => {
+      import graft.queries.Det.round4Rat
       val toks = TextOps.tokens(col("text"))
+      val nt = size(toks).cast("long")
+      val sw = size(filter(toks, t => t.isInCollection(TextOps.stopwords))).cast("long")
+      val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      // quality = min(nt,100)/100*0.4 + (1-sw/nt)*0.3 + min(nc,500)/500*0.3
+      // over the common denominator 5000*nt — all integer terms
+      val qNum = lit(20L) * nt * least(nt, lit(100L)) +
+        lit(1500L) * (nt - sw) +
+        lit(3L) * nt * least(col("n_chars").cast("long"), lit(500L))
+      val qDen = lit(5000L) * nt
       Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"),
-          size(toks).as("n_tokens"),
-          round(TextOps.avgTokenLen(toks), 4).as("avg_token_len"),
-          round(TextOps.stopwordRatio(toks), 4).as("stopword_ratio"),
-          round(TextOps.qualityScore(col("n_chars"), toks), 4).as("quality"))
+          nt.cast("int").as("n_tokens"),
+          round4Rat(sumLen, nt).as("avg_token_len"),
+          round4Rat(sw, nt).as("stopword_ratio"),
+          round4Rat(qNum, qDen).as("quality"))
         .orderBy("doc_id")
     }),
 
@@ -304,20 +317,24 @@ object ExtQueries {
                                        x -> len(x) > 0)) AS INT) AS n_regex_tokens
            FROM (SELECT doc_id, text FROM documents) ORDER BY doc_id""",
 
+      // all three rounded ratios in exact integer arithmetic — see
+      // Det.round4Rat for why round(double, 4) cannot cross the oracle
       "x9_text_quality" ->
         s"""SELECT doc_id, n_chars,
-                  CAST(len(t) AS INT) AS n_tokens,
-                  round(CAST(${ddbSum("list_transform(t, s -> len(s))")} AS DOUBLE)
-                        / len(t), 4) AS avg_token_len,
-                  round(sw, 4) AS stopword_ratio,
-                  round(least(len(t) / 100.0, 1.0) * 0.4
-                        + (1.0 - sw) * 0.3
-                        + least(n_chars / 500.0, 1.0) * 0.3, 4) AS quality
+                  CAST(nt AS INT) AS n_tokens,
+                  ((sumlen * 20000 + nt) // (2 * nt)) / 10000.0 AS avg_token_len,
+                  ((sw * 20000 + nt) // (2 * nt)) / 10000.0 AS stopword_ratio,
+                  ((qnum * 20000 + qden) // (2 * qden)) / 10000.0 AS quality
            FROM (
-             SELECT doc_id, n_chars, t,
-                    CAST(len(list_filter(t, x -> list_contains($swList, x))) AS DOUBLE)
-                      / len(t) AS sw
-             FROM (SELECT doc_id, n_chars, $mdToks AS t FROM documents))
+             SELECT doc_id, n_chars, nt, sumlen, sw,
+                    20 * nt * least(nt, 100) + 1500 * (nt - sw)
+                      + 3 * nt * least(n_chars, 500) AS qnum,
+                    5000 * nt AS qden
+             FROM (
+               SELECT doc_id, n_chars, len(t) AS nt,
+                      ${ddbSum("list_transform(t, s -> len(s))")} AS sumlen,
+                      len(list_filter(t, x -> list_contains($swList, x))) AS sw
+               FROM (SELECT doc_id, n_chars, $mdToks AS t FROM documents)))
            ORDER BY doc_id""",
 
       "x10_text_langid" -> {
