@@ -84,6 +84,18 @@ object WeatherProps extends Properties("weather") {
         }
     }
 
+  property("round4Rat = BigDecimal HALF_UP of num/den for any positive ratio") =
+    forAll(Gen.choose(0L, 2000000L), Gen.choose(1L, 9999L)) { (num, den) =>
+      import spark.implicits._
+      val got = Seq((num, den)).toDF("num", "den")
+        .select(graft.queries.Det.round4Rat(col("num"), col("den")).as("r"))
+        .head().getDouble(0)
+      val want = BigDecimal(num).bigDecimal
+        .divide(BigDecimal(den).bigDecimal, 4, java.math.RoundingMode.HALF_UP)
+        .doubleValue()
+      got == want
+    }
+
   property("jaccard ∈ [0,1]; 1 iff equal sets") =
     forAll(Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e")),
       Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e"))) { (xs, ys) =>
