@@ -99,6 +99,21 @@ object ExtQueries {
         .select(col("vec_id"), col("cent_id"), round(col("raw_cos"), 4).as("cos"))
     }),
 
+    // bucket-space profile: how the sign-bucket quantizer spreads the
+    // corpus (the partition layout the ANN scale path writes) — count and
+    // norm range per cell. Norms are sqrt (correctly-rounded IEEE), so
+    // round4 is boundary-safe here.
+    "x15_embed_bucket_profile" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      emb.withColumn("bucket", SimilarityOps.signBucket(col("embedding")))
+        .withColumn("norm", sqrt(SimilarityOps.norm2(col("embedding"))))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(min(col("norm")), 4).as("min_norm"),
+          round(max(col("norm")), 4).as("max_norm"))
+        .orderBy("bucket")
+    }),
+
     // ---- text analysis ----
     "x8_text_tokens" -> ((s, d) => {
       val toks = TextOps.tokens(col("text"))
@@ -307,6 +322,19 @@ object ExtQueries {
               WHERE a.vec_id <> 0
                 AND a.cent_id = (SELECT cent_id FROM assigned WHERE vec_id = 0))
             ORDER BY raw_cos DESC, vec_id LIMIT 5"""
+      },
+
+      "x15_embed_bucket_profile" -> {
+        def bucket(v: String) = (0 until 8).map(i =>
+          s"(CASE WHEN $v[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+        s"""SELECT bucket, COUNT(*) AS n_vecs,
+                  round(min(norm), 4) AS min_norm,
+                  round(max(norm), 4) AS max_norm
+           FROM (
+             SELECT CAST(${bucket("embedding")} AS INT) AS bucket,
+                    sqrt(${ddbNorm2("embedding")}) AS norm
+             FROM embeddings)
+           GROUP BY bucket ORDER BY bucket"""
       },
 
       "x8_text_tokens" ->

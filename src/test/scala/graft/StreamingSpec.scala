@@ -75,6 +75,14 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       b2.toDF().write.mode("append").parquet(dropDir)
       q.processAllAvailable()
+      // the file source's directory listing can race a write that lands
+      // mid-listing under load — poll briefly before asserting
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      while (sinks.scan(spark, "raw_weather_data").count() < 20
+          && System.nanoTime() < deadline) {
+        Thread.sleep(250)
+        q.processAllAvailable()
+      }
       assert(sinks.scan(spark, "raw_weather_data").count() == 20)
       assert(sinks.scan(spark, "weather_batches")
         .select("batch_id").distinct().count() == 2)
