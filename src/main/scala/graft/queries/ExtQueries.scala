@@ -99,6 +99,21 @@ object ExtQueries {
         .select(col("vec_id"), col("cent_id"), round(col("raw_cos"), 4).as("cos"))
     }),
 
+    // deterministic train/val/test split — the training-data idiom at any
+    // scale: the split is a pure function of the stable id (md5 bucket),
+    // so it is reproducible across runs, engines, and repartitions, unlike
+    // seeded sample(). 80/10/10 by the id's md5 residue.
+    "x16_hash_split" -> ((s, d) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("long") % 100
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("split", "lang")
+    }),
+
     // bucket-space profile: how the sign-bucket quantizer spreads the
     // corpus (the partition layout the ANN scale path writes) — count and
     // norm range per cell. Norms are sqrt (correctly-rounded IEEE), so
@@ -323,6 +338,19 @@ object ExtQueries {
                 AND a.cent_id = (SELECT cent_id FROM assigned WHERE vec_id = 0))
             ORDER BY raw_cos DESC, vec_id LIMIT 5"""
       },
+
+      "x16_hash_split" ->
+        """SELECT split, lang, COUNT(*) AS n_docs FROM (
+             SELECT lang,
+                    CASE WHEN b < 80 THEN 'train'
+                         WHEN b < 90 THEN 'val'
+                         ELSE 'test' END AS split
+             FROM (
+               SELECT lang,
+                      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) % 100 AS b
+               FROM documents))
+           GROUP BY split, lang ORDER BY split, lang""",
 
       "x15_embed_bucket_profile" -> {
         def bucket(v: String) = (0 until 8).map(i =>
