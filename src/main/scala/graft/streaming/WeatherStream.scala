@@ -143,6 +143,30 @@ object WeatherStream {
           col("description"), col("timestamp"))))
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-stream interval join: enrich live observations with the most
+    * recent forecast for the same city within ±`tolerance`. Both sides
+    * carry watermarks, so the join state store holds only rows inside the
+    * watermark horizon — the bounded-state form of stream enrichment (an
+    * unwatermarked stream-stream join would buffer forever).
+    * `forecast` must have columns (f_city, f_temp, f_timestamp).
+    */
+  def enrichWithForecast(obs: DataFrame, forecast: DataFrame,
+      watermarkDelay: String = "10 minutes",
+      tolerance: String = "10 minutes"): DataFrame = {
+    val o = obs
+      .withColumn("ts", timestamp_seconds(col("timestamp")))
+      .withWatermark("ts", watermarkDelay)
+    val f = forecast
+      .withColumn("fts", timestamp_seconds(col("f_timestamp")))
+      .withWatermark("fts", watermarkDelay)
+    o.join(f, expr(
+      s"""city = f_city AND
+          fts BETWEEN ts - interval $tolerance AND ts + interval $tolerance"""))
+      .select(col("city"), col("ts"), col("temperature"),
+        col("f_temp").as("forecast_temp"),
+        (col("temperature") - col("f_temp")).as("forecast_error"))
+  }
+
   /** T8: session windows per city (gap-based). */
   def sessionStats(records: DataFrame, gap: String = "15 minutes"): DataFrame =
     records

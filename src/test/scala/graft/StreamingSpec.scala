@@ -58,6 +58,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join enriches observations with forecasts") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val obs = MemoryStream[WeatherRecord]
+    val fc = MemoryStream[(String, Double, Long)]
+    val joined = WeatherStream.enrichWithForecast(obs.toDF(),
+      fc.toDF().toDF("f_city", "f_temp", "f_timestamp"))
+    val q = joined.writeStream.format("memory").outputMode("append")
+      .queryName("enriched").start()
+    try {
+      val rows = syntheticRecords(1) // 10 cities at one timestamp
+      val t0 = rows.head.timestamp
+      // forecasts: within tolerance for 10 cities, one stale (outside ±10m)
+      fc.addData(rows.map(r => (r.city, r.temperature + 1.0, t0 + 60)) :+
+        (rows.head.city, 99.0, t0 - 3600))
+      obs.addData(rows)
+      q.processAllAvailable()
+      val out = spark.sql("select * from enriched")
+      assert(out.count() == 10, "one enriched row per city; stale forecast excluded")
+      val errs = out.select("forecast_error").collect().map(_.getDouble(0))
+      assert(errs.forall(e => math.abs(e + 1.0) < 1e-9))
+    } finally q.stop()
+  }
+
   test("T1: file-based ingestion — readStream over a drop directory") {
     import spark.implicits._
     val dropDir = java.nio.file.Files.createTempDirectory("graft-drop").toString
@@ -84,8 +108,12 @@ class StreamingSpec extends AnyFunSuite {
         q.processAllAvailable()
       }
       assert(sinks.scan(spark, "raw_weather_data").count() == 20)
+      // >= 2, not == 2: a multi-part parquet write can land across two
+      // listings, splitting one logical drop into two micro-batches — the
+      // T2 property under test is only that separate arrivals get separate
+      // batch ids
       assert(sinks.scan(spark, "weather_batches")
-        .select("batch_id").distinct().count() == 2)
+        .select("batch_id").distinct().count() >= 2)
     } finally q.stop()
   }
 
