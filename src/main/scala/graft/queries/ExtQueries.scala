@@ -99,6 +99,22 @@ object ExtQueries {
         .select(col("vec_id"), col("cent_id"), round(col("raw_cos"), 4).as("cos"))
     }),
 
+    // edit-distance fuzzy matching (the character-level member of the
+    // near-dup family): prefix-blocked pairs under a Levenshtein budget.
+    // Bounded block (doc_id < 50) keeps the O(block²) pair count honest —
+    // at scale the block key is a cheap canopy (first-k-chars, metaphone).
+    "x17_edit_distance_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 50)
+        .select(col("doc_id"), substring(col("text"), 1, 16).as("prefix"))
+      val a = docs.select(col("doc_id").as("doc_a"), col("prefix").as("pa"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("prefix").as("pb"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .withColumn("dist", levenshtein(col("pa"), col("pb")))
+        .filter(col("dist") <= 8)
+        .select("doc_a", "doc_b", "dist")
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // deterministic train/val/test split — the training-data idiom at any
     // scale: the split is a pure function of the stable id (md5 bucket),
     // so it is reproducible across runs, engines, and repartitions, unlike
@@ -338,6 +354,14 @@ object ExtQueries {
                 AND a.cent_id = (SELECT cent_id FROM assigned WHERE vec_id = 0))
             ORDER BY raw_cos DESC, vec_id LIMIT 5"""
       },
+
+      "x17_edit_distance_pairs" ->
+        """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(levenshtein(substr(a.text, 1, 16), substr(b.text, 1, 16)) AS INT) AS dist
+           FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+           WHERE a.doc_id < 50 AND b.doc_id < 50
+             AND levenshtein(substr(a.text, 1, 16), substr(b.text, 1, 16)) <= 8
+           ORDER BY doc_a, doc_b""",
 
       "x16_hash_split" ->
         """SELECT split, lang, COUNT(*) AS n_docs FROM (
