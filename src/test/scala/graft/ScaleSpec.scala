@@ -42,6 +42,28 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("ANN corpus written partitioned by sign-bucket prunes to one cell") {
+    import graft.operators.SimilarityOps
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann").toString
+    // the SCALE.md claim made concrete: write the corpus partitioned by
+    // the quantizer cell, then a query's probe reads ONE partition
+    emb.withColumn("bucket", SimilarityOps.signBucket(col("embedding")))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(SimilarityOps.signBucket(col("embedding")).as("b")).head().getInt(0)
+    val probe = corpus.filter(col("bucket") === q)
+    probe.collect()
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(bucket"), scan)
+    // pruned scan reads only the probed cell's rows
+    val cellSize = emb
+      .filter(SimilarityOps.signBucket(col("embedding")) === q).count()
+    assert(probe.count() == cellSize)
+    assert(cellSize < emb.count(), "pruning must exclude other cells")
+  }
+
   test("salted join equals the plain join on skewed data") {
     import spark.implicits._
     // 90% of rows share one hot key
