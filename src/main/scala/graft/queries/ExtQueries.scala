@@ -99,6 +99,21 @@ object ExtQueries {
         .select(col("vec_id"), col("cent_id"), round(col("raw_cos"), 4).as("cos"))
     }),
 
+    // k-NN label vote: classify the query vector by the labels of its
+    // top-10 cosine neighbors — the standard embedding-column classifier
+    // (and the only consumer of the embeddings.label column).
+    "x18_knn_vote" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .withColumn("cos", SimilarityOps.cosineFast(col("embedding"), col("qv")))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+        .groupBy("label")
+        .agg(count(lit(1)).as("votes"), round(max(col("cos")), 4).as("best_cos"))
+        .orderBy(col("votes").desc, col("label"))
+    }),
+
     // edit-distance fuzzy matching (the character-level member of the
     // near-dup family): prefix-blocked pairs under a Levenshtein budget.
     // Bounded block (doc_id < 50) keeps the O(block²) pair count honest —
@@ -354,6 +369,18 @@ object ExtQueries {
                 AND a.cent_id = (SELECT cent_id FROM assigned WHERE vec_id = 0))
             ORDER BY raw_cos DESC, vec_id LIMIT 5"""
       },
+
+      "x18_knn_vote" ->
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            top AS (
+              SELECT vec_id, label, raw_cos FROM (
+                SELECT vec_id, label,
+                       ${ddbDot("embedding", "qv")}
+                         / (sqrt(${ddbNorm2("embedding")}) * sqrt(${ddbNorm2("qv")})) AS raw_cos
+                FROM embeddings, q WHERE vec_id <> 0)
+              ORDER BY raw_cos DESC, vec_id LIMIT 10)
+            SELECT label, COUNT(*) AS votes, round(max(raw_cos), 4) AS best_cos
+            FROM top GROUP BY label ORDER BY votes DESC, label""",
 
       "x17_edit_distance_pairs" ->
         """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
