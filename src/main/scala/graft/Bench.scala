@@ -14,6 +14,9 @@ object Bench {
     // optional comma-separated filter for timing individual queries locally;
     // the driver never sets it, so the full suite runs per-round
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // a typo'd filter would otherwise emit a clean-looking total=0 line
+    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[bench] WARNING: SPARK_GRAFT_ONLY name '$n' matches no query")))
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }

@@ -25,6 +25,12 @@ object ExtQueries {
   private def ddbNorm2(a: String) =
     ddbSum(s"list_transform($a, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))")
   private def ddbList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("[", ",", "]")
+  // single source of truth for the oracle-side twins of
+  // SimilarityOps.cosine/signBucket — edited in lockstep with those
+  private def ddbCos(a: String, b: String) =
+    s"${ddbDot(a, b)} / (sqrt(${ddbNorm2(a)}) * sqrt(${ddbNorm2(b)}))"
+  private def ddbBucket(v: String) = (0 until 8).map(i =>
+    s"(CASE WHEN $v[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
 
   val defs: Map[String, Q] = Map(
     // ---- dedup ----
@@ -87,7 +93,11 @@ object ExtQueries {
       val cents = emb.filter(col("vec_id").between(1, 4))
         .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      // persisted: both the query-cell lookup and the candidate side read
+      // the assignment — without the cache the centroid cross-join +
+      // window shuffle runs twice
       val assigned = SimilarityOps.assignCentroids(emb, "vec_id", "embedding", cents)
+        .persist()
       val qCell = assigned.filter(col("vec_id") === 0)
         .select(col("cent_id").as("q_cent"))
       assigned.filter(col("vec_id") =!= 0)
@@ -336,22 +346,18 @@ object ExtQueries {
             ORDER BY raw_cos DESC, vec_id LIMIT 10""",
 
       "x7_sim_topk_bucketed" -> {
-        def bucket(v: String) = (0 until 8).map(i =>
-          s"(CASE WHEN $v[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
         s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id, bucket, round(raw_cos, 4) AS cos FROM (
-              SELECT vec_id, CAST(${bucket("embedding")} AS INT) AS bucket,
+              SELECT vec_id, CAST(${ddbBucket("embedding")} AS INT) AS bucket,
                      ${ddbDot("embedding", "qv")}
                        / (sqrt(${ddbNorm2("embedding")}) * sqrt(${ddbNorm2("qv")})) AS raw_cos
               FROM embeddings, q
               WHERE vec_id <> 0
-                AND ${bucket("embedding")} = (SELECT ${bucket("qv")} FROM q))
+                AND ${ddbBucket("embedding")} = (SELECT ${ddbBucket("qv")} FROM q))
             ORDER BY raw_cos DESC, vec_id LIMIT 5"""
       },
 
       "x14_sim_ivf" -> {
-        def cos(a: String, b: String) =
-          s"${ddbDot(a, b)} / (sqrt(${ddbNorm2(a)}) * sqrt(${ddbNorm2(b)}))"
         s"""WITH cents AS (
               SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
               WHERE vec_id BETWEEN 1 AND 4),
@@ -359,11 +365,11 @@ object ExtQueries {
             scored AS (
               SELECT e.vec_id, e.embedding, c.cent_id,
                      row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.cent_id) AS rn
+                       ORDER BY ${ddbCos("e.embedding", "c.cv")} DESC, c.cent_id) AS rn
               FROM embeddings e CROSS JOIN cents c),
             assigned AS (SELECT vec_id, embedding, cent_id FROM scored WHERE rn = 1)
             SELECT vec_id, cent_id, round(raw_cos, 4) AS cos FROM (
-              SELECT a.vec_id, a.cent_id, ${cos("a.embedding", "qv")} AS raw_cos
+              SELECT a.vec_id, a.cent_id, ${ddbCos("a.embedding", "qv")} AS raw_cos
               FROM assigned a, q
               WHERE a.vec_id <> 0
                 AND a.cent_id = (SELECT cent_id FROM assigned WHERE vec_id = 0))
@@ -404,13 +410,11 @@ object ExtQueries {
            GROUP BY split, lang ORDER BY split, lang""",
 
       "x15_embed_bucket_profile" -> {
-        def bucket(v: String) = (0 until 8).map(i =>
-          s"(CASE WHEN $v[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
         s"""SELECT bucket, COUNT(*) AS n_vecs,
                   round(min(norm), 4) AS min_norm,
                   round(max(norm), 4) AS max_norm
            FROM (
-             SELECT CAST(${bucket("embedding")} AS INT) AS bucket,
+             SELECT CAST(${ddbBucket("embedding")} AS INT) AS bucket,
                     sqrt(${ddbNorm2("embedding")}) AS norm
              FROM embeddings)
            GROUP BY bucket ORDER BY bucket"""

@@ -96,6 +96,10 @@ object SetPivotQueries {
           Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
           "metric", "val")
+        // pin NULL semantics: Spark unpivot keeps NULL value rows, DuckDB
+        // UNPIVOT drops them — match DuckDB explicitly (no-op for this
+        // fixture, where the measures are non-null)
+        .filter(col("val").isNotNull)
         // (orderkey, linenumber) is NOT unique in the synthetic data — val
         // joins the sort key so any residual ties are full-row duplicates
         .orderBy("l_orderkey", "l_linenumber", "metric", "val")

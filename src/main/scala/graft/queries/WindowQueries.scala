@@ -149,8 +149,11 @@ object WindowQueries {
     "o6_sessionize" -> ((s, d) => {
       val gapS = 28800L
       val byTime = Window.partitionBy("user_id").orderBy("epoch_s", "event_id")
+      // floor division (a - pmod)/b, not `div`: div truncates toward zero
+      // and would diverge from DuckDB's `//` on pre-1970 timestamps
       Tables.events(s, d)
-        .withColumn("epoch_s", expr("unix_micros(ts) div 1000000"))
+        .withColumn("epoch_s",
+          expr("CAST((unix_micros(ts) - pmod(unix_micros(ts), 1000000)) / 1000000 AS BIGINT)"))
         .withColumn("new_sess",
           when(col("epoch_s") - lag(col("epoch_s"), 1).over(byTime) > gapS, 1L)
             .otherwise(0L))

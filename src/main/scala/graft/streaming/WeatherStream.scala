@@ -138,16 +138,21 @@ object WeatherStream {
     records
       .withColumn("ts", timestamp_seconds(col("timestamp")))
       .withWatermark("ts", watermarkDelay)
+      // hash the JSON form, not a concat: concat_ws skips nulls and has
+      // no escaping, so distinct records could collide ('x'|null|'rain'
+      // vs 'x'|'rain'|null); to_json encodes nulls and quotes unambiguously
       .withColumn("content_hash",
-        md5(concat_ws("|", col("city"), col("country"), col("weather"),
-          col("description"), col("timestamp"))))
+        md5(to_json(struct(col("city"), col("country"), col("weather"),
+          col("description"), col("timestamp")))))
       .dropDuplicatesWithinWatermark("content_hash")
 
-  /** Stream-stream interval join: enrich live observations with the most
-    * recent forecast for the same city within ±`tolerance`. Both sides
-    * carry watermarks, so the join state store holds only rows inside the
-    * watermark horizon — the bounded-state form of stream enrichment (an
-    * unwatermarked stream-stream join would buffer forever).
+  /** Stream-stream interval join: pair each live observation with EVERY
+    * forecast for the same city within ±`tolerance` (one output row per
+    * in-tolerance forecast — standard interval-join multiplicity; callers
+    * wanting a single best match aggregate downstream with max_by(fts)).
+    * Both sides carry watermarks, so the join state store holds only rows
+    * inside the watermark horizon — the bounded-state form of stream
+    * enrichment (an unwatermarked stream-stream join would buffer forever).
     * `forecast` must have columns (f_city, f_temp, f_timestamp).
     */
   def enrichWithForecast(obs: DataFrame, forecast: DataFrame,
