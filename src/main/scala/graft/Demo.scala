@@ -49,6 +49,21 @@ object Demo {
     println(s"registry/promote: version $promoted -> Production")
     require(promoted.isDefined, "promotion")
 
+    // ---- training-data pipeline ops over the fixture corpus ----
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sfDir)
+    val dups = graft.operators.DedupOps.minhashNearDups(docs, "text", "doc_id", 0.8)
+    val keep = graft.operators.DedupOps.survivors(docs, dups, "doc_id")
+    println(s"dedup: ${docs.count()} docs, ${dups.count()} near-dup pairs, " +
+      s"${keep.count()} survivors")
+    require(keep.count() < docs.count(), "planted dups must be removed")
+    println("train/val/test split (md5-deterministic):")
+    SparkEntry.queries("x16_hash_split")(spark, sfDir)
+      .groupBy("split").agg(sum("n_docs").as("n")).orderBy("split")
+      .show(truncate = false)
+    println("kNN label vote for query vector 0:")
+    SparkEntry.queries("x18_knn_vote")(spark, sfDir).show(truncate = false)
+
     println("== demo OK ==")
     spark.stop()
   }
