@@ -99,6 +99,18 @@ object AggQueries {
         .orderBy("bucket")
     }),
 
+    // A11b: weighted average (quantity-weighted mean price) — both sums
+    // exact-decimal, so the final double division is deterministic
+    "a11_weighted_avg" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(18, 2))
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg((sum(dec(col("l_extendedprice")) * dec(col("l_quantity"))).cast("double")
+          / sum(dec(col("l_quantity"))).cast("double")).as("wavg_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // A8: multi-agg one-row stats document — load.py:93-113 composed:
     // count, distinct, avg, min, max in ONE aggregation pass.
     "a8_stats_doc" -> ((s, d) => {
@@ -155,6 +167,13 @@ object AggQueries {
                       ('b4_40_50', 40.0, 50.0), ('b5_over50', 50.0, 1e9)) AS bands(bucket, lo, hi)
          JOIN lineitem ON l_quantity >= lo AND l_quantity < hi
          GROUP BY bucket ORDER BY bucket""",
+
+    "a11_weighted_avg" ->
+      """SELECT l_returnflag,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "a8_stats_doc" ->
       """SELECT COUNT(*) AS total_records,

@@ -109,6 +109,24 @@ object ExtQueries {
         .select(col("vec_id"), col("cent_id"), round(col("raw_cos"), 4).as("cos"))
     }),
 
+    // Euclidean top-k — the second distance metric over the embedding
+    // column (cosine is x6). Squared-diff accumulation is left-to-right
+    // double math, bitwise-identical to the oracle's list_reduce.
+    "x19_l2_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val dist2 = aggregate(
+        zip_with(col("embedding"), col("qv"),
+          (x, y) => (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+      emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .withColumn("l2", sqrt(dist2))
+        .orderBy(col("l2").asc, col("vec_id"))
+        .limit(5)
+        .select(col("vec_id"), round(col("l2"), 4).as("l2"))
+    }),
+
     // k-NN label vote: classify the query vector by the labels of its
     // top-10 cosine neighbors — the standard embedding-column classifier
     // (and the only consumer of the embeddings.label column).
@@ -375,6 +393,14 @@ object ExtQueries {
                 AND a.cent_id = (SELECT cent_id FROM assigned WHERE vec_id = 0))
             ORDER BY raw_cos DESC, vec_id LIMIT 5"""
       },
+
+      "x19_l2_topk" ->
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id, round(raw_l2, 4) AS l2 FROM (
+              SELECT vec_id,
+                     sqrt(${ddbSum("list_transform(list_zip(embedding, qv), z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)))")}) AS raw_l2
+              FROM embeddings, q WHERE vec_id <> 0)
+            ORDER BY raw_l2 ASC, vec_id LIMIT 5""",
 
       "x18_knn_vote" ->
         s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
