@@ -101,6 +101,31 @@ object MiscQueries {
         .orderBy("month")
     }),
 
+    // window-over-aggregate: month-over-month delta and share of total —
+    // the standard reporting shape (agg once, then lag/sum over the tiny
+    // aggregated frame; the window never touches base rows). All outputs
+    // derive from exact-decimal sums, so raw doubles cross the oracle
+    // without rounding.
+    "f9_mom_delta" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // totals stay DECIMAL through the lag and the grand-total window
+      // (window-summing doubles would be order-dependent); doubles appear
+      // only at the output boundary, where every operand is exact
+      val monthly = Tables.orders(s, d)
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")),
+          "yyyy-MM").as("month"))
+        .agg(sum(Det.dec(col("o_totalprice"))).as("total_dec"))
+      monthly
+        .withColumn("prev_dec", lag(col("total_dec"), 1).over(Window.orderBy("month")))
+        .withColumn("grand_dec", sum(col("total_dec")).over(Window.partitionBy()))
+        .select(col("month"),
+          col("total_dec").cast("double").as("total"),
+          (col("total_dec") - col("prev_dec")).cast("double").as("mom_delta"),
+          (col("total_dec").cast("double") * 100.0
+            / col("grand_dec").cast("double")).as("pct_of_grand"))
+        .orderBy("month")
+    }),
+
     // explode + word frequency over the corpus (the classic flatten-agg)
     "x13_word_freq" -> ((s, d) => {
       Tables.documents(s, d)
@@ -167,6 +192,18 @@ object MiscQueries {
                 COUNT(*) AS n_orders,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_total
          FROM orders GROUP BY 1 ORDER BY month""",
+
+    "f9_mom_delta" ->
+      """WITH monthly AS (
+           SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_dec
+           FROM orders GROUP BY 1)
+         SELECT month,
+                CAST(total_dec AS DOUBLE) AS total,
+                CAST(total_dec - lag(total_dec) OVER (ORDER BY month) AS DOUBLE) AS mom_delta,
+                CAST(total_dec AS DOUBLE) * 100.0
+                  / CAST(SUM(total_dec) OVER () AS DOUBLE) AS pct_of_grand
+         FROM monthly ORDER BY month""",
 
     "x13_word_freq" ->
       """SELECT token, COUNT(*) AS freq FROM (
