@@ -58,6 +58,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup does not conflate distinct records with null fields") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[WeatherRecord]
+    val q = WeatherStream.dedupStream(input.toDF()).writeStream
+      .format("memory").outputMode("append")
+      .queryName("dedup_nulls").start()
+    try {
+      val base = syntheticRecords(1).head
+      // under a concat_ws hash these two would collide ('x|rain|...'):
+      val r1 = base.copy(city = "x", country = null, weather = "rain")
+      val r2 = base.copy(city = "x", country = "rain", weather = null)
+      input.addData(Seq(r1, r2)); q.processAllAvailable()
+      assert(spark.sql("select * from dedup_nulls").count() == 2,
+        "null-shifted field values are distinct records, not duplicates")
+    } finally q.stop()
+  }
+
+  test("interval join emits one row per in-tolerance forecast (documented multiplicity)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val obs = MemoryStream[WeatherRecord]
+    val fc = MemoryStream[(String, Double, Long)]
+    val q = WeatherStream.enrichWithForecast(obs.toDF(),
+        fc.toDF().toDF("f_city", "f_temp", "f_timestamp")).writeStream
+      .format("memory").outputMode("append").queryName("multi_fc").start()
+    try {
+      val r = syntheticRecords(1).head
+      fc.addData(Seq((r.city, 1.0, r.timestamp + 60), (r.city, 2.0, r.timestamp - 60)))
+      obs.addData(Seq(r))
+      q.processAllAvailable()
+      assert(spark.sql("select * from multi_fc").count() == 2)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join enriches observations with forecasts") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
