@@ -214,12 +214,28 @@ object ExtQueries {
         lit(1500L) * (nt - sw) +
         lit(3L) * nt * least(col("n_chars").cast("long"), lit(500L))
       val qDen = lit(5000L) * nt
+      val punct = length(regexp_replace(col("text"), "[^.,;:!?]", ""))
       Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"),
           nt.cast("int").as("n_tokens"),
           round4Rat(sumLen, nt).as("avg_token_len"),
           round4Rat(sw, nt).as("stopword_ratio"),
+          round4Rat(punct, col("n_chars")).as("punct_ratio"),
           round4Rat(qNum, qDen).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // order-sensitive rolling-hash fingerprint (Rabin-Karp-style over the
+    // token sequence) — complements x11's order-insensitive bag md5. Pure
+    // modular integer math (mod 1e9+7, base 131) so both engines compute
+    // the identical value; per-token 60-bit hashes come from md5.
+    "x20_rolling_fingerprint" -> ((s, d) => {
+      val tokHash = (t: org.apache.spark.sql.Column) =>
+        conv(substring(md5(t), 1, 15), 16, 10).cast("long") % 1000000007L
+      val rolling = aggregate(TextOps.tokens(col("text")), lit(0L),
+        (acc, t) => (acc * 131L + tokHash(t)) % 1000000007L)
+      Tables.documents(s, d)
+        .select(col("doc_id"), rolling.as("rolling_fp"))
         .orderBy("doc_id")
     }),
 
@@ -461,18 +477,29 @@ object ExtQueries {
                   CAST(nt AS INT) AS n_tokens,
                   ((sumlen * 20000 + nt) // (2 * nt)) / 10000.0 AS avg_token_len,
                   ((sw * 20000 + nt) // (2 * nt)) / 10000.0 AS stopword_ratio,
+                  ((punct * 20000 + n_chars) // (2 * n_chars)) / 10000.0 AS punct_ratio,
                   ((qnum * 20000 + qden) // (2 * qden)) / 10000.0 AS quality
            FROM (
-             SELECT doc_id, n_chars, nt, sumlen, sw,
+             SELECT doc_id, n_chars, nt, sumlen, sw, punct,
                     20 * nt * least(nt, 100) + 1500 * (nt - sw)
                       + 3 * nt * least(n_chars, 500) AS qnum,
                     5000 * nt AS qden
              FROM (
                SELECT doc_id, n_chars, len(t) AS nt,
                       ${ddbSum("list_transform(t, s -> len(s))")} AS sumlen,
-                      len(list_filter(t, x -> list_contains($swList, x))) AS sw
-               FROM (SELECT doc_id, n_chars, $mdToks AS t FROM documents)))
+                      len(list_filter(t, x -> list_contains($swList, x))) AS sw,
+                      len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct
+               FROM (SELECT doc_id, n_chars, text, $mdToks AS t FROM documents)))
            ORDER BY doc_id""",
+
+      "x20_rolling_fingerprint" ->
+        """SELECT doc_id,
+                  list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(text, ' '), t ->
+                        CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 1000000007)),
+                    (acc, h) -> (acc * 131 + h) % 1000000007) AS rolling_fp
+           FROM documents ORDER BY doc_id""",
 
       "x10_text_langid" -> {
         val Seq(db, gen, stream) = profiles.map(_._2)
