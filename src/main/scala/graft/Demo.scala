@@ -54,9 +54,9 @@ object Demo {
     val docs = Tables.documents(spark, sfDir)
     val dups = graft.operators.DedupOps.minhashNearDups(docs, "text", "doc_id", 0.8)
     val keep = graft.operators.DedupOps.survivors(docs, dups, "doc_id")
-    println(s"dedup: ${docs.count()} docs, ${dups.count()} near-dup pairs, " +
-      s"${keep.count()} survivors")
-    require(keep.count() < docs.count(), "planted dups must be removed")
+    val (nDocs, nKeep) = (docs.count(), keep.count())
+    println(s"dedup: $nDocs docs, ${dups.count()} near-dup pairs, $nKeep survivors")
+    require(nKeep < nDocs, "planted dups must be removed")
     println("train/val/test split (md5-deterministic):")
     SparkEntry.queries("x16_hash_split")(spark, sfDir)
       .groupBy("split").agg(sum("n_docs").as("n")).orderBy("split")

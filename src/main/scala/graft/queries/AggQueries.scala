@@ -102,8 +102,6 @@ object AggQueries {
     // A11b: weighted average (quantity-weighted mean price) — both sums
     // exact-decimal, so the final double division is deterministic
     "a11_weighted_avg" -> ((s, d) => {
-      import org.apache.spark.sql.types.DecimalType
-      val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(18, 2))
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg((sum(dec(col("l_extendedprice")) * dec(col("l_quantity"))).cast("double")
