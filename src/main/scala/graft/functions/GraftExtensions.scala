@@ -16,7 +16,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
@@ -26,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(array<string>) - 64-bit SimHash of a token array"),
       (args: Seq[Expression]) => SimHash64(args.head)))
+
+    ext.injectFunction((FunctionIdentifier("md5_simhash60"),
+      info("md5_simhash60", "md5_simhash60(array<string>) - engine-portable 60-bit md5 SimHash"),
+      (args: Seq[Expression]) => Md5SimHash60(args.head)))
 
     ext.injectFunction((FunctionIdentifier("minhash_hex_sig"),
       info("minhash_hex_sig", "minhash_hex_sig(array<string>, k) - md5 MinHash signature"),

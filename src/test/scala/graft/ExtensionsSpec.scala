@@ -26,4 +26,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(shg.contains("w1 w2 w3") && shg.contains("w3 w1 w2"))
     assert(shg.length == 3) // 4 windows, 3 distinct (w1w2w3 repeats)
   }
+
+  test("md5_simhash60 in SQL equals the expression API") {
+    import org.apache.spark.sql.functions._
+    val viaSql = spark.sql("SELECT md5_simhash60(array('hello')) AS s").head().getLong(0)
+    import spark.implicits._
+    val viaApi = Seq(Seq("hello")).toDF("t")
+      .select(graft.functions.HashExprs.md5Simhash60(col("t"))).head().getLong(0)
+    assert(viaSql == viaApi)
+    // single token => the hash IS the token's 60-bit md5 prefix
+    val expect = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex("hello").substring(0, 15), 16)
+    assert(viaSql == expect)
+  }
 }
