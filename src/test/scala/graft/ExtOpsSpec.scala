@@ -67,6 +67,17 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(r => r.getAs[Long]("doc_b") == 3L))
   }
 
+  test("portable simhash pipeline: same behavior shape as the xxhash one") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "qq ww ee rr tt yy uu ii oo pp")).toDF("doc_id", "text")
+    val pairs = DedupOps.simhashNearDupsPortable(docs, "text", "doc_id", 3).collect()
+    assert(pairs.exists(r => r.getAs[Long]("doc_a") == 1L
+      && r.getAs[Long]("doc_b") == 2L && r.getAs[Int]("hamming") == 0))
+    assert(!pairs.exists(r => r.getAs[Long]("doc_b") == 3L))
+  }
+
   test("cosine: orthogonal = 0, parallel = 1") {
     val df = Seq(
       (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
