@@ -96,6 +96,41 @@ object WeatherProps extends Properties("weather") {
       got == want
     }
 
+  property("sessionize window logic equals a per-user reference fold") =
+    forAll(Gen.nonEmptyListOf(for {
+      u <- Gen.choose(1L, 4L)
+      t <- Gen.choose(0L, 200000L)
+    } yield (u, t))) { rows0 =>
+      import spark.implicits._
+      val gap = 28800L
+      val rows = rows0.take(60).distinct
+      val df = rows.toDF("user_id", "epoch_s")
+      val byTime = Window.partitionBy("user_id").orderBy("epoch_s")
+      val got = df
+        .withColumn("new_sess",
+          when(col("epoch_s") - lag(col("epoch_s"), 1).over(byTime) > gap, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(
+          byTime.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n"), min("epoch_s").as("lo"), max("epoch_s").as("hi"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      // independent reference: sort each user's times, split on gap > 28800
+      val expected = rows.groupBy(_._1).flatMap { case (u, rs) =>
+        val ts = rs.map(_._2).sorted
+        val sessions = ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+          if (t - acc.head.head > gap) List(t) :: acc
+          else (t :: acc.head) :: acc.tail
+        }.reverse.map(_.reverse)
+        sessions.zipWithIndex.map { case (s, i) =>
+          (u, i.toLong, s.size.toLong, s.min, s.max)
+        }
+      }.toSet
+      got == expected
+    }
+
   property("jaccard ∈ [0,1]; 1 iff equal sets") =
     forAll(Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e")),
       Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e"))) { (xs, ys) =>
