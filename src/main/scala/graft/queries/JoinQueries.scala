@@ -60,6 +60,25 @@ object JoinQueries {
         .orderBy("n_name")
     }),
 
+    // TPC-H Q3 shape: filtered star join → grouped exact-decimal revenue →
+    // top-10. Plans as joins + partial agg + TakeOrderedAndProject; the
+    // sort key is the exact revenue (decimal-derived), so ranking ties are
+    // impossible to get wrong across engines, with orderkey as tiebreak.
+    "j8_topk_revenue" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1997-06-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .agg(Det.revenueExact(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
     // left outer + count of matches (zero-preserving)
     "j3_left_join_count" -> ((s, d) => {
       val c = Tables.customer(s, d)
@@ -132,6 +151,18 @@ object JoinQueries {
                 max(s_acctbal) AS max_bal
          FROM supplier JOIN nation ON s_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
+
+    "j8_topk_revenue" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1997-06-01'
+         GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
 
     "j3_left_join_count" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
