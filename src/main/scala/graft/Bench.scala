@@ -28,7 +28,11 @@ object Bench {
           failed ::= name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // outside the timed region: drop any intermediates a query persisted
+      // so later timings are neither helped nor starved by earlier caches
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
