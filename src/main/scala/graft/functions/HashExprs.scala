@@ -38,6 +38,10 @@ case class SimHash64(child: Expression)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
+      // null elements are skipped (same behavior as Md5SimHash60 and
+      // concat_ws), not a crash: the SQL-registered form can see any array
+      if (arr.isNullAt(i)) { i += 1 }
+      else {
       val s = arr.getUTF8String(i)
       val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
       var j = 0
@@ -46,6 +50,7 @@ case class SimHash64(child: Expression)
         j += 1
       }
       i += 1
+      }
     }
     var out = 0L
     var j = 0
@@ -78,6 +83,10 @@ case class Md5SimHash60(child: Expression)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
+      // skip null elements — the SQL-registered md5_simhash60 can be fed
+      // arrays with NULLs; they contribute no votes (concat_ws-style skip)
+      if (arr.isNullAt(i)) { i += 1 }
+      else {
       val hex = DigestUtils.md5Hex(arr.getUTF8String(i).toString)
       val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
       var j = 0
@@ -86,6 +95,7 @@ case class Md5SimHash60(child: Expression)
         j += 1
       }
       i += 1
+      }
     }
     var out = 0L
     var j = 0
@@ -115,6 +125,9 @@ case class MinHashHexSig(child: Expression, numHashes: Int)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
+      // null shingles contribute no minima (concat_ws-style skip)
+      if (arr.isNullAt(i)) { i += 1 }
+      else {
       val s = arr.getUTF8String(i).toString
       var k = 0
       while (k < numHashes) {
@@ -123,6 +136,7 @@ case class MinHashHexSig(child: Expression, numHashes: Int)
         k += 1
       }
       i += 1
+      }
     }
     new GenericArrayData(minima.map(m =>
       if (m == null) null else UTF8String.fromString(m)))

@@ -50,8 +50,12 @@ object Det {
     val a = num.cast(org.apache.spark.sql.types.LongType) * lit(20000L) +
       den.cast(org.apache.spark.sql.types.LongType)
     val b = den.cast(org.apache.spark.sql.types.LongType) * lit(2L)
-    // (a - a mod b)/b is an exact integer-valued double division (a div b)
-    ((a - pmod(a, b)) / b).cast(org.apache.spark.sql.types.LongType) / lit(10000.0)
+    // explicit NULL on a zero denominator: pmod(_, 0) happens to yield NULL
+    // in non-ANSI mode, but the oracle side raises on integer-// by zero, so
+    // both engines pin the degenerate case as NULL (oracle: NULLIF(den, 0))
+    when(den === 0, lit(null).cast(DoubleType)).otherwise(
+      // (a - a mod b)/b is an exact integer-valued double division (a div b)
+      ((a - pmod(a, b)) / b).cast(org.apache.spark.sql.types.LongType) / lit(10000.0))
   }
 
   /** Exact revenue-style product sum: price*(1-discount) computed entirely

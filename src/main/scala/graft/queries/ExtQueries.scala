@@ -475,10 +475,10 @@ object ExtQueries {
       "x9_text_quality" ->
         s"""SELECT doc_id, n_chars,
                   CAST(nt AS INT) AS n_tokens,
-                  ((sumlen * 20000 + nt) // (2 * nt)) / 10000.0 AS avg_token_len,
-                  ((sw * 20000 + nt) // (2 * nt)) / 10000.0 AS stopword_ratio,
-                  ((punct * 20000 + n_chars) // (2 * n_chars)) / 10000.0 AS punct_ratio,
-                  ((qnum * 20000 + qden) // (2 * qden)) / 10000.0 AS quality
+                  ((sumlen * 20000 + nt) // (2 * NULLIF(nt, 0))) / 10000.0 AS avg_token_len,
+                  ((sw * 20000 + nt) // (2 * NULLIF(nt, 0))) / 10000.0 AS stopword_ratio,
+                  ((punct * 20000 + n_chars) // (2 * NULLIF(n_chars, 0))) / 10000.0 AS punct_ratio,
+                  ((qnum * 20000 + qden) // (2 * NULLIF(qden, 0))) / 10000.0 AS quality
            FROM (
              SELECT doc_id, n_chars, nt, sumlen, sw, punct,
                     20 * nt * least(nt, 100) + 1500 * (nt - sw)

@@ -181,13 +181,37 @@ object WindowQueries {
 
     // M1 TimeSeriesSplit(n_splits=5) chunking (training.py:25-26): 6 equal
     // time-ordered chunks; fold i trains on chunks 0..i, validates on i+1.
-    // Global row_number here; at 100 TB: range-partition by ts and derive
-    // fold boundaries from approx quantiles instead of a global window.
+    // Scale-safe exact plan (no global single-partition window): coarse
+    // range-block boundaries come from approxQuantile (plan-time literals),
+    // the exact global rank is then per-block offset + within-block
+    // row_number — every window partitions on the block key, so the sort
+    // parallelism is ~defaultParallelism at any corpus size. The two
+    // plan-construction actions (quantile probe + per-block counts) touch
+    // one long column and return O(#blocks) metadata — the price every
+    // boundary-based global-order operator pays, vs. funneling all rows
+    // through ONE task in the naive Window.orderBy form (equivalence with
+    // that form is asserted in ScaleSpec; absence of any empty-partition
+    // window in PlanSpec).
     "m1_ts_split_chunks" -> ((s, d) => {
-      val global = Window.orderBy("event_id")
-      val n = Tables.events(s, d).count()
-      Tables.events(s, d)
-        .withColumn("rn", row_number().over(global))
+      val ev = Tables.events(s, d)
+      val nBlocks = s.sparkContext.defaultParallelism
+      val probs = (1 until nBlocks).map(_.toDouble / nBlocks).toArray
+      val bounds = ev.stat.approxQuantile("event_id", probs, 0.001)
+        .map(_.toLong).distinct.sorted
+      // block = #bounds strictly below event_id — a pure function of the
+      // row and literal bounds, so both passes below agree bit-for-bit
+      val blockOf = bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col("event_id") > b, 1).otherwise(0) }
+      val withBlock = ev.select(col("event_id"), blockOf.as("blk"))
+      val cnts = withBlock.groupBy("blk").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val n = cnts.map(_._2).sum
+      val offsets: Map[Int, Long] =
+        cnts.map(_._1).zip(cnts.scanLeft(0L)(_ + _._2)).toMap
+      val wBlk = Window.partitionBy("blk").orderBy("event_id")
+      withBlock
+        .withColumn("rn", row_number().over(wBlk).cast("long")
+          + element_at(typedLit(offsets), col("blk")))
         .select(col("event_id"),
           expr(s"((rn - 1) * 6) div ${n}L").cast(IntegerType).as("chunk"))
         .orderBy("event_id")

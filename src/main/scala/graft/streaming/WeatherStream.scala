@@ -140,10 +140,12 @@ object WeatherStream {
       .withWatermark("ts", watermarkDelay)
       // hash the JSON form, not a concat: concat_ws skips nulls and has
       // no escaping, so distinct records could collide ('x'|null|'rain'
-      // vs 'x'|'rain'|null); to_json encodes nulls and quotes unambiguously
+      // vs 'x'|'rain'|null); to_json encodes nulls and quotes unambiguously.
+      // Hash EVERY input column — exact-payload dedup, not a semantic-key
+      // subset: two readings sharing city+timestamp but differing in any
+      // numeric field must both survive.
       .withColumn("content_hash",
-        md5(to_json(struct(col("city"), col("country"), col("weather"),
-          col("description"), col("timestamp")))))
+        md5(to_json(struct(records.columns.map(col): _*))))
       .dropDuplicatesWithinWatermark("content_hash")
 
   /** Stream-stream interval join: pair each live observation with EVERY

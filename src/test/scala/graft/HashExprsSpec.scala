@@ -51,6 +51,29 @@ class HashExprsSpec extends AnyFunSuite {
     assert(fast.exceptAll(spec).count() == 0L)
   }
 
+  test("null array elements are skipped, not NPE (SQL-registered surface)") {
+    // md5_simhash60 is callable from SQL, so it can see arrays with NULLs:
+    // a null element must contribute no votes — result equals the array
+    // with the null removed (and an all-null array hashes like empty)
+    val withNull = spark.sql(
+      "SELECT md5_simhash60(array('a', CAST(NULL AS STRING), 'b')) AS sim")
+      .head().getLong(0)
+    val without = spark.sql("SELECT md5_simhash60(array('a', 'b')) AS sim")
+      .head().getLong(0)
+    assert(withNull == without)
+    val simWithNull = Seq(Seq[String]("a", null, "b")).toDF("t")
+      .select(HashExprs.simhash64(col("t")).as("s"),
+        HashExprs.minhashHexSig(col("t"), 4).as("sig"))
+      .head()
+    val simWithout = Seq(Seq("a", "b")).toDF("t")
+      .select(HashExprs.simhash64(col("t")).as("s"),
+        HashExprs.minhashHexSig(col("t"), 4).as("sig"))
+      .head()
+    assert(simWithNull.getLong(0) == simWithout.getLong(0))
+    assert(simWithNull.getAs[scala.collection.Seq[String]]("sig")
+      == simWithout.getAs[scala.collection.Seq[String]]("sig"))
+  }
+
   test("fused MinHashHexSig equals the compositional signature on real docs") {
     val sh = array_distinct(TextOps.shingles(TextOps.tokens(col("text"))))
     val spec = docs.select(Seq(col("doc_id")) ++

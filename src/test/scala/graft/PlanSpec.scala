@@ -76,6 +76,17 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges.count(_.contains("user_id")) == 1, p)
   }
 
+  test("m1: every window partitions on the block key (no global window)") {
+    val df = SparkEntry.queries("m1_ts_split_chunks")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    val winLines = p.linesIterator.filter(_.contains("Window [")).toList
+    assert(winLines.nonEmpty, p)
+    winLines.foreach(l =>
+      assert(l.contains("blk"), s"window must partition on blk, not global: $l"))
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("f8: month-bucket aggregation is two-phase over a pruned scan") {
     val p = plan("f8_month_buckets")
     assert(p.contains("partial"), p)

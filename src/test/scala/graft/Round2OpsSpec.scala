@@ -81,13 +81,17 @@ class Round2OpsSpec extends AnyFunSuite {
   }
 
   test("batch sessionize agrees with session_window on session counts") {
-    // session_window merges events < gap apart; o6 splits on diff > gap —
-    // identical partitions unless a diff equals the gap exactly (ns-
-    // resolution timestamps make that measure-zero on this data)
+    // o6 splits on second-truncated diff > 28800; session_window splits on
+    // diff >= gap. Feeding session_window the SAME truncated timestamps with
+    // gap 28801 makes the two partitions identical for every integer-second
+    // dataset (diff >= 28801 ⇔ diff > 28800) — exact equivalence, not
+    // measure-zero-on-this-fixture equivalence.
     val batch = SparkEntry.queries("o6_sessionize")(spark, SparkTestSession.sf0001)
       .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
     val viaWindow = Tables.events(spark, SparkTestSession.sf0001)
-      .groupBy(session_window(col("ts"), "28800 seconds"), col("user_id"))
+      .withColumn("tts", timestamp_seconds(expr(
+        "CAST((unix_micros(ts) - pmod(unix_micros(ts), 1000000)) / 1000000 AS BIGINT)")))
+      .groupBy(session_window(col("tts"), "28801 seconds"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
     assert(batch.exceptAll(viaWindow).count() == 0)

@@ -78,6 +78,19 @@ class ScaleSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("blocked m1 rank equals the naive global-window split exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sf)
+    val n = ev.count()
+    val naive = ev
+      .withColumn("rn", row_number().over(Window.orderBy("event_id")))
+      .select(col("event_id"),
+        expr(s"((rn - 1) * 6) div ${n}L").cast("int").as("chunk"))
+    val blocked = SparkEntry.queries("m1_ts_split_chunks")(spark, sf)
+    assert(blocked.exceptAll(naive).count() == 0, "blocked ⊆ naive")
+    assert(naive.exceptAll(blocked).count() == 0, "naive ⊆ blocked")
+  }
+
   test("approx_count_distinct within its error envelope vs exact") {
     val o = Tables.orders(spark, sf)
     val r = o.agg(
