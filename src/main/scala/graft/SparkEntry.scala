@@ -36,7 +36,8 @@ object SparkEntry {
     (ScalarQueries.defs, ScalarQueries.oracles),
     (SetPivotQueries.defs, SetPivotQueries.oracles),
     (ExtQueries.defs, ExtQueries.oracles),
-    (MiscQueries.defs, MiscQueries.oracles)
+    (MiscQueries.defs, MiscQueries.oracles),
+    (SubqueryQueries.defs, SubqueryQueries.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

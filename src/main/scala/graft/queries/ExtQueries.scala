@@ -63,6 +63,17 @@ object ExtQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // the capped form is THE 100 TB operator (df cap bounds pair fan-out);
+    // previously ScalaTest-only — this row puts the cap itself through the
+    // oracle. The Spark side drops shingles by df-of-xxhash64; the oracle
+    // drops by df-of-the-string — identical sets because the hash is
+    // injective on any real shingle vocabulary.
+    "x4b_dedup_jaccard_capped" -> ((s, d) => {
+      DedupOps.jaccardNearDups(Tables.documents(s, d), "text", "doc_id",
+          0.5, Some(8L))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // ---- similarity search ----
     "x5_embed_neardup_pairs" -> ((s, d) => {
       SimilarityOps.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
@@ -356,6 +367,27 @@ object ExtQueries {
             JOIN sizes sa ON doc_a = sa.doc_id
             JOIN sizes sb ON doc_b = sb.doc_id
             WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+            ORDER BY doc_a, doc_b""",
+
+      "x4b_dedup_jaccard_capped" ->
+        s"""WITH sh AS (
+              SELECT doc_id, unnest(sh) AS s FROM (
+                SELECT doc_id, $mdShingles AS sh
+                FROM (SELECT doc_id, $mdToks AS t FROM documents))),
+            hot AS (SELECT s FROM (SELECT s, COUNT(*) AS df FROM sh GROUP BY s)
+                    WHERE df > 8),
+            kept AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
             ORDER BY doc_a, doc_b""",
 
       "x5_embed_neardup_pairs" ->

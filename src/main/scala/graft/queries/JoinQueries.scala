@@ -107,6 +107,24 @@ object JoinQueries {
         .orderBy("c_custkey")
     }),
 
+    // TPC-H Q13 shape (customer order-count distribution): left OUTER join
+    // with a predicate on the INNER side inside ON (zero-order customers
+    // survive with c_count = 0), then a second aggregation over the first —
+    // the one classic double-agg outer-join shape. Scale: join shuffles on
+    // custkey once, both aggregations are two-phase; the second groups on
+    // a low-cardinality count so its shuffle is trivial.
+    "j9_custdist" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey")
+          && o("o_orderpriority") =!= "1-URGENT", "left")
+        .groupBy(c("c_custkey"))
+        .agg(count(o("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
     // As-of join (operator Spark lacks): for each purchase, the latest click
     // by the same user at-or-before the purchase. Composed as union + running
     // last(ignoreNulls) over (user_id, time) — one shuffle, no range-join
@@ -163,6 +181,14 @@ object JoinQueries {
            AND o_orderdate < TIMESTAMP '1997-06-01'
          GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "j9_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+           SELECT c_custkey, COUNT(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey)
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
 
     "j3_left_join_count" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_orders
