@@ -32,6 +32,18 @@ object DedupOps {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("survivor"), count(lit(1)).as("n_copies"))
 
+  /** Spread docs across the cluster before a per-doc kernel + self-join:
+    * a single input file would otherwise put the whole kernel AND the join
+    * probe on ONE task (join parallelism = streamed-side partitions).
+    * Gated: an input already at ≥ half the cluster's parallelism keeps its
+    * partitioning — no extra full-text shuffle (ADVICE r2).
+    */
+  private[graft] def spreadByDoc(docs: DataFrame, idCol: String): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions * 2 >= par) docs
+    else docs.repartition(par, col(idCol))
+  }
+
   /** MinHash signature over a shingle array: element i is
     * min over shingles of md5(shingle ++ ":" ++ i) — a lexicographic min on
     * hex strings, identical across engines.
@@ -61,20 +73,17 @@ object DedupOps {
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       threshold: Double, numHashes: Int = 12, rowsPerBand: Int = 4): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    // a single input file would otherwise put the whole signature build +
-    // band-join probe on ONE task (join parallelism = streamed-side
-    // partitions) — spread by doc before the expensive kernels run
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val base = docs.repartition(par, col(idCol))
+    val base = spreadByDoc(docs, idCol)
       .select(col(idCol).as("doc_id"),
         graft.functions.HashExprs.distinctShingles(tokens(col(textCol))).as("sh"))
     // fused one-pass signature kernel (== minhashSignature, see HashExprs).
-    // Cached: the band self-join and the verification join would otherwise
-    // each recompute the full shingle+signature lineage. Size is
-    // O(docs × (shingles + numHashes)) — the doc TEXT never enters.
+    // No cache: both sides of the band self-join shuffle the SAME subplan on
+    // the same key, and canonicalized plan equality (aliases normalized away)
+    // lets ReuseExchange serve side b from side a's shuffle files — the
+    // shingle+signature kernel runs once, with zero persisted state left
+    // behind (CacheSpec asserts both properties).
     val sig = base.withColumn("sig",
       graft.functions.HashExprs.minhashHexSig(col("sh"), numHashes))
-      .persist()
     val bandCols = (0 until numBands).map { b =>
       md5(concat_ws("|", (0 until rowsPerBand).map(r =>
         element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
@@ -128,12 +137,10 @@ object DedupOps {
     // pair aggregation has |A| and |B| in hand and no doc-keyed size join
     // (two shuffles fewer) is needed afterwards — at any scale the extra
     // long per row is cheaper than re-shuffling the pair set twice.
-    // cached: both sides of the self-join read this (otherwise the shingle
-    // lineage runs twice); rows are (long, long, long) — 24 bytes each.
-    // repartition first: a single input file would serialize the shingle
-    // kernel AND the whole join probe onto one task
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val sh0 = docs.repartition(par, col(idCol))
+    // No cache: the self-join shuffles both sides on s from the same
+    // canonical subplan, so ReuseExchange runs the shingle kernel once
+    // (CacheSpec asserts the reuse and that no persisted state remains).
+    val sh0 = spreadByDoc(docs, idCol)
       .select(col(idCol).as("doc_id"),
         graft.functions.HashExprs.distinctShingles(tokens(col(textCol))).as("sharr"))
       .select(col("doc_id"), size(col("sharr")).cast(LongType).as("n"),
@@ -145,7 +152,7 @@ object DedupOps {
         .filter(col("df") > cap).select("s")
       sh0.join(hot, Seq("s"), "left_anti")
         .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-    }.persist()
+    }
     sh.as("x").join(sh.as("y"), col("x.s") === col("y.s")
         && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -179,8 +186,7 @@ object DedupOps {
     */
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       maxDist: Int = 3): DataFrame = {
-    val sim = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    val sim = spreadByDoc(docs, idCol)
       .select(col(idCol).as("doc_id"),
         graft.functions.HashExprs.simhash64(tokens(col(textCol))).as("sim"))
     val chunks = sim.select(col("doc_id"), col("sim"),
@@ -207,8 +213,7 @@ object DedupOps {
     */
   def simhashNearDupsPortable(docs: DataFrame, textCol: String, idCol: String,
       maxDist: Int = 3): DataFrame = {
-    val sim = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    val sim = spreadByDoc(docs, idCol)
       .select(col(idCol).as("doc_id"),
         graft.functions.HashExprs.md5Simhash60(tokens(col(textCol))).as("sim"))
     val chunks = sim.select(col("doc_id"), col("sim"),

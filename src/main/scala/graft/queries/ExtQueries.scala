@@ -104,14 +104,14 @@ object ExtQueries {
       val cents = emb.filter(col("vec_id").between(1, 4))
         .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      // persisted: both the query-cell lookup and the candidate side read
-      // the assignment — without the cache the centroid cross-join +
-      // window shuffle runs twice
-      val assigned = SimilarityOps.assignCentroids(emb, "vec_id", "embedding", cents)
-        .persist()
-      val qCell = assigned.filter(col("vec_id") === 0)
+      // the query vector's cell is computed on the 1-row query side alone
+      // (4-centroid broadcast over one row), so the corpus-wide assignment
+      // runs exactly once and nothing needs persisting
+      val qCell = SimilarityOps.assignCentroids(
+          emb.filter(col("vec_id") === 0), "vec_id", "embedding", cents)
         .select(col("cent_id").as("q_cent"))
-      assigned.filter(col("vec_id") =!= 0)
+      SimilarityOps.assignCentroids(
+          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", cents)
         .join(broadcast(qCell), col("cent_id") === col("q_cent"))
         .crossJoin(broadcast(q))
         .withColumn("raw_cos", SimilarityOps.cosineFast(col("embedding"), col("qv")))

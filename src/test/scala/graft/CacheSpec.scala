@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cache-lifecycle contract for the dedup/ANN operator surface: library
+  * callers composing these in a long-lived session must not accumulate
+  * persisted lineages (VERDICT r2 #4). The operators now rely on
+  * ReuseExchange (shuffle-file sharing of the canonically-equal self-join
+  * sides) instead of `persist()`, so there is nothing to leak and nothing
+  * for a caller to clean up.
+  */
+class CacheSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.sf0001
+
+  val extQueries = Seq(
+    "x1_dedup_exact", "x2_dedup_minhash_lsh", "x3_dedup_simhash",
+    "x3b_simhash_md5", "x4_dedup_jaccard", "x4b_dedup_jaccard_capped",
+    "x5_embed_neardup_pairs", "x6_sim_topk", "x7_sim_topk_bucketed",
+    "x14_sim_ivf", "x16_hash_split", "x17_edit_distance_pairs",
+    "x18_knn_vote", "x19_l2_topk")
+
+  test("dedup/ANN queries leave no persisted RDDs behind") {
+    for (name <- extQueries) {
+      SparkEntry.queries(name)(spark, sf).count()
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        s"$name left persisted RDDs: ${spark.sparkContext.getPersistentRDDs}")
+    }
+  }
+
+  test("minhash/jaccard self-joins reuse one exchange at SMJ scale") {
+    // with broadcast off (the 100 TB shape: both sides too big to ship),
+    // the two self-join sides are canonically equal below the band/shingle
+    // exchange, so the expensive kernel materializes ONCE into shuffle files
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for (name <- Seq("x2_dedup_minhash_lsh", "x4_dedup_jaccard",
+          "x4b_dedup_jaccard_capped")) {
+        val df = SparkEntry.queries(name)(spark, sf)
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("ReusedExchange"),
+          s"$name self-join must reuse the kernel exchange:\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
