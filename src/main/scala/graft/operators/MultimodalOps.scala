@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
+import MediaCodec._
+
 /** Typed view of a multimodal asset: an opaque binary payload plus typed
   * metadata — the 100 TB pattern for image/audio/video columns (north star):
   * media stays an opaque `binary` column; only bounded metadata and derived
@@ -11,91 +13,161 @@ import org.apache.spark.sql.functions._
 case class MediaAsset(asset_id: Long, media_type: String,
   payload: Array[Byte], n_bytes: Int)
 
-/** Deterministic per-asset features produced by the (stubbed) decoder. */
+/** Per-asset features produced by the decoder. Field semantics by type:
+  * image/video → width/height are pixel dims, n_frames is 1 / frame count;
+  * audio → width = channel count, height = bits per sample, n_frames = PCM
+  * frame count. checksum is FNV-1a over the DECODED payload (pixels / PCM
+  * samples), so it proves the parse reached the actual media data.
+  */
 case class MediaFeatures(asset_id: Long, media_type: String, n_bytes: Int,
   checksum: Long, width: Int, height: Int, n_frames: Int)
 
 /** One sampled frame of a video-typed asset. */
 case class MediaFrame(asset_id: Long, frame_idx: Int, frame_checksum: Long)
 
-/** Multimodal column operators. The real decode (image/audio libraries) is
-  * NOT available in this environment, so `decodeStub` below is a
-  * clearly-marked deterministic fake — but everything Spark-side is real and
-  * load-bearing: the binary column schema, the typed Dataset boundary, the
-  * partition-iterator batch shape (the Scala analogue of mapInPandas: one
-  * iterator per partition, streaming, never materializing the partition),
-  * and the explode shape for frame sampling.
+/** Multimodal column operators over REAL binary formats: payloads are
+  * actual 24-bit BMP images, PCM-16 WAV audio, and BMP-frame video
+  * containers ([[MediaCodec]], pure JVM — no external libraries), and
+  * decode is a genuine header+payload parse, not a stub. The Spark shapes
+  * are the scale-relevant part: binary column schema, typed Dataset
+  * boundary, one streaming iterator per partition (the Scala analogue of
+  * mapInPandas — constant memory, never materializing a partition), and
+  * the explode shape for frame sampling.
   *
-  * Swapping in a real decoder means replacing ONLY `decodeStub`'s body.
+  * `mapPartitions` (not a Catalyst expression) is the right tool here by
+  * exception: the payload is an opaque codec boundary, the one case the
+  * expression layer cannot express.
   */
 object MultimodalOps {
 
-  /** Build an asset table with a deterministic stand-in payload derived from
-    * a text column (utf-8 bytes). Cycling media types exercise all branches.
+  /** Synthesize an asset table with REAL encoded payloads, deterministic in
+    * (id, text): ids cycle image → audio → video; content bytes derive from
+    * the text. All metadata (dims, frame counts, encoded size) are closed
+    * forms of (id, utf-8 length) so the decoded output is oracle-checkable
+    * end to end (ExtQueries x12b):
+    *   image  w = 16 + id%48, h = 16 + len%48
+    *   audio  channels = 1 + id%2, frames = 100 + len%400, 8 kHz
+    *   video  1 + id%8 frames of w x h
     */
-  def toAssets(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
-      col(idCol).cast("long").as("asset_id"),
-      element_at(typedLit(Seq("image", "audio", "video")),
-        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("media_type"),
-      encode(col(textCol), "UTF-8").as("payload"),
-      octet_length(col(textCol)).as("n_bytes"))
-
-  // ======================== STUB ========================
-  // Real implementation would call an image/audio codec here (pixel dims,
-  // PCM frames, ...). Deterministic fake: dimensions and checksum are pure
-  // functions of the payload bytes.
-  private[operators] def decodeStub(a: MediaAsset): MediaFeatures = {
-    var sum = 1469598103934665603L // FNV-1a over the payload
-    var i = 0
-    while (i < a.payload.length) {
-      sum ^= a.payload(i); sum *= 1099511628211L; i += 1
-    }
-    val w = 16 + math.floorMod(sum, 64).toInt
-    val h = 16 + math.floorMod(sum >> 8, 64).toInt
-    val frames = a.media_type match {
-      case "video" => 1 + math.floorMod(sum >> 16, 30).toInt
-      case "audio" => 1 + math.floorMod(sum >> 16, 10).toInt
-      case _       => 1
-    }
-    MediaFeatures(a.asset_id, a.media_type, a.n_bytes, sum, w, h, frames)
+  def toAssets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => synthesize(id, text) })
+      .toDF()
   }
-  // ======================= /STUB ========================
+
+  private[operators] def synthesize(id: Long, text: String): MediaAsset = {
+    val bytes0 = text.getBytes("UTF-8")
+    val bytes = if (bytes0.isEmpty) Array[Byte](0) else bytes0
+    val len = bytes0.length
+    val w = 16 + math.floorMod(id, 48).toInt
+    val h = 16 + math.floorMod(len, 48)
+    def pixels(off: Int): Array[Byte] = {
+      val out = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < out.length) { out(i) = bytes((off + i) % bytes.length); i += 1 }
+      out
+    }
+    val payload = math.floorMod(id, 3) match {
+      case 0 => encodeBmp(BmpImage(w, h, pixels(0)))
+      case 1 =>
+        val ch = 1 + math.floorMod(id, 2).toInt
+        val frames = 100 + math.floorMod(len, 400)
+        val samples = new Array[Short](frames * ch)
+        var i = 0
+        while (i < samples.length) {
+          samples(i) = (((bytes(i % bytes.length) & 0xFF) - 128) * 128).toShort
+          i += 1
+        }
+        encodeWav(WavAudio(8000, ch, samples))
+      case _ =>
+        val nf = 1 + math.floorMod(id, 8).toInt
+        encodeVideo((0 until nf).map(f => BmpImage(w, h, pixels(f))))
+    }
+    val mt = Seq("image", "audio", "video")(math.floorMod(id, 3).toInt)
+    MediaAsset(id, mt, payload, payload.length)
+  }
+
+  /** FNV-1a over a byte array — the decoded-content fingerprint. */
+  private[graft] def fnv(bytes: Array[Byte]): Long = {
+    var sum = -3750763034362895579L // FNV-1a 64-bit offset basis
+    var i = 0
+    while (i < bytes.length) { sum ^= bytes(i) & 0xFF; sum *= 1099511628211L; i += 1 }
+    sum
+  }
+
+  private def fnvSamples(samples: Array[Short]): Long = {
+    val b = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      b(2 * i) = (samples(i) & 0xFF).toByte
+      b(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    fnv(b)
+  }
+
+  /** REAL decode of one asset: parses the BMP / WAV / video-container bytes.
+    * Throws on malformed payloads (per-record tolerance belongs to the
+    * caller's errors=coerce layer, not the codec).
+    */
+  private[operators] def decode(a: MediaAsset): MediaFeatures = a.media_type match {
+    case "image" =>
+      val img = decodeBmp(a.payload)
+      MediaFeatures(a.asset_id, a.media_type, a.n_bytes, fnv(img.pixels),
+        img.width, img.height, 1)
+    case "audio" =>
+      val wav = decodeWav(a.payload)
+      MediaFeatures(a.asset_id, a.media_type, a.n_bytes, fnvSamples(wav.samples),
+        wav.numChannels, 16, wav.numFrames)
+    case "video" =>
+      val frames = decodeVideo(a.payload)
+      MediaFeatures(a.asset_id, a.media_type, a.n_bytes,
+        frames.map(f => fnv(f.pixels)).reduce(_ ^ _),
+        frames.head.width, frames.head.height, frames.length)
+    case other => throw new IllegalArgumentException(s"unknown media type $other")
+  }
 
   /** Feature extraction over the asset table: one streaming iterator per
-    * partition (constant memory; the decoder is called row-by-row exactly as
-    * a batch UDF would be).
+    * partition; the decoder runs row-by-row exactly as a batch UDF would.
     */
   def extractFeatures(assets: DataFrame): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
-    assets.as[MediaAsset].mapPartitions(_.map(decodeStub))
+    assets.as[MediaAsset].mapPartitions(_.map(decode))
   }
 
-  /** "Resize": recompute features at a target resolution — metadata-only in
-    * the stub (a real impl would re-encode the payload). Keeps the
-    * transform-on-Dataset shape.
+  /** Real resize: decode → nearest-neighbour downscale to maxDim → re-encode.
+    * Images and video frames are re-encoded byte-real; audio passes through.
     */
-  def resize(features: Dataset[MediaFeatures], maxDim: Int): Dataset[MediaFeatures] = {
-    import features.sparkSession.implicits._
-    features.map { f =>
-      val scale = math.min(1.0, maxDim.toDouble / math.max(f.width, f.height))
-      f.copy(width = math.max(1, (f.width * scale).toInt),
-        height = math.max(1, (f.height * scale).toInt))
-    }
+  def resizeAssets(assets: DataFrame, maxDim: Int): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.as[MediaAsset].mapPartitions(_.map { a =>
+      a.media_type match {
+        case "image" =>
+          val out = encodeBmp(scaleBmp(decodeBmp(a.payload), maxDim))
+          a.copy(payload = out, n_bytes = out.length)
+        case "video" =>
+          val out = encodeVideo(decodeVideo(a.payload).map(scaleBmp(_, maxDim)))
+          a.copy(payload = out, n_bytes = out.length)
+        case _ => a
+      }
+    }).toDF()
   }
 
-  /** Frame sampling for video assets: explode every k-th frame (flatMap
-    * shape — output cardinality is data-dependent, exactly like a
-    * one-to-many batch UDF).
+  /** Frame sampling for video assets: decode the container, emit every k-th
+    * frame with a checksum of that frame's decoded pixels (flatMap shape —
+    * output cardinality is data-dependent, like a one-to-many batch UDF).
     */
   def sampleFrames(assets: DataFrame, everyK: Int = 5): Dataset[MediaFrame] = {
     import assets.sparkSession.implicits._
     assets.as[MediaAsset].mapPartitions(_.flatMap { a =>
-      val f = decodeStub(a)
-      if (a.media_type == "video")
-        (0 until f.n_frames by everyK).iterator
-          .map(i => MediaFrame(a.asset_id, i, f.checksum + i))
-      else Iterator.empty
+      if (a.media_type != "video") Iterator.empty
+      else {
+        val frames = decodeVideo(a.payload)
+        (0 until frames.length by everyK).iterator
+          .map(i => MediaFrame(a.asset_id, i, fnv(frames(i).pixels)))
+      }
     })
   }
 }

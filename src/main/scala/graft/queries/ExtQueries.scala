@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.operators.{DedupOps, SimilarityOps, TextOps}
+import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 
@@ -269,8 +269,7 @@ object ExtQueries {
 
     // ---- multimodal binary plumbing ----
     // The payload is a deterministic stand-in blob (utf-8 of text); real
-    // image/audio decode is stubbed behind MultimodalOps (unit-tested) —
-    // this query proves the binary column + metadata path cross-engine.
+    // binary column + metadata path cross-engine (payload stays opaque).
     "x12_multimodal_meta" -> ((s, d) => {
       Tables.documents(s, d)
         .withColumn("payload", encode(col("text"), "UTF-8"))
@@ -279,6 +278,19 @@ object ExtQueries {
           md5(col("text")).as("content_hash"),
           col("lang"), col("source"))
         .orderBy("doc_id")
+    }),
+
+    // REAL media decode through the oracle: payloads are actual BMP / WAV /
+    // BMP-frame-video bytes (MediaCodec, pure JVM), extractFeatures PARSES
+    // them, and every output column (dims, channels, frame/byte counts) is
+    // a closed form of (doc_id, utf-8 length) that DuckDB reproduces —
+    // so a header-math bug on either side breaks the hash compare.
+    "x12b_media_decode" -> ((s, d) => {
+      val assets = MultimodalOps.toAssets(Tables.documents(s, d), "doc_id", "text")
+      MultimodalOps.extractFeatures(assets).toDF()
+        .select(col("asset_id"), col("media_type"), col("n_bytes"),
+          col("width"), col("height"), col("n_frames"))
+        .orderBy("asset_id")
     }))
 
   // DuckDB oracle SQL. Shared shapes: t = tokens, sh = distinct 3-shingles.
@@ -551,6 +563,30 @@ object ExtQueries {
       "x12_multimodal_meta" ->
         """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
                   md5(text) AS content_hash, lang, source
-           FROM documents ORDER BY doc_id""")
+           FROM documents ORDER BY doc_id""",
+
+      // closed-form twin of the real decoder (see MediaCodec.bmpFileSize /
+      // wavFileSize / videoFileSize and MultimodalOps.synthesize)
+      "x12b_media_decode" ->
+        """WITH d AS (
+             SELECT doc_id, doc_id % 3 AS t,
+                    16 + (doc_id % 48) AS w,
+                    16 + (octet_length(encode(text)) % 48) AS h,
+                    1 + (doc_id % 2) AS ch,
+                    100 + (octet_length(encode(text)) % 400) AS fr,
+                    1 + (doc_id % 8) AS nf
+             FROM documents)
+           SELECT doc_id AS asset_id,
+             CASE t WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+               AS media_type,
+             CAST(CASE t WHEN 0 THEN 54 + h*((3*w+3)//4*4)
+                         WHEN 1 THEN 44 + 2*ch*fr
+                         ELSE 12 + nf*(54 + h*((3*w+3)//4*4)) END AS INT)
+               AS n_bytes,
+             CAST(CASE t WHEN 1 THEN ch ELSE w END AS INT) AS width,
+             CAST(CASE t WHEN 1 THEN 16 ELSE h END AS INT) AS height,
+             CAST(CASE t WHEN 0 THEN 1 WHEN 1 THEN fr ELSE nf END AS INT)
+               AS n_frames
+           FROM d ORDER BY asset_id""")
   }
 }

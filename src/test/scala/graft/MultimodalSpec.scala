@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.MultimodalOps
+import graft.operators.{MediaCodec, MultimodalOps}
+import graft.operators.MediaCodec.{BmpImage, WavAudio}
 
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -10,27 +11,135 @@ class MultimodalSpec extends AnyFunSuite {
   lazy val assets = MultimodalOps.toAssets(
     Tables.documents(spark, SparkTestSession.sf0001), "doc_id", "text").cache()
 
-  test("asset table carries binary payload + typed metadata") {
-    val schema = assets.schema
-    assert(schema("payload").dataType.typeName == "binary")
-    val r = assets.orderBy("asset_id").head()
-    assert(r.getAs[Array[Byte]]("payload").length == r.getAs[Int]("n_bytes"))
+  // ---------------------------------------------------------- codec layer
+
+  test("BMP encode produces the exact standard byte layout (golden)") {
+    // 2x2 BGR image; hand-computed reference: 54-byte header + 2 rows of
+    // 6 pixel bytes + 2 padding bytes each, rows bottom-up
+    val img = BmpImage(2, 2, Array[Byte](
+      1, 2, 3, 4, 5, 6,    // top row
+      7, 8, 9, 10, 11, 12)) // bottom row
+    val bytes = MediaCodec.encodeBmp(img)
+    assert(bytes.length == 70)
+    assert(bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte)
+    assert(bytes(2) == 70 && bytes(10) == 54 && bytes(14) == 40) // sizes/offset
+    assert(bytes(18) == 2 && bytes(22) == 2)                     // dims
+    assert(bytes(28) == 24 && bytes(30) == 0)                    // bpp, BI_RGB
+    // bottom row first, then 2 pad bytes, then top row
+    assert(bytes.slice(54, 60).toSeq == Seq[Byte](7, 8, 9, 10, 11, 12))
+    assert(bytes.slice(60, 62).toSeq == Seq[Byte](0, 0))
+    assert(bytes.slice(62, 68).toSeq == Seq[Byte](1, 2, 3, 4, 5, 6))
   }
 
-  test("feature extraction is deterministic and total") {
-    val f1 = MultimodalOps.extractFeatures(assets).collect().sortBy(_.asset_id)
-    val f2 = MultimodalOps.extractFeatures(assets.repartition(7))
+  test("BMP decode round-trips pixels byte-exactly (incl. padded widths)") {
+    for (w <- Seq(1, 2, 3, 5, 16, 33); h <- Seq(1, 2, 7)) {
+      val px = Array.tabulate(w * h * 3)(i => ((i * 37 + w + h) % 251).toByte)
+      val back = MediaCodec.decodeBmp(MediaCodec.encodeBmp(BmpImage(w, h, px)))
+      assert(back.width == w && back.height == h)
+      assert(back.pixels.toSeq == px.toSeq, s"pixel mismatch at ${w}x$h")
+    }
+  }
+
+  test("WAV encode produces the exact RIFF/PCM byte layout (golden)") {
+    val bytes = MediaCodec.encodeWav(WavAudio(8000, 1, Array[Short](258, -2)))
+    assert(bytes.length == 48)
+    assert(new String(bytes.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    assert(new String(bytes.slice(12, 16), "US-ASCII") == "fmt ")
+    assert(bytes(20) == 1 && bytes(22) == 1)            // PCM, mono
+    assert(bytes(24) == 0x40 && bytes(25) == 0x1F)      // 8000 Hz LE
+    assert(bytes(34) == 16)                             // bits per sample
+    assert(new String(bytes.slice(36, 40), "US-ASCII") == "data")
+    assert(bytes(44) == 2 && bytes(45) == 1)            // 258 = 0x0102 LE
+    assert(bytes(46) == -2 && bytes(47) == -1)          // -2 = 0xFFFE LE
+  }
+
+  test("WAV decode round-trips samples and skips unknown chunks") {
+    val a = WavAudio(44100, 2, Array.tabulate[Short](250)(i => (i * 131 - 16000).toShort))
+    val back = MediaCodec.decodeWav(MediaCodec.encodeWav(a))
+    assert(back.sampleRate == 44100 && back.numChannels == 2)
+    assert(back.numFrames == 125)
+    assert(back.samples.toSeq == a.samples.toSeq)
+    // splice a LIST chunk between fmt and data — real-world WAVs have these
+    val enc = MediaCodec.encodeWav(a)
+    val junk = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0, 1, 2, 3, 4, 5, 0)
+    val spliced = enc.slice(0, 36) ++ junk ++ enc.slice(36, enc.length)
+    assert(MediaCodec.decodeWav(spliced).samples.toSeq == a.samples.toSeq)
+  }
+
+  test("video container round-trips every BMP frame") {
+    val frames = (0 until 4).map(f =>
+      BmpImage(5, 3, Array.tabulate(45)(i => (i + f * 17).toByte)))
+    val back = MediaCodec.decodeVideo(MediaCodec.encodeVideo(frames))
+    assert(back.length == 4)
+    for (f <- 0 until 4) assert(back(f).pixels.toSeq == frames(f).pixels.toSeq)
+  }
+
+  // ---------------------------------------------------------- Spark layer
+
+  test("asset table carries real encoded payloads with typed metadata") {
+    assert(assets.schema("payload").dataType.typeName == "binary")
+    val rows = assets.orderBy("asset_id").collect()
+    for (r <- rows) {
+      val payload = r.getAs[Array[Byte]]("payload")
+      assert(payload.length == r.getAs[Int]("n_bytes"))
+      r.getAs[String]("media_type") match {
+        case "image" => assert(payload(0) == 'B'.toByte && payload(1) == 'M'.toByte)
+        case "audio" => assert(new String(payload.slice(0, 4), "US-ASCII") == "RIFF")
+        case "video" => assert(new String(payload.slice(0, 4), "US-ASCII") == "GVID")
+      }
+    }
+  }
+
+  test("feature extraction truly decodes: dims match the synthesized media") {
+    val feats = MultimodalOps.extractFeatures(assets).collect().sortBy(_.asset_id)
+    assert(feats.length == assets.count())
+    val byId = Tables.documents(spark, SparkTestSession.sf0001)
+      .select(col("doc_id"), octet_length(col("text")).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (f <- feats) {
+      val len = byId(f.asset_id)
+      val (w, h) = (16 + (f.asset_id % 48).toInt, 16 + len % 48)
+      f.media_type match {
+        case "image" =>
+          assert((f.width, f.height, f.n_frames) == (w, h, 1))
+        case "audio" =>
+          assert((f.width, f.height) == (1 + (f.asset_id % 2).toInt, 16))
+          assert(f.n_frames == 100 + len % 400)
+        case "video" =>
+          assert((f.width, f.height) == (w, h))
+          assert(f.n_frames == 1 + (f.asset_id % 8).toInt)
+      }
+    }
+    // decode is partitioning-independent
+    val feats7 = MultimodalOps.extractFeatures(assets.repartition(7))
       .collect().sortBy(_.asset_id)
-    assert(f1.length == assets.count())
-    assert(f1.toSeq == f2.toSeq) // partitioning-independent
-    assert(f1.forall(f => f.width >= 16 && f.height >= 16 && f.n_frames >= 1))
+    assert(feats.toSeq == feats7.toSeq)
   }
 
-  test("resize clamps the max dimension, preserving count") {
-    val resized = MultimodalOps.resize(MultimodalOps.extractFeatures(assets), 32)
-      .collect()
-    assert(resized.forall(f => f.width <= 32 && f.height <= 32))
-    assert(resized.length == assets.count())
+  test("decode checksum covers the decoded content, not the raw payload") {
+    // byte-identical pixels through encode→decode ⇒ checksum must equal the
+    // FNV of the original pixel buffer even though the BMP bytes add headers
+    val px = Array.tabulate(16 * 16 * 3)(i => (i % 113).toByte)
+    val asset = graft.operators.MediaAsset(0L, "image",
+      MediaCodec.encodeBmp(BmpImage(16, 16, px)), MediaCodec.bmpFileSize(16, 16))
+    val decoded = MultimodalOps.extractFeatures(
+      spark.createDataFrame(Seq(asset))).head()
+    assert(decoded.checksum == MultimodalOps.fnv(px))
+  }
+
+  test("resize re-encodes real payloads clamped to the max dimension") {
+    val resized = MultimodalOps.resizeAssets(assets, 32)
+    val feats = MultimodalOps.extractFeatures(resized).collect()
+    assert(feats.length == assets.count())
+    assert(feats.filter(_.media_type != "audio")
+      .forall(f => f.width <= 32 && f.height <= 32))
+    // payloads are still valid BMPs of the NEW size (decode proves it)
+    val one = resized.filter(col("media_type") === "image").orderBy("asset_id").head()
+    val img = MediaCodec.decodeBmp(one.getAs[Array[Byte]]("payload"))
+    assert(img.width <= 32 && img.height <= 32)
+    // audio untouched
+    assert(feats.filter(_.media_type == "audio").forall(_.height == 16))
   }
 
   test("frame sampling explodes only video assets at stride k") {
@@ -40,5 +149,12 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.nonEmpty)
     assert(frames.map(_.asset_id).toSet.subsetOf(videoIds))
     assert(frames.forall(_.frame_idx % 5 == 0))
+    // frame 0 of a video has the same pixels as the image synthesized with
+    // offset 0 — its checksum must match an independent decode
+    val v = assets.filter(col("media_type") === "video").orderBy("asset_id").head()
+    val f0 = MediaCodec.decodeVideo(v.getAs[Array[Byte]]("payload")).head
+    val sampled = frames.filter(f =>
+      f.asset_id == v.getAs[Long]("asset_id") && f.frame_idx == 0).head
+    assert(sampled.frame_checksum == MultimodalOps.fnv(f0.pixels))
   }
 }
