@@ -58,6 +58,31 @@ class ModelRegistry(spark: SparkSession, root: String) {
       .write.mode("append").parquet(metaPath)
   }
 
+  /** Per-fold artifact logging (training.py:99-142: MLflow logs each CV
+    * fold's metrics under the run) — one row per (version, fold, metric) in
+    * a `_folds` table beside the registry metadata, so a run's full fold
+    * history survives and is queryable like any other table.
+    */
+  def logFolds(name: String, version: Int,
+      folds: Seq[Map[String, Double]]): Unit = {
+    import spark.implicits._
+    val rows = for ((fold, i) <- folds.zipWithIndex; (metric, value) <- fold.toSeq)
+      yield (name, version, i, metric, value, System.nanoTime())
+    if (rows.nonEmpty)
+      rows.toDF("name", "version", "fold", "metric", "value", "logged_at")
+        .write.mode("append").parquet(s"$root/_folds")
+  }
+
+  /** Fold history for a run: (fold, metric, value), fold-ordered. */
+  def foldHistory(name: String, version: Int): DataFrame = {
+    require(new java.io.File(s"$root/_folds").exists(),
+      s"no fold history under $root")
+    spark.read.parquet(s"$root/_folds")
+      .filter(col("name") === name && col("version") === version)
+      .select("fold", "metric", "value")
+      .orderBy("fold", "metric")
+  }
+
   /** Load with stage fallback (predict.py:18-43: Production → latest). */
   def load(name: String, preferStage: String = "Production"): Option[PipelineModel] =
     metadata().flatMap { m =>

@@ -78,7 +78,8 @@ class WeatherEngine(spark: SparkSession, tablesRoot: String) {
       val (regModel, folds) =
         WeatherModels.crossValidateRegressor(featured, numTrees, nSplits)
       val cvRmse = folds.map(_("rmse")).sum / folds.size
-      registry.save(WeatherConfig.tempModelName, regModel, Map("rmse" -> cvRmse))
+      val v = registry.save(WeatherConfig.tempModelName, regModel, Map("rmse" -> cvRmse))
+      registry.logFolds(WeatherConfig.tempModelName, v, folds) // training.py:99-142
       val feats = WeatherModels.featureCols(featured)
       val clfModel = WeatherModels.classifierPipeline(feats, numTrees).fit(featured)
       val clfMetrics = WeatherModels.classificationMetrics(clfModel.transform(featured))

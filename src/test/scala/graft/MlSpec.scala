@@ -107,4 +107,18 @@ class MlSpec extends AnyFunSuite {
     assert(folds.length == 3)
     assert(folds.forall(f => f("rmse") > 0 && !f("rmse").isNaN))
   }
+
+  test("M7+: per-fold metrics are logged as run artifacts and queryable") {
+    val root = java.nio.file.Files.createTempDirectory("graft-folds").toString
+    val reg = new ModelRegistry(spark, root)
+    val feats = WeatherModels.featureCols(featured)
+    val model = WeatherModels.regressorPipeline(feats, numTrees = 5).fit(featured)
+    val folds = Seq(Map("rmse" -> 3.1, "mae" -> 2.0), Map("rmse" -> 2.7, "mae" -> 1.8))
+    val v = reg.save("temp_rf", model, Map("rmse" -> 2.9))
+    reg.logFolds("temp_rf", v, folds)
+    val hist = reg.foldHistory("temp_rf", v).collect()
+    assert(hist.length == 4) // 2 folds x 2 metrics
+    assert(hist.map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((0, "mae", 2.0), (0, "rmse", 3.1), (1, "mae", 1.8), (1, "rmse", 2.7)))
+  }
 }
