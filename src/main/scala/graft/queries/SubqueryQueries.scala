@@ -56,16 +56,35 @@ object SubqueryQueries {
        WHERE o_totalprice > 0.5 * (SELECT max(o_totalprice) FROM orders)
        GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  // TPC-H Q17 shape: correlated scalar AGGREGATE subquery — for each part,
+  // lineitems below half that part's average quantity. Catalyst rewrites the
+  // correlated agg into a per-key aggregate + join (no per-row re-scan); the
+  // same rewrite DuckDB applies. Determinism: the threshold is an exact
+  // decimal sum divided once (one rounding, same on both engines), and the
+  // revenue sum crosses engines as a decimal.
+  private val corrScalarAgg =
+    """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_small,
+              round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                    / 7.0, 2) AS avg_yearly
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE l_quantity < (
+         SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(*))
+         FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+       GROUP BY p_brand ORDER BY p_brand"""
+
   val defs: Map[String, Q] = Map(
-    "sq1_cte_agg"      -> sql(cteAgg),
-    "sq2_in_subquery"  -> sql(inSub),
-    "sq3_exists_corr"  -> sql(existsSub),
-    "sq4_scalar_sub"   -> sql(scalarSub))
+    "sq1_cte_agg"          -> sql(cteAgg),
+    "sq2_in_subquery"      -> sql(inSub),
+    "sq3_exists_corr"      -> sql(existsSub),
+    "sq4_scalar_sub"       -> sql(scalarSub),
+    "sq5_corr_scalar_agg"  -> sql(corrScalarAgg))
 
   // the SQL is dialect-portable as written — the oracle runs the same text
   val oracles: Map[String, String] = Map(
-    "sq1_cte_agg"     -> cteAgg,
-    "sq2_in_subquery" -> inSub,
-    "sq3_exists_corr" -> existsSub,
-    "sq4_scalar_sub"  -> scalarSub)
+    "sq1_cte_agg"         -> cteAgg,
+    "sq2_in_subquery"     -> inSub,
+    "sq3_exists_corr"     -> existsSub,
+    "sq4_scalar_sub"      -> scalarSub,
+    "sq5_corr_scalar_agg" -> corrScalarAgg)
 }
