@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SketchOps
+
+/** Mergeable HLL sketches: incremental union == global rebuild (exactly),
+  * estimates land inside the error envelope, summaries stay kilobytes.
+  */
+class SketchOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  lazy val events = Tables.events(spark, "/root/testdata/sf0.01")
+
+  test("merging per-day sketches equals the single global sketch exactly") {
+    val byDay = SketchOps.distinctSketches(
+      events.withColumn("day", to_date(col("ts"))), Seq("day"), "user_id")
+    val incremental = SketchOps.mergeEstimate(byDay, Nil)
+      .head().getLong(0)
+    val global = SketchOps.distinctEstimate(events, "user_id")
+      .head().getLong(0)
+    assert(incremental == global,
+      "sketch union must be lossless over sketch state")
+  }
+
+  test("estimate is within the lgK=12 error envelope of the true count") {
+    val truth = events.select(countDistinct("user_id")).head().getLong(0)
+    val est = SketchOps.distinctEstimate(events, "user_id").head().getLong(0)
+    assert(math.abs(est - truth).toDouble / truth < 0.05,
+      s"est $est vs truth $truth")
+  }
+
+  test("sketch summaries are bounded bytes regardless of group size") {
+    val byType = SketchOps.distinctSketches(events, Seq("event_type"), "user_id")
+    val sizes = byType.select(octet_length(col("sketch"))).collect().map(_.getInt(0))
+    assert(sizes.nonEmpty && sizes.forall(_ < 8192),
+      s"sketches must stay KB-sized: ${sizes.toSeq}")
+    // and the per-group refresh path works on the summary table alone
+    val perType = SketchOps.mergeEstimate(byType, Seq("event_type"))
+    assert(perType.collect().forall(_.getLong(1) > 0))
+  }
+}
