@@ -7,9 +7,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import graft.functions.HashExprs
 import graft.operators.TextOps
 
-/** One (band, doc) occurrence flowing into a bucket. */
-case class BandDoc(band_key: String, doc_id: Long, sig: Seq[String],
-  event_ts: java.sql.Timestamp)
+/** One (band, doc) occurrence flowing into a bucket. `band_idx` is the
+  * band this bucket serves (the key is prefixed with it, so one group
+  * never mixes bands).
+  */
+case class BandDoc(band_key: String, band_idx: Int, doc_id: Long,
+  sig: Seq[String], event_ts: java.sql.Timestamp)
 
 /** A streaming near-dup hit: `est_jaccard` is the MinHash signature
   * estimate (matching-slot fraction), not the verified shingle Jaccard —
@@ -38,6 +41,26 @@ case class NearDupHit(doc_a: Long, doc_b: Long, est_jaccard: Double)
   *    streaming analogue of the batch document-frequency cap: a degenerate
   *    band (boilerplate) costs O(cap) comparisons per arrival, never
   *    O(bucket²) state.
+  *
+  * Two batch parities that need explicit machinery here:
+  *  - EXACTLY-ONCE PER PAIR: a pair matching in k bands reaches k
+  *    independent band groups, which cannot see each other's output — a
+  *    naive emit would produce k duplicate hits. But each group holds both
+  *    docs' FULL signatures, so every matching group computes the same
+  *    "first matching band" deterministically; only the group whose
+  *    `band_idx` equals it emits. No second stateful operator (Spark's
+  *    global-watermark correctness check rejects dedup-after-
+  *    flatMapGroupsWithState), no duplicate rows — matching batch x2's
+  *    `dropDuplicates`. Corner case: if `maxBucket` eviction removed the
+  *    older doc from the first matching band's bucket (but not another's),
+  *    the hit is lost rather than emitted by a later band — cap pressure
+  *    already loses hits by design; keeping the emission rule static is
+  *    what keeps it duplicate-free.
+  *  - docs with empty shingle sets (empty/whitespace text) are dropped
+  *    before banding: their signatures are all-null, null slots would
+  *    compare equal, and their band keys (md5 of empty concat) would
+  *    collide — two contentless docs would report est_jaccard 1.0. The
+  *    batch path drops them because verified Jaccard is null.
   */
 object NearDupStream {
 
@@ -52,17 +75,35 @@ object NearDupStream {
     val sig = docs
       .withColumn("event_ts", timestamp_seconds(col("timestamp")))
       .withWatermark("event_ts", watermarkDelay)
-      .withColumn("sig", HashExprs.minhashHexSig(
-        HashExprs.distinctShingles(TextOps.tokens(col("text"))), numHashes))
+      .withColumn("sh", HashExprs.distinctShingles(TextOps.tokens(col("text"))))
+      // empty shingle set -> all-null signature; null slots would compare
+      // equal and band keys would collide (md5 of empty concat), reporting
+      // two contentless docs as perfect near-dups. Batch drops these via
+      // null verified jaccard; drop them here before they enter any bucket.
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", HashExprs.minhashHexSig(col("sh"), numHashes))
+    // band key is md5(band index | slot values): the index prefix keeps a
+    // coincidental slot-value match across DIFFERENT bands in separate
+    // buckets, so every bucket serves exactly one band_idx
     val bandCols = (0 until numBands).map { b =>
-      md5(concat_ws("|", (0 until rowsPerBand).map(r =>
-        element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
+      struct(
+        md5(concat_ws("|", lit(b.toString) +: (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1)): _*)).as("band_key"),
+        lit(b).as("band_idx"))
     }
     val exploded = sig
       .select(col("doc_id"), col("sig"), col("event_ts"),
-        explode(array(bandCols: _*)).as("band_key"))
-      .select(col("band_key"), col("doc_id"), col("sig"), col("event_ts"))
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("bk.band_key").as("band_key"), col("bk.band_idx").as("band_idx"),
+        col("doc_id"), col("sig"), col("event_ts"))
       .as[BandDoc]
+
+    // the FIRST band on which two signatures fully agree — identical for
+    // every group comparing this pair, so exactly one group emits it
+    def firstMatchingBand(a: Seq[String], b: Seq[String]): Int =
+      (0 until numBands).indexWhere { bi =>
+        (bi * rowsPerBand until (bi + 1) * rowsPerBand).forall(r => a(r) == b(r))
+      }
 
     exploded.groupByKey(_.band_key)
       .flatMapGroupsWithState[List[(Long, Seq[String])], NearDupHit](
@@ -78,7 +119,10 @@ object NearDupStream {
             for (d <- batch.sortBy(_.doc_id) if !members.exists(_._1 == d.doc_id)) {
               for ((oldId, oldSig) <- members) {
                 val est = oldSig.zip(d.sig).count(p => p._1 == p._2).toDouble / numHashes
-                if (est >= threshold)
+                // emit only from the first band the signatures agree on:
+                // the other matching bands' groups compute the same index
+                // and stay silent -> one hit per pair, like batch x2
+                if (est >= threshold && firstMatchingBand(oldSig, d.sig) == d.band_idx)
                   hits += NearDupHit(math.min(oldId, d.doc_id),
                     math.max(oldId, d.doc_id), est)
               }

@@ -31,9 +31,12 @@ class NearDupStreamSpec extends AnyFunSuite {
       q.processAllAvailable()
       input.addData((3L, textA, t0 + 60)) // same content, later micro-batch
       q.processAllAvailable()
-      val got = spark.table("neardup_hits").as[NearDupHit].collect().toSet
-      assert(got.contains(NearDupHit(1L, 3L, 1.0)),
-        s"cross-batch duplicate must pair: $got")
+      // collect as a SEQ, not a Set: an identical pair matches in all 3
+      // bands (12 hashes / 4 rows) and each band group emits it once; the
+      // downstream per-pair dedup must leave exactly ONE row, like batch x2
+      val got = spark.table("neardup_hits").as[NearDupHit].collect().toSeq
+      assert(got.count(_ == NearDupHit(1L, 3L, 1.0)) == 1,
+        s"cross-batch duplicate must pair exactly once: $got")
       assert(!got.exists(h => h.doc_a == 2L || h.doc_b == 2L),
         "distinct content must not pair")
 
@@ -46,6 +49,28 @@ class NearDupStreamSpec extends AnyFunSuite {
       val after = spark.table("neardup_hits").as[NearDupHit].collect().toSet
       assert(!after.exists(h => h.doc_b == 5L || h.doc_a == 5L),
         s"evicted bucket must not pair with pre-horizon docs: $after")
+    } finally q.stop()
+  }
+
+  test("contentless docs never pair (empty shingle set is filtered)") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val docs = input.toDF().toDF("doc_id", "text", "timestamp")
+    val hits = NearDupStream.nearDupStream(docs, threshold = 0.7)
+    val q = hits.writeStream.format("memory").queryName("neardup_empty")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000L
+      // empty and whitespace-only docs have empty shingle sets -> all-null
+      // signatures; unfiltered they'd band-collide and report est 1.0
+      input.addData((20L, "", t0), (21L, "   ", t0 + 1), (22L, "", t0 + 2),
+        (23L, textA, t0 + 3), (24L, textA, t0 + 4))
+      q.processAllAvailable()
+      val got = spark.table("neardup_empty").as[NearDupHit].collect().toSeq
+      assert(!got.exists(h => Seq(h.doc_a, h.doc_b).exists(Set(20L, 21L, 22L))),
+        s"contentless docs must not pair: $got")
+      assert(got.count(_ == NearDupHit(23L, 24L, 1.0)) == 1,
+        s"real duplicates still pair exactly once: $got")
     } finally q.stop()
   }
 
