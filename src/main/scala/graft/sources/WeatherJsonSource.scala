@@ -62,10 +62,15 @@ private[sources] class WeatherJsonTable(path: String) extends Table with Support
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WeatherJsonScanBuilder(path)
+    // session Hadoop conf so spark.hadoop.* (credentials, custom fs impls)
+    // reaches both the driver-side listing and the executor-side readers
+    new WeatherJsonScanBuilder(path,
+      new SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
 }
 
-private[sources] class WeatherJsonScanBuilder(path: String) extends ScanBuilder
+private[sources] class WeatherJsonScanBuilder(path: String,
+    conf: SerializableConfiguration) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = WeatherSchema.record
   private var pushed: Array[Filter] = Array.empty
@@ -86,26 +91,29 @@ private[sources] class WeatherJsonScanBuilder(path: String) extends ScanBuilder
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new WeatherJsonScan(path, required, pushed)
+  override def build(): Scan = new WeatherJsonScan(path, required, pushed, conf)
 }
 
 private[sources] class WeatherJsonScan(path: String, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter], conf: SerializableConfiguration) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-weather $path, PushedFilters: [${pushed.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
-    val st = fs.getFileStatus(new Path(path))
-    val files =
+    val fs = FileSystem.get(new java.net.URI(path), conf.value)
+    def list(p: Path): Array[Path] = {
+      val st = fs.getFileStatus(p)
       if (st.isDirectory)
-        fs.listStatus(new Path(path)).filter(_.isFile).map(_.getPath)
-          .filter(p => p.getName.endsWith(".json") || p.getName.endsWith(".jsonl"))
-          .sortBy(_.toString)
+        fs.listStatus(p).flatMap(s =>
+          if (s.isDirectory) list(s.getPath)
+          else Array(s.getPath).filter(q =>
+            q.getName.endsWith(".json") || q.getName.endsWith(".jsonl")))
       else Array(st.getPath)
-    files.map(p => WeatherJsonPartition(p.toString): InputPartition)
+    }
+    list(new Path(path)).sortBy(_.toString)
+      .map(p => WeatherJsonPartition(p.toString): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -115,28 +123,31 @@ private[sources] class WeatherJsonScan(path: String, required: StructType,
       pushed.collect { case EqualTo("city", v: String) => Set(v)
                        case In("city", vs) => vs.collect { case s: String => s }.toSet }
         .reduceOption(_ intersect _),
-      pushed.exists { case IsNotNull("city") => true; case _ => false })
+      pushed.exists { case IsNotNull("city") => true; case _ => false },
+      conf)
 }
 
 private[sources] case class WeatherJsonPartition(file: String) extends InputPartition
 
 private[sources] class WeatherJsonReaderFactory(fields: Array[String],
-    cityFilter: Option[Set[String]], requireCity: Boolean)
+    cityFilter: Option[Set[String]], requireCity: Boolean,
+    conf: SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new WeatherJsonReader(partition.asInstanceOf[WeatherJsonPartition].file,
-      fields, cityFilter, requireCity)
+      fields, cityFilter, requireCity, conf)
 }
 
 /** Streams one JSONL file; parses with Jackson (on Spark's classpath). */
 private[sources] class WeatherJsonReader(file: String, fields: Array[String],
-    cityFilter: Option[Set[String]], requireCity: Boolean)
+    cityFilter: Option[Set[String]], requireCity: Boolean,
+    conf: SerializableConfiguration)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
   private val reader = {
     val p = new Path(file)
-    val fs = FileSystem.get(p.toUri, new Configuration())
+    val fs = FileSystem.get(p.toUri, conf.value)
     new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p), "UTF-8"))
   }
   private var row: InternalRow = _
