@@ -28,9 +28,18 @@ object SketchOps {
 
   /** Merge a sketch table down to estimates per (coarser) grouping —
     * the refresh path: reads summaries, never raw rows.
+    *
+    * Contract: the union == global rebuild EXACTLY only when every input
+    * sketch was built with the SAME `lgK` end to end (any value — the
+    * union adopts the sketches' own precision; SketchOpsSpec asserts this
+    * at both the default and a non-default lgK). Mixing lgK values fails
+    * by default; pass `allowDifferentLgK = true` to accept the mix, in
+    * which case the result downgrades to the coarsest precision present
+    * and the exactness contract no longer applies.
     */
-  def mergeEstimate(sketches: DataFrame, groupCols: Seq[String]): DataFrame = {
-    val merged = hll_union_agg(col("sketch")).as("merged")
+  def mergeEstimate(sketches: DataFrame, groupCols: Seq[String],
+      allowDifferentLgK: Boolean = false): DataFrame = {
+    val merged = hll_union_agg(col("sketch"), lit(allowDifferentLgK)).as("merged")
     val g = if (groupCols.isEmpty) sketches.agg(merged)
       else sketches.groupBy(groupCols.map(col): _*).agg(merged)
     g.withColumn("distinct_est", hll_sketch_estimate(col("merged")))

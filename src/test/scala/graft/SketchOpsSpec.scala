@@ -24,6 +24,28 @@ class SketchOpsSpec extends AnyFunSuite {
       "sketch union must be lossless over sketch state")
   }
 
+  test("union == rebuild holds at a non-default lgK too (uniform end to end)") {
+    val byDay = SketchOps.distinctSketches(
+      events.withColumn("day", to_date(col("ts"))), Seq("day"), "user_id", lgK = 14)
+    val incremental = SketchOps.mergeEstimate(byDay, Nil).head().getLong(0)
+    val global = SketchOps.distinctEstimate(events, "user_id", lgK = 14)
+      .head().getLong(0)
+    assert(incremental == global)
+  }
+
+  test("mixing lgK values fails unless explicitly allowed") {
+    val coarse = SketchOps.distinctSketches(events, Seq("event_type"), "user_id", lgK = 10)
+    val fine = SketchOps.distinctSketches(events, Seq("event_type"), "user_id", lgK = 14)
+    val mixed = coarse.unionAll(fine)
+    intercept[Exception] {
+      SketchOps.mergeEstimate(mixed, Nil).head()
+    }
+    // opt-in degrades to the coarsest precision instead of failing
+    val est = SketchOps.mergeEstimate(mixed, Nil, allowDifferentLgK = true)
+      .head().getLong(0)
+    assert(est > 0)
+  }
+
   test("estimate is within the lgK=12 error envelope of the true count") {
     val truth = events.select(countDistinct("user_id")).head().getLong(0)
     val est = SketchOps.distinctEstimate(events, "user_id").head().getLong(0)
