@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension: native as-of join (logical node + physical
+    // merge scan; see graft.plans.AsOfJoin)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(array<float>, array<float>) - fused cosine similarity"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))))

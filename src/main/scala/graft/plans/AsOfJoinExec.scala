@@ -1,0 +1,140 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, BoundReference, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.types.{IntegerType, TimestampType}
+
+/** Physical as-of join: a single forward scan over two co-partitioned,
+  * co-sorted streams.
+  *
+  * The operator declares `ClusteredDistribution` on each side's keys and a
+  * `(keys..., time)` sort per child, so EnsureRequirements plants exactly
+  * one exchange per side plus the sorts — the same physical shape a
+  * sort-merge join gets, which is the 100 TB contract: shuffle is
+  * O(|left| + |right|) rows hashed on the join keys only, and the merge
+  * itself holds ONE buffered right row per partition (no per-key group
+  * materialization, no candidate pairs).
+  *
+  * Matching: for each left row, the latest right row with equal keys and
+  * `rightTime <= leftTime` (within `tolerance` if set). SQL null
+  * semantics: a null in any key or in the time column never matches.
+  * Ties on (keys, time) resolve to the last row in sort order — callers
+  * wanting full determinism should make (keys, time) unique on the right
+  * (the oracle query aggregates to one row per key+time).
+  */
+case class AsOfJoinExec(
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftTime: Attribute,
+    rightTime: Attribute,
+    tolerance: Option[Long],
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  // merge preserves the left stream's order and partitioning
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  private def toLong(a: Attribute, v: Any): Long = a.dataType match {
+    case IntegerType => v.asInstanceOf[Int].toLong
+    case _           => v.asInstanceOf[Long] // LongType, TimestampType (micros)
+  }
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val lOut = left.output
+    val rOut = right.output
+    // compares the projected key rows of the two sides (identical schemas)
+    val keyOrdering = new LazilyGeneratedOrdering(
+      leftKeys.map(_.dataType).zipWithIndex.map { case (dt, i) =>
+        SortOrder(BoundReference(i, dt, nullable = true), Ascending) })
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(leftKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rightKeys, rOut)
+      val lTime = BindReferences.bindReference(leftTime: Expression, lOut)
+      val rTime = BindReferences.bindReference(rightTime: Expression, rOut)
+      // right side must bind as NULLABLE (unmatched rows carry nulls)
+      val resultProj = UnsafeProjection.create(output,
+        lOut ++ rOut.map(_.withNullability(true)))
+      val nullRight = new GenericInternalRow(rOut.size)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        private var rHead: InternalRow = _      // next unconsumed right row
+        private var cand: InternalRow = _       // latest matching right row (copied)
+        private var candKey: InternalRow = _
+        private var candTime: Long = 0L
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lk = lKeyProj(l)
+          val ltv = lTime.eval(l)
+          numOutputRows += 1
+          if (lk.anyNull || ltv == null) return resultProj(joined(l, nullRight))
+          val lt = toLong(leftTime, ltv)
+          // advance the right stream to the last row at or before (lk, lt)
+          var done = false
+          while (!done && (rHead != null || rIter.hasNext)) {
+            if (rHead == null) rHead = rIter.next()
+            val rk = rKeyProj(rHead)
+            if (rk.anyNull) rHead = null // null keys never match
+            else {
+              val cmp = keyOrdering.compare(rk, lk)
+              if (cmp < 0) rHead = null
+              else if (cmp > 0) done = true
+              else {
+                val rtv = rTime.eval(rHead)
+                if (rtv == null) rHead = null // null time never matches
+                else {
+                  val rt = toLong(rightTime, rtv)
+                  if (rt <= lt) {
+                    cand = rHead.copy(); candKey = lk.copy(); candTime = rt
+                    rHead = null
+                  } else done = true
+                }
+              }
+            }
+          }
+          val matched = cand != null && keyOrdering.compare(candKey, lk) == 0 &&
+            tolerance.forall(lt - candTime <= _)
+          resultProj(joined(l, if (matched) cand else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoin]] logical nodes; injected via GraftExtensions. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}

@@ -141,6 +141,27 @@ object JoinQueries {
         .select(col("event_id").as("purchase_id"), col("user_id"),
           col("last_click").as("click_id"))
         .orderBy("purchase_id")
+    }),
+
+    // NATIVE as-of join (graft.plans.AsOfJoin: custom logical node +
+    // strategy + merge exec): purchases pick up the latest click at or
+    // before them. Same semantics as j6's window composition, but as a
+    // genuine two-table join — one shuffle per side on user_id, sorted
+    // merge, no candidate blowup. Clicks are pre-aggregated to one row per
+    // (user, time) so tie-breaking is deterministic across engines; times
+    // compare as integer microseconds on both engines (ns-truncation
+    // parity with DuckDB's epoch_us).
+    "j10_asof_native" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("tus", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("tus"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("c_user"), col("tus").as("c_tus"))
+        .agg(max("event_id").as("click_id"))
+      graft.plans.AsOfJoinOps.asofJoin(purchases, clicks,
+          Seq("user_id"), Seq("c_user"), "tus", "c_tus")
+        .select("purchase_id", "user_id", "click_id")
+        .orderBy("purchase_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -222,5 +243,20 @@ object JoinQueries {
                     AS last_click
            FROM events WHERE event_type IN ('purchase', 'click'))
          WHERE event_type = 'purchase'
-         ORDER BY purchase_id""")
+         ORDER BY purchase_id""",
+
+    // DuckDB's native ASOF LEFT JOIN, against our native AsOfJoinExec
+    "j10_asof_native" ->
+      """WITH clicks AS (
+           SELECT user_id AS c_user, epoch_us(ts) AS c_tus,
+                  MAX(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2
+         ), purchases AS (
+           SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS tus
+           FROM events WHERE event_type = 'purchase'
+         )
+         SELECT p.purchase_id, p.user_id, c.click_id
+         FROM purchases p ASOF LEFT JOIN clicks c
+           ON p.user_id = c.c_user AND p.tus >= c.c_tus
+         ORDER BY p.purchase_id""")
 }

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.AsOfJoinOps.asofJoin
+
+/** Native as-of join (graft.plans.AsOfJoin*): semantics vs a composed
+  * window-over-union specification, SQL null rules, tolerance, self-join
+  * safety, and the physical contract (one exchange per side, merge exec).
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // trades(key, t, v) asof-joined to quotes(key, t, q)
+  private def trades = Seq(
+    ("a", 10L, 1.0), ("a", 20L, 2.0), ("a", 35L, 3.0),
+    ("b", 5L, 4.0), ("b", 50L, 5.0),
+    ("c", 7L, 6.0) // no quotes for c at all
+  ).toDF("key", "t", "v")
+
+  private def quotes = Seq(
+    ("a", 8L, 100.0), ("a", 20L, 200.0), ("a", 30L, 300.0),
+    ("b", 6L, 400.0), ("b", 49L, 500.0),
+    ("d", 1L, 999.0) // key with no trades
+  ).toDF("qkey", "qt", "q")
+
+  test("matches the latest right row at or before each left time") {
+    val out = asofJoin(trades, quotes, Seq("key"), Seq("qkey"), "t", "qt")
+      .select("key", "t", "v", "qt", "q").orderBy("key", "t")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.get(4))))
+    assert(out.toSeq == Seq(
+      ("a", 10L, Some(8L), Some(100.0)),   // 8 <= 10 < 20
+      ("a", 20L, Some(20L), Some(200.0)),  // equality matches
+      ("a", 35L, Some(30L), Some(300.0)),
+      ("b", 5L, None, None),               // quote at 6 is in the future
+      ("b", 50L, Some(49L), Some(500.0)),
+      ("c", 7L, None, None)))              // key absent on the right
+  }
+
+  test("tolerance drops matches older than the bound") {
+    val out = asofJoin(trades, quotes, Seq("key"), Seq("qkey"), "t", "qt",
+        tolerance = Some(5L))
+      .select("key", "t", "qt").orderBy("key", "t")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq == Seq(
+      ("a", 10L, Some(8L)),  // age 2 <= 5
+      ("a", 20L, Some(20L)), // age 0
+      ("a", 35L, Some(30L)), // age 5 (boundary included)
+      ("b", 5L, None),
+      ("b", 50L, Some(49L)), // age 1
+      ("c", 7L, None)))
+  }
+
+  test("null keys and null times never match (SQL semantics)") {
+    val l = Seq((Some("a"), Some(10L), 1), (None, Some(10L), 2),
+      (Some("a"), Option.empty[Long], 3)).toDF("key", "t", "id")
+    val r = Seq((Some("a"), Some(5L), 9.0), (None, Some(1L), 8.0),
+      (Some("a"), Option.empty[Long], 7.0)).toDF("rkey", "rt", "q")
+    val out = asofJoin(l, r, Seq("key"), Seq("rkey"), "t", "rt")
+      .select("id", "q").orderBy("id")
+      .collect().map(row => (row.getInt(0), Option(row.get(1))))
+    assert(out.toSeq == Seq(
+      (1, Some(9.0)), // only the non-null (a,5) row matches
+      (2, None),      // null left key
+      (3, None)))     // null left time
+  }
+
+  test("agrees with the composed window-over-union specification on events") {
+    val ev = Tables.events(spark, SparkTestSession.sf0001)
+      .filter(col("event_type").isin("purchase", "click"))
+      .withColumn("tus", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("tus"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("c_user"), col("tus").as("c_tus"))
+      .agg(max("event_id").as("click_id"))
+
+    val native = asofJoin(purchases, clicks, Seq("user_id"), Seq("c_user"),
+        "tus", "c_tus")
+      .select("purchase_id", "user_id", "click_id")
+
+    // specification: union, running last_value of click ids, keep purchases.
+    // (The j6 idiom can attach a click id from the same instant only after
+    // dedup to one click per (user, time) — same table the native join uses.)
+    val w = Window.partitionBy("user_id").orderBy("tus", "kind")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val spec = purchases.withColumn("kind", lit(1))
+      .withColumnRenamed("purchase_id", "eid")
+      .unionByName(clicks.select(col("c_user").as("user_id"),
+        col("c_tus").as("tus"), col("click_id").as("eid"))
+        .withColumn("kind", lit(0)))
+      .withColumn("click_id",
+        last(when(col("kind") === 0, col("eid")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("eid").as("purchase_id"), col("user_id"), col("click_id"))
+
+    assert(native.count() == purchases.count())
+    assert(native.exceptAll(spec).isEmpty && spec.exceptAll(native).isEmpty)
+  }
+
+  test("self-join lineage is safe (fresh exprIds on the right)") {
+    val ev = trades
+    val out = asofJoin(ev.filter(col("v") < 4), ev.filter(col("v") >= 4)
+        .withColumnRenamed("key", "k2").withColumnRenamed("t", "t2"),
+      Seq("key"), Seq("k2"), "t", "t2")
+    assert(out.count() == 3)
+  }
+
+  test("physical plan: merge exec with one exchange and one sort per side") {
+    val out = asofJoin(trades, quotes, Seq("key"), Seq("qkey"), "t", "qt")
+    out.collect() // materialize AQE final plan
+    val exec = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val p = exec.toString
+    assert(p.contains("AsOfJoin"), p) // nodeName strips the Exec suffix
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert("\\bSort\\b".r.findAllIn(p).size == 2, p)
+  }
+}
