@@ -41,7 +41,11 @@ case class AsOfJoin(
     rightKeys: Seq[Attribute],
     leftTime: Attribute,
     rightTime: Attribute,
-    tolerance: Option[Long]) extends BinaryNode {
+    tolerance: Option[Long],
+    direction: String) extends BinaryNode {
+
+  require(AsOfJoin.directions.contains(direction),
+    s"direction must be one of ${AsOfJoin.directions.mkString("/")}, got $direction")
 
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs at least one equi-key per side")
@@ -61,6 +65,10 @@ case class AsOfJoin(
     copy(left = newLeft, right = newRight)
 }
 
+object AsOfJoin {
+  val directions = Seq("backward", "forward", "nearest")
+}
+
 /** Public API for the native as-of join. */
 object AsOfJoinOps {
 
@@ -70,14 +78,20 @@ object AsOfJoinOps {
     * (both sides carved from one table) are safe. Time columns must be
     * integral or timestamp and on the same scale on both sides.
     *
-    * `tolerance`: maximum allowed `leftTime - rightTime`, in the time
-    * column's own units (e.g. microseconds for timestamps); older right
-    * rows are treated as no-match.
+    * `tolerance`: maximum allowed time distance in the time column's own
+    * units (e.g. microseconds for timestamps); right rows further away
+    * are treated as no-match.
+    *
+    * `direction` (pandas merge_asof parity):
+    *  - "backward" (default): latest right row with rightTime <= leftTime;
+    *  - "forward": earliest right row with rightTime >= leftTime;
+    *  - "nearest": the closer of the two, ties resolving backward.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftOn: Seq[String], rightOn: Seq[String],
       leftTime: String, rightTime: String,
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
     val spark = left.sparkSession
     // fresh exprIds on the right so lineage-shared inputs can't collide
     val rightFresh = right.select(right.columns.map(c => col(c).as(c)): _*)
@@ -94,6 +108,6 @@ object AsOfJoinOps {
         s"as-of time column ${t.name} must be integral or timestamp, got ${t.dataType}")
     Bridge.ofRows(spark, AsOfJoin(lplan, rplan,
       leftOn.map(attr(lplan, _, "left key")), rightOn.map(attr(rplan, _, "right key")),
-      lt, rt, tolerance))
+      lt, rt, tolerance, direction))
   }
 }

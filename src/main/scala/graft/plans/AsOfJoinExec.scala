@@ -22,9 +22,14 @@ import org.apache.spark.sql.types.{IntegerType, TimestampType}
   * itself holds ONE buffered right row per partition (no per-key group
   * materialization, no candidate pairs).
   *
-  * Matching: for each left row, the latest right row with equal keys and
-  * `rightTime <= leftTime` (within `tolerance` if set). SQL null
-  * semantics: a null in any key or in the time column never matches.
+  * Matching (per `direction`, pandas merge_asof parity): for each left
+  * row the latest right row at or before its time ("backward"), the
+  * earliest at or after it ("forward"), or the closer of the two with
+  * ties resolving backward ("nearest") — always within `tolerance` if
+  * set. The single forward scan serves all three: the backward candidate
+  * is the last consumed same-key row, the forward candidate is the
+  * stream head. SQL null semantics: a null in any key or in the time
+  * column never matches.
   * Ties on (keys, time) resolve to the last row in sort order — callers
   * wanting full determinism should make (keys, time) unique on the right
   * (the oracle query aggregates to one row per key+time).
@@ -35,6 +40,7 @@ case class AsOfJoinExec(
     leftTime: Attribute,
     rightTime: Attribute,
     tolerance: Option[Long],
+    direction: String,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -81,7 +87,7 @@ case class AsOfJoinExec(
 
       new Iterator[InternalRow] {
         private var rHead: InternalRow = _      // next unconsumed right row
-        private var cand: InternalRow = _       // latest matching right row (copied)
+        private var cand: InternalRow = _       // latest row at/before (copied)
         private var candKey: InternalRow = _
         private var candTime: Long = 0L
 
@@ -94,7 +100,10 @@ case class AsOfJoinExec(
           numOutputRows += 1
           if (lk.anyNull || ltv == null) return resultProj(joined(l, nullRight))
           val lt = toLong(leftTime, ltv)
-          // advance the right stream to the last row at or before (lk, lt)
+          // advance the right stream past every row at or before (lk, lt),
+          // remembering the last one (the backward candidate); afterwards
+          // rHead, if same-key, is the first strictly-later row (the
+          // forward candidate)
           var done = false
           while (!done && (rHead != null || rIter.hasNext)) {
             if (rHead == null) rHead = rIter.next()
@@ -117,9 +126,30 @@ case class AsOfJoinExec(
               }
             }
           }
-          val matched = cand != null && keyOrdering.compare(candKey, lk) == 0 &&
-            tolerance.forall(lt - candTime <= _)
-          resultProj(joined(l, if (matched) cand else nullRight))
+          // backward candidate: distance lt - candTime (0 on equality)
+          val backOk = cand != null && keyOrdering.compare(candKey, lk) == 0
+          val backDist = if (backOk) lt - candTime else Long.MaxValue
+          // forward candidate: an equal-time row was consumed into cand
+          // (distance 0); otherwise rHead if it shares the key
+          val fwdIsBack = backOk && candTime == lt
+          lazy val fwdHeadOk = rHead != null && !rKeyProj(rHead).anyNull &&
+            keyOrdering.compare(rKeyProj(rHead), lk) == 0
+          val fwdDist: Long =
+            if (fwdIsBack) 0L
+            else if (fwdHeadOk) toLong(rightTime, rTime.eval(rHead)) - lt
+            else Long.MaxValue
+          def within(d: Long) = d != Long.MaxValue && tolerance.forall(d <= _)
+          val matchRow: InternalRow = direction match {
+            case "backward" => if (within(backDist)) cand else null
+            case "forward" =>
+              if (!within(fwdDist)) null else if (fwdIsBack) cand else rHead
+            case _ => // nearest: closer side wins, ties resolve backward
+              val b = within(backDist); val f = within(fwdDist)
+              if (b && (!f || backDist <= fwdDist)) cand
+              else if (f) { if (fwdIsBack) cand else rHead }
+              else null
+          }
+          resultProj(joined(l, if (matchRow != null) matchRow else nullRight))
         }
       }
     }
@@ -133,8 +163,8 @@ case class AsOfJoinExec(
 /** Plans [[AsOfJoin]] logical nodes; injected via GraftExtensions. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol, dir) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, dir, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }

@@ -162,6 +162,23 @@ object JoinQueries {
           Seq("user_id"), Seq("c_user"), "tus", "c_tus")
         .select("purchase_id", "user_id", "click_id")
         .orderBy("purchase_id")
+    }),
+
+    // forward direction of the native as-of: each purchase's NEXT click
+    // (attribution lookahead). Same physical shape; only the merge's
+    // match rule differs.
+    "j10b_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d).withColumn("tus", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("tus"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("c_user"), col("tus").as("c_tus"))
+        .agg(max("event_id").as("click_id"))
+      graft.plans.AsOfJoinOps.asofJoin(purchases, clicks,
+          Seq("user_id"), Seq("c_user"), "tus", "c_tus",
+          direction = "forward")
+        .select("purchase_id", "user_id", "click_id")
+        .orderBy("purchase_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -258,5 +275,20 @@ object JoinQueries {
          SELECT p.purchase_id, p.user_id, c.click_id
          FROM purchases p ASOF LEFT JOIN clicks c
            ON p.user_id = c.c_user AND p.tus >= c.c_tus
+         ORDER BY p.purchase_id""",
+
+    // DuckDB expresses the forward direction by flipping the inequality
+    "j10b_asof_forward" ->
+      """WITH clicks AS (
+           SELECT user_id AS c_user, epoch_us(ts) AS c_tus,
+                  MAX(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2
+         ), purchases AS (
+           SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS tus
+           FROM events WHERE event_type = 'purchase'
+         )
+         SELECT p.purchase_id, p.user_id, c.click_id
+         FROM purchases p ASOF LEFT JOIN clicks c
+           ON p.user_id = c.c_user AND p.tus <= c.c_tus
          ORDER BY p.purchase_id""")
 }

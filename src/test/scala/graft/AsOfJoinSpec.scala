@@ -57,6 +57,52 @@ class AsOfJoinSpec extends AnyFunSuite {
       ("c", 7L, None)))
   }
 
+  test("forward direction matches the earliest right row at or after") {
+    val out = asofJoin(trades, quotes, Seq("key"), Seq("qkey"), "t", "qt",
+        direction = "forward")
+      .select("key", "t", "qt").orderBy("key", "t")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq == Seq(
+      ("a", 10L, Some(20L)),  // next quote after 10
+      ("a", 20L, Some(20L)),  // equality matches forward too
+      ("a", 35L, None),       // no quote after 35
+      ("b", 5L, Some(6L)),
+      ("b", 50L, None),
+      ("c", 7L, None)))
+  }
+
+  test("nearest picks the closer side, ties resolve backward") {
+    val l = Seq(("a", 10L), ("a", 14L), ("a", 16L), ("a", 25L)).toDF("key", "t")
+    val r = Seq(("a", 9L, "b9"), ("a", 20L, "f20")).toDF("rkey", "rt", "v")
+    val out = asofJoin(l, r, Seq("key"), Seq("rkey"), "t", "rt",
+        direction = "nearest")
+      .select("t", "v").orderBy("t").collect()
+      .map(row => (row.getLong(0), row.getString(1)))
+    assert(out.toSeq == Seq(
+      (10L, "b9"),   // 1 back vs 10 fwd
+      (14L, "b9"),   // 5 back vs 6 fwd
+      (16L, "f20"),  // 7 back vs 4 fwd
+      (25L, "f20"))) // only forward side is past; nearest is 20 (back now)
+    // equidistant: 15 sits exactly between 10 and 20 → backward wins
+    val r2 = Seq(("a", 10L, "b10"), ("a", 20L, "f20")).toDF("rkey", "rt", "v")
+    val mid = asofJoin(Seq(("a", 15L)).toDF("key", "t"), r2,
+        Seq("key"), Seq("rkey"), "t", "rt", direction = "nearest")
+      .select("v").head().getString(0)
+    assert(mid == "b10", "tie must resolve backward")
+  }
+
+  test("nearest respects tolerance on both sides") {
+    val l = Seq(("a", 14L)).toDF("key", "t")
+    val r = Seq(("a", 9L, "b9"), ("a", 20L, "f20")).toDF("rkey", "rt", "v")
+    val hit = asofJoin(l, r, Seq("key"), Seq("rkey"), "t", "rt",
+      tolerance = Some(5L), direction = "nearest").select("v").head()
+    assert(hit.getString(0) == "b9") // back dist 5 allowed, fwd dist 6 not
+    val miss = asofJoin(l, r, Seq("key"), Seq("rkey"), "t", "rt",
+      tolerance = Some(4L), direction = "nearest").select("v").head()
+    assert(miss.isNullAt(0)) // both out of tolerance
+  }
+
   test("null keys and null times never match (SQL semantics)") {
     val l = Seq((Some("a"), Some(10L), 1), (None, Some(10L), 2),
       (Some("a"), Option.empty[Long], 3)).toDF("key", "t", "id")
