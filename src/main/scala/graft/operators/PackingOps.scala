@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data assembly operators: sequence packing and deterministic
+  * stratified sampling — the last mile between a cleaned corpus and a
+  * training run.
+  *
+  * Everything is pure `functions._` (codegen'd) and md5-deterministic, so
+  * a re-run over the same corpus produces byte-identical shards/samples —
+  * the property that makes 100 TB data builds resumable and auditable.
+  */
+object PackingOps {
+
+  /** Portable uniform hash in [0, m): md5 is the one hash both engines
+    * (and any other md5 implementation) agree on; 15 hex chars = 60 bits,
+    * safely inside a signed long.
+    */
+  private def md5Mod(id: org.apache.spark.sql.Column, m: Int) =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long") % m
+
+  /** GPT-style sequence packing (concatenate-then-chunk): lay every
+    * document's tokens end to end and cut fixed-`capacity` training
+    * sequences, letting documents span chunk boundaries. Emits one row per
+    * (document × chunk it overlaps) with the overlap size — the shard
+    * manifest a tokenizer-side writer consumes.
+    *
+    * Scale design: a GLOBAL running sum would serialize on one task, so
+    * the stream is sharded by an md5 hash of the id into `shards`
+    * independent token streams — one shuffle, `shards`-way parallel
+    * windows, each chunk id local to its shard (chunk identity at scale is
+    * (shard, chunk_id), exactly how multi-file tokenized shards work). At
+    * 100 TB raise `shards` to O(cluster cores); determinism is unaffected
+    * because shard assignment and in-shard order are both content-keyed.
+    */
+  def chunkPack(df: DataFrame, idCol: String, textCol: String,
+      capacity: Int = 512, shards: Int = 8): DataFrame = {
+    require(capacity > 0 && shards > 0)
+    val w = Window.partitionBy("shard").orderBy(idCol)
+    df.select(
+        col(idCol),
+        md5Mod(col(idCol), shards).cast("int").as("shard"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("cum_end", sum("n_tok").over(w))
+      // token span [cum_end - n_tok, cum_end) overlaps chunks
+      // floor(start/cap) .. floor((end-1)/cap), inclusive
+      .withColumn("chunk_id",
+        explode(sequence(
+          expr(s"(cum_end - n_tok) div $capacity"),
+          expr(s"(cum_end - 1) div $capacity"))))
+      .withColumn("tok_in_chunk",
+        (least(col("cum_end"), (col("chunk_id") + 1) * capacity)
+          - greatest(col("cum_end") - col("n_tok"), col("chunk_id") * capacity))
+          .cast("int"))
+      .select(col("shard"), col("chunk_id").cast("int").as("chunk_id"),
+        col(idCol), col("tok_in_chunk"))
+  }
+
+  /** Deterministic stratified sampling: per-class keep rates (class
+    * balancing / downsampling over-represented languages or sources),
+    * decided by an md5 hash of the id — no RNG, no seed plumbing, stable
+    * under re-runs and partition reshuffles alike. Rates are quantized to
+    * 1/10000 so the same row set is selected by any engine that can md5.
+    *
+    * Scale: a pure filter — no shuffle, no state; composes with any
+    * downstream pipeline stage.
+    */
+  def stratifiedSample(df: DataFrame, classCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val bps = md5Mod(col(idCol), 10000)
+    val rateBps = rates.foldLeft(lit(math.round(defaultRate * 10000))) {
+      case (acc, (cls, r)) =>
+        when(col(classCol) === cls, lit(math.round(r * 10000))).otherwise(acc)
+    }
+    df.filter(bps < rateBps)
+  }
+}

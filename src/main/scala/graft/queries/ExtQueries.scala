@@ -250,6 +250,25 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // GPT-style sequence packing: concatenate-then-chunk at 512 tokens,
+    // documents spanning chunk boundaries, 8 content-keyed shards (see
+    // PackingOps.chunkPack for the scale story). One row per doc × chunk.
+    "x21_chunk_pack" -> ((s, d) => {
+      graft.operators.PackingOps.chunkPack(
+          Tables.documents(s, d), "doc_id", "text", capacity = 512, shards = 8)
+        .orderBy("shard", "chunk_id", "doc_id")
+    }),
+
+    // deterministic stratified sampling: downsample over-represented
+    // languages (en 40 %, zh 80 %, rest 60 %) with md5-decided membership.
+    "x22_stratified_sample" -> ((s, d) => {
+      graft.operators.PackingOps.stratifiedSample(
+          Tables.documents(s, d), "lang", "doc_id",
+          Map("en" -> 0.4, "zh" -> 0.8), defaultRate = 0.6)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     "x10_text_langid" -> ((s, d) => {
       val toks = TextOps.tokens(col("text"))
       val scores = TextOps.langProfiles.map { case (name, markers) =>
@@ -544,6 +563,41 @@ object ExtQueries {
                         CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 1000000007)),
                     (acc, h) -> (acc * 131 + h) % 1000000007) AS rolling_fp
            FROM documents ORDER BY doc_id""",
+
+      "x21_chunk_pack" ->
+        """WITH t AS (
+             SELECT doc_id,
+                    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                         AS BIGINT) % 8 AS INT) AS shard,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             FROM documents
+           ), c AS (
+             SELECT doc_id, shard, n_tok,
+                    CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_end
+             FROM t WHERE n_tok > 0
+           ), e AS (
+             SELECT shard, doc_id, n_tok, cum_end,
+                    unnest(generate_series((cum_end - n_tok) // 512,
+                                           (cum_end - 1) // 512)) AS chunk_id
+             FROM c
+           )
+           SELECT shard, CAST(chunk_id AS INT) AS chunk_id, doc_id,
+                  CAST(least(cum_end, (chunk_id + 1) * 512)
+                       - greatest(cum_end - n_tok, chunk_id * 512) AS INT)
+                    AS tok_in_chunk
+           FROM e ORDER BY shard, chunk_id, doc_id""",
+
+      "x22_stratified_sample" ->
+        """SELECT doc_id, lang, source FROM (
+             SELECT doc_id, lang, source,
+                    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) % 10000 AS h
+             FROM documents)
+           WHERE h < CASE lang WHEN 'en' THEN 4000 WHEN 'zh' THEN 8000
+                               ELSE 6000 END
+           ORDER BY doc_id""",
 
       "x10_text_langid" -> {
         val Seq(db, gen, stream) = profiles.map(_._2)

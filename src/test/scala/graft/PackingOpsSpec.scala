@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{PackingOps, TextOps}
+
+/** Sequence packing + stratified sampling invariants. */
+class PackingOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  lazy val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+
+  test("chunk pack conserves every token exactly once") {
+    val packed = PackingOps.chunkPack(docs, "doc_id", "text", 512, 8)
+    val perDoc = packed.groupBy("doc_id")
+      .agg(sum("tok_in_chunk").as("packed_tok"))
+    val truth = docs.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+    val diff = perDoc.join(truth, "doc_id")
+      .filter(col("packed_tok") =!= col("n_tok"))
+    assert(diff.isEmpty, "every document's tokens must land in chunks exactly once")
+  }
+
+  test("every chunk except each shard's last is filled to capacity") {
+    val packed = PackingOps.chunkPack(docs, "doc_id", "text", 512, 8)
+    val fills = packed.groupBy("shard", "chunk_id")
+      .agg(sum("tok_in_chunk").as("fill"))
+    val lastChunk = fills.groupBy("shard").agg(max("chunk_id").as("last_id"))
+    val partial = fills.join(lastChunk, "shard")
+      .filter(col("chunk_id") =!= col("last_id") && col("fill") =!= 512)
+    assert(partial.isEmpty, "interior chunks must be exactly capacity-full")
+  }
+
+  test("a document spans at most ceil(n_tok/cap)+1 consecutive chunks") {
+    val packed = PackingOps.chunkPack(docs, "doc_id", "text", 64, 4)
+    val spans = packed.groupBy("doc_id").agg(
+      count(lit(1)).as("n_chunks"),
+      (max("chunk_id") - min("chunk_id") + 1).as("span"))
+    assert(spans.filter(col("n_chunks") =!= col("span")).isEmpty,
+      "chunks per doc must be consecutive")
+  }
+
+  test("stratified sample keeps per-class rates within binomial noise") {
+    val sampled = PackingOps.stratifiedSample(docs, "lang", "doc_id",
+      Map("en" -> 0.4, "zh" -> 0.8), defaultRate = 0.6)
+    val got = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, n) <- base) {
+      val rate = lang match {
+        case "en" => 0.4; case "zh" => 0.8; case _ => 0.6
+      }
+      val p = got.getOrElse(lang, 0L).toDouble / n
+      // 3-sigma binomial envelope on a few hundred docs
+      assert(math.abs(p - rate) < 3 * math.sqrt(rate * (1 - rate) / n),
+        s"$lang: got $p want ~$rate over $n docs")
+    }
+  }
+
+  test("sampling is deterministic and subset-monotone in the rate") {
+    val lo = PackingOps.stratifiedSample(docs, "lang", "doc_id",
+      Map.empty, defaultRate = 0.3).select("doc_id")
+    val hi = PackingOps.stratifiedSample(docs, "lang", "doc_id",
+      Map.empty, defaultRate = 0.6).select("doc_id")
+    assert(lo.exceptAll(hi).isEmpty, "lower rate must select a subset")
+    val again = PackingOps.stratifiedSample(docs, "lang", "doc_id",
+      Map.empty, defaultRate = 0.3).select("doc_id")
+    assert(lo.exceptAll(again).isEmpty && again.exceptAll(lo).isEmpty)
+  }
+}
