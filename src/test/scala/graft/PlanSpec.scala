@@ -87,6 +87,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("x21: chunk packing shuffles once on shard and prunes the scan") {
+    val df = SparkEntry.queries("x21_chunk_pack")(spark, sf)
+    df.collect()
+    // AQE toString appends the pre-adaptive plan; assert on the final one
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // one hash exchange on the content shard key; no global window
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.count(_.contains("shard")) == 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), readSchema)
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"), readSchema)
+  }
+
   test("f8: month-bucket aggregation is two-phase over a pruned scan") {
     val p = plan("f8_month_buckets")
     assert(p.contains("partial"), p)
