@@ -21,8 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator extension: native as-of join (logical node + physical
-    // merge scan; see graft.plans.AsOfJoin)
+    // merge scan; see graft.plans.AsOfJoin), plus the optimizer rule that
+    // lets built-in pushdown/pruning continue through the custom node
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinOptimizations)
 
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(array<float>, array<float>) - fused cosine similarity"),

@@ -158,6 +158,51 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.count() == 3)
   }
 
+  test("optimizer rule: left-only filters push below the join, into the scan") {
+    val ev = Tables.events(spark, SparkTestSession.sf0001)
+      .withColumn("tus", unix_micros(col("ts")))
+    val joined = asofJoin(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("tus").as("c_tus"),
+          col("event_id").as("click_id")),
+      Seq("user_id"), Seq("c_user"), "tus", "c_tus")
+    val filtered = joined.filter(col("user_id") < 50 && col("click_id") > 0)
+    // left-only conjunct moves below the AsOfJoin; right-side stays above
+    val opt = filtered.queryExecution.optimizedPlan
+    val top = opt.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition.sql
+    }.getOrElse("")
+    assert(top.contains("click_id") && !top.contains("user_id < "), top)
+    // and the built-in rules carry it into the parquet scan
+    val phys = filtered.queryExecution.executedPlan.toString
+    assert(phys.contains("LessThan(user_id,50)"), phys)
+    // semantics unchanged vs filtering without the rewrite opportunity
+    val expect = joined.collect().filter(r =>
+      r.getLong(r.fieldIndex("user_id")) < 50 && !r.isNullAt(r.fieldIndex("click_id")))
+    assert(filtered.count() == expect.length)
+  }
+
+  test("optimizer rule: projection prunes unused columns out of both scans") {
+    val ev = Tables.events(spark, SparkTestSession.sf0001)
+      .withColumn("tus", unix_micros(col("ts")))
+    // both sides passed WIDE (value, props, event_type untouched by the user)
+    val joined = asofJoin(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click")
+        .withColumnRenamed("user_id", "c_user").withColumnRenamed("tus", "c_tus")
+        .withColumnRenamed("event_id", "click_id"),
+      Seq("user_id"), Seq("c_user"), "tus", "c_tus")
+      .select("event_id", "user_id", "click_id")
+    val phys = joined.queryExecution.executedPlan.toString
+    val schemas = phys.linesIterator.filter(_.contains("ReadSchema")).toList
+    assert(schemas.nonEmpty)
+    schemas.foreach { s =>
+      assert(!s.contains("props") && !s.contains("value"),
+        s"unused wide columns must not reach the scan: $s")
+    }
+  }
+
   test("physical plan: merge exec with one exchange and one sort per side") {
     val out = asofJoin(trades, quotes, Seq("key"), Seq("qkey"), "t", "qt")
     out.collect() // materialize AQE final plan
