@@ -164,6 +164,47 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Train/eval DECONTAMINATION scan: find training documents sharing at
+    * least `minOverlap` of an evaluation document's word n-gram shingles —
+    * the benchmark-leakage check an LLM data pipeline runs before
+    * training. Asymmetric by design: overlap is measured against the EVAL
+    * doc's shingle count (a tiny eval snippet fully contained in a long
+    * training doc scores 1.0, which is exactly the leak being hunted).
+    *
+    * Scale shape mirrors jaccardNearDups: explode to an inverted index,
+    * equi-join on a portable 60-bit md5 shingle key (8-byte shuffle keys,
+    * never text), aggregate per (train, eval) pair. Pair work is
+    * Σ_shingle df_train·df_eval — bounded because the eval side is small
+    * by nature; `maxShingleDf` additionally caps boilerplate fan-out on
+    * the train side (overlap then undercounts capped shingles; eval-side
+    * counts stay exact, so ratios only DROP — contamination is never
+    * invented, and the uncapped form remains the reference semantics).
+    */
+  def crossContamination(train: DataFrame, eval: DataFrame, textCol: String,
+      idCol: String, minOverlap: Double,
+      maxShingleDf: Option[Long] = None): DataFrame = {
+    def index(df: DataFrame, out: String) = spreadByDoc(df, idCol)
+      .select(col(idCol).as(out),
+        graft.functions.HashExprs.distinctShingles(tokens(col(textCol))).as("sharr"))
+      .filter(size(col("sharr")) > 0)
+      .select(col(out), size(col("sharr")).cast(LongType).as("n"),
+        explode(col("sharr")).as("s0"))
+      .select(col(out), col("n"),
+        conv(substring(md5(col("s0")), 1, 15), 16, 10).cast(LongType).as("s"))
+    val ev = index(eval, "eval_id").withColumnRenamed("n", "n_eval")
+    val tr0 = index(train, "train_id").drop("n")
+    val tr = maxShingleDf.fold(tr0) { cap =>
+      val hot = tr0.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select("s")
+      tr0.join(hot, Seq("s"), "left_anti")
+    }
+    ev.join(tr, "s")
+      .groupBy("eval_id", "train_id")
+      .agg(count(lit(1)).as("inter"), first("n_eval").as("n_eval"))
+      .filter(col("inter").cast(DoubleType) / col("n_eval") >= minOverlap)
+      .select(col("eval_id"), col("train_id"), col("inter"), col("n_eval"))
+  }
+
   /** 64-bit SimHash over the token multiset (xxhash64-based — Spark-native,
     * not oracle-portable; checked by rows-only gate + unit tests).
     * Bit j of the result is the sign of Σ_tokens (bit j of xxhash64(token)

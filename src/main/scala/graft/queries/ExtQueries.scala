@@ -259,6 +259,20 @@ object ExtQueries {
         .orderBy("shard", "chunk_id", "doc_id")
     }),
 
+    // decontamination: training docs sharing >= 50 % of an eval doc's
+    // 3-gram shingles (src18/src19 play the held-out eval corpus).
+    "x23_decontamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val isEval = col("source").isin("src18", "src19")
+      graft.operators.DedupOps.crossContamination(
+          docs.filter(!isEval), docs.filter(isEval), "text", "doc_id", 0.5)
+        .select(col("eval_id"), col("train_id"),
+          col("inter").cast("long").as("inter"),
+          col("n_eval").cast("long").as("n_eval"),
+          Det.round4Rat(col("inter"), col("n_eval")).as("contamination"))
+        .orderBy("eval_id", "train_id")
+    }),
+
     // deterministic stratified sampling: downsample over-represented
     // languages (en 40 %, zh 80 %, rest 60 %) with md5-decided membership.
     "x22_stratified_sample" -> ((s, d) => {
@@ -588,6 +602,28 @@ object ExtQueries {
                        - greatest(cum_end - n_tok, chunk_id * 512) AS INT)
                     AS tok_in_chunk
            FROM e ORDER BY shard, chunk_id, doc_id""",
+
+      "x23_decontamination" ->
+        s"""WITH d AS (
+             SELECT doc_id, source, $mdShingles AS sh
+             FROM (SELECT doc_id, source, $mdToks AS t FROM documents)
+           ), e AS (
+             SELECT doc_id AS eval_id, CAST(len(sh) AS BIGINT) AS n_eval,
+                    unnest(sh) AS s
+             FROM d WHERE source IN ('src18', 'src19') AND len(sh) > 0
+           ), tr AS (
+             SELECT doc_id AS train_id, unnest(sh) AS s
+             FROM d WHERE source NOT IN ('src18', 'src19') AND len(sh) > 0
+           ), j AS (
+             SELECT eval_id, train_id, CAST(COUNT(*) AS BIGINT) AS inter,
+                    any_value(n_eval) AS n_eval
+             FROM e JOIN tr USING (s) GROUP BY 1, 2
+           )
+           SELECT eval_id, train_id, inter, n_eval,
+                  ((inter * 20000 + n_eval) // (2 * NULLIF(n_eval, 0))) / 10000.0
+                    AS contamination
+           FROM j WHERE inter * 1.0 / n_eval >= 0.5
+           ORDER BY eval_id, train_id""",
 
       "x22_stratified_sample" ->
         """SELECT doc_id, lang, source FROM (

@@ -59,6 +59,28 @@ class PackingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination flags a planted leak and respects the train-side cap") {
+    import spark.implicits._
+    val leak = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val train = Seq(
+      (1L, leak + " plus extra trailing training context words here"),
+      (2L, "totally unrelated training document about something else entirely"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, leak), // fully contained in train doc 1
+      (11L, "pristine evaluation text sharing nothing with training data"))
+      .toDF("doc_id", "text")
+    val hits = graft.operators.DedupOps
+      .crossContamination(train, eval, "text", "doc_id", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((10L, 1L)), s"only the planted leak must flag: $hits")
+
+    // a DF cap of 0 drops every train shingle -> ratios only drop, never rise
+    val capped = graft.operators.DedupOps
+      .crossContamination(train, eval, "text", "doc_id", 0.5, Some(0L))
+    assert(capped.isEmpty)
+  }
+
   test("sampling is deterministic and subset-monotone in the rate") {
     val lo = PackingOps.stratifiedSample(docs, "lang", "doc_id",
       Map.empty, defaultRate = 0.3).select("doc_id")
