@@ -160,11 +160,27 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[AsOfJoin]] logical nodes; injected via GraftExtensions. */
+/** Plans [[AsOfJoin]] logical nodes; injected via GraftExtensions.
+  *
+  * Physical choice mirrors the built-in join policy: a right side whose
+  * size estimate fits `spark.sql.autoBroadcastJoinThreshold` plans as
+  * [[BroadcastAsOfJoinExec]] (no shuffle, no sort — the fact side streams);
+  * anything else gets the co-partitioned merge [[AsOfJoinExec]]. Set
+  * `spark.graft.asof.broadcast=false` to force the merge path.
+  */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, lk, rk, lt, rt, tol, dir) =>
-      AsOfJoinExec(lk, rk, lt, rt, tol, dir, planLater(l), planLater(r)) :: Nil
+      val conf = org.apache.spark.sql.internal.SQLConf.get
+      val thresh = conf.autoBroadcastJoinThreshold
+      val enabled =
+        conf.getConfString("spark.graft.asof.broadcast", "true").toBoolean
+      if (enabled && thresh > 0 && r.stats.sizeInBytes <= thresh)
+        BroadcastAsOfJoinExec(lk, rk, lt, rt, tol, dir,
+          planLater(l), planLater(r)) :: Nil
+      else
+        AsOfJoinExec(lk, rk, lt, rt, tol, dir,
+          planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }

@@ -28,8 +28,14 @@ class AsOfJoinSpec extends AnyFunSuite {
     ("d", 1L, 999.0) // key with no trades
   ).toDF("qkey", "qt", "q")
 
-  test("matches the latest right row at or before each left time") {
-    val out = asofJoin(trades, quotes, Seq("key"), Seq("qkey"), "t", "qt")
+  /** Runs `f` with the broadcast path disabled (merge exec forced). */
+  private def withMerge[T](f: => T): T = {
+    spark.conf.set("spark.graft.asof.broadcast", "false")
+    try f finally spark.conf.set("spark.graft.asof.broadcast", "true")
+  }
+
+  test("matches the latest right row at or before each left time (merge path)") {
+    val out = withMerge(asofJoin(trades, quotes, Seq("key"), Seq("qkey"), "t", "qt"))
       .select("key", "t", "v", "qt", "q").orderBy("key", "t")
       .collect().map(r => (r.getString(0), r.getLong(1),
         Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.get(4))))
@@ -40,6 +46,43 @@ class AsOfJoinSpec extends AnyFunSuite {
       ("b", 5L, None, None),               // quote at 6 is in the future
       ("b", 50L, Some(49L), Some(500.0)),
       ("c", 7L, None, None)))              // key absent on the right
+  }
+
+  test("broadcast and merge paths agree on every direction and tolerance") {
+    for (dir <- Seq("backward", "forward", "nearest");
+         tol <- Seq(None, Some(10L))) {
+      def run() = asofJoin(trades, quotes, Seq("key"), Seq("qkey"), "t", "qt",
+          tolerance = tol, direction = dir)
+        .select("key", "t", "v", "qt", "q").orderBy("key", "t")
+        .collect().map(_.toSeq).toSeq
+      val viaBroadcast = run()
+      val viaMerge = withMerge(run())
+      assert(viaBroadcast == viaMerge, s"dir=$dir tol=$tol")
+    }
+  }
+
+  test("small right side plans as broadcast: no exchange, no sort anywhere") {
+    val out = asofJoin(trades, quotes, Seq("key"), Seq("qkey"), "t", "qt")
+    out.collect()
+    val exec = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val p = exec.toString
+    assert(p.contains("BroadcastAsOfJoin"), p)
+    assert(!p.contains("Exchange"), s"fact side must stream unshuffled:\n$p")
+  }
+
+  test("null keys and null times never match on the broadcast path too") {
+    val l = Seq((Some("a"), Some(10L), 1), (None, Some(10L), 2),
+      (Some("a"), Option.empty[Long], 3)).toDF("key", "t", "id")
+    val r = Seq((Some("a"), Some(5L), 9.0), (None, Some(1L), 8.0),
+      (Some("a"), Option.empty[Long], 7.0)).toDF("rkey", "rt", "q")
+    val out = asofJoin(l, r, Seq("key"), Seq("rkey"), "t", "rt")
+      .select("id", "q").orderBy("id")
+      .collect().map(row => (row.getInt(0), Option(row.get(1))))
+    assert(out.toSeq == Seq((1, Some(9.0)), (2, None), (3, None)))
   }
 
   test("tolerance drops matches older than the bound") {
@@ -103,14 +146,14 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(miss.isNullAt(0)) // both out of tolerance
   }
 
-  test("null keys and null times never match (SQL semantics)") {
+  test("null keys and null times never match (SQL semantics, merge path)") {
     val l = Seq((Some("a"), Some(10L), 1), (None, Some(10L), 2),
       (Some("a"), Option.empty[Long], 3)).toDF("key", "t", "id")
     val r = Seq((Some("a"), Some(5L), 9.0), (None, Some(1L), 8.0),
       (Some("a"), Option.empty[Long], 7.0)).toDF("rkey", "rt", "q")
-    val out = asofJoin(l, r, Seq("key"), Seq("rkey"), "t", "rt")
+    val out = withMerge(asofJoin(l, r, Seq("key"), Seq("rkey"), "t", "rt")
       .select("id", "q").orderBy("id")
-      .collect().map(row => (row.getInt(0), Option(row.get(1))))
+      .collect()).map(row => (row.getInt(0), Option(row.get(1))))
     assert(out.toSeq == Seq(
       (1, Some(9.0)), // only the non-null (a,5) row matches
       (2, None),      // null left key
@@ -204,8 +247,11 @@ class AsOfJoinSpec extends AnyFunSuite {
   }
 
   test("physical plan: merge exec with one exchange and one sort per side") {
-    val out = asofJoin(trades, quotes, Seq("key"), Seq("qkey"), "t", "qt")
-    out.collect() // materialize AQE final plan
+    val out = withMerge {
+      val df = asofJoin(trades, quotes, Seq("key"), Seq("qkey"), "t", "qt")
+      df.collect() // materialize AQE final plan under the forced config
+      df
+    }
     val exec = out.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.executedPlan
