@@ -273,6 +273,20 @@ object ExtQueries {
         .orderBy("eval_id", "train_id")
     }),
 
+    // the END-TO-END training-set build (PipelineOps): quality gate →
+    // exact dedup → decontamination vs src18/19 → stratified sample →
+    // 256-token packing over 4 shards. The whole composition is
+    // deterministic, so the final manifest hash-matches DuckDB running
+    // the identical five-stage SQL.
+    "x24_training_manifest" -> ((s, d) => {
+      graft.operators.PipelineOps.trainingManifest(
+          Tables.documents(s, d), evalSources = Seq("src18", "src19"),
+          minQualityBps = 4000L, contamThreshold = 0.5,
+          rates = Map("en" -> 0.4, "zh" -> 0.8), defaultRate = 0.6,
+          capacity = 256, shards = 4)
+        .orderBy("shard", "chunk_id", "doc_id")
+    }),
+
     // deterministic stratified sampling: downsample over-represented
     // languages (en 40 %, zh 80 %, rest 60 %) with md5-decided membership.
     "x22_stratified_sample" -> ((s, d) => {
@@ -624,6 +638,73 @@ object ExtQueries {
                     AS contamination
            FROM j WHERE inter * 1.0 / n_eval >= 0.5
            ORDER BY eval_id, train_id""",
+
+      "x24_training_manifest" ->
+        s"""WITH base AS (
+             SELECT doc_id, text, lang, source, n_chars, $mdToks AS t
+             FROM documents
+           ), gated AS (
+             SELECT doc_id, text, lang, t FROM (
+               SELECT *, 20 * nt * least(nt, 100) + 1500 * (nt - sw)
+                           + 3 * nt * least(n_chars, 500) AS qnum,
+                      5000 * nt AS qden
+               FROM (
+                 SELECT *, CAST(len(t) AS BIGINT) AS nt,
+                        CAST(len(list_filter(t, x -> list_contains($swList, x)))
+                          AS BIGINT) AS sw
+                 FROM base WHERE source NOT IN ('src18', 'src19')))
+             WHERE nt > 0 AND 10000 * qnum >= 4000 * qden
+           ), ded AS (
+             SELECT doc_id, text, lang, t FROM (
+               SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS surv
+               FROM gated)
+             WHERE doc_id = surv
+           ), ev AS (
+             SELECT doc_id AS eval_id, CAST(len(sh) AS BIGINT) AS n_eval,
+                    unnest(sh) AS s
+             FROM (SELECT doc_id, $mdShingles AS sh FROM base
+                   WHERE source IN ('src18', 'src19'))
+             WHERE len(sh) > 0
+           ), tr AS (
+             SELECT doc_id AS train_id, unnest(sh) AS s
+             FROM (SELECT doc_id, $mdShingles AS sh FROM ded)
+             WHERE len(sh) > 0
+           ), leaked AS (
+             SELECT DISTINCT train_id FROM (
+               SELECT eval_id, train_id, COUNT(*) AS inter,
+                      any_value(n_eval) AS n_eval
+               FROM ev JOIN tr USING (s) GROUP BY 1, 2)
+             WHERE inter * 1.0 / n_eval >= 0.5
+           ), samp AS (
+             SELECT doc_id, t FROM (
+               SELECT *, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                            AS BIGINT) % 10000 AS h
+               FROM ded WHERE doc_id NOT IN (SELECT train_id FROM leaked))
+             WHERE h < CASE lang WHEN 'en' THEN 4000 WHEN 'zh' THEN 8000
+                                 ELSE 6000 END
+           ), c AS (
+             SELECT doc_id, shard, n_tok,
+                    CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_end
+             FROM (
+               SELECT doc_id,
+                      CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                           AS BIGINT) % 4 AS INT) AS shard,
+                      CAST(len(t) AS BIGINT) AS n_tok
+               FROM samp)
+             WHERE n_tok > 0
+           ), expanded AS (
+             SELECT shard, doc_id, n_tok, cum_end,
+                    unnest(generate_series((cum_end - n_tok) // 256,
+                                           (cum_end - 1) // 256)) AS chunk_id
+             FROM c
+           )
+           SELECT shard, CAST(chunk_id AS INT) AS chunk_id, doc_id,
+                  CAST(least(cum_end, (chunk_id + 1) * 256)
+                       - greatest(cum_end - n_tok, chunk_id * 256) AS INT)
+                    AS tok_in_chunk
+           FROM expanded ORDER BY shard, chunk_id, doc_id""",
 
       "x22_stratified_sample" ->
         """SELECT doc_id, lang, source FROM (
