@@ -131,6 +131,60 @@ object WeatherProps extends Properties("weather") {
       got == expected
     }
 
+  // as-of join (both physical paths) vs a brute-force in-memory spec:
+  // for ANY two relations, every direction and tolerance must match the
+  // row-by-row definition of "the closest right row on the allowed side".
+  private val asofRowGen = for {
+    k <- Gen.choose(1, 4)
+    t <- Gen.choose(0L, 40L)
+  } yield (k.toLong, t)
+  private val asofGen = for {
+    ls <- Gen.nonEmptyListOf(asofRowGen).map(_.take(30))
+    rs <- Gen.nonEmptyListOf(asofRowGen).map(_.take(30))
+  } yield (ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) },
+    // unique (key, time) on the right: the documented determinism contract
+    rs.distinctBy(r => (r._1, r._2)).zipWithIndex
+      .map { case ((k, t), i) => (k, t, 1000L + i) })
+
+  property("as-of join (merge + broadcast) equals the brute-force spec") =
+    forAll(asofGen, Gen.oneOf("backward", "forward", "nearest"),
+      Gen.oneOf(Option.empty[Long], Some(5L))) { case ((ls, rs), dir, tol) =>
+      import spark.implicits._
+      def spec(lt: Long, key: Long): Option[Long] = {
+        val cands = rs.filter(_._1 == key)
+        def ok(d: Long) = tol.forall(d <= _)
+        val back = cands.filter(_._2 <= lt).sortBy(r => (r._2, r._3)).lastOption
+          .filter(r => ok(lt - r._2))
+        val fwd = cands.filter(_._2 >= lt).sortBy(r => (r._2, r._3)).headOption
+          .filter(r => ok(r._2 - lt))
+        (dir match {
+          case "backward" => back
+          case "forward" =>
+            // equal-time rows belong to both sides; forward takes the
+            // LAST equal-time row (merge-exec rule; unique here anyway)
+            if (back.exists(_._2 == lt)) back else fwd
+          case _ => (back, fwd) match {
+            case (Some(b), Some(f)) =>
+              if (lt - b._2 <= f._2 - lt) Some(b) else Some(f)
+            case (b, f) => b.orElse(f)
+          }
+        }).map(_._3)
+      }
+      val expected = ls.map { case (k, t, id) => (id, spec(t, k)) }.toSet
+      val ldf = ls.toDF("key", "t", "lid")
+      val rdf = rs.toDF("rkey", "rt", "rid")
+      def run() = graft.plans.AsOfJoinOps
+        .asofJoin(ldf, rdf, Seq("key"), Seq("rkey"), "t", "rt", tol, dir)
+        .select("lid", "rid").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+        .toSet
+      val broadcast = run()
+      spark.conf.set("spark.graft.asof.broadcast", "false")
+      val merge = try run()
+        finally spark.conf.set("spark.graft.asof.broadcast", "true")
+      broadcast == expected && merge == expected
+    }
+
   property("jaccard ∈ [0,1]; 1 iff equal sets") =
     forAll(Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e")),
       Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e"))) { (xs, ys) =>
