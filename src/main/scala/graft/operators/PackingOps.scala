@@ -38,7 +38,12 @@ object PackingOps {
   def chunkPack(df: DataFrame, idCol: String, textCol: String,
       capacity: Int = 512, shards: Int = 8): DataFrame = {
     require(capacity > 0 && shards > 0)
+    // ROWS frame, not the orderBy default RANGE: RANGE would sum peer rows
+    // on a duplicated id and silently corrupt the packing (the DuckDB
+    // oracle pins ROWS UNBOUNDED PRECEDING..CURRENT ROW). `idCol` must be
+    // unique per row for the manifest to be well-defined regardless.
     val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(
         col(idCol),
         md5Mod(col(idCol), shards).cast("int").as("shard"),

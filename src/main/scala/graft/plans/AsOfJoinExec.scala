@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
-import org.apache.spark.sql.types.{IntegerType, TimestampType}
+import org.apache.spark.sql.types.IntegerType
 
 /** Physical as-of join: a single forward scan over two co-partitioned,
   * co-sorted streams.
@@ -61,26 +61,34 @@ case class AsOfJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
-  private def toLong(a: Attribute, v: Any): Long = a.dataType match {
-    case IntegerType => v.asInstanceOf[Int].toLong
-    case _           => v.asInstanceOf[Long] // LongType, TimestampType (micros)
-  }
-
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
     val lOut = left.output
     val rOut = right.output
+    // copy every instance field the task needs into locals: a closure that
+    // touches `leftKeys`/`toLong` captures `this` and serializes the whole
+    // physical subtree into every task (ADVICE r5); locals keep the task
+    // payload to just the expressions
+    val lKeysLocal = leftKeys
+    val rKeysLocal = rightKeys
+    val lTimeAttr = leftTime
+    val rTimeAttr = rightTime
+    val tol = tolerance
+    val dir = direction
+    val outAttrs = output
+    val lToLong = AsOfJoinExec.longGetter(leftTime.dataType)
+    val rToLong = AsOfJoinExec.longGetter(rightTime.dataType)
     // compares the projected key rows of the two sides (identical schemas)
     val keyOrdering = new LazilyGeneratedOrdering(
       leftKeys.map(_.dataType).zipWithIndex.map { case (dt, i) =>
         SortOrder(BoundReference(i, dt, nullable = true), Ascending) })
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lKeyProj = UnsafeProjection.create(leftKeys, lOut)
-      val rKeyProj = UnsafeProjection.create(rightKeys, rOut)
-      val lTime = BindReferences.bindReference(leftTime: Expression, lOut)
-      val rTime = BindReferences.bindReference(rightTime: Expression, rOut)
+      val lKeyProj = UnsafeProjection.create(lKeysLocal, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeysLocal, rOut)
+      val lTime = BindReferences.bindReference(lTimeAttr: Expression, lOut)
+      val rTime = BindReferences.bindReference(rTimeAttr: Expression, rOut)
       // right side must bind as NULLABLE (unmatched rows carry nulls)
-      val resultProj = UnsafeProjection.create(output,
+      val resultProj = UnsafeProjection.create(outAttrs,
         lOut ++ rOut.map(_.withNullability(true)))
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
@@ -99,7 +107,7 @@ case class AsOfJoinExec(
           val ltv = lTime.eval(l)
           numOutputRows += 1
           if (lk.anyNull || ltv == null) return resultProj(joined(l, nullRight))
-          val lt = toLong(leftTime, ltv)
+          val lt = lToLong(ltv)
           // advance the right stream past every row at or before (lk, lt),
           // remembering the last one (the backward candidate); afterwards
           // rHead, if same-key, is the first strictly-later row (the
@@ -117,7 +125,7 @@ case class AsOfJoinExec(
                 val rtv = rTime.eval(rHead)
                 if (rtv == null) rHead = null // null time never matches
                 else {
-                  val rt = toLong(rightTime, rtv)
+                  val rt = rToLong(rtv)
                   if (rt <= lt) {
                     cand = rHead.copy(); candKey = lk.copy(); candTime = rt
                     rHead = null
@@ -136,10 +144,10 @@ case class AsOfJoinExec(
             keyOrdering.compare(rKeyProj(rHead), lk) == 0
           val fwdDist: Long =
             if (fwdIsBack) 0L
-            else if (fwdHeadOk) toLong(rightTime, rTime.eval(rHead)) - lt
+            else if (fwdHeadOk) rToLong(rTime.eval(rHead)) - lt
             else Long.MaxValue
-          def within(d: Long) = d != Long.MaxValue && tolerance.forall(d <= _)
-          val matchRow: InternalRow = direction match {
+          def within(d: Long) = d != Long.MaxValue && tol.forall(d <= _)
+          val matchRow: InternalRow = dir match {
             case "backward" => if (within(backDist)) cand else null
             case "forward" =>
               if (!within(fwdDist)) null else if (fwdIsBack) cand else rHead
@@ -158,6 +166,18 @@ case class AsOfJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinExec {
+  /** Time extraction resolved ONCE from the data type, returning a plain
+    * serializable function — closures then carry the function, never the
+    * plan node that knows the attribute.
+    */
+  private[plans] def longGetter(dt: org.apache.spark.sql.types.DataType): Any => Long =
+    dt match {
+      case IntegerType => v => v.asInstanceOf[Int].toLong
+      case _           => v => v.asInstanceOf[Long] // Long, Timestamp (micros)
+    }
 }
 
 /** Plans [[AsOfJoin]] logical nodes; injected via GraftExtensions.

@@ -6,7 +6,6 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Exp
 import org.apache.spark.sql.catalyst.plans.physical.Partitioning
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.execution.metric.SQLMetrics
-import org.apache.spark.sql.types.IntegerType
 
 /** Broadcast as-of join: the right side is collected, grouped by key, and
   * time-sorted ON THE DRIVER, broadcast once, and the left side streams
@@ -46,27 +45,35 @@ case class BroadcastAsOfJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
-  private def toLong(a: Attribute, v: Any): Long = a.dataType match {
-    case IntegerType => v.asInstanceOf[Int].toLong
-    case _           => v.asInstanceOf[Long]
-  }
-
   protected override def doExecute(): RDD[InternalRow] = {
     val numOutputRows = longMetric("numOutputRows")
     val broadcastKeys = longMetric("broadcastKeys")
     val rOut = right.output
-    // driver-side build: key row -> time-sorted (time, row) pairs
+    val rToLong = AsOfJoinExec.longGetter(rightTime.dataType)
+    // driver-side build: key row -> time-sorted (time, row) pairs.
+    // The strategy chose this path from LOGICAL size stats, which can
+    // underestimate badly after filters — cap what the driver will actually
+    // materialize (BroadcastExchange has the same guard) instead of OOMing.
+    val maxRows = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.asof.broadcast.maxRows", "10000000").toLong
+    val collected = right.executeCollect()
+    if (collected.length > maxRows) {
+      throw new IllegalStateException(
+        s"as-of broadcast side has ${collected.length} rows, over the " +
+          s"spark.graft.asof.broadcast.maxRows cap ($maxRows); set " +
+          "spark.graft.asof.broadcast=false to force the shuffled merge path")
+    }
     val rKeyProj = UnsafeProjection.create(rightKeys, rOut)
     val rTimeBound = BindReferences.bindReference(rightTime: Expression, rOut)
     val index = scala.collection.mutable.HashMap
       .empty[UnsafeRow, scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]
-    right.executeCollect().foreach { row =>
+    collected.foreach { row =>
       val k = rKeyProj(row)
       val tv = rTimeBound.eval(row)
       if (!k.anyNull && tv != null) { // null keys/times never match
         index.getOrElseUpdate(k.copy(),
           scala.collection.mutable.ArrayBuffer.empty) +=
-          ((toLong(rightTime, tv), row.copy()))
+          ((rToLong(tv), row.copy()))
       }
     }
     broadcastKeys += index.size
@@ -82,6 +89,7 @@ case class BroadcastAsOfJoinExec(
     val tol = tolerance
     val lKeysLocal = leftKeys
     val lTimeAttr = leftTime
+    val lToLong = AsOfJoinExec.longGetter(leftTime.dataType)
     left.execute().mapPartitions({ lIter =>
       val lookup = bc.value
       val lKeyProj = UnsafeProjection.create(lKeysLocal, lOut)
@@ -100,7 +108,7 @@ case class BroadcastAsOfJoinExec(
           else lookup.get(lk) match {
             case None => null
             case Some((times, rows)) =>
-              val lt = toLong(lTimeAttr, ltv)
+              val lt = lToLong(ltv)
               // last index with time <= lt (-1 if none)
               var lo = 0; var hi = times.length - 1; var back = -1
               while (lo <= hi) {

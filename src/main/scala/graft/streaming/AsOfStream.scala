@@ -30,8 +30,9 @@ case class AsOfEnriched(purchase_id: Long, user_id: Long, click_id: Option[Long]
   * arrive AFTER the purchase it should enrich. Emitting on arrival would
   * be processing-time as-of (wrong under reordering), so purchases
   * buffer in per-user state and finalize only when the WATERMARK passes
-  * their event time — at that point no older click can arrive, the match
-  * is provably the batch answer, and each purchase emits exactly once
+  * STRICTLY beyond their event time — Spark admits rows AT the watermark,
+  * so only then can no matchable click still arrive, the match is
+  * provably the batch answer, and each purchase emits exactly once
   * (append mode). Ties on click time resolve to the highest click id,
   * matching batch j10's one-row-per-(user, time) pre-aggregation.
   *
@@ -83,17 +84,24 @@ object AsOfStream {
             incoming.filter(_.kind == 0).map(e => (e.tus, e.event_id))
           val pending0 = st.pending ++
             incoming.filter(_.kind == 1).map(e => (e.tus, e.event_id))
-          // watermark in event-time µs; 0 before the first watermark
+          // watermark in event-time µs; 0 before the first watermark.
+          // Finalize STRICTLY below the watermark: Spark only drops late
+          // rows strictly older than it, so a click with event time exactly
+          // equal to the watermark can still arrive — finalizing a same-
+          // instant purchase now would miss it (ADVICE r5).
           val wmUs = state.getCurrentWatermarkMs() * 1000L
           val clicks = clicks0.sorted
-          val (ripe, still) = pending0.partition(_._1 <= wmUs)
+          val (ripe, still) = pending0.partition(_._1 < wmUs)
           val out = ripe.sorted.map { case (pt, pid) =>
             // latest click at or before pt; ties -> max id (list is
             // sorted by (tus, id), lastOption picks it)
             AsOfEnriched(pid, uid, clicks.filter(_._1 <= pt).lastOption.map(_._2))
           }
-          // evict: keep the newest at-or-below-watermark click + all newer
-          val cut = clicks.lastIndexWhere(_._1 <= wmUs)
+          // evict: keep the newest strictly-below-watermark click + all
+          // newer (mirrors the strict finalize cut: pending purchases all
+          // have time >= watermark, and among clicks strictly below it only
+          // the newest can ever be their backward match)
+          val cut = clicks.lastIndexWhere(_._1 < wmUs)
           val keptClicks = if (cut > 0) clicks.drop(cut) else clicks
           if (still.isEmpty && keptClicks.isEmpty && incoming.isEmpty) {
             state.remove() // nothing buffered and nothing to remember

@@ -86,11 +86,22 @@ object WeatherFeatures {
 
   /** Collect sorted category values for the one-hot columns (one small
     * distinct aggregation per column; at scale these are low-cardinality
-    * dimension attributes).
+    * dimension attributes). This is the library's one driver-side collect
+    * over data-derived values, so it is CAPPED: the probe fetches at most
+    * `maxCategories + 1` distinct values and fails loudly past the cap —
+    * one-hot over a high-cardinality column would otherwise both OOM the
+    * driver here and explode the feature schema downstream.
     */
-  def categoryValues(df: DataFrame, cols: Seq[String]): Map[String, Seq[String]] =
+  def categoryValues(df: DataFrame, cols: Seq[String],
+      maxCategories: Int = 1000): Map[String, Seq[String]] =
     cols.map { c =>
-      c -> df.select(col(c).cast("string")).distinct()
+      val vals = df.select(col(c).cast("string")).distinct()
+        .limit(maxCategories + 1)
         .collect().map(_.getString(0)).filter(_ != null).sorted.toSeq
+      require(vals.size <= maxCategories,
+        s"column '$c' has more than $maxCategories distinct values — " +
+          "not a categorical column; raise maxCategories only if the " +
+          "one-hot width is truly intended")
+      c -> vals
     }.toMap
 }

@@ -121,6 +121,16 @@ class WeatherSpec extends AnyFunSuite {
     assert(!rows(1).getBoolean(0) && !rows(1).getBoolean(1)) // Clear = all false
   }
 
+  test("categoryValues fails loudly on a high-cardinality column (driver-collect cap)") {
+    val wide = spark.range(50).selectExpr("CAST(id AS STRING) AS k")
+    val e = intercept[IllegalArgumentException] {
+      WeatherFeatures.categoryValues(wide, Seq("k"), maxCategories = 10)
+    }
+    assert(e.getMessage.contains("distinct values"))
+    // at-or-under the cap still works
+    assert(WeatherFeatures.categoryValues(wide, Seq("k"), maxCategories = 50)("k").size == 50)
+  }
+
   test("ETL fan-out writes all sinks; snapshot holds only the newest batch") {
     val root = java.nio.file.Files.createTempDirectory("graft-etl").toString
     val engine = new WeatherEngine(spark, root)
