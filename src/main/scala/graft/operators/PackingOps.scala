@@ -36,7 +36,20 @@ object PackingOps {
     * because shard assignment and in-shard order are both content-keyed.
     */
   def chunkPack(df: DataFrame, idCol: String, textCol: String,
-      capacity: Int = 512, shards: Int = 8): DataFrame = {
+      capacity: Int = 512, shards: Int = 8): DataFrame =
+    chunkPackCounted(
+      df.select(col(idCol),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tok")),
+      idCol, "n_tok", capacity, shards)
+
+  /** [[chunkPack]] over an already-counted corpus: `nTokCol` carries each
+    * document's token count. The split exists so a pipeline that counted
+    * tokens at an earlier stage (e.g. the quality gate) packs WITHOUT a
+    * second tokenization pass over the text — at 100 TB, tokenization is
+    * the expensive half of packing.
+    */
+  def chunkPackCounted(df: DataFrame, idCol: String, nTokCol: String,
+      capacity: Int, shards: Int): DataFrame = {
     require(capacity > 0 && shards > 0)
     // ROWS frame, not the orderBy default RANGE: RANGE would sum peer rows
     // on a duplicated id and silently corrupt the packing (the DuckDB
@@ -47,7 +60,7 @@ object PackingOps {
     df.select(
         col(idCol),
         md5Mod(col(idCol), shards).cast("int").as("shard"),
-        size(TextOps.tokens(col(textCol))).cast("long").as("n_tok"))
+        col(nTokCol).cast("long").as("n_tok"))
       .filter(col("n_tok") > 0)
       .withColumn("cum_end", sum("n_tok").over(w))
       // token span [cum_end - n_tok, cum_end) overlaps chunks

@@ -101,6 +101,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!readSchema.contains("lang") && !readSchema.contains("source"), readSchema)
   }
 
+  test("x24: the manifest build scans documents at most twice (stage handoff)") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def documentScans(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case r: LogicalRelation => r.relation
+      }.count {
+        case h: HadoopFsRelation =>
+          h.location.rootPaths.exists(_.toString.contains("documents"))
+        case _ => false
+      }
+    // stage job (gate → dedup): one scan of the raw corpus
+    val stage = graft.operators.PipelineOps.gateAndDedup(
+      Tables.documents(spark, sf), Seq("src18", "src19"), 4000L)
+    assert(documentScans(stage) == 1, stage.queryExecution.optimizedPlan.toString)
+    // final job: the train side comes from the stage parquet, so the only
+    // remaining documents scan is the eval side of decontamination —
+    // without the handoff this plan held the gate→dedup subtree twice
+    // (three scans) and re-ran full-corpus tokenization with it
+    val manifest = SparkEntry.queries("x24_training_manifest")(spark, sf)
+    assert(documentScans(manifest) == 1,
+      manifest.queryExecution.optimizedPlan.toString)
+    assert(manifest.count() > 0)
+  }
+
   test("f8: month-bucket aggregation is two-phase over a pruned scan") {
     val p = plan("f8_month_buckets")
     assert(p.contains("partial"), p)
