@@ -273,12 +273,79 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** Keep one survivor per near-dup cluster: union-find-lite via min-id
-    * propagation (one iteration is enough for pair output of transitive
-    * planted dup clusters of size 2; larger clusters would iterate).
+  /** Connected components over the near-dup pair graph: every document
+    * that appears in `pairs` (columns doc_a, doc_b) is labeled with the
+    * MINIMUM doc id reachable from it — the cluster id. This is what makes
+    * dedup correct on chains: A~B and B~C put all three in one cluster
+    * even though (A,C) was never emitted as a pair.
+    *
+    * Algorithm: iterative min-label propagation to a fixpoint. Each round
+    * every vertex takes the min of its own label and its neighbors'
+    * labels — one equi-join + one aggregation per round, converging in
+    * O(cluster diameter) rounds. Near-dup clusters are shallow (dups of a
+    * common source), so 2-4 rounds is typical; `maxIter` is a safety rail
+    * and the loop fails loudly rather than returning a half-converged
+    * labeling. Convergence is detected by the exact decimal sum of labels
+    * (labels only ever decrease, so an unchanged sum IS the fixpoint —
+    * one cheap aggregate instead of an old-vs-new join).
+    *
+    * Scale shape: per round one shuffle of the edge list joined to the
+    * label table (both O(pairs)), intermediates persisted and the final
+    * labeling written through a parquet handoff so the returned frame has
+    * flat lineage and NO cached state stays behind. For graphs with
+    * pathological diameter, swap the propagation body for alternating
+    * small-star/large-star contraction — the loop scaffolding stays.
+    */
+  def clusterLabels(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("doc_a").cast(LongType).as("src"),
+      col("doc_b").cast(LongType).as("dst"))
+    val undirected = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    var labels = undirected.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).persist()
+    var prevSum: java.math.BigDecimal = null
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val propagated = undirected
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst").as("doc_id"), col("label"))
+      val next = labels.union(propagated)
+        .groupBy("doc_id").agg(min("label").as("label"))
+        .persist()
+      val curSum = next.agg(sum(col("label").cast("decimal(38,0)")))
+        .head().getDecimal(0)
+      labels.unpersist()
+      labels = next
+      done = curSum == null || curSum == prevSum
+      prevSum = curSum
+      iter += 1
+    }
+    require(done, s"clusterLabels did not converge in $maxIter rounds — " +
+      "pathological cluster diameter; use star-contraction")
+    // flatten lineage through a handoff so callers get a plain scan and no
+    // persisted state survives the call
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-clusters").toString + "/labels"
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .write.mode("overwrite").parquet(out)
+    labels.unpersist()
+    undirected.unpersist()
+    spark.read.parquet(out)
+  }
+
+  /** Keep one survivor per near-dup cluster: connected components over
+    * the pair graph ([[clusterLabels]]), then keep each cluster's min-id
+    * member. Transitively correct — a chain A~B~C keeps only A, where the
+    * old one-iteration min-id propagation wrongly kept B when (A,C) was
+    * never emitted.
     */
   def survivors(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
-    val dropped = pairs.select(col("doc_b").as(idCol)).distinct()
+    val dropped = clusterLabels(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
     docs.join(dropped, Seq(idCol), "left_anti")
   }
 }

@@ -74,6 +74,17 @@ object ExtQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // transitive dedup CLUSTERS: connected components over the jaccard
+    // pair graph (threshold 0.5 — the testdata's planted dup families
+    // chain into clusters of 3-4 docs, so one-hop pair logic is provably
+    // insufficient here). cluster_id = min reachable doc id; the DuckDB
+    // twin recomputes the same components with WITH RECURSIVE.
+    "x25_dedup_clusters" -> ((s, d) => {
+      val pairs = DedupOps.jaccardNearDups(
+        Tables.documents(s, d), "text", "doc_id", 0.5)
+      DedupOps.clusterLabels(pairs).orderBy("doc_id")
+    }),
+
     // ---- similarity search ----
     "x5_embed_neardup_pairs" -> ((s, d) => {
       SimilarityOps.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
@@ -448,6 +459,31 @@ object ExtQueries {
             JOIN sizes sb ON doc_b = sb.doc_id
             WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
             ORDER BY doc_a, doc_b""",
+
+      "x25_dedup_clusters" ->
+        s"""WITH RECURSIVE sh AS (
+              SELECT doc_id, unnest(sh) AS s FROM (
+                SELECT doc_id, $mdShingles AS sh
+                FROM (SELECT doc_id, $mdToks AS t FROM documents))),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            j AS (
+              SELECT doc_a, doc_b FROM pairs
+              JOIN sizes sa ON doc_a = sa.doc_id
+              JOIN sizes sb ON doc_b = sb.doc_id
+              WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM j
+              UNION ALL SELECT doc_b, doc_a FROM j),
+            walk(id, lab) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id)
+            SELECT id AS doc_id, min(lab) AS cluster_id
+            FROM walk GROUP BY id ORDER BY doc_id""",
 
       "x5_embed_neardup_pairs" ->
         s"""SELECT id_a, id_b, round(cos, 4) AS cos FROM (

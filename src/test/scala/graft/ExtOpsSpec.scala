@@ -48,12 +48,25 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(pairs.head.getAs[Double]("jaccard") == 1.0)
   }
 
-  test("survivors drops only the doc_b side of near-dup pairs") {
+  test("survivors keeps each cluster's min id; untouched docs survive") {
     val docs = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val pairs = Seq((1L, 3L, 1.0)).toDF("doc_a", "doc_b", "jaccard")
     val kept = DedupOps.survivors(docs, pairs, "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 2L))
+  }
+
+  test("survivors is transitive: a chain A~B~C keeps only A (connected components)") {
+    val docs = (1L to 6L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    // chain 1~2~3 (pair (1,3) never emitted) + isolated pair 5~6
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (5L, 6L, 0.9))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val kept = DedupOps.survivors(docs, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L))
+    val labels = DedupOps.clusterLabels(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
   test("simhash: identical docs have distance 0; near-identical within 3") {

@@ -84,6 +84,23 @@ object WeatherProps extends Properties("weather") {
         }
     }
 
+  property("clusterLabels: planted chains of size 3-5 collapse to min-id clusters") =
+    forAll(Gen.choose(1, 3).flatMap(k => Gen.listOfN(k, Gen.choose(3, 5)))) { sizes =>
+      import spark.implicits._
+      // disjoint chains with non-contiguous ids, edges emitted pairwise-
+      // adjacent only — exactly the shape where one-hop min-id propagation
+      // keeps wrong docs (a chain A~B~C never emits (A,C))
+      val idBlocks = sizes.zipWithIndex.map { case (n, k) =>
+        (0 until n).map(i => (k * 1000 + i * 7 + 3).toLong)
+      }
+      val pairs = idBlocks.flatMap(ids => ids.zip(ids.tail))
+        .toDF("doc_a", "doc_b")
+      val labels = DedupOps.clusterLabels(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      labels.size == sizes.sum &&
+        idBlocks.forall(ids => ids.forall(id => labels(id) == ids.min))
+    }
+
   property("round4Rat = BigDecimal HALF_UP of num/den for any positive ratio") =
     forAll(Gen.choose(0L, 2000000L), Gen.choose(1L, 9999L)) { (num, den) =>
       import spark.implicits._
