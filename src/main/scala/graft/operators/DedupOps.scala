@@ -273,6 +273,33 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Canopy-blocked edit-distance fuzzy pairs — the character-level member
+    * of the near-dup family. Blocking is a real EQUI-join key (the first
+    * `canopyLen` characters), so candidate generation shuffles on the
+    * canopy hash and pair work is Σ canopy-block² at ANY corpus size —
+    * never a cross join (the literal-id-filter "block" this replaces only
+    * bounded a demo corpus). Within a block, Levenshtein runs on the
+    * `headLen`-char head under a `maxDist` budget.
+    *
+    * The canopy is exact-prefix by construction: a pair whose edit
+    * distance lives entirely inside the first `canopyLen` chars is missed
+    * (the canopy trade — same recall/cost dial as MinHash bands; lower
+    * `canopyLen` for recall, raise it to shrink blocks).
+    */
+  def editDistancePairs(docs: DataFrame, textCol: String, idCol: String,
+      canopyLen: Int = 12, headLen: Int = 32, maxDist: Int = 8): DataFrame = {
+    val d = spreadByDoc(docs, idCol).select(col(idCol).as("doc_id"),
+      substring(col(textCol), 1, canopyLen).as("canopy"),
+      substring(col(textCol), 1, headLen).as("head"))
+    val a = d.select(col("canopy"), col("doc_id").as("doc_a"), col("head").as("ha"))
+    val b = d.select(col("canopy"), col("doc_id").as("doc_b"), col("head").as("hb"))
+    a.join(b, Seq("canopy"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("dist", levenshtein(col("ha"), col("hb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+  }
+
   /** Connected components over the near-dup pair graph: every document
     * that appears in `pairs` (columns doc_a, doc_b) is labeled with the
     * MINIMUM doc id reachable from it — the cluster id. This is what makes

@@ -29,8 +29,9 @@ object ExtQueries {
   // SimilarityOps.cosine/signBucket — edited in lockstep with those
   private def ddbCos(a: String, b: String) =
     s"${ddbDot(a, b)} / (sqrt(${ddbNorm2(a)}) * sqrt(${ddbNorm2(b)}))"
-  private def ddbBucket(v: String) = (0 until 8).map(i =>
+  private def ddbBucketN(v: String, bits: Int) = (0 until bits).map(i =>
     s"(CASE WHEN $v[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+  private def ddbBucket(v: String) = ddbBucketN(v, 8)
 
   val defs: Map[String, Q] = Map(
     // ---- dedup ----
@@ -88,6 +89,17 @@ object ExtQueries {
     // ---- similarity search ----
     "x5_embed_neardup_pairs" -> ((s, d) => {
       SimilarityOps.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the 100 TB form of x5: candidate pairs from a sign-bucket EQUI-join
+    // (4 bits + 1-flip multiprobe), exact cosine verify — x5's O(n²)
+    // nested loop becomes Σ bucket² with an explicit recall dial. x5
+    // stays the exact reference semantics; PlanSpec asserts this one
+    // never plans a nested-loop join.
+    "x5b_embed_neardup_blocked" -> ((s, d) => {
+      SimilarityOps.cosinePairsBucketed(Tables.embeddings(s, d),
+          "vec_id", "embedding", 0.4, bits = 4)
         .orderBy("id_a", "id_b")
     }),
 
@@ -165,18 +177,13 @@ object ExtQueries {
     }),
 
     // edit-distance fuzzy matching (the character-level member of the
-    // near-dup family): prefix-blocked pairs under a Levenshtein budget.
-    // Bounded block (doc_id < 50) keeps the O(block²) pair count honest —
-    // at scale the block key is a cheap canopy (first-k-chars, metaphone).
+    // near-dup family): canopy-blocked pairs under a Levenshtein budget —
+    // the canopy (first-12-chars) is a real equi-join key, so the plan is
+    // a hash-shuffled join at any corpus size, never a cross join
+    // (PlanSpec asserts).
     "x17_edit_distance_pairs" -> ((s, d) => {
-      val docs = Tables.documents(s, d).filter(col("doc_id") < 50)
-        .select(col("doc_id"), substring(col("text"), 1, 16).as("prefix"))
-      val a = docs.select(col("doc_id").as("doc_a"), col("prefix").as("pa"))
-      val b = docs.select(col("doc_id").as("doc_b"), col("prefix").as("pb"))
-      a.join(b, col("doc_a") < col("doc_b"))
-        .withColumn("dist", levenshtein(col("pa"), col("pb")))
-        .filter(col("dist") <= 8)
-        .select("doc_a", "doc_b", "dist")
+      DedupOps.editDistancePairs(Tables.documents(s, d), "text", "doc_id",
+          canopyLen = 12, headLen = 32, maxDist = 8)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -494,6 +501,30 @@ object ExtQueries {
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
             WHERE cos >= 0.4 ORDER BY id_a, id_b""",
 
+      "x5b_embed_neardup_blocked" -> {
+        val flips = (0 until 4).map(i => s"xor(bucket, ${1 << i})").mkString(", ")
+        s"""WITH e AS (
+              SELECT vec_id, embedding,
+                     CAST(${ddbBucketN("embedding", 4)} AS INT) AS bucket
+              FROM embeddings),
+            probes AS (
+              SELECT vec_id, embedding,
+                     unnest([bucket, $flips]) AS bucket0 FROM e),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM probes a JOIN e b ON a.bucket0 = b.bucket
+              WHERE a.vec_id < b.vec_id)
+            SELECT id_a, id_b, round(cos, 4) AS cos FROM (
+              SELECT id_a, id_b,
+                     ${ddbDot("a.embedding", "b.embedding")}
+                       / (sqrt(${ddbNorm2("a.embedding")})
+                          * sqrt(${ddbNorm2("b.embedding")})) AS cos
+              FROM cand
+              JOIN embeddings a ON id_a = a.vec_id
+              JOIN embeddings b ON id_b = b.vec_id)
+            WHERE cos >= 0.4 ORDER BY id_a, id_b"""
+      },
+
       // NB: order by the RAW cosine (inner column), not the rounded output
       // alias — Spark ranks before rounding, and an alias-bound ORDER BY
       // would tiebreak differently when two values round equal
@@ -558,11 +589,14 @@ object ExtQueries {
             FROM top GROUP BY label ORDER BY votes DESC, label""",
 
       "x17_edit_distance_pairs" ->
-        """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                  CAST(levenshtein(substr(a.text, 1, 16), substr(b.text, 1, 16)) AS INT) AS dist
-           FROM documents a JOIN documents b ON a.doc_id < b.doc_id
-           WHERE a.doc_id < 50 AND b.doc_id < 50
-             AND levenshtein(substr(a.text, 1, 16), substr(b.text, 1, 16)) <= 8
+        """WITH d AS (
+             SELECT doc_id, substr(text, 1, 12) AS canopy,
+                    substr(text, 1, 32) AS head
+             FROM documents)
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(levenshtein(a.head, b.head) AS INT) AS dist
+           FROM d a JOIN d b ON a.canopy = b.canopy AND a.doc_id < b.doc_id
+           WHERE levenshtein(a.head, b.head) <= 8
            ORDER BY doc_a, doc_b""",
 
       "x16_hash_split" ->

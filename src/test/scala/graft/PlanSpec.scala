@@ -62,6 +62,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("zip_with"), p)
   }
 
+  test("x5b: blocked pair-dedup is an equi-join on the bucket, never a nested loop") {
+    val p = plan("x5b_embed_neardup_blocked")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // candidate generation joins bucket = bucket (hash or sort-merge —
+    // either is the scale-safe shape; x5's BNL join is neither)
+    assert(p.contains("bucket"), p)
+  }
+
+  test("x17: canopy edit-distance blocks via an equi-join, never a cross join") {
+    val p = plan("x17_edit_distance_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("canopy"), p)
+  }
+
   test("x14: IVF centroid assignment is broadcast, never a shuffle join") {
     val p = plan("x14_sim_ivf")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
