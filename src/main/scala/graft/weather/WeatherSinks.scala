@@ -55,6 +55,13 @@ class WeatherSinks(root: String) {
   def appendStats(stats: DataFrame): Unit =
     stats.write.mode("append").parquet(statsPath)
 
+  /** S2 companion: malformed documents kept for inspection (the reference
+    * logs-and-skips; quarantining preserves the evidence).
+    */
+  val quarantinePath = s"$root/quarantine"
+  def appendQuarantine(df: DataFrame): Unit =
+    df.write.mode("append").parquet(quarantinePath)
+
   /** S11: predictions append with pred_type metadata (main.py:134-141). */
   def appendPredictions(df: DataFrame, predType: String): Unit =
     df.withColumn("pred_type", lit(predType))

@@ -108,6 +108,34 @@ class MlSpec extends AnyFunSuite {
     assert(folds.forall(f => f("rmse") > 0 && !f("rmse").isNaN))
   }
 
+  test("IVF centroids come from a seeded KMeans fit: deterministic, assignable, registry-persistable") {
+    import graft.operators.SimilarityOps
+    val emb = Tables.embeddings(spark, SparkTestSession.sf0001)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]]("cv").toVector))
+      .sortBy(_._1).toSeq
+    val c1 = SimilarityOps.trainCentroids(emb, "embedding", k = 4, seed = 42L)
+    val c2 = SimilarityOps.trainCentroids(emb, "embedding", k = 4, seed = 42L)
+    assert(key(c1) == key(c2), "fixed seed + init must reproduce the fit")
+    // learned cells feed the existing assignment operator
+    val assigned = SimilarityOps.assignCentroids(emb, "vec_id", "embedding", c1)
+    assert(assigned.count() == emb.count())
+    val cells = assigned.select("cent_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(cells.size > 1 && cells.subsetOf((0L until 4L).toSet),
+      s"a learned 4-cell index should spread the corpus: $cells")
+    // the quantizer persists through the registry like any other model
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val reg = new ModelRegistry(spark, root)
+    val v = reg.save("ivf_quantizer",
+      SimilarityOps.trainCentroidsModel(emb, "embedding", k = 4, seed = 42L),
+      Map.empty)
+    val loaded = reg.load("ivf_quantizer")
+    assert(loaded.isDefined && v == 1)
+    assert(key(SimilarityOps.centroidTable(loaded.get, spark)) == key(c1))
+  }
+
   test("M7+: per-fold metrics are logged as run artifacts and queryable") {
     val root = java.nio.file.Files.createTempDirectory("graft-folds").toString
     val reg = new ModelRegistry(spark, root)

@@ -40,6 +40,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S1: fetch loop with injected client lands cities; malformed docs quarantine; failures skip") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-fetch").toString
+    val sinks = new WeatherSinks(root)
+    def doc(city: String) =
+      s"""{"name":"$city","sys":{"country":"XX"},"main":{"temp":21.5,
+         |"feels_like":20.0,"humidity":40,"pressure":1012},
+         |"weather":[{"main":"Clear","description":"clear sky"}],
+         |"wind":{"speed":3.2},"dt":1700000000}""".stripMargin.replace("\n", "")
+    val client = new graft.sources.FetchClient {
+      def fetch(city: String): Either[String, String] = city match {
+        case "Down" => Left("connect timeout")     // extract.py:19-20 skip
+        case "Bad"  => Right("{definitely not json") // flattens to nulls
+        case c      => Right(doc(c))
+      }
+    }
+    val ticks = MemoryStream[Long]
+    val q = graft.sources.WeatherFetcher.start(spark,
+      Seq("Paris", "Tokyo", "Bad", "Down"), client, sinks,
+      ticks = Some(ticks.toDF()))
+    try {
+      ticks.addData(1L); q.processAllAvailable()
+      val raw = sinks.scan(spark, "raw_weather_data")
+      assert(raw.count() == 2)
+      assert(raw.select("city").collect().map(_.getString(0)).toSet
+        == Set("Paris", "Tokyo"))
+      assert(raw.columns.contains("batch_id"))
+      assert(sinks.scan(spark, "quarantine").count() == 1) // Bad kept, not dropped
+      ticks.addData(2L); q.processAllAvailable()
+      assert(sinks.scan(spark, "raw_weather_data").count() == 4) // log appends
+      // snapshot holds only the newest tick
+      assert(sinks.scan(spark, "current_weather")
+        .select("batch_id").distinct().count() == 1)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup emits duplicate payloads once across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
