@@ -330,8 +330,13 @@ object DedupOps {
     val undirected = edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
-    var labels = undirected.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).persist()
+    // seed with round 1 already applied: label(v) = min(v, min neighbor)
+    // (identical to propagating once from identity labels, one round and
+    // one convergence action cheaper)
+    var labels = undirected.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("doc_id"), least(col("src"), col("mn")).as("label"))
+      .persist()
     var prevSum: java.math.BigDecimal = null
     var iter = 0
     var done = false
