@@ -337,35 +337,40 @@ object DedupOps {
       .agg(min(col("dst")).as("mn"))
       .select(col("src").as("doc_id"), least(col("src"), col("mn")).as("label"))
       .persist()
-    var prevSum: java.math.BigDecimal = null
-    var iter = 0
-    var done = false
-    while (!done && iter < maxIter) {
-      val propagated = undirected
-        .join(labels.withColumnRenamed("doc_id", "src"), "src")
-        .select(col("dst").as("doc_id"), col("label"))
-      val next = labels.union(propagated)
-        .groupBy("doc_id").agg(min("label").as("label"))
-        .persist()
-      val curSum = next.agg(sum(col("label").cast("decimal(38,0)")))
-        .head().getDecimal(0)
+    try {
+      var prevSum: java.math.BigDecimal = null
+      var iter = 0
+      var done = false
+      while (!done && iter < maxIter) {
+        val propagated = undirected
+          .join(labels.withColumnRenamed("doc_id", "src"), "src")
+          .select(col("dst").as("doc_id"), col("label"))
+        val next = labels.union(propagated)
+          .groupBy("doc_id").agg(min("label").as("label"))
+          .persist()
+        val curSum =
+          try next.agg(sum(col("label").cast("decimal(38,0)")))
+            .head().getDecimal(0)
+          catch { case e: Throwable => next.unpersist(); throw e }
+        labels.unpersist()
+        labels = next
+        done = curSum == null || curSum == prevSum
+        prevSum = curSum
+        iter += 1
+      }
+      require(done, s"clusterLabels did not converge in $maxIter rounds — " +
+        "pathological cluster diameter; use star-contraction")
+      // flatten lineage through a handoff so callers get a plain scan and
+      // no persisted state survives the call (even on failure — finally)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-clusters").toString + "/labels"
+      labels.select(col("doc_id"), col("label").as("cluster_id"))
+        .write.mode("overwrite").parquet(out)
+      spark.read.parquet(out)
+    } finally {
       labels.unpersist()
-      labels = next
-      done = curSum == null || curSum == prevSum
-      prevSum = curSum
-      iter += 1
+      undirected.unpersist()
     }
-    require(done, s"clusterLabels did not converge in $maxIter rounds — " +
-      "pathological cluster diameter; use star-contraction")
-    // flatten lineage through a handoff so callers get a plain scan and no
-    // persisted state survives the call
-    val out = java.nio.file.Files
-      .createTempDirectory("graft-clusters").toString + "/labels"
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
-      .write.mode("overwrite").parquet(out)
-    labels.unpersist()
-    undirected.unpersist()
-    spark.read.parquet(out)
   }
 
   /** Keep one survivor per near-dup cluster: connected components over

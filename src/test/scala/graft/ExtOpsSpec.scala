@@ -69,6 +69,27 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("bucketed pair-dedup is a subset of exact pairs with identical cosines") {
+    import graft.operators.SimilarityOps
+    val emb = Tables.embeddings(spark, SparkTestSession.sf0001)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = toMap(SimilarityOps.cosinePairs(emb, "vec_id", "embedding", 0.4))
+    val blocked = toMap(SimilarityOps.cosinePairsBucketed(
+      emb, "vec_id", "embedding", 0.4, bits = 4))
+    assert(blocked.nonEmpty, "blocking must not kill all recall on the fixture")
+    assert(blocked.keySet.subsetOf(exact.keySet),
+      s"blocked pairs must be a subset of exact: ${blocked.keySet -- exact.keySet}")
+    blocked.foreach { case (k, cos) =>
+      assert(cos == exact(k), s"cosine must be the exact value for $k") }
+    // each surviving pair appears exactly once even with multiprobe on
+    val dup = SimilarityOps.cosinePairsBucketed(
+        emb, "vec_id", "embedding", 0.4, bits = 4)
+      .groupBy("id_a", "id_b").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1)
+    assert(dup.isEmpty, "a pair may meet on at most one probe key")
+  }
+
   test("simhash: identical docs have distance 0; near-identical within 3") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
