@@ -71,25 +71,47 @@ object PipelineOps {
     *                      doc is dropped as leaked
     * @param rates / defaultRate per-language keep rates (stratified)
     * @param capacity / shards sequence-packing geometry
-    * @param stageDir      where the gate→dedup stage parquet lands; point
-    *                      it at durable storage in production (the stage
-    *                      is then the build's audit artifact). Defaults
-    *                      to a fresh temp directory.
+    * @param stageDir      where the gate→dedup stage parquet (and the
+    *                      near-dup cluster handoff, when enabled) lands;
+    *                      point it at durable storage in production (the
+    *                      stage is then the build's audit artifact).
+    *                      Defaults to a unique subdir of the session
+    *                      warehouse — cluster-visible, unlike a
+    *                      driver-local temp dir.
+    * @param nearDupThreshold when set, a FUZZY near-dedup stage runs
+    *                      between exact dedup and decontamination: the
+    *                      MinHash-LSH pair graph at this Jaccard threshold
+    *                      ([[DedupOps.minhashNearDups]]) is clustered by
+    *                      connected components and only each cluster's
+    *                      min-id member survives ([[DedupOps.survivors]]) —
+    *                      the near-dedup a real LLM data build runs, where
+    *                      exact dedup alone leaves trivially-edited copies
+    *                      in the corpus.
     * @return (shard, chunk_id, doc_id, tok_in_chunk) manifest rows
     */
   def trainingManifest(docs: DataFrame, evalSources: Seq[String],
       minQualityBps: Long, contamThreshold: Double,
       rates: Map[String, Double], defaultRate: Double,
-      capacity: Int, shards: Int, stageDir: Option[String] = None): DataFrame = {
+      capacity: Int, shards: Int, stageDir: Option[String] = None,
+      nearDupThreshold: Option[Double] = None): DataFrame = {
     val spark = docs.sparkSession
     val isEval = col("source").isInCollection(evalSources)
 
     // materialize the shared gate→dedup prefix ONCE (see object scaladoc)
-    val stagePath = stageDir.getOrElse(java.nio.file.Files
-      .createTempDirectory("graft-manifest-stage").toString) + "/gated_deduped"
+    val stageBase = StageIO.resolve(spark, stageDir, "manifest-stage")
+    val stagePath = s"$stageBase/gated_deduped"
     gateAndDedup(docs, evalSources, minQualityBps)
       .write.mode("overwrite").parquet(stagePath)
-    val ded = spark.read.parquet(stagePath)
+    val ded0 = spark.read.parquet(stagePath)
+
+    // fuzzy near-dedup over the exact-deduped stage: pair generation and
+    // the downstream consumers all read the cheap columnar stage, never
+    // the raw corpus again
+    val ded = nearDupThreshold.fold(ded0) { th =>
+      val pairs = DedupOps.minhashNearDups(ded0, "text", "doc_id", th)
+      DedupOps.survivors(ded0, pairs, "doc_id",
+        stageDir = Some(s"$stageBase/neardup_clusters"))
+    }
 
     // decontamination: drop anything leaking the eval split
     val leaked = DedupOps.crossContamination(ded, docs.filter(isEval),

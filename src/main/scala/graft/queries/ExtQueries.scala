@@ -305,6 +305,47 @@ object ExtQueries {
         .orderBy("shard", "chunk_id", "doc_id")
     }),
 
+    // x24 with the FUZZY near-dedup stage enabled (the near-dedup a real
+    // LLM data build runs between exact dedup and decontamination): the
+    // MinHash-LSH pair graph at jaccard >= 0.8 over the exact-deduped
+    // stage is clustered by connected components and only each cluster's
+    // min-id member survives. The DuckDB twin recomputes the identical
+    // signature/band/verify pipeline and the components via WITH RECURSIVE.
+    "x24b_manifest_neardup" -> ((s, d) => {
+      graft.operators.PipelineOps.trainingManifest(
+          Tables.documents(s, d), evalSources = Seq("src18", "src19"),
+          minQualityBps = 4000L, contamThreshold = 0.5,
+          rates = Map("en" -> 0.4, "zh" -> 0.8), defaultRate = 0.6,
+          capacity = 256, shards = 4, nearDupThreshold = Some(0.8))
+        .orderBy("shard", "chunk_id", "doc_id")
+    }),
+
+    // x14 with TRAINED centroids (the honest IVF path through the hash
+    // gate): the coarse quantizer is a seeded KMeans fit persisted as a
+    // parquet centroid table that BOTH engines then read — determinism
+    // crosses the oracle through the fixed artifact, not the fit. The
+    // oracle's read_parquet path is keyed by the sf directory name; the
+    // driver verifies at sf0.01 (its path is pinned in the SQL below).
+    "x14b_sim_ivf_trained" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centDir = s"/tmp/graft_ivf_centroids/${new java.io.File(d).getName}"
+      SimilarityOps.trainCentroids(emb, "embedding", k = 4, seed = 42L)
+        .coalesce(1).write.mode("overwrite").parquet(centDir)
+      val cents = s.read.parquet(centDir)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val qCell = SimilarityOps.assignCentroids(
+          emb.filter(col("vec_id") === 0), "vec_id", "embedding", cents)
+        .select(col("cent_id").as("q_cent"))
+      SimilarityOps.assignCentroids(
+          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", cents)
+        .join(broadcast(qCell), col("cent_id") === col("q_cent"))
+        .crossJoin(broadcast(q))
+        .withColumn("raw_cos", SimilarityOps.cosineFast(col("embedding"), col("qv")))
+        .orderBy(col("raw_cos").desc, col("vec_id"))
+        .limit(5)
+        .select(col("vec_id"), col("cent_id"), round(col("raw_cos"), 4).as("cos"))
+    }),
+
     // deterministic stratified sampling: downsample over-represented
     // languages (en 40 %, zh 80 %, rest 60 %) with md5-decided membership.
     "x22_stratified_sample" -> ((s, d) => {
@@ -775,6 +816,135 @@ object ExtQueries {
                        - greatest(cum_end - n_tok, chunk_id * 256) AS INT)
                     AS tok_in_chunk
            FROM expanded ORDER BY shard, chunk_id, doc_id""",
+
+      // x24's five stages + the fuzzy near-dedup stage: MinHash-LSH pairs
+      // over the exact-deduped set (the same CTE shapes as x2, on `ded`
+      // instead of `documents`), components via WITH RECURSIVE (as x25),
+      // min-id survivors feed decontamination and everything after
+      "x24b_manifest_neardup" ->
+        s"""WITH RECURSIVE base AS (
+             SELECT doc_id, text, lang, source, n_chars, $mdToks AS t
+             FROM documents
+           ), gated AS (
+             SELECT doc_id, text, lang, t FROM (
+               SELECT *, 20 * nt * least(nt, 100) + 1500 * (nt - sw)
+                           + 3 * nt * least(n_chars, 500) AS qnum,
+                      5000 * nt AS qden
+               FROM (
+                 SELECT *, CAST(len(t) AS BIGINT) AS nt,
+                        CAST(len(list_filter(t, x -> list_contains($swList, x)))
+                          AS BIGINT) AS sw
+                 FROM base WHERE source NOT IN ('src18', 'src19')))
+             WHERE nt > 0 AND 10000 * qnum >= 4000 * qden
+           ), ded AS (
+             SELECT doc_id, text, lang, t FROM (
+               SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS surv
+               FROM gated)
+             WHERE doc_id = surv
+           ), ndsh AS (
+             SELECT doc_id, $mdShingles AS sh FROM ded
+           ), ndsig AS (SELECT doc_id, sh, $sigCols FROM ndsh
+           ), ndband AS (SELECT doc_id, $bandCols FROM ndsig
+           ), ndexp AS (
+             SELECT doc_id, unnest([0,1,2]) AS band_idx,
+                    unnest([band0,band1,band2]) AS band_key FROM ndband
+           ), ndcand AS (
+             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM ndexp a JOIN ndexp b
+               ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+           ), ndpair AS (
+             SELECT doc_a, doc_b FROM (
+               SELECT doc_a, doc_b,
+                      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                        / (len(sa.sh) + len(sb.sh)
+                           - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) AS jac
+               FROM ndcand
+               JOIN ndsh sa ON doc_a = sa.doc_id
+               JOIN ndsh sb ON doc_b = sb.doc_id)
+             WHERE jac >= 0.8
+           ), ndedge AS (
+             SELECT doc_a AS src, doc_b AS dst FROM ndpair
+             UNION ALL SELECT doc_b, doc_a FROM ndpair
+           ), ndwalk(id, lab) AS (
+             SELECT src, src FROM ndedge
+             UNION
+             SELECT e.dst, w.lab FROM ndwalk w JOIN ndedge e ON e.src = w.id
+           ), nddrop AS (
+             SELECT id FROM (
+               SELECT id, min(lab) AS lab FROM ndwalk GROUP BY id)
+             WHERE id <> lab
+           ), ded2 AS (
+             SELECT doc_id, text, lang, t FROM ded
+             WHERE doc_id NOT IN (SELECT id FROM nddrop)
+           ), ev AS (
+             SELECT doc_id AS eval_id, CAST(len(sh) AS BIGINT) AS n_eval,
+                    unnest(sh) AS s
+             FROM (SELECT doc_id, $mdShingles AS sh FROM base
+                   WHERE source IN ('src18', 'src19'))
+             WHERE len(sh) > 0
+           ), tr AS (
+             SELECT doc_id AS train_id, unnest(sh) AS s
+             FROM (SELECT doc_id, $mdShingles AS sh FROM ded2)
+             WHERE len(sh) > 0
+           ), leaked AS (
+             SELECT DISTINCT train_id FROM (
+               SELECT eval_id, train_id, COUNT(*) AS inter,
+                      any_value(n_eval) AS n_eval
+               FROM ev JOIN tr USING (s) GROUP BY 1, 2)
+             WHERE inter * 1.0 / n_eval >= 0.5
+           ), samp AS (
+             SELECT doc_id, t FROM (
+               SELECT *, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                            AS BIGINT) % 10000 AS h
+               FROM ded2 WHERE doc_id NOT IN (SELECT train_id FROM leaked))
+             WHERE h < CASE lang WHEN 'en' THEN 4000 WHEN 'zh' THEN 8000
+                                 ELSE 6000 END
+           ), c AS (
+             SELECT doc_id, shard, n_tok,
+                    CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_end
+             FROM (
+               SELECT doc_id,
+                      CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                           AS BIGINT) % 4 AS INT) AS shard,
+                      CAST(len(t) AS BIGINT) AS n_tok
+               FROM samp)
+             WHERE n_tok > 0
+           ), expanded AS (
+             SELECT shard, doc_id, n_tok, cum_end,
+                    unnest(generate_series((cum_end - n_tok) // 256,
+                                           (cum_end - 1) // 256)) AS chunk_id
+             FROM c
+           )
+           SELECT shard, CAST(chunk_id AS INT) AS chunk_id, doc_id,
+                  CAST(least(cum_end, (chunk_id + 1) * 256)
+                       - greatest(cum_end - n_tok, chunk_id * 256) AS INT)
+                    AS tok_in_chunk
+           FROM expanded ORDER BY shard, chunk_id, doc_id""",
+
+      // same nearest-centroid argmin as x14, over the TRAINED centroid
+      // table both engines read from the persisted parquet artifact
+      // (written by the Spark side of this query; path keyed by sf dir —
+      // the driver's correctness pass runs at sf0.01)
+      "x14b_sim_ivf_trained" ->
+        s"""WITH cents AS (
+              SELECT cent_id, cv
+              FROM read_parquet('/tmp/graft_ivf_centroids/sf0.01/*.parquet')),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT e.vec_id, e.embedding, c.cent_id,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${ddbCos("e.embedding", "c.cv")} DESC, c.cent_id) AS rn
+              FROM embeddings e CROSS JOIN cents c),
+            assigned AS (SELECT vec_id, embedding, cent_id FROM scored WHERE rn = 1)
+            SELECT vec_id, cent_id, round(raw_cos, 4) AS cos FROM (
+              SELECT a.vec_id, a.cent_id, ${ddbCos("a.embedding", "qv")} AS raw_cos
+              FROM assigned a, q
+              WHERE a.vec_id <> 0
+                AND a.cent_id = (SELECT cent_id FROM assigned WHERE vec_id = 0))
+            ORDER BY raw_cos DESC, vec_id LIMIT 5""",
 
       "x22_stratified_sample" ->
         """SELECT doc_id, lang, source FROM (

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.DedupOps
+
+/** Streaming CLUSTER MAINTENANCE — the incremental twin of the batch
+  * connected-components dedup ([[DedupOps.clusterLabels]], x25): keep a
+  * durable (doc_id, cluster_id) labeling current while near-dup pairs
+  * stream in (e.g. from [[NearDupStream]]'s hits at ingest).
+  *
+  * The incremental step rests on one graph identity: re-encoding the
+  * prior labeling as edges (every doc → its cluster id) preserves EXACTLY
+  * the connectivity all previously-seen pairs proved, so
+  *
+  *   CC(prior-labels-as-edges ∪ new-pairs) == CC(all pairs ever seen)
+  *
+  * — each micro-batch unions the (compact) label edges with the new
+  * pairs, re-runs the batch CC kernel, and overwrites the store. Cluster
+  * ids are the global min doc id of each component, so ids are STABLE
+  * under growth: labels only ever decrease, and only when clusters merge.
+  *
+  * Scale shape: per batch the CC input is O(docs-ever-clustered +
+  * batch-pairs) EDGES (one per clustered doc — the contracted form, not
+  * the full pair history), and the labeling converges in 1-2 propagation
+  * rounds because the prior component is already a star around its min.
+  * State lives in the parquet store, not executor memory; the overwrite
+  * is safe because [[DedupOps.clusterLabels]] materializes its result
+  * through its own handoff before this writer touches the store. Failure
+  * recovery is idempotent: re-applying an already-incorporated batch is a
+  * no-op on the labeling (CC is monotone in its edge set).
+  */
+object ClusterStream {
+
+  /** One incremental CC step over `batch` (columns doc_a, doc_b) against
+    * the labeling stored at `labelsDir`. Public so batch backfills can
+    * replay history through the identical code path.
+    */
+  def applyBatch(batch: DataFrame, labelsDir: String, maxIter: Int = 30): Unit = {
+    val spark = batch.sparkSession
+    val newEdges = batch.select(col("doc_a"), col("doc_b"))
+    if (!newEdges.isEmpty) {
+      val hp = new org.apache.hadoop.fs.Path(labelsDir)
+      val exists = hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
+      val edges =
+        if (!exists) newEdges
+        else newEdges.unionByName(spark.read.parquet(labelsDir)
+          .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b")))
+      DedupOps.clusterLabels(edges, maxIter)
+        .write.mode("overwrite").parquet(labelsDir)
+    }
+  }
+
+  /** Maintain `labelsDir` continuously from a streaming `pairs` frame
+    * (columns doc_a, doc_b). Readers see the labeling as plain parquet —
+    * the same artifact the batch x25 job produces.
+    */
+  def startClusterMaintenance(pairs: DataFrame, labelsDir: String,
+      checkpointDir: String, maxIter: Int = 30): StreamingQuery =
+    pairs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        applyBatch(batch.toDF(), labelsDir, maxIter)
+      }
+      .start()
+}

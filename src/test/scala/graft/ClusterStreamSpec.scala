@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.ClusterStream
+
+/** Incremental connected-components maintenance: chains planted ACROSS
+  * micro-batches must converge to the same labeling the batch kernel
+  * would produce over the full pair history.
+  */
+class ClusterStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def labels(dir: String): Map[Long, Long] =
+    spark.read.parquet(dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+
+  test("chains planted across micro-batches merge into cumulative clusters") {
+    val base = java.nio.file.Files.createTempDirectory("cluster-stream").toString
+    val labelsDir = s"$base/labels"
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val pairs = input.toDF().toDF("doc_a", "doc_b")
+    val q = ClusterStream.startClusterMaintenance(pairs, labelsDir, s"$base/ckpt")
+    try {
+      // batch 1: two separate clusters
+      input.addData((1L, 2L), (5L, 6L)); q.processAllAvailable()
+      assert(labels(labelsDir) == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L))
+      // batch 2: extends the first chain — (1,3) never arrives as a pair
+      input.addData((2L, 3L)); q.processAllAvailable()
+      assert(labels(labelsDir) ==
+        Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+      // batch 3: bridges the two clusters; every label collapses to the
+      // global min — the answer batch x25 would give over all five pairs
+      input.addData((3L, 5L)); q.processAllAvailable()
+      assert(labels(labelsDir) ==
+        Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 6L -> 1L))
+    } finally q.stop()
+  }
+
+  test("an empty micro-batch leaves the store untouched") {
+    val base = java.nio.file.Files.createTempDirectory("cluster-stream2").toString
+    val labelsDir = s"$base/labels"
+    ClusterStream.applyBatch(Seq((7L, 8L)).toDF("doc_a", "doc_b"), labelsDir)
+    val before = labels(labelsDir)
+    ClusterStream.applyBatch(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"), labelsDir)
+    assert(labels(labelsDir) == before)
+    // idempotent replay: re-applying the same pairs changes nothing
+    ClusterStream.applyBatch(Seq((7L, 8L)).toDF("doc_a", "doc_b"), labelsDir)
+    assert(labels(labelsDir) == before)
+  }
+}

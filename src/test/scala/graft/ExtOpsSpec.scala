@@ -69,6 +69,33 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("clusterLabels: explicit stageDir receives the parquet handoff") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stage-test").toString
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val labels = DedupOps.clusterLabels(pairs, stageDir = Some(dir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val files = new java.io.File(s"$dir/labels").listFiles()
+    assert(files != null && files.exists(_.getName.endsWith(".parquet")),
+      s"handoff parquet must land under the caller's stageDir: $dir")
+  }
+
+  test("clusterLabels: a path far beyond maxIter converges via star contraction") {
+    // a 100-node path has diameter 99; propagation alone needs ~50 rounds
+    // (labels travel one hop per round from the min end), so maxIter=3
+    // forces the large-star/small-star fallback — which must return the
+    // same fully-converged labeling the propagation path would
+    val ids = (0 until 100).map(i => (i * 13 + 7).toLong)
+    val pairs = ids.zip(ids.tail).toDF("doc_a", "doc_b")
+    val fast = DedupOps.clusterLabels(pairs, maxIter = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast.size == ids.size)
+    assert(fast.values.toSet == Set(ids.min), "one cluster, labeled by the min id")
+    val viaPropagation = DedupOps.clusterLabels(pairs, maxIter = 60).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == viaPropagation, "fallback and propagation must agree")
+  }
+
   test("bucketed pair-dedup is a subset of exact pairs with identical cosines") {
     import graft.operators.SimilarityOps
     val emb = Tables.embeddings(spark, SparkTestSession.sf0001)

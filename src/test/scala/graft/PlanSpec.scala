@@ -139,6 +139,18 @@ class PlanSpec extends AnyFunSuite {
     assert(documentScans(manifest) == 1,
       manifest.queryExecution.optimizedPlan.toString)
     assert(manifest.count() > 0)
+    // the fuzzy variant adds MinHash pairs + CC + survivors over the STAGE
+    // parquet — the raw corpus is still scanned once (the eval side)
+    val fuzzy = SparkEntry.queries("x24b_manifest_neardup")(spark, sf)
+    assert(documentScans(fuzzy) == 1,
+      fuzzy.queryExecution.optimizedPlan.toString)
+    assert(fuzzy.count() > 0)
+  }
+
+  test("x14b: trained-IVF assignment is broadcast, never a shuffle join") {
+    val p = plan("x14b_sim_ivf_trained")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("f8: month-bucket aggregation is two-phase over a pruned scan") {
