@@ -77,6 +77,46 @@ object PackingOps {
         col(idCol), col("tok_in_chunk"))
   }
 
+  /** Domain-mixture reweighting — the data-MIXING stage of a training
+    * build: given target shares per class (language/source, in basis
+    * points), compute the per-class DOWNSAMPLING rates that make the
+    * post-sample token counts hit the target mixture exactly, without
+    * upsampling anything. The binding class is the one with the least
+    * tokens relative to its target (min Tₗ/sₗ — it keeps rate 1.0);
+    * every other class keeps rate sₗ·T_m / (s_m·Tₗ) ≤ 1.
+    *
+    * Rates are exact integer rationals rounded at 4 places (engine-
+    * portable, like every ratio on the oracle surface) and feed
+    * [[stratifiedSample]] directly. Scale shape: one token-count
+    * aggregation (map-side partial over the class key) + a 1-row
+    * broadcast of the binding class — nothing global, nothing driver-side
+    * beyond the class-cardinality result itself.
+    *
+    * @return (class, n_docs, n_tokens, rate) one row per class
+    */
+  def mixtureRates(df: DataFrame, classCol: String, textCol: String,
+      targetBps: Map[String, Long], defaultBps: Long): DataFrame = {
+    import graft.queries.Det.round4Rat
+    val tok = size(TextOps.tokens(col(textCol))).cast("long")
+    val sBps = targetBps.foldLeft(lit(defaultBps)) { case (acc, (cls, s)) =>
+      when(col(classCol) === cls, lit(s)).otherwise(acc)
+    }
+    val agg = df.groupBy(col(classCol))
+      .agg(count(lit(1)).as("n_docs"), sum(tok).as("n_tokens"))
+      .withColumn("s_bps", sBps)
+    // the binding class: fewest tokens per unit of target share. The
+    // double ratio is ORDERING-only (identical operands → identical IEEE
+    // result in any engine); lang tiebreak makes the order total.
+    val binding = agg
+      .orderBy((col("n_tokens").cast("double") / col("s_bps")).asc, col(classCol))
+      .limit(1)
+      .select(col("n_tokens").as("t_m"), col("s_bps").as("s_m"))
+    agg.crossJoin(broadcast(binding))
+      .select(col(classCol), col("n_docs"), col("n_tokens"),
+        round4Rat(col("s_bps") * col("t_m"), col("s_m") * col("n_tokens"))
+          .as("rate"))
+  }
+
   /** Deterministic stratified sampling: per-class keep rates (class
     * balancing / downsampling over-represented languages or sources),
     * decided by an md5 hash of the id — no RNG, no seed plumbing, stable

@@ -41,6 +41,29 @@ object TextOps {
   def fingerprint(toks: Column): Column =
     md5(concat_ws(" ", sort_array(array_distinct(toks))))
 
+  /** Consecutive token bigrams ("w1 w2") — the unit the repetition
+    * signals below measure; empty for docs under 2 tokens.
+    */
+  def bigrams(toks: Column): Column = {
+    val len = greatest(size(toks) - 1, lit(0)) // slice rejects negative lengths
+    zip_with(slice(toks, lit(1), len), slice(toks, lit(2), len),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** Count of occurrences of the MOST FREQUENT bigram (0 for docs under
+    * 2 tokens) — the numerator of the "top 2-gram fraction" repetition
+    * filter (boilerplate and templated spam repeat one phrase; natural
+    * text does not). Per-doc work is O(distinct-bigrams × bigrams); pure
+    * codegen'd higher-order functions, no shuffle.
+    */
+  def topBigramCount(toks: Column): Column = {
+    val bg = bigrams(toks)
+    coalesce(
+      array_max(transform(array_distinct(bg),
+        b => size(filter(bg, x => x === b)))),
+      lit(0))
+  }
+
   val stopwords: Seq[String] =
     Seq("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
 

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.operators.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 
@@ -353,6 +354,67 @@ object ExtQueries {
           Tables.documents(s, d), "lang", "doc_id",
           Map("en" -> 0.4, "zh" -> 0.8), defaultRate = 0.6)
         .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
+    // per-language TOP-p% quality gate — percentile-based corpus filtering
+    // (keep the best 40 % of each language by x9's quality score). Rank
+    // and threshold are INTEGER-exact end to end: row_number over the
+    // portable quality double (total order via doc_id tiebreak), kept iff
+    // 10·rank <= 4·n — no float percentile crosses the oracle. One
+    // shuffle (the lang window); at corpus scale this is how "train on
+    // the top-X% by quality-model score" is actually executed.
+    "x26_quality_topp" -> ((s, d) => {
+      import graft.queries.Det.round4Rat
+      val toks = TextOps.tokens(col("text"))
+      val nt = size(toks).cast("long")
+      val sw = size(filter(toks, t => t.isInCollection(TextOps.stopwords))).cast("long")
+      val qNum = lit(20L) * nt * least(nt, lit(100L)) +
+        lit(1500L) * (nt - sw) +
+        lit(3L) * nt * least(col("n_chars").cast("long"), lit(500L))
+      val qDen = lit(5000L) * nt
+      val scored = Tables.documents(s, d).filter(nt > 0)
+        .select(col("doc_id"), col("lang"), round4Rat(qNum, qDen).as("quality"))
+      val byQuality = Window.partitionBy("lang")
+        .orderBy(col("quality").desc, col("doc_id"))
+      val byLang = Window.partitionBy("lang")
+      scored
+        .withColumn("rk", row_number().over(byQuality))
+        .withColumn("n_lang", count(lit(1)).over(byLang))
+        .filter(col("rk") * 10 <= col("n_lang") * 4)
+        .select(col("doc_id"), col("lang"), col("quality"),
+          col("rk").cast("long").as("rk"), col("n_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // domain-mixture reweighting: the sampling rates that hit a target
+    // per-language TOKEN mixture (en 50 % / zh 30 % / rest 20 %) without
+    // upsampling — the data-mixing stage between cleaning and sampling.
+    // The binding language keeps rate 1.0; the rest get exact integer
+    // rationals s_l·T_m/(s_m·T_l).
+    "x28_mixture_rates" -> ((s, d) => {
+      graft.operators.PackingOps.mixtureRates(
+          Tables.documents(s, d), "lang", "text",
+          Map("en" -> 5000L, "zh" -> 3000L), defaultBps = 2000L)
+        .orderBy("lang")
+    }),
+
+    // repetition signals (the Gopher/MassiveText-style repetition
+    // filters): duplicate-token fraction and top-bigram fraction per
+    // document — templated spam repeats one phrase, natural text does
+    // not. Ratios in exact integer arithmetic (round4Rat); per-doc work
+    // only, no shuffle.
+    "x27_repetition" -> ((s, d) => {
+      import graft.queries.Det.round4Rat
+      val toks = TextOps.tokens(col("text"))
+      val nt = size(toks).cast("long")
+      val nd = size(array_distinct(toks)).cast("long")
+      Tables.documents(s, d).filter(nt >= 2)
+        .select(col("doc_id"),
+          nt.cast("int").as("n_tokens"),
+          round4Rat(nt - nd, nt).as("dup_token_frac"),
+          round4Rat(TextOps.topBigramCount(toks).cast("long"), nt - 1)
+            .as("top_bigram_frac"))
         .orderBy("doc_id")
     }),
 
@@ -955,6 +1017,68 @@ object ExtQueries {
            WHERE h < CASE lang WHEN 'en' THEN 4000 WHEN 'zh' THEN 8000
                                ELSE 6000 END
            ORDER BY doc_id""",
+
+      // the quality column is x9's integer-exact rational; rank/threshold
+      // are pure integers, so nothing float-sensitive crosses the gate
+      "x26_quality_topp" ->
+        s"""WITH scored AS (
+              SELECT doc_id, lang,
+                     ((qnum * 20000 + qden) // (2 * NULLIF(qden, 0))) / 10000.0
+                       AS quality
+              FROM (
+                SELECT doc_id, lang,
+                       20 * nt * least(nt, 100) + 1500 * (nt - sw)
+                         + 3 * nt * least(n_chars, 500) AS qnum,
+                       5000 * nt AS qden
+                FROM (
+                  SELECT doc_id, lang, n_chars, CAST(len(t) AS BIGINT) AS nt,
+                         CAST(len(list_filter(t, x -> list_contains($swList, x)))
+                           AS BIGINT) AS sw
+                  FROM (SELECT doc_id, lang, n_chars, $mdToks AS t FROM documents))
+                WHERE nt > 0)),
+            ranked AS (
+              SELECT doc_id, lang, quality,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY quality DESC, doc_id) AS rk,
+                     COUNT(*) OVER (PARTITION BY lang) AS n_lang
+              FROM scored)
+            SELECT doc_id, lang, quality, rk, n_lang
+            FROM ranked WHERE rk * 10 <= n_lang * 4 ORDER BY doc_id""",
+
+      "x28_mixture_rates" ->
+        s"""WITH agg AS (
+              SELECT lang, COUNT(*) AS n_docs,
+                     CAST(SUM(len($mdToks)) AS BIGINT) AS n_tokens,
+                     CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 3000
+                               ELSE 2000 END AS s_bps
+              FROM documents GROUP BY lang),
+            binding AS (
+              SELECT n_tokens AS t_m, s_bps AS s_m FROM agg
+              ORDER BY CAST(n_tokens AS DOUBLE) / s_bps, lang LIMIT 1)
+            SELECT lang, n_docs, n_tokens,
+                   ((s_bps * t_m * 20000 + s_m * n_tokens)
+                     // (2 * NULLIF(s_m * n_tokens, 0))) / 10000.0 AS rate
+            FROM agg, binding ORDER BY lang""",
+
+      "x27_repetition" ->
+        s"""SELECT doc_id,
+                  CAST(nt AS INT) AS n_tokens,
+                  (((nt - nd) * 20000 + nt) // (2 * NULLIF(nt, 0))) / 10000.0
+                    AS dup_token_frac,
+                  ((topbg * 20000 + (nt - 1)) // (2 * NULLIF(nt - 1, 0))) / 10000.0
+                    AS top_bigram_frac
+           FROM (
+             SELECT doc_id, CAST(len(t) AS BIGINT) AS nt,
+                    CAST(len(list_distinct(t)) AS BIGINT) AS nd,
+                    CAST(coalesce(list_max(list_transform(list_distinct(bg),
+                      x -> len(list_filter(bg, y -> y = x)))), 0) AS BIGINT)
+                      AS topbg
+             FROM (
+               SELECT doc_id, t,
+                      list_transform(range(1, len(t)), i -> t[i]||' '||t[i+1])
+                        AS bg
+               FROM (SELECT doc_id, $mdToks AS t FROM documents)))
+           WHERE nt >= 2 ORDER BY doc_id""",
 
       "x10_text_langid" -> {
         val Seq(db, gen, stream) = profiles.map(_._2)

@@ -69,6 +69,32 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("bigrams + top-bigram count: hand-computed; sub-2-token docs are 0") {
+    val df = Seq("a b a b a", "x", "").toDF("text")
+      .select(TextOps.bigrams(TextOps.tokens(col("text"))).as("bg"),
+        TextOps.topBigramCount(TextOps.tokens(col("text"))).as("top"))
+    val rows = df.collect()
+    assert(rows(0).getSeq[String](0) == Seq("a b", "b a", "a b", "b a"))
+    assert(rows(0).getInt(1) == 2) // "a b" occurs twice
+    assert(rows(1).getSeq[String](0).isEmpty && rows(1).getInt(1) == 0)
+    // split("", " ") yields one empty token — still no bigram
+    assert(rows(2).getSeq[String](0).isEmpty && rows(2).getInt(1) == 0)
+  }
+
+  test("x26: keeps exactly floor(2n/5) docs per language, the best-ranked ones") {
+    val sf = SparkTestSession.sf0001
+    val kept = SparkEntry.queries("x26_quality_topp")(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = Tables.documents(spark, sf)
+      .filter(size(TextOps.tokens(col("text"))) > 0)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.nonEmpty)
+    kept.foreach { case (lang, k) => assert(k == totals(lang) * 2 / 5,
+      s"$lang: kept $k of ${totals(lang)}") }
+  }
+
   test("clusterLabels: explicit stageDir receives the parquet handoff") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stage-test").toString
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")

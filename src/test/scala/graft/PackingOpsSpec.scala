@@ -81,6 +81,20 @@ class PackingOpsSpec extends AnyFunSuite {
     assert(capped.isEmpty)
   }
 
+  test("mixture rates: binding class keeps 1.0, others hit the target share") {
+    import spark.implicits._
+    // lang a: 30 tokens, lang b: 10 tokens, equal 50/50 target
+    // → b binds (fewest tokens per unit share); a keeps 10/30 = 0.3333
+    val docs = Seq(
+      (1L, "a", Seq.fill(30)("w").mkString(" ")),
+      (2L, "b", Seq.fill(10)("w").mkString(" "))).toDF("doc_id", "lang", "text")
+    val rates = PackingOps.mixtureRates(docs, "lang", "text",
+        Map("a" -> 5000L, "b" -> 5000L), defaultBps = 0L)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(rates == Map("a" -> 0.3333, "b" -> 1.0))
+    // post-sample token expectation: 30·⅓ : 10·1 == 1 : 1 — the target
+  }
+
   test("sampling is deterministic and subset-monotone in the rate") {
     val lo = PackingOps.stratifiedSample(docs, "lang", "doc_id",
       Map.empty, defaultRate = 0.3).select("doc_id")
