@@ -300,6 +300,56 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 
+  /** Verbatim SHARED-SPAN pairs — the substring-level member of the
+    * near-dup family (the signal behind substring-dedup a la "dedup the
+    * training set by removing repeated spans"): for every document pair
+    * sharing at least one identical `windowLen`-token window, report how
+    * many distinct windows they share and the LONGEST verbatim common
+    * span in tokens. Set-based Jaccard (x4) misses this — two docs can
+    * share a long quoted paragraph yet have low global token overlap.
+    *
+    * Shape: sliding windows with positions → inverted index on a 60-bit
+    * md5 window key (8-byte shuffle rows, never text) → equi-join →
+    * consecutive matches collapse into runs by the classic
+    * gaps-and-islands trick on the match DIAGONAL (pb − pa): windows at
+    * (pa, pb) and (pa+1, pb+1) are the same island, and a run of r
+    * windows is a span of r + windowLen − 1 shared tokens. Output per
+    * pair: `n_matches` (matched window position pairs) and `max_span`
+    * (longest verbatim common run, in tokens). Pair work is
+    * Σ window-frequency² — windows of 8 tokens are far more selective
+    * than 3-gram shingles, so the index is sparser than x4's; the same
+    * document-frequency cap pattern applies if a corpus has boilerplate
+    * spans (compose with a `groupBy(h).count` filter as in
+    * [[jaccardNearDups]]).
+    */
+  def sharedSpanPairs(docs: DataFrame, textCol: String, idCol: String,
+      windowLen: Int = 8): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val n = size(toks)
+    // Spark's sequence(1, 0) counts DOWN — guard short docs explicitly
+    val idx = when(n >= windowLen, sequence(lit(1), n - (windowLen - 1)))
+      .otherwise(array().cast("array<int>"))
+    val wins = transform(idx, i =>
+      concat_ws(" ", slice(toks, i, lit(windowLen))))
+    val indexed = spreadByDoc(docs, idCol)
+      .select(col(idCol).as("doc_id"), posexplode(wins).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast(LongType).as("h"))
+    val a = indexed.select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+    val b = indexed.select(col("h"), col("doc_id").as("doc_b"), col("pos").as("pb"))
+    val matched = a.join(b, Seq("h")).filter(col("doc_a") < col("doc_b"))
+    // islands: within one diagonal, consecutive pa values share one run
+    val byDiag = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    matched
+      .withColumn("diag", col("pb") - col("pa"))
+      .withColumn("isl", col("pa") - row_number().over(byDiag))
+      .groupBy("doc_a", "doc_b", "diag", "isl")
+      .agg(count(lit(1)).as("run"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum("run").cast(LongType).as("n_matches"),
+        (max("run") + (windowLen - 1)).cast(LongType).as("max_span"))
+  }
+
   /** Connected components over the near-dup pair graph: every document
     * that appears in `pairs` (columns doc_a, doc_b) is labeled with the
     * MINIMUM doc id reachable from it — the cluster id. This is what makes

@@ -357,6 +357,17 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // verbatim shared-span pairs (substring-level dedup signal): doc
+    // pairs sharing >= one identical 8-token window, with the longest
+    // common run — catches a copied paragraph that set-Jaccard (x4)
+    // misses when global overlap stays low. Inverted index on the
+    // 60-bit md5 window key; runs via gaps-and-islands on the match
+    // diagonal.
+    "x29_shared_spans" -> ((s, d) => {
+      DedupOps.sharedSpanPairs(Tables.documents(s, d), "text", "doc_id", 8)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // per-language TOP-p% quality gate — percentile-based corpus filtering
     // (keep the best 40 % of each language by x9's quality score). Rank
     // and threshold are INTEGER-exact end to end: row_number over the
@@ -1017,6 +1028,32 @@ object ExtQueries {
            WHERE h < CASE lang WHEN 'en' THEN 4000 WHEN 'zh' THEN 8000
                                ELSE 6000 END
            ORDER BY doc_id""",
+
+      "x29_shared_spans" -> {
+        val win8 = (1 to 7).foldLeft("t[i]") { (acc, j) => s"$acc||' '||t[i+$j]" }
+        s"""WITH w AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(t)-6), i ->
+                       CAST('0x' || substr(md5($win8), 1, 15) AS BIGINT))) AS h,
+                     unnest(range(1, len(t)-6)) AS pos
+              FROM (SELECT doc_id, $mdToks AS t FROM documents)),
+            m AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.pos AS pa, b.pos AS pb
+              FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id),
+            runs AS (
+              SELECT doc_a, doc_b, diag, isl, COUNT(*) AS run
+              FROM (
+                SELECT doc_a, doc_b, pb - pa AS diag,
+                       pa - row_number() OVER (PARTITION BY doc_a, doc_b, pb - pa
+                         ORDER BY pa) AS isl
+                FROM m)
+              GROUP BY doc_a, doc_b, diag, isl)
+            SELECT doc_a, doc_b,
+                   CAST(SUM(run) AS BIGINT) AS n_matches,
+                   CAST(MAX(run) + 7 AS BIGINT) AS max_span
+            FROM runs GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b"""
+      },
 
       // the quality column is x9's integer-exact rational; rank/threshold
       // are pure integers, so nothing float-sensitive crosses the gate

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.DedupOps
+
+/** Streaming DECONTAMINATION gate — the ingest-time twin of batch
+  * [[DedupOps.crossContamination]] (x23): arriving training documents are
+  * checked against the held-out eval split BEFORE they land in the
+  * corpus, so benchmark leakage is stopped at the door instead of
+  * scrubbed later.
+  *
+  * Each micro-batch runs the EXACT batch kernel (inverted shingle index,
+  * overlap against the eval doc's shingle count) against the static eval
+  * frame — the same code path the oracle checks, so gate decisions at
+  * ingest equal what a batch decontamination pass would have decided.
+  * Clean rows append to `cleanDir`, flagged rows to `leakedDir` (kept,
+  * not dropped — leak candidates are exactly what a data team audits).
+  *
+  * Scale shape: the eval split is small by nature, so per batch this is
+  * one inverted-index equi-join of O(batch shingles) rows against
+  * O(eval shingles); no streaming state store at all — the immutable
+  * eval index IS the state. Pass an eval frame backed by parquet (or
+  * cache it) so it is not recomputed per batch.
+  */
+object DecontaminationStream {
+
+  /** Gate one micro-batch; public so batch backfills replay history
+    * through the identical decision path.
+    */
+  def applyBatch(batch: DataFrame, evalDocs: DataFrame, textCol: String,
+      idCol: String, minOverlap: Double,
+      cleanDir: String, leakedDir: String): Unit =
+    if (!batch.isEmpty) {
+      val b = batch.persist()
+      try {
+        val leaked = DedupOps.crossContamination(b, evalDocs,
+            textCol, idCol, minOverlap)
+          .select(col("train_id").as(idCol)).distinct()
+        b.join(leaked, Seq(idCol), "left_anti")
+          .write.mode("append").parquet(cleanDir)
+        b.join(leaked, Seq(idCol), "left_semi")
+          .write.mode("append").parquet(leakedDir)
+      } finally b.unpersist()
+    }
+
+  /** Run the gate continuously over a streaming `train` frame (columns
+    * must include `idCol` and `textCol`).
+    */
+  def startGate(train: DataFrame, evalDocs: DataFrame, textCol: String,
+      idCol: String, minOverlap: Double, cleanDir: String,
+      leakedDir: String, checkpointDir: String): StreamingQuery =
+    train.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        applyBatch(batch.toDF(), evalDocs, textCol, idCol, minOverlap,
+          cleanDir, leakedDir)
+      }
+      .start()
+}

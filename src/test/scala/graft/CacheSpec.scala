@@ -18,7 +18,10 @@ class CacheSpec extends AnyFunSuite {
     "x3b_simhash_md5", "x4_dedup_jaccard", "x4b_dedup_jaccard_capped",
     "x5_embed_neardup_pairs", "x6_sim_topk", "x7_sim_topk_bucketed",
     "x14_sim_ivf", "x16_hash_split", "x17_edit_distance_pairs",
-    "x18_knn_vote", "x19_l2_topk")
+    "x18_knn_vote", "x19_l2_topk",
+    // the iterative-CC family checkpoints rounds internally; the contract
+    // is that every block is freed before the call returns
+    "x25_dedup_clusters", "x24b_manifest_neardup", "x29_shared_spans")
 
   test("dedup/ANN queries leave no persisted RDDs behind") {
     for (name <- extQueries) {

@@ -95,6 +95,23 @@ class ExtOpsSpec extends AnyFunSuite {
       s"$lang: kept $k of ${totals(lang)}") }
   }
 
+  test("shared spans: copied paragraph found with exact run length") {
+    // doc 2 copies a 12-token span of doc 1 (positions differ), doc 3 is
+    // unrelated: 12 shared tokens = 5 matched 8-token windows, one run
+    val span = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"pre1 pre2 $span tail1 tail2"),
+      (2L, s"other lead in words here $span"),
+      (3L, "completely different content with nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.sharedSpanPairs(docs, "text", "doc_id", 8).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(r.getAs[Long]("n_matches") == 5) // 12 - 8 + 1 windows
+    assert(r.getAs[Long]("max_span") == 12)
+  }
+
   test("clusterLabels: explicit stageDir receives the parquet handoff") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stage-test").toString
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
