@@ -189,8 +189,7 @@ object DedupOps {
       .filter(size(col("sharr")) > 0)
       .select(col(out), size(col("sharr")).cast(LongType).as("n"),
         explode(col("sharr")).as("s0"))
-      .select(col(out), col("n"),
-        conv(substring(md5(col("s0")), 1, 15), 16, 10).cast(LongType).as("s"))
+      .select(col(out), col("n"), TextOps.md5Key60(col("s0")).as("s"))
     val ev = index(eval, "eval_id").withColumnRenamed("n", "n_eval")
     val tr0 = index(train, "train_id").drop("n")
     val tr = maxShingleDf.fold(tr0) { cap =>
@@ -324,17 +323,11 @@ object DedupOps {
     */
   def sharedSpanPairs(docs: DataFrame, textCol: String, idCol: String,
       windowLen: Int = 8): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
-    val n = size(toks)
-    // Spark's sequence(1, 0) counts DOWN — guard short docs explicitly
-    val idx = when(n >= windowLen, sequence(lit(1), n - (windowLen - 1)))
-      .otherwise(array().cast("array<int>"))
-    val wins = transform(idx, i =>
-      concat_ws(" ", slice(toks, i, lit(windowLen))))
+    // the windows ARE n-token shingles — one guarded implementation
+    val wins = TextOps.shingles(TextOps.tokens(col(textCol)), windowLen)
     val indexed = spreadByDoc(docs, idCol)
       .select(col(idCol).as("doc_id"), posexplode(wins).as(Seq("pos", "w")))
-      .select(col("doc_id"), col("pos"),
-        conv(substring(md5(col("w")), 1, 15), 16, 10).cast(LongType).as("h"))
+      .select(col("doc_id"), col("pos"), TextOps.md5Key60(col("w")).as("h"))
     val a = indexed.select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pa"))
     val b = indexed.select(col("h"), col("doc_id").as("doc_b"), col("pos").as("pb"))
     val matched = a.join(b, Seq("h")).filter(col("doc_a") < col("doc_b"))

@@ -96,7 +96,9 @@ object PackingOps {
     */
   def mixtureRates(df: DataFrame, classCol: String, textCol: String,
       targetBps: Map[String, Long], defaultBps: Long): DataFrame = {
-    import graft.queries.Det.round4Rat
+    // decimal-width rounding: s_bps·T products overflow Long past ~4.6e10
+    // tokens in the binding class — corpus scale is orders beyond that
+    import graft.queries.Det.round4RatBig
     val tok = size(TextOps.tokens(col(textCol))).cast("long")
     val sBps = targetBps.foldLeft(lit(defaultBps)) { case (acc, (cls, s)) =>
       when(col(classCol) === cls, lit(s)).otherwise(acc)
@@ -111,10 +113,12 @@ object PackingOps {
       .orderBy((col("n_tokens").cast("double") / col("s_bps")).asc, col(classCol))
       .limit(1)
       .select(col("n_tokens").as("t_m"), col("s_bps").as("s_m"))
+    // the products themselves must be decimal — long·long wraps first
+    val dec38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     agg.crossJoin(broadcast(binding))
       .select(col(classCol), col("n_docs"), col("n_tokens"),
-        round4Rat(col("s_bps") * col("t_m"), col("s_m") * col("n_tokens"))
-          .as("rate"))
+        round4RatBig(dec38(col("s_bps")) * dec38(col("t_m")),
+          dec38(col("s_m")) * dec38(col("n_tokens"))).as("rate"))
   }
 
   /** Deterministic stratified sampling: per-class keep rates (class

@@ -41,6 +41,15 @@ object TextOps {
   def fingerprint(toks: Column): Column =
     md5(concat_ws(" ", sort_array(array_distinct(toks))))
 
+  /** Engine-portable 60-bit integer key of a string: the first 15 hex
+    * chars of its md5, as a long — the 8-byte shuffle key every inverted
+    * index here joins on instead of text (identical value in DuckDB:
+    * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`).
+    */
+  def md5Key60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10)
+      .cast(org.apache.spark.sql.types.LongType)
+
   /** Consecutive token bigrams ("w1 w2") — the unit the repetition
     * signals below measure; empty for docs under 2 tokens.
     */

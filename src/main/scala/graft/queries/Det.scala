@@ -58,6 +58,24 @@ object Det {
       ((a - pmod(a, b)) / b).cast(org.apache.spark.sql.types.LongType) / lit(10000.0))
   }
 
+  /** [[round4Rat]] for magnitudes past the long/double-exact envelope:
+    * `num·20000 + den` overflows Long past num ≈ 4.6e14, and the final
+    * integer-valued division leaves double-exact range past 2^53 — at
+    * corpus scale (token totals in the trillions) both bite. This
+    * variant runs the identical half-up rational rounding in
+    * decimal(38,0): exact up to num ≈ 10^33. The decimal quotient is
+    * integer-valued and ≤ 20001, so the precision-loss scale Spark
+    * assigns to decimal division cannot distort it.
+    * DuckDB equivalent: ((CAST(num AS HUGEINT)*20000 + den) // (2*den)) / 10000.0
+    */
+  def round4RatBig(num: Column, den: Column): Column = {
+    val d38 = DecimalType(38, 0)
+    val a = num.cast(d38) * lit(20000L).cast(d38) + den.cast(d38)
+    val b = den.cast(d38) * lit(2L).cast(d38)
+    when(den === 0, lit(null).cast(DoubleType)).otherwise(
+      ((a - pmod(a, b)) / b).cast(org.apache.spark.sql.types.LongType) / lit(10000.0))
+  }
+
   /** Exact revenue-style product sum: price*(1-discount) computed entirely
     * in decimal, then the exact decimal sum cast to double.
     * DuckDB: CAST(SUM(CAST(p AS DECIMAL(18,2)) * (1 - CAST(d AS DECIMAL(18,2)))) AS DOUBLE).

@@ -325,11 +325,16 @@ object ExtQueries {
     // gate): the coarse quantizer is a seeded KMeans fit persisted as a
     // parquet centroid table that BOTH engines then read — determinism
     // crosses the oracle through the fixed artifact, not the fit. The
-    // oracle's read_parquet path is keyed by the sf directory name; the
-    // driver verifies at sf0.01 (its path is pinned in the SQL below).
+    // handoff is DELIBERATELY a local-filesystem path (explicit file://
+    // scheme, so a cluster defaultFS cannot redirect the Spark side away
+    // from the file DuckDB reads): this query exists for the single-
+    // machine oracle harness, which runs Verify and the DuckDB compare
+    // on one host; the oracle SQL pins the sf0.01 directory the driver
+    // verifies at. Production IVF persists through ModelRegistry /
+    // StageIO instead (see SimilarityOps.trainCentroids scaladoc).
     "x14b_sim_ivf_trained" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val centDir = s"/tmp/graft_ivf_centroids/${new java.io.File(d).getName}"
+      val centDir = s"file:///tmp/graft_ivf_centroids/${new java.io.File(d).getName}"
       SimilarityOps.trainCentroids(emb, "embedding", k = 4, seed = 42L)
         .coalesce(1).write.mode("overwrite").parquet(centDir)
       val cents = s.read.parquet(centDir)
@@ -1093,8 +1098,8 @@ object ExtQueries {
               SELECT n_tokens AS t_m, s_bps AS s_m FROM agg
               ORDER BY CAST(n_tokens AS DOUBLE) / s_bps, lang LIMIT 1)
             SELECT lang, n_docs, n_tokens,
-                   ((s_bps * t_m * 20000 + s_m * n_tokens)
-                     // (2 * NULLIF(s_m * n_tokens, 0))) / 10000.0 AS rate
+                   ((CAST(s_bps AS HUGEINT) * t_m * 20000 + CAST(s_m AS HUGEINT) * n_tokens)
+                     // (2 * NULLIF(CAST(s_m AS HUGEINT) * n_tokens, 0))) / 10000.0 AS rate
             FROM agg, binding ORDER BY lang""",
 
       "x27_repetition" ->

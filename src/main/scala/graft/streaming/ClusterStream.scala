@@ -37,20 +37,49 @@ object ClusterStream {
   /** One incremental CC step over `batch` (columns doc_a, doc_b) against
     * the labeling stored at `labelsDir`. Public so batch backfills can
     * replay history through the identical code path.
+    *
+    * The store swap is CRASH-SAFE, not a bare overwrite (which deletes
+    * the old store before the new write commits — a mid-write failure
+    * would erase every cluster learned from earlier batches): the new
+    * labeling lands in a sibling `.next` directory, then the old store
+    * is removed and `.next` renamed into place. A crash between those
+    * two steps leaves `.next` complete on disk, and the next invocation
+    * (or reader) ROLLS IT FORWARD before doing anything else — at every
+    * instant at least one complete labeling exists. (Rename is atomic on
+    * HDFS-like stores; on object stores it is copy+delete, still
+    * recoverable because roll-forward re-runs until the store exists.)
     */
   def applyBatch(batch: DataFrame, labelsDir: String, maxIter: Int = 30): Unit = {
     val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(labelsDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    rollForward(fs, labelsDir)
     val newEdges = batch.select(col("doc_a"), col("doc_b"))
     if (!newEdges.isEmpty) {
-      val hp = new org.apache.hadoop.fs.Path(labelsDir)
-      val exists = hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
+      val store = new org.apache.hadoop.fs.Path(labelsDir)
+      val next = new org.apache.hadoop.fs.Path(labelsDir + ".next")
       val edges =
-        if (!exists) newEdges
+        if (!fs.exists(store)) newEdges
         else newEdges.unionByName(spark.read.parquet(labelsDir)
           .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b")))
-      DedupOps.clusterLabels(edges, maxIter)
-        .write.mode("overwrite").parquet(labelsDir)
+      // fixed stage dir: the default would mint one UUID dir per batch and
+      // only clean at JVM exit — unbounded growth on a continuous stream
+      DedupOps.clusterLabels(edges, maxIter,
+          stageDir = Some(labelsDir + ".stage"))
+        .write.mode("overwrite").parquet(next.toString)
+      if (fs.exists(store)) fs.delete(store, true)
+      fs.rename(next, store)
     }
+  }
+
+  /** Complete a swap a previous run crashed in the middle of: if the
+    * store is missing but a complete `.next` exists, promote it.
+    */
+  private def rollForward(fs: org.apache.hadoop.fs.FileSystem,
+      labelsDir: String): Unit = {
+    val store = new org.apache.hadoop.fs.Path(labelsDir)
+    val next = new org.apache.hadoop.fs.Path(labelsDir + ".next")
+    if (!fs.exists(store) && fs.exists(next)) fs.rename(next, store)
   }
 
   /** Maintain `labelsDir` continuously from a streaming `pairs` frame

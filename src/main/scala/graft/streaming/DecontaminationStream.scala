@@ -29,21 +29,33 @@ object DecontaminationStream {
 
   /** Gate one micro-batch; public so batch backfills replay history
     * through the identical decision path.
+    *
+    * Idempotent under foreachBatch's at-least-once replay: each batch
+    * writes to a `batch=<id>` partition subdir in OVERWRITE mode, so a
+    * replayed batch replaces its own previous (possibly partial) output
+    * instead of appending duplicate training rows. Readers see the whole
+    * sink as one partitioned dataset (`spark.read.parquet(cleanDir)`).
+    * The leak-id set (small by construction) is persisted so the
+    * inverted-index join runs once per batch, not once per sink.
     */
-  def applyBatch(batch: DataFrame, evalDocs: DataFrame, textCol: String,
-      idCol: String, minOverlap: Double,
+  def applyBatch(batch: DataFrame, batchId: Long, evalDocs: DataFrame,
+      textCol: String, idCol: String, minOverlap: Double,
       cleanDir: String, leakedDir: String): Unit =
     if (!batch.isEmpty) {
       val b = batch.persist()
+      val leaked = DedupOps.crossContamination(b, evalDocs,
+          textCol, idCol, minOverlap)
+        .select(col("train_id").as(idCol)).distinct()
+        .persist()
       try {
-        val leaked = DedupOps.crossContamination(b, evalDocs,
-            textCol, idCol, minOverlap)
-          .select(col("train_id").as(idCol)).distinct()
         b.join(leaked, Seq(idCol), "left_anti")
-          .write.mode("append").parquet(cleanDir)
+          .write.mode("overwrite").parquet(s"$cleanDir/batch=$batchId")
         b.join(leaked, Seq(idCol), "left_semi")
-          .write.mode("append").parquet(leakedDir)
-      } finally b.unpersist()
+          .write.mode("overwrite").parquet(s"$leakedDir/batch=$batchId")
+      } finally {
+        leaked.unpersist()
+        b.unpersist()
+      }
     }
 
   /** Run the gate continuously over a streaming `train` frame (columns
@@ -55,9 +67,9 @@ object DecontaminationStream {
     train.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        applyBatch(batch.toDF(), evalDocs, textCol, idCol, minOverlap,
-          cleanDir, leakedDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyBatch(batch.toDF(), batchId, evalDocs, textCol, idCol,
+          minOverlap, cleanDir, leakedDir)
       }
       .start()
 }
