@@ -557,4 +557,28 @@ object DedupOps {
       .select(col("doc_id").as(idCol))
     docs.join(dropped, Seq(idCol), "left_anti")
   }
+
+  /** [[survivors]] keeping each cluster's BEST-scoring member instead of
+    * its min id — what a production dedup actually does: when several
+    * near-copies exist, keep the highest-quality one (longest, cleanest,
+    * highest model score) and drop the rest. Ties break on min id, so the
+    * choice is total and deterministic.
+    *
+    * Shape: the CC labeling joins back to `docs` (broadcast-sized — one
+    * row per CLUSTERED doc, not per doc), then one window per cluster
+    * picks the argmax. Docs in no cluster pass through untouched, exactly
+    * as in [[survivors]].
+    */
+  def survivorsByScore(docs: DataFrame, pairs: DataFrame, idCol: String,
+      scoreCol: String, stageDir: Option[String] = None): DataFrame = {
+    val labels = clusterLabels(pairs, stageDir = stageDir)
+      .withColumnRenamed("doc_id", idCol)
+    val byCluster = Window.partitionBy("cluster_id")
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val dropped = docs.join(labels, Seq(idCol)) // only clustered docs
+      .withColumn("rk", row_number().over(byCluster))
+      .filter(col("rk") > 1)
+      .select(col(idCol))
+    docs.join(dropped, Seq(idCol), "left_anti")
+  }
 }

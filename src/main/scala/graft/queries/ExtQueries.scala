@@ -362,6 +362,28 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // quality-aware dedup: each near-dup cluster keeps its BEST-quality
+    // member (ties -> min id), not its min id — what a production dedup
+    // does when several near-copies differ in cleanliness. CC labeling
+    // (as x25) + one argmax window per cluster; unclustered docs pass
+    // through.
+    "x30_dedup_best_survivor" -> ((s, d) => {
+      import graft.queries.Det.round4Rat
+      val toks = TextOps.tokens(col("text"))
+      val nt = size(toks).cast("long")
+      val sw = size(filter(toks, t => t.isInCollection(TextOps.stopwords))).cast("long")
+      val qNum = lit(20L) * nt * least(nt, lit(100L)) +
+        lit(1500L) * (nt - sw) +
+        lit(3L) * nt * least(col("n_chars").cast("long"), lit(500L))
+      val qDen = lit(5000L) * nt
+      val docs = Tables.documents(s, d)
+      val scored = docs.select(col("doc_id"), col("lang"),
+        round4Rat(qNum, qDen).as("quality"))
+      val pairs = DedupOps.jaccardNearDups(docs, "text", "doc_id", 0.5)
+      DedupOps.survivorsByScore(scored, pairs, "doc_id", "quality")
+        .orderBy("doc_id")
+    }),
+
     // verbatim shared-span pairs (substring-level dedup signal): doc
     // pairs sharing >= one identical 8-token window, with the longest
     // common run — catches a copied paragraph that set-Jaccard (x4)
@@ -1033,6 +1055,56 @@ object ExtQueries {
            WHERE h < CASE lang WHEN 'en' THEN 4000 WHEN 'zh' THEN 8000
                                ELSE 6000 END
            ORDER BY doc_id""",
+
+      // x25's recursive components + x9's quality + one argmax window
+      "x30_dedup_best_survivor" ->
+        s"""WITH RECURSIVE sh AS (
+              SELECT doc_id, unnest(sh) AS s FROM (
+                SELECT doc_id, $mdShingles AS sh
+                FROM (SELECT doc_id, $mdToks AS t FROM documents))),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            j AS (
+              SELECT doc_a, doc_b FROM pairs
+              JOIN sizes sa ON doc_a = sa.doc_id
+              JOIN sizes sb ON doc_b = sb.doc_id
+              WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM j
+              UNION ALL SELECT doc_b, doc_a FROM j),
+            walk(id, lab) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id),
+            lab AS (SELECT id AS doc_id, min(lab) AS cluster_id
+                    FROM walk GROUP BY id),
+            q AS (
+              SELECT doc_id, lang,
+                     ((qnum * 20000 + qden) // (2 * NULLIF(qden, 0))) / 10000.0
+                       AS quality
+              FROM (
+                SELECT doc_id, lang,
+                       20 * nt * least(nt, 100) + 1500 * (nt - sw)
+                         + 3 * nt * least(n_chars, 500) AS qnum,
+                       5000 * nt AS qden
+                FROM (
+                  SELECT doc_id, lang, n_chars, CAST(len(t) AS BIGINT) AS nt,
+                         CAST(len(list_filter(t, x -> list_contains($swList, x)))
+                           AS BIGINT) AS sw
+                  FROM (SELECT doc_id, lang, n_chars, $mdToks AS t FROM documents)))),
+            dropped AS (
+              SELECT doc_id FROM (
+                SELECT l.doc_id,
+                       row_number() OVER (PARTITION BY l.cluster_id
+                         ORDER BY q.quality DESC, l.doc_id) AS rk
+                FROM lab l JOIN q USING (doc_id))
+              WHERE rk > 1)
+            SELECT doc_id, lang, quality FROM q
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+            ORDER BY doc_id""",
 
       "x29_shared_spans" -> {
         val win8 = (1 to 7).foldLeft("t[i]") { (acc, j) => s"$acc||' '||t[i+$j]" }

@@ -112,6 +112,17 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("max_span") == 12)
   }
 
+  test("survivorsByScore: the best-scoring member survives, not the min id") {
+    // chain 1~2~3 (transitive cluster); doc 2 has the top score — it
+    // survives where plain survivors would keep doc 1. Doc 4 unclustered.
+    val docs = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5), (4L, 0.1))
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val kept = DedupOps.survivorsByScore(docs, pairs, "doc_id", "score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L))
+  }
+
   test("clusterLabels: explicit stageDir receives the parquet handoff") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stage-test").toString
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")

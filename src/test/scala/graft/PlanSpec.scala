@@ -147,6 +147,13 @@ class PlanSpec extends AnyFunSuite {
     assert(fuzzy.count() > 0)
   }
 
+  test("x29: shared-span candidates come from an equi-join on the window key") {
+    val p = plan("x29_shared_spans")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("h#") || p.contains("[h]"), p) // join on the window hash
+  }
+
   test("x14b: trained-IVF assignment is broadcast, never a shuffle join") {
     val p = plan("x14b_sim_ivf_trained")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
