@@ -1,0 +1,61 @@
+package graft
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.operators.{DedupOps, PackingOps}
+
+/** Properties for the corpus-curation operators added in round 7:
+  * shared-span recovery and mixture-rate invariants must hold for ANY
+  * planted input, not just the fixture.
+  */
+object CurationProps extends Properties("curation") {
+  lazy val spark = SparkTestSession.spark
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  property("sharedSpanPairs recovers a planted span's exact length and window count") =
+    forAll(Gen.choose(8, 24), Gen.choose(0, 6), Gen.choose(0, 6)) { (l, pre, suf) =>
+      import spark.implicits._
+      // disjoint vocabularies outside the span — no accidental matches
+      val span = (1 to l).map(i => s"s$i").mkString(" ")
+      val d1 = ((1 to pre).map(i => s"p$i") :+ span).mkString(" ")
+      val d2 = (span +: (1 to suf).map(i => s"t$i")).mkString(" ")
+      val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+      val out = DedupOps.sharedSpanPairs(docs, "text", "doc_id", 8).collect()
+      out.length == 1 &&
+        out.head.getAs[Long]("max_span") == l &&
+        out.head.getAs[Long]("n_matches") == l - 7
+    }
+
+  property("mixtureRates: binding class keeps 1.0, all rates <= 1, mixture hit within rounding") =
+    forAll(Gen.choose(2, 4).flatMap(k =>
+      Gen.listOfN(k, Gen.zip(Gen.choose(5, 400), Gen.choose(500, 5000)))),
+      Gen.choose(0L, Long.MaxValue)) { (classes, seed) =>
+      import spark.implicits._
+      val rnd = new scala.util.Random(seed)
+      // one doc per class holding `tok` tokens; targets in basis points
+      val named = classes.zipWithIndex.map { case ((tok, bps), i) =>
+        (s"c$i", tok.toLong, bps.toLong)
+      }
+      val docs = named.zipWithIndex.map { case ((cls, tok, _), i) =>
+        (i.toLong, cls, Vector.fill(tok.toInt)("w").mkString(" "))
+      }.toDF("doc_id", "cls", "text")
+      val targets = named.map { case (cls, _, bps) => cls -> bps }.toMap
+      val rates = PackingOps.mixtureRates(docs, "cls", "text", targets, 1L)
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Long]("n_tokens"), r.getDouble(3))).toMap
+      val ratio = named.map { case (cls, tok, bps) => (cls, tok.toDouble / bps) }
+      val binding = ratio.minBy { case (c, r) => (r, c) }._1
+      rates.values.forall(_._2 <= 1.0) &&
+        rates(binding)._2 == 1.0 &&
+        named.forall { case (cls, tok, bps) =>
+          // post-sample tokens / target share must equal the binding
+          // class's, up to the 4-decimal rate rounding
+          val (t, rate) = rates(cls)
+          val achieved = rate * t / bps
+          val want = rates(binding)._1.toDouble / targets(binding)
+          math.abs(achieved - want) <= 5.1e-5 * t / bps
+        }
+    }
+}

@@ -30,4 +30,24 @@ object DedupProps extends Properties("dedup-cc") {
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       labels.size == n && ids.forall(id => labels(id) == ids.min)
     }
+
+  property("star contraction agrees with propagation on random multi-component graphs") =
+    forAll(Gen.choose(8, 25), Gen.choose(0L, Long.MaxValue)) { (n, seed) =>
+      import spark.implicits._
+      // random edges over a sparse id space → several components of mixed
+      // shape. maxIter=0 skips propagation entirely (pure contraction);
+      // maxIter=50 always converges via propagation. Labelings must match
+      // exactly — same vertices, same cluster ids.
+      val rnd = new scala.util.Random(seed)
+      val ids = (0 until n).map(i => (i * 7 + 3).toLong)
+      val m = n + rnd.nextInt(n)
+      val edges = Vector.fill(m)((ids(rnd.nextInt(n)), ids(rnd.nextInt(n))))
+        .filter { case (a, b) => a != b }
+      edges.isEmpty || {
+        val pairs = edges.toDF("doc_a", "doc_b")
+        def labelsOf(maxIter: Int) = DedupOps.clusterLabels(pairs, maxIter)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        labelsOf(0) == labelsOf(50)
+      }
+    }
 }
