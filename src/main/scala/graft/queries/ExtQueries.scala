@@ -362,6 +362,33 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // corpus-relative TYPICALITY score (the rationale behind CCNet-style
+    // perplexity filtering, in exact rational form): score each document
+    // by the average document-frequency of its distinct tokens — docs of
+    // corpus-rare gibberish score low, boilerplate scores high; both
+    // tails are what a curation pass inspects. Two-pass shape: one
+    // df aggregation over the exploded distinct-token index, one join
+    // back per token, one per-doc agg. Uses round4RatBig: Σdf reaches
+    // n_distinct·n_docs, past Long·20000 range at corpus scale. (No
+    // log/perplexity float crosses the oracle — libm log differs across
+    // engines; the df rational carries the same ordering signal.)
+    "x31_typicality" -> ((s, d) => {
+      import graft.queries.Det.round4RatBig
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.count() // 1-action corpus size (metadata-cheap)
+      val tok = docs.select(col("doc_id"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+      val df = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+      tok.join(df, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_distinct"), sum("df").as("sum_df"))
+        .select(col("doc_id"), col("n_distinct"),
+          round4RatBig(col("sum_df").cast("decimal(38,0)"),
+            col("n_distinct").cast("decimal(38,0)") * lit(nDocs))
+            .as("typicality"))
+        .orderBy("doc_id")
+    }),
+
     // quality-aware dedup: each near-dup cluster keeps its BEST-quality
     // member (ties -> min id), not its min id — what a production dedup
     // does when several near-copies differ in cleanliness. CC labeling
@@ -1055,6 +1082,19 @@ object ExtQueries {
            WHERE h < CASE lang WHEN 'en' THEN 4000 WHEN 'zh' THEN 8000
                                ELSE 6000 END
            ORDER BY doc_id""",
+
+      "x31_typicality" ->
+        s"""WITH tok AS (
+              SELECT doc_id, unnest(list_distinct($mdToks)) AS tok
+              FROM documents),
+            df AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents)
+            SELECT doc_id, COUNT(*) AS n_distinct,
+                   ((CAST(SUM(df) AS HUGEINT) * 20000 + COUNT(*) * n_docs)
+                     // (2 * NULLIF(CAST(COUNT(*) AS HUGEINT) * n_docs, 0)))
+                     / 10000.0 AS typicality
+            FROM tok JOIN df USING (tok), n
+            GROUP BY doc_id, n_docs ORDER BY doc_id""",
 
       // x25's recursive components + x9's quality + one argmax window
       "x30_dedup_best_survivor" ->

@@ -112,6 +112,18 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("max_span") == 12)
   }
 
+  test("x31: corpus-common docs score higher typicality than rare-token docs") {
+    val sf = SparkTestSession.sf0001
+    val rows = SparkEntry.queries("x31_typicality")(spark, sf).collect()
+    assert(rows.length == 500)
+    val scores = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("typicality")).toMap
+    // every score is a valid df ratio: (0, 1]
+    assert(scores.values.forall(s => s > 0.0 && s <= 1.0))
+    // the fixture's shared SQL-word vocabulary means typical docs sit well
+    // above the 1/n_docs floor a unique-token doc would get
+    assert(scores.values.max > 0.5)
+  }
+
   test("survivorsByScore: the best-scoring member survives, not the min id") {
     // chain 1~2~3 (transitive cluster); doc 2 has the top score — it
     // survives where plain survivors would keep doc 1. Doc 4 unclustered.
