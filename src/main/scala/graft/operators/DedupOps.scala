@@ -322,12 +322,34 @@ object DedupOps {
     * [[jaccardNearDups]]).
     */
   def sharedSpanPairs(docs: DataFrame, textCol: String, idCol: String,
-      windowLen: Int = 8): DataFrame = {
+      windowLen: Int = 8): DataFrame =
+    sharedSpanPairs(docs, textCol, idCol, windowLen, None)
+
+  /** As above, with the document-frequency cap that is the span family's
+    * skew control (same dial as [[jaccardNearDups]]'s `maxShingleDf`):
+    * windows occurring in more than `maxWindowDf` DISTINCT documents are
+    * dropped from the index before the pair join. A license header or
+    * navigation boilerplate shared by 1M docs would otherwise cost 10¹²
+    * candidate pairs on one join key; capping bounds per-key fan-out at
+    * the price of missing pairs whose ONLY overlap is that boilerplate —
+    * usually exactly the pairs a span dedup wants to ignore. Runs and
+    * `max_span` are computed over the surviving windows (a capped window
+    * splits a run it sat inside). The uncapped form stays the
+    * oracle-checked reference semantics (x29).
+    */
+  def sharedSpanPairs(docs: DataFrame, textCol: String, idCol: String,
+      windowLen: Int, maxWindowDf: Option[Long]): DataFrame = {
     // the windows ARE n-token shingles — one guarded implementation
     val wins = TextOps.shingles(TextOps.tokens(col(textCol)), windowLen)
-    val indexed = spreadByDoc(docs, idCol)
+    val indexed0 = spreadByDoc(docs, idCol)
       .select(col(idCol).as("doc_id"), posexplode(wins).as(Seq("pos", "w")))
       .select(col("doc_id"), col("pos"), TextOps.md5Key60(col("w")).as("h"))
+    val indexed = maxWindowDf.fold(indexed0) { cap =>
+      val hot = indexed0.groupBy("h")
+        .agg(count_distinct(col("doc_id")).as("df"))
+        .filter(col("df") > cap).select("h")
+      indexed0.join(hot, Seq("h"), "left_anti")
+    }
     val a = indexed.select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pa"))
     val b = indexed.select(col("h"), col("doc_id").as("doc_b"), col("pos").as("pb"))
     val matched = a.join(b, Seq("h")).filter(col("doc_a") < col("doc_b"))

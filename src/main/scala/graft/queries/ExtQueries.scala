@@ -422,6 +422,16 @@ object ExtQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // the DF-capped form of x29 — the span family's skew control (x4b's
+    // dial): windows in more than 2 distinct docs leave the index before
+    // the pair join, bounding per-key fan-out against boilerplate spans;
+    // runs recompute over the surviving windows.
+    "x29b_shared_spans_capped" -> ((s, d) => {
+      DedupOps.sharedSpanPairs(Tables.documents(s, d), "text", "doc_id", 8,
+          maxWindowDf = Some(2L))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // per-language TOP-p% quality gate — percentile-based corpus filtering
     // (keep the best 40 % of each language by x9's quality score). Rank
     // and threshold are INTEGER-exact end to end: row_number over the
@@ -1145,6 +1155,37 @@ object ExtQueries {
             SELECT doc_id, lang, quality FROM q
             WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
             ORDER BY doc_id""",
+
+      "x29b_shared_spans_capped" -> {
+        val win8 = (1 to 7).foldLeft("t[i]") { (acc, j) => s"$acc||' '||t[i+$j]" }
+        s"""WITH w0 AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(t)-6), i ->
+                       CAST('0x' || substr(md5($win8), 1, 15) AS BIGINT))) AS h,
+                     unnest(range(1, len(t)-6)) AS pos
+              FROM (SELECT doc_id, $mdToks AS t FROM documents)),
+            hot AS (
+              SELECT h FROM (
+                SELECT h, COUNT(DISTINCT doc_id) AS df FROM w0 GROUP BY h)
+              WHERE df > 2),
+            w AS (SELECT * FROM w0 WHERE h NOT IN (SELECT h FROM hot)),
+            m AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.pos AS pa, b.pos AS pb
+              FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id),
+            runs AS (
+              SELECT doc_a, doc_b, diag, isl, COUNT(*) AS run
+              FROM (
+                SELECT doc_a, doc_b, pb - pa AS diag,
+                       pa - row_number() OVER (PARTITION BY doc_a, doc_b, pb - pa
+                         ORDER BY pa) AS isl
+                FROM m)
+              GROUP BY doc_a, doc_b, diag, isl)
+            SELECT doc_a, doc_b,
+                   CAST(SUM(run) AS BIGINT) AS n_matches,
+                   CAST(MAX(run) + 7 AS BIGINT) AS max_span
+            FROM runs GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b"""
+      },
 
       "x29_shared_spans" -> {
         val win8 = (1 to 7).foldLeft("t[i]") { (acc, j) => s"$acc||' '||t[i+$j]" }

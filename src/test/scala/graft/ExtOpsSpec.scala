@@ -112,6 +112,25 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("max_span") == 12)
   }
 
+  test("shared spans: a DF-capped boilerplate window stops pairing docs") {
+    // the same 8-token boilerplate sits in 3 docs (df=3); with cap 2 it
+    // leaves the index, so docs sharing ONLY boilerplate no longer pair —
+    // while the genuine 2-doc span keeps its pair
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val span = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler one1 one2"), (2L, s"$boiler two1 two2"),
+      (3L, s"$boiler three1 three2"),
+      (4L, s"lead4 $span"), (5L, s"other5 word5 $span"))
+      .toDF("doc_id", "text")
+    val uncapped = DedupOps.sharedSpanPairs(docs, "text", "doc_id", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+    val capped = DedupOps.sharedSpanPairs(docs, "text", "doc_id", 8, Some(2L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((4L, 5L)), s"boilerplate pairs must drop: $capped")
+  }
+
   test("x31: corpus-common docs score higher typicality than rare-token docs") {
     val sf = SparkTestSession.sf0001
     val rows = SparkEntry.queries("x31_typicality")(spark, sf).collect()
