@@ -366,20 +366,23 @@ object ExtQueries {
     // perplexity filtering, in exact rational form): score each document
     // by the average document-frequency of its distinct tokens — docs of
     // corpus-rare gibberish score low, boilerplate scores high; both
-    // tails are what a curation pass inspects. Two-pass shape: one
-    // df aggregation over the exploded distinct-token index, one join
-    // back per token, one per-doc agg. Uses round4RatBig: Σdf reaches
-    // n_distinct·n_docs, past Long·20000 range at corpus scale. (No
-    // log/perplexity float crosses the oracle — libm log differs across
-    // engines; the df rational carries the same ordering signal.)
+    // tails are what a curation pass inspects. The df is a WINDOW COUNT
+    // over the token partition, not a separate agg branch joined back:
+    // the branch-and-join form tokenizes the corpus twice (column
+    // pruning makes the two sides non-canonical, so ReuseExchange cannot
+    // serve one from the other) — the window form is one tokenization
+    // pass and exactly two shuffles (tok, then doc_id; PlanSpec
+    // asserts). Uses round4RatBig: Σdf reaches n_distinct·n_docs, past
+    // Long·20000 range at corpus scale. (No log/perplexity float
+    // crosses the oracle — libm log differs across engines; the df
+    // rational carries the same ordering signal.)
     "x31_typicality" -> ((s, d) => {
       import graft.queries.Det.round4RatBig
       val docs = Tables.documents(s, d)
       val nDocs = docs.count() // 1-action corpus size (metadata-cheap)
       val tok = docs.select(col("doc_id"),
         explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
-      val df = tok.groupBy("tok").agg(count(lit(1)).as("df"))
-      tok.join(df, "tok")
+      tok.withColumn("df", count(lit(1)).over(Window.partitionBy("tok")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_distinct"), sum("df").as("sum_df"))
         .select(col("doc_id"), col("n_distinct"),

@@ -154,6 +154,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("h#") || p.contains("[h]"), p) // join on the window hash
   }
 
+  test("x26: both quality windows share ONE lang exchange (no double shuffle)") {
+    val p = plan("x26_quality_topp")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.count(_.contains("lang")) == 1, p)
+  }
+
+  test("x31: one tokenization pass — single documents scan, two hash shuffles") {
+    // the window-df form replaces the branch-and-join shape, which
+    // tokenized the corpus twice (pruning made the branches non-canonical
+    // so ReuseExchange could not serve one from the other)
+    val p = plan("x31_typicality")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.size == 2, p)
+    assert(exchanges.count(_.contains("tok")) == 1, p)
+    assert(exchanges.count(_.contains("doc_id")) == 1, p)
+  }
+
   test("x14b: trained-IVF assignment is broadcast, never a shuffle join") {
     val p = plan("x14b_sim_ivf_trained")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
