@@ -589,7 +589,10 @@ object DedupOps {
     * Shape: the CC labeling joins back to `docs` (broadcast-sized — one
     * row per CLUSTERED doc, not per doc), then one window per cluster
     * picks the argmax. Docs in no cluster pass through untouched, exactly
-    * as in [[survivors]].
+    * as in [[survivors]]. `docs` is referenced twice (score lookup +
+    * final anti-join) — at corpus scale pass a cheap frame (materialized
+    * stage or pre-computed score column), not a lazy tokenization
+    * pipeline, or the score expression evaluates in both passes.
     */
   def survivorsByScore(docs: DataFrame, pairs: DataFrame, idCol: String,
       scoreCol: String, stageDir: Option[String] = None): DataFrame = {
