@@ -106,16 +106,21 @@ object PackingOps {
     val agg = df.groupBy(col(classCol))
       .agg(count(lit(1)).as("n_docs"), sum(tok).as("n_tokens"))
       .withColumn("s_bps", sBps)
-    // the binding class: fewest tokens per unit of target share. The
-    // double ratio is ORDERING-only (identical operands → identical IEEE
-    // result in any engine); lang tiebreak makes the order total.
-    val binding = agg
+    // the binding class (fewest tokens per unit of target share) comes
+    // from a first_value WINDOW over the aggregated frame, not a
+    // limit(1)-and-cross-join branch: a second branch of the same agg is
+    // NOT canonical after column pruning, so it would re-run the
+    // tokenizing scan instead of reusing the shuffle — one global window
+    // over #classes rows costs nothing and keeps the corpus pass single.
+    // The double ratio is ORDERING-only (identical operands → identical
+    // IEEE result in any engine); the class tiebreak makes it total.
+    val byRatio = Window
       .orderBy((col("n_tokens").cast("double") / col("s_bps")).asc, col(classCol))
-      .limit(1)
-      .select(col("n_tokens").as("t_m"), col("s_bps").as("s_m"))
     // the products themselves must be decimal — long·long wraps first
     val dec38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-    agg.crossJoin(broadcast(binding))
+    agg
+      .withColumn("t_m", first("n_tokens").over(byRatio))
+      .withColumn("s_m", first("s_bps").over(byRatio))
       .select(col(classCol), col("n_docs"), col("n_tokens"),
         round4RatBig(dec38(col("s_bps")) * dec38(col("t_m")),
           dec38(col("s_m")) * dec38(col("n_tokens"))).as("rate"))

@@ -1250,13 +1250,16 @@ object ExtQueries {
                      CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 3000
                                ELSE 2000 END AS s_bps
               FROM documents GROUP BY lang),
-            binding AS (
-              SELECT n_tokens AS t_m, s_bps AS s_m FROM agg
-              ORDER BY CAST(n_tokens AS DOUBLE) / s_bps, lang LIMIT 1)
+            w AS (
+              SELECT lang, n_docs, n_tokens, s_bps,
+                     first_value(n_tokens) OVER bind AS t_m,
+                     first_value(s_bps) OVER bind AS s_m
+              FROM agg
+              WINDOW bind AS (ORDER BY CAST(n_tokens AS DOUBLE) / s_bps, lang))
             SELECT lang, n_docs, n_tokens,
                    ((CAST(s_bps AS HUGEINT) * t_m * 20000 + CAST(s_m AS HUGEINT) * n_tokens)
                      // (2 * NULLIF(CAST(s_m AS HUGEINT) * n_tokens, 0))) / 10000.0 AS rate
-            FROM agg, binding ORDER BY lang""",
+            FROM w ORDER BY lang""",
 
       "x27_repetition" ->
         s"""SELECT doc_id,

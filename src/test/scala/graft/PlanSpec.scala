@@ -160,6 +160,11 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges.count(_.contains("lang")) == 1, p)
   }
 
+  test("x28: mixture rates tokenize the corpus once (window binding, no branch)") {
+    val p = plan("x28_mixture_rates")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
+  }
+
   test("x31: one tokenization pass — single documents scan, two hash shuffles") {
     // the window-df form replaces the branch-and-join shape, which
     // tokenized the corpus twice (pruning made the branches non-canonical
