@@ -14,7 +14,7 @@ import org.apache.spark.sql.SparkSession
   * builds pass an explicit durable `stageDir` and keep the stage as an
   * audit artifact.
   */
-private[operators] object StageIO {
+private[graft] object StageIO {
 
   /** Resolve a stage directory: the explicit `stageDir` when given, else a
     * unique subdir of the session warehouse registered for deletion at JVM

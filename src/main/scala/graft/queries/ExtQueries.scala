@@ -396,7 +396,11 @@ object ExtQueries {
     // member (ties -> min id), not its min id — what a production dedup
     // does when several near-copies differ in cleanliness. CC labeling
     // (as x25) + one argmax window per cluster; unclustered docs pass
-    // through.
+    // through. The scored frame is STAGED to parquet first
+    // (survivorsByScore references its docs twice — a lazy frame would
+    // tokenize the corpus in both passes; the stage makes it one
+    // tokenization + two cheap columnar reads, the trainingManifest
+    // pattern).
     "x30_dedup_best_survivor" -> ((s, d) => {
       import graft.queries.Det.round4Rat
       val toks = TextOps.tokens(col("text"))
@@ -407,8 +411,10 @@ object ExtQueries {
         lit(3L) * nt * least(col("n_chars").cast("long"), lit(500L))
       val qDen = lit(5000L) * nt
       val docs = Tables.documents(s, d)
-      val scored = docs.select(col("doc_id"), col("lang"),
-        round4Rat(qNum, qDen).as("quality"))
+      val stage = graft.operators.StageIO.resolve(s, None, "x30-scored")
+      docs.select(col("doc_id"), col("lang"), round4Rat(qNum, qDen).as("quality"))
+        .write.mode("overwrite").parquet(stage)
+      val scored = s.read.parquet(stage)
       val pairs = DedupOps.jaccardNearDups(docs, "text", "doc_id", 0.5)
       DedupOps.survivorsByScore(scored, pairs, "doc_id", "quality")
         .orderBy("doc_id")
