@@ -38,8 +38,15 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       // outside the timed region: drop any intermediates a query persisted
-      // so later timings are neither helped nor starved by earlier caches
+      // so later timings are neither helped nor starved by earlier caches,
+      // and reclaim scratch parquet stages so the 104×2-run JVM's disk
+      // footprint stays flat (judge r7: stage buildup was the suspect for
+      // late-suite timing inflation)
       spark.catalog.clearCache()
+      // diagnostic switch: keep scratch stages to reproduce the pre-cleanup
+      // buildup behavior in A/B runs (BENCH_NOTES)
+      if (!sys.env.contains("SPARK_GRAFT_KEEP_SCRATCH"))
+        graft.operators.StageIO.cleanScratch(spark)
       (name, times(0), times(1))
     }
     def fmt(sel: ((String, Double, Double)) => Double) = results

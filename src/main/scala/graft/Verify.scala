@@ -15,8 +15,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // a few queries persist() intermediates for self-joins; drop them so
-      // memory stays bounded across the whole inventory
+      // memory stays bounded across the whole inventory — and reclaim
+      // scratch parquet stages so disk stays bounded too
       spark.catalog.clearCache()
+      graft.operators.StageIO.cleanScratch(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -31,6 +31,38 @@ class CacheSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterLabels frees every loop round before returning") {
+    // guards freeRound's LogicalRDD pattern-match against silently becoming
+    // a no-op on a Spark upgrade (advisor r7): the iterative loop
+    // localCheckpoints each round, so a dead match would leave blocks here
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("doc_a", "doc_b")
+    graft.operators.DedupOps.clusterLabels(pairs).count()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"clusterLabels leaked rounds: ${spark.sparkContext.getPersistentRDDs}")
+  }
+
+  test("cleanScratch reclaims default stages; explicit stageDirs survive") {
+    import graft.operators.StageIO
+    val fs = new org.apache.hadoop.fs.Path(StageIO.scratchRoot(spark))
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // x30 stages its scored frame to a default (scratch) stage
+    SparkEntry.queries("x30_dedup_best_survivor")(spark, sf).count()
+    val root = new org.apache.hadoop.fs.Path(StageIO.scratchRoot(spark))
+    assert(fs.exists(root) && fs.listStatus(root).nonEmpty,
+      "expected x30 to leave a scratch stage before cleanup")
+    // an explicit stageDir outside the scratch root is the caller's to keep
+    val keep = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + "/_graft_keep_test")
+    fs.mkdirs(keep)
+    try {
+      StageIO.cleanScratch(spark)
+      assert(!fs.exists(root), "cleanScratch must remove the scratch root")
+      assert(fs.exists(keep), "explicit stage dirs must be untouched")
+    } finally fs.delete(keep, true)
+  }
+
   test("minhash/jaccard self-joins reuse one exchange at SMJ scale") {
     // with broadcast off (the 100 TB shape: both sides too big to ship),
     // the two self-join sides are canonically equal below the band/shingle
