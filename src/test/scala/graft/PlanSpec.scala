@@ -165,16 +165,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
   }
 
-  test("x31: one tokenization pass — single documents scan, two hash shuffles") {
-    // the window-df form replaces the branch-and-join shape, which
-    // tokenized the corpus twice (pruning made the branches non-canonical
-    // so ReuseExchange could not serve one from the other)
+  test("x31: token df is a partial agg + join-back over a staged tokenization") {
+    // the skew-safe shape (judge r7): an unbounded Window.partitionBy(tok)
+    // count does no map-side combine — a stopword's posting list would
+    // serialize into one task at corpus scale. groupBy(tok) partial-
+    // aggregates before the shuffle; the staged tokenization keeps the
+    // one-tokenization property (both branches read the stage parquet,
+    // never the raw corpus again)
     val p = plan("x31_typicality")
-    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
-    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
-    assert(exchanges.size == 2, p)
-    assert(exchanges.count(_.contains("tok")) == 1, p)
-    assert(exchanges.count(_.contains("doc_id")) == 1, p)
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toList
+    assert(scans.nonEmpty && scans.forall(l => !l.contains("documents")),
+      s"returned plan must read only the stage:\n$p")
+    assert(p.contains("partial_count"), s"df must be two-phase:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.trim.startsWith("Window") || l.contains("windowspecdefinition")),
+      s"no window operator anywhere in the skew-safe plan:\n$p")
   }
 
   test("x14b: trained-IVF assignment is broadcast, never a shuffle join") {
