@@ -32,8 +32,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // per-run templating: oracles that read a Spark-written artifact carry
+    // the __GRAFT_SF__ placeholder; substituting the actual data-dir
+    // basename here makes both engines derive the same per-run path (no
+    // sf literal baked into the SQL, no stale-artifact reads when Verify
+    // runs at another scale factor)
+    val sfName = new java.io.File(sfDir).getName
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__GRAFT_SF__", sfName))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

