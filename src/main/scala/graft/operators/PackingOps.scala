@@ -95,11 +95,27 @@ object PackingOps {
     * @return (class, n_docs, n_tokens, rate) one row per class
     */
   def mixtureRates(df: DataFrame, classCol: String, textCol: String,
+      targetBps: Map[String, Long], defaultBps: Long): DataFrame =
+    mixtureRatesOf(df, classCol,
+      size(TextOps.tokens(col(textCol))).cast("long"), targetBps, defaultBps)
+
+  /** [[mixtureRates]] over an already-counted corpus: `nTokCol` carries
+    * each document's token count, so the rate derivation never
+    * re-tokenizes — the form a pipeline stage uses after a gate that
+    * counted tokens once (the chunkPack/chunkPackCounted split, for the
+    * same reason).
+    */
+  def mixtureRatesCounted(df: DataFrame, classCol: String, nTokCol: String,
+      targetBps: Map[String, Long], defaultBps: Long): DataFrame =
+    mixtureRatesOf(df, classCol, col(nTokCol).cast("long"), targetBps,
+      defaultBps)
+
+  private def mixtureRatesOf(df: DataFrame, classCol: String,
+      tok: org.apache.spark.sql.Column,
       targetBps: Map[String, Long], defaultBps: Long): DataFrame = {
     // decimal-width rounding: s_bps·T products overflow Long past ~4.6e10
     // tokens in the binding class — corpus scale is orders beyond that
     import graft.queries.Det.round4RatBig
-    val tok = size(TextOps.tokens(col(textCol))).cast("long")
     val sBps = targetBps.foldLeft(lit(defaultBps)) { case (acc, (cls, s)) =>
       when(col(classCol) === cls, lit(s)).otherwise(acc)
     }
@@ -143,5 +159,27 @@ object PackingOps {
         when(col(classCol) === cls, lit(math.round(r * 10000))).otherwise(acc)
     }
     df.filter(bps < rateBps)
+  }
+
+  /** [[stratifiedSample]] with DATA-DRIVEN rates: the per-class rates come
+    * from a frame (e.g. [[mixtureRates]] output) instead of a hand-fixed
+    * map, so a computed mixture feeds sampling without a driver-side
+    * collect — the composition stays one lazy plan and the #classes-row
+    * rate table rides a broadcast join.
+    *
+    * `ratesDf` must carry `classCol` and a `rate` column holding 4-decimal
+    * values (k/10⁴ for integer k ≤ 2·10⁴, [[mixtureRates]]' contract);
+    * `round(rate·10⁴)` recovers k exactly — the two float ops perturb an
+    * integer by ≪ 0.5 — so membership stays integer-exact and
+    * engine-portable. Classes absent from `ratesDf` are dropped (inner
+    * join): a mixture that doesn't name a class gave it zero share.
+    */
+  def stratifiedSampleByRates(df: DataFrame, classCol: String, idCol: String,
+      ratesDf: DataFrame): DataFrame = {
+    val rates = ratesDf.select(col(classCol),
+      round(col("rate") * 10000).cast("long").as("_rate_bps"))
+    df.join(broadcast(rates), Seq(classCol))
+      .filter(md5Mod(col(idCol), 10000) < col("_rate_bps"))
+      .drop("_rate_bps")
   }
 }

@@ -87,13 +87,27 @@ object PipelineOps {
     *                      the near-dedup a real LLM data build runs, where
     *                      exact dedup alone leaves trivially-edited copies
     *                      in the corpus.
+    * @param targetMixtureBps when set, the sampling rates are DERIVED from
+    *                      a target per-language TOKEN mixture (basis
+    *                      points) instead of taken from `rates`: a build
+    *                      states "50 % en / 30 % zh by tokens" and
+    *                      [[PackingOps.mixtureRatesCounted]] computes over
+    *                      the cleaned corpus the downsampling rates that
+    *                      hit it without upsampling (`rates`/`defaultRate`
+    *                      are ignored). The rate table rides a broadcast
+    *                      join into the sample filter — no driver collect.
+    * @param defaultMixtureBps target share for languages `targetMixtureBps`
+    *                      doesn't name; 0 drops them (no share in the
+    *                      mixture means no place in the training set)
     * @return (shard, chunk_id, doc_id, tok_in_chunk) manifest rows
     */
   def trainingManifest(docs: DataFrame, evalSources: Seq[String],
       minQualityBps: Long, contamThreshold: Double,
       rates: Map[String, Double], defaultRate: Double,
       capacity: Int, shards: Int, stageDir: Option[String] = None,
-      nearDupThreshold: Option[Double] = None): DataFrame = {
+      nearDupThreshold: Option[Double] = None,
+      targetMixtureBps: Option[Map[String, Long]] = None,
+      defaultMixtureBps: Long = 0L): DataFrame = {
     val spark = docs.sparkSession
     val isEval = col("source").isInCollection(evalSources)
 
@@ -117,10 +131,27 @@ object PipelineOps {
     val leaked = DedupOps.crossContamination(ded, docs.filter(isEval),
         "text", "doc_id", contamThreshold)
       .select(col("train_id").as("doc_id")).distinct()
-    val clean = ded.join(leaked, Seq("doc_id"), "left_anti")
 
-    val sampled = PackingOps.stratifiedSample(clean, "lang", "doc_id",
-      rates, defaultRate)
+    val sampled = targetMixtureBps match {
+      case None =>
+        val clean = ded.join(leaked, Seq("doc_id"), "left_anti")
+        PackingOps.stratifiedSample(clean, "lang", "doc_id", rates,
+          defaultRate)
+      case Some(target) =>
+        // the cleaned frame is consumed TWICE in mixture mode (the rate
+        // derivation aggregates it, the sample filters it) — stage the
+        // leaked id set (tiny: contaminated ids only) so neither branch
+        // recomputes the shingle-index join or rescans the eval split;
+        // the rate branch then prunes the stage to (lang, n_tok) and the
+        // gate-time token counts mean it never re-tokenizes
+        val leakedPath = s"$stageBase/leaked"
+        leaked.write.mode("overwrite").parquet(leakedPath)
+        val clean = ded.join(spark.read.parquet(leakedPath),
+          Seq("doc_id"), "left_anti")
+        val mixRates = PackingOps.mixtureRatesCounted(clean, "lang",
+          "n_tok", target, defaultMixtureBps)
+        PackingOps.stratifiedSampleByRates(clean, "lang", "doc_id", mixRates)
+    }
     PackingOps.chunkPackCounted(sampled, "doc_id", "n_tok", capacity, shards)
   }
 }

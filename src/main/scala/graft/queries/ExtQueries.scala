@@ -321,6 +321,25 @@ object ExtQueries {
         .orderBy("shard", "chunk_id", "doc_id")
     }),
 
+    // x24 with MIXTURE-DRIVEN sampling: instead of hand-fixed rates, the
+    // build states a target token mixture (en 50 % / zh 30 % / rest
+    // 20 %) and derives the per-language downsampling rates from the
+    // CLEANED corpus itself (x28's binding-class rationals, computed
+    // in-build over the staged gate→dedup→decontaminated frame and
+    // broadcast into the sample filter — no driver collect, no second
+    // tokenization). The DuckDB twin recomputes the binding class and
+    // rates from the same cleaned set.
+    "x24c_manifest_mixture" -> ((s, d) => {
+      graft.operators.PipelineOps.trainingManifest(
+          Tables.documents(s, d), evalSources = Seq("src18", "src19"),
+          minQualityBps = 4000L, contamThreshold = 0.5,
+          rates = Map.empty, defaultRate = 1.0, // unused in mixture mode
+          capacity = 256, shards = 4,
+          targetMixtureBps = Some(Map("en" -> 5000L, "zh" -> 3000L)),
+          defaultMixtureBps = 2000L)
+        .orderBy("shard", "chunk_id", "doc_id")
+    }),
+
     // x14 with TRAINED centroids (the honest IVF path through the hash
     // gate): the coarse quantizer is a seeded KMeans fit persisted as a
     // parquet centroid table that BOTH engines then read — determinism
@@ -954,6 +973,94 @@ object ExtQueries {
                FROM ded WHERE doc_id NOT IN (SELECT train_id FROM leaked))
              WHERE h < CASE lang WHEN 'en' THEN 4000 WHEN 'zh' THEN 8000
                                  ELSE 6000 END
+           ), c AS (
+             SELECT doc_id, shard, n_tok,
+                    CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_end
+             FROM (
+               SELECT doc_id,
+                      CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                           AS BIGINT) % 4 AS INT) AS shard,
+                      CAST(len(t) AS BIGINT) AS n_tok
+               FROM samp)
+             WHERE n_tok > 0
+           ), expanded AS (
+             SELECT shard, doc_id, n_tok, cum_end,
+                    unnest(generate_series((cum_end - n_tok) // 256,
+                                           (cum_end - 1) // 256)) AS chunk_id
+             FROM c
+           )
+           SELECT shard, CAST(chunk_id AS INT) AS chunk_id, doc_id,
+                  CAST(least(cum_end, (chunk_id + 1) * 256)
+                       - greatest(cum_end - n_tok, chunk_id * 256) AS INT)
+                    AS tok_in_chunk
+           FROM expanded ORDER BY shard, chunk_id, doc_id""",
+
+      // x24's stages with the hand-fixed sample rates replaced by
+      // MIXTURE-DERIVED ones: x28's binding-class integer rational,
+      // recomputed over the cleaned set (ded minus leaked), feeds the md5
+      // membership filter through a per-language join
+      "x24c_manifest_mixture" ->
+        s"""WITH base AS (
+             SELECT doc_id, text, lang, source, n_chars, $mdToks AS t
+             FROM documents
+           ), gated AS (
+             SELECT doc_id, text, lang, t FROM (
+               SELECT *, 20 * nt * least(nt, 100) + 1500 * (nt - sw)
+                           + 3 * nt * least(n_chars, 500) AS qnum,
+                      5000 * nt AS qden
+               FROM (
+                 SELECT *, CAST(len(t) AS BIGINT) AS nt,
+                        CAST(len(list_filter(t, x -> list_contains($swList, x)))
+                          AS BIGINT) AS sw
+                 FROM base WHERE source NOT IN ('src18', 'src19')))
+             WHERE nt > 0 AND 10000 * qnum >= 4000 * qden
+           ), ded AS (
+             SELECT doc_id, text, lang, t FROM (
+               SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS surv
+               FROM gated)
+             WHERE doc_id = surv
+           ), ev AS (
+             SELECT doc_id AS eval_id, CAST(len(sh) AS BIGINT) AS n_eval,
+                    unnest(sh) AS s
+             FROM (SELECT doc_id, $mdShingles AS sh FROM base
+                   WHERE source IN ('src18', 'src19'))
+             WHERE len(sh) > 0
+           ), tr AS (
+             SELECT doc_id AS train_id, unnest(sh) AS s
+             FROM (SELECT doc_id, $mdShingles AS sh FROM ded)
+             WHERE len(sh) > 0
+           ), leaked AS (
+             SELECT DISTINCT train_id FROM (
+               SELECT eval_id, train_id, COUNT(*) AS inter,
+                      any_value(n_eval) AS n_eval
+               FROM ev JOIN tr USING (s) GROUP BY 1, 2)
+             WHERE inter * 1.0 / n_eval >= 0.5
+           ), clean AS (
+             SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tok, t
+             FROM ded WHERE doc_id NOT IN (SELECT train_id FROM leaked)
+           ), mr AS (
+             SELECT lang, CAST(SUM(n_tok) AS HUGEINT) AS n_tokens,
+                    CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 3000
+                              ELSE 2000 END AS s_bps
+             FROM clean GROUP BY lang
+           ), mrw AS (
+             SELECT lang,
+                    ((CAST(s_bps AS HUGEINT) * first_value(n_tokens) OVER bind
+                        * 20000 + first_value(s_bps) OVER bind * n_tokens)
+                      // (2 * NULLIF(first_value(s_bps) OVER bind * n_tokens, 0)))
+                      AS rate_bps
+             FROM mr
+             WINDOW bind AS (ORDER BY CAST(n_tokens AS DOUBLE) / s_bps, lang)
+           ), samp AS (
+             SELECT doc_id, t FROM (
+               SELECT c.doc_id, c.t,
+                      CAST('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 15)
+                           AS BIGINT) % 10000 AS h,
+                      m.rate_bps
+               FROM clean c JOIN mrw m USING (lang))
+             WHERE h < rate_bps
            ), c AS (
              SELECT doc_id, shard, n_tok,
                     CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id

@@ -95,6 +95,37 @@ class PackingOpsSpec extends AnyFunSuite {
     // post-sample token expectation: 30·⅓ : 10·1 == 1 : 1 — the target
   }
 
+  test("counted mixture rates equal the tokenizing form") {
+    val counted = docs.select(col("doc_id"), col("lang"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+    val a = PackingOps.mixtureRates(docs, "lang", "text",
+      Map("en" -> 5000L, "zh" -> 3000L), defaultBps = 2000L)
+    val b = PackingOps.mixtureRatesCounted(counted, "lang", "n_tok",
+      Map("en" -> 5000L, "zh" -> 3000L), defaultBps = 2000L)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "pre-counted tokens must yield identical rates")
+  }
+
+  test("rate-frame sampling selects exactly the hand-fixed-map rows") {
+    // the broadcast-join form must make the same integer-exact membership
+    // decisions as the map form given equivalent rates (k/10^4 doubles
+    // round-trip through round(rate*10000) exactly)
+    import spark.implicits._
+    val rateRows = Seq(("en", 0.4), ("zh", 0.8), ("de", 0.6))
+      .toDF("lang", "rate")
+    val byFrame = PackingOps.stratifiedSampleByRates(docs, "lang", "doc_id",
+      rateRows).select("doc_id")
+    val byMap = PackingOps.stratifiedSample(
+        docs.filter(col("lang").isInCollection(Seq("en", "zh", "de"))),
+        "lang", "doc_id", Map("en" -> 0.4, "zh" -> 0.8), defaultRate = 0.6)
+      .select("doc_id")
+    assert(byFrame.exceptAll(byMap).isEmpty && byMap.exceptAll(byFrame).isEmpty)
+    // classes absent from the rate frame are dropped, not defaulted
+    val none = PackingOps.stratifiedSampleByRates(docs, "lang", "doc_id",
+      Seq(("xx", 1.0)).toDF("lang", "rate"))
+    assert(none.isEmpty)
+  }
+
   test("sampling is deterministic and subset-monotone in the rate") {
     val lo = PackingOps.stratifiedSample(docs, "lang", "doc_id",
       Map.empty, defaultRate = 0.3).select("doc_id")

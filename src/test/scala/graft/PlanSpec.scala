@@ -147,6 +147,26 @@ class PlanSpec extends AnyFunSuite {
     assert(fuzzy.count() > 0)
   }
 
+  test("x24c: mixture-driven manifest never rescans the raw corpus") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val manifest = SparkEntry.queries("x24c_manifest_mixture")(spark, sf)
+    // in mixture mode BOTH raw-corpus passes (gate→dedup, eval-side
+    // decontamination) happen in stage jobs: the returned plan reads only
+    // the gated stage + the tiny leaked-id stage, and the derived rate
+    // table rides a broadcast into the sample filter
+    val docScans = manifest.queryExecution.optimizedPlan.collect {
+      case r: LogicalRelation => r.relation
+    }.count {
+      case h: HadoopFsRelation =>
+        h.location.rootPaths.exists(_.toString.contains("documents"))
+      case _ => false
+    }
+    assert(docScans == 0, manifest.queryExecution.optimizedPlan.toString)
+    val p = manifest.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(manifest.count() > 0)
+  }
+
   test("x29: shared-span candidates come from an equi-join on the window key") {
     val p = plan("x29_shared_spans")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
