@@ -338,9 +338,25 @@ object DedupOps {
     * oracle-checked reference semantics (x29).
     */
   def sharedSpanPairs(docs: DataFrame, textCol: String, idCol: String,
-      windowLen: Int, maxWindowDf: Option[Long]): DataFrame = {
+      windowLen: Int, maxWindowDf: Option[Long]): DataFrame =
+    sharedSpanRuns(docs, TextOps.tokens(col(textCol)), idCol, windowLen,
+        maxWindowDf)
+      .groupBy("doc_a", "doc_b")
+      .agg(sum("run").cast(LongType).as("n_matches"),
+        (max("run") + (windowLen - 1)).cast(LongType).as("max_span"))
+
+  /** The span family's shared kernel, one level below [[sharedSpanPairs]]:
+    * per-ISLAND verbatim runs with their positions — one row per maximal
+    * shared run, `(doc_a, doc_b, pa0, pb0, run)` where the run covers
+    * tokens `[pa0, pa0+run+windowLen-1)` of doc_a and
+    * `[pb0, pb0+run+windowLen-1)` of doc_b (0-based). `toks` is the
+    * token-array expression so a caller holding a pre-tokenized (staged)
+    * frame can pass `col("toks")` and skip re-tokenization.
+    */
+  private[graft] def sharedSpanRuns(docs: DataFrame, toks: Column,
+      idCol: String, windowLen: Int, maxWindowDf: Option[Long]): DataFrame = {
     // the windows ARE n-token shingles — one guarded implementation
-    val wins = TextOps.shingles(TextOps.tokens(col(textCol)), windowLen)
+    val wins = TextOps.shingles(toks, windowLen)
     val indexed0 = spreadByDoc(docs, idCol)
       .select(col(idCol).as("doc_id"), posexplode(wins).as(Seq("pos", "w")))
       .select(col("doc_id"), col("pos"), TextOps.md5Key60(col("w")).as("h"))
@@ -359,10 +375,94 @@ object DedupOps {
       .withColumn("diag", col("pb") - col("pa"))
       .withColumn("isl", col("pa") - row_number().over(byDiag))
       .groupBy("doc_a", "doc_b", "diag", "isl")
-      .agg(count(lit(1)).as("run"))
-      .groupBy("doc_a", "doc_b")
-      .agg(sum("run").cast(LongType).as("n_matches"),
-        (max("run") + (windowLen - 1)).cast(LongType).as("max_span"))
+      .agg(min("pa").as("pa0"), count(lit(1)).as("run"))
+      .select(col("doc_a"), col("doc_b"), col("pa0"),
+        (col("pa0") + col("diag")).as("pb0"), col("run"))
+  }
+
+  /** Span-level dedup, DROP policy — the ACTION half of the span family
+    * ([[sharedSpanPairs]] is the signal): documents connected by a shared
+    * verbatim run of at least `minSpan` tokens form clusters (connected
+    * components, as [[survivors]] — transitively correct on chains), and
+    * each cluster keeps ONE member: the best by `scoreCol` when given
+    * (keep-best-quality), else the longest text (keep-longest); ties
+    * break on min id. Unclustered documents pass through untouched.
+    *
+    * This is the coarse surgery — it removes whole documents whose
+    * overlap is span-shaped rather than set-shaped (a copied paragraph
+    * that x4's global Jaccard misses). When the rest of the document is
+    * worth keeping, use [[spanTrim]] instead, which removes only the
+    * repeated span. Scale shape = the span kernel + [[clusterLabels]] +
+    * one argmax window per cluster; `maxWindowDf` is the boilerplate
+    * skew dial, as everywhere in the family.
+    */
+  def spanDedupDrop(docs: DataFrame, textCol: String, idCol: String,
+      windowLen: Int, minSpan: Long, maxWindowDf: Option[Long] = None,
+      scoreCol: Option[String] = None,
+      stageDir: Option[String] = None): DataFrame = {
+    require(minSpan >= windowLen,
+      s"a span shorter than the window ($windowLen) is undetectable")
+    val pairs = sharedSpanPairs(docs, textCol, idCol, windowLen, maxWindowDf)
+      .filter(col("max_span") >= minSpan)
+      .select("doc_a", "doc_b")
+    scoreCol match {
+      case Some(sc) => survivorsByScore(docs, pairs, idCol, sc, stageDir)
+      case None =>
+        val scored = docs.withColumn("_keep_len",
+          length(col(textCol)).cast(LongType))
+        survivorsByScore(scored, pairs, idCol, "_keep_len", stageDir)
+          .drop("_keep_len")
+    }
+  }
+
+  /** Span-level dedup, TRIM policy — substring-level surgery: every
+    * verbatim run of at least `minSpan` tokens shared by a document pair
+    * is REMOVED from the pair's lower-priority side (the larger id — the
+    * first occurrence in id order keeps its copy, the convention of
+    * suffix-style substring dedup), and the trimmed token stream is
+    * re-assembled. Returns `(idCol, n_tok, text)` with `text` the
+    * surviving tokens joined by single spaces — token-level output, since
+    * inter-token whitespace is not reconstructible post-tokenization.
+    * Documents left with zero tokens disappear (a fully-duplicated doc is
+    * dropped); removal positions are computed on the ORIGINAL stream, so
+    * one pass suffices and overlapping ranges from different partners
+    * union naturally.
+    *
+    * Scale shape: the corpus is TOKENIZED ONCE to a parquet stage — the
+    * window kernel and the final reassembly both consume it as cheap
+    * columnar reads. Ranges are tiny (one row per long shared run), so
+    * the anti-join is doc-id-equi with a broadcastable right side; the
+    * reassembly is one doc_id shuffle with per-doc-bounded state.
+    */
+  def spanTrim(docs: DataFrame, textCol: String, idCol: String,
+      windowLen: Int, minSpan: Long, maxWindowDf: Option[Long] = None,
+      stageDir: Option[String] = None): DataFrame = {
+    require(minSpan >= windowLen,
+      s"a span shorter than the window ($windowLen) is undetectable")
+    val spark = docs.sparkSession
+    val stage = StageIO.resolve(spark, stageDir, "span-trim-tok")
+    docs.select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("toks"))
+      .write.mode("overwrite").parquet(stage)
+    val tokd = spark.read.parquet(stage)
+    val spanL = col("run") + lit(windowLen - 1)
+    val ranges = sharedSpanRuns(tokd, col("toks"), "doc_id", windowLen,
+        maxWindowDf)
+      .filter(spanL >= minSpan)
+      // doc_a < doc_b by construction: the min id wins, doc_b is trimmed
+      .select(col("doc_b").as("rid"), col("pb0").as("start"),
+        spanL.as("span"))
+    val tokPos = tokd.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+    val kept = tokPos.join(ranges,
+      col("doc_id") === col("rid") && col("pos") >= col("start") &&
+        col("pos") < col("start") + col("span"), "left_anti")
+    kept.groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_tok"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("text"))
+      .withColumnRenamed("doc_id", idCol)
   }
 
   /** Connected components over the near-dup pair graph: every document

@@ -475,6 +475,30 @@ object ExtQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // span dedup, DROP policy — the action on x29's signal: docs
+    // connected by a shared verbatim run of >= 12 tokens cluster (CC);
+    // each cluster keeps its longest member by n_chars (tie -> min id).
+    // The document-level surgery for span-shaped overlap.
+    "x32_span_dedup" -> ((s, d) => {
+      DedupOps.spanDedupDrop(
+          Tables.documents(s, d).select("doc_id", "lang", "n_chars", "text"),
+          "text", "doc_id", windowLen = 8, minSpan = 12L,
+          scoreCol = Some("n_chars"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // span dedup, TRIM policy — substring-level surgery: every shared
+    // run >= 12 tokens is removed from the pair's larger-id side (first
+    // occurrence keeps its copy) and the trimmed token stream is
+    // re-assembled. The corpus tokenizes ONCE to a stage; output is
+    // token-level text (whitespace is not reconstructible).
+    "x33_span_trim" -> ((s, d) => {
+      DedupOps.spanTrim(Tables.documents(s, d), "text", "doc_id",
+          windowLen = 8, minSpan = 12L)
+        .orderBy("doc_id")
+    }),
+
     // per-language TOP-p% quality gate — percentile-based corpus filtering
     // (keep the best 40 % of each language by x9's quality score). Rank
     // and threshold are INTEGER-exact end to end: row_number over the
@@ -1344,6 +1368,99 @@ object ExtQueries {
                    CAST(SUM(run) AS BIGINT) AS n_matches,
                    CAST(MAX(run) + 7 AS BIGINT) AS max_span
             FROM runs GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b"""
+      },
+
+      // x29's windows/islands + CC over the >= 12-token pairs + the
+      // n_chars argmax per cluster (x30's survivor shape)
+      "x32_span_dedup" -> {
+        val win8 = (1 to 7).foldLeft("t[i]") { (acc, j) => s"$acc||' '||t[i+$j]" }
+        s"""WITH RECURSIVE w AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(t)-6), i ->
+                       CAST('0x' || substr(md5($win8), 1, 15) AS BIGINT))) AS h,
+                     unnest(range(1, len(t)-6)) AS pos
+              FROM (SELECT doc_id, $mdToks AS t FROM documents)),
+            m AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.pos AS pa, b.pos AS pb
+              FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id),
+            runs AS (
+              SELECT doc_a, doc_b, diag, isl, COUNT(*) AS run
+              FROM (
+                SELECT doc_a, doc_b, pb - pa AS diag,
+                       pa - row_number() OVER (PARTITION BY doc_a, doc_b, pb - pa
+                         ORDER BY pa) AS isl
+                FROM m)
+              GROUP BY doc_a, doc_b, diag, isl),
+            p AS (
+              SELECT doc_a, doc_b FROM (
+                SELECT doc_a, doc_b, MAX(run) + 7 AS max_span
+                FROM runs GROUP BY 1, 2)
+              WHERE max_span >= 12),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM p
+              UNION ALL SELECT doc_b, doc_a FROM p),
+            walk(id, lab) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.dst, wk.lab FROM walk wk JOIN edges e ON e.src = wk.id),
+            lab AS (SELECT id AS doc_id, MIN(lab) AS cluster_id
+                    FROM walk GROUP BY id),
+            dropped AS (
+              SELECT doc_id FROM (
+                SELECT l.doc_id,
+                       row_number() OVER (PARTITION BY l.cluster_id
+                         ORDER BY d.n_chars DESC, l.doc_id) AS rk
+                FROM lab l JOIN documents d USING (doc_id))
+              WHERE rk > 1)
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+            ORDER BY doc_id"""
+      },
+
+      // x29's windows/islands with positions; ranges land on the pair's
+      // larger id (doc_b), token positions inside any range are removed,
+      // the rest re-assemble in position order (1-based here, 0-based on
+      // the Spark side — offsets cancel)
+      "x33_span_trim" -> {
+        val win8 = (1 to 7).foldLeft("t[i]") { (acc, j) => s"$acc||' '||t[i+$j]" }
+        s"""WITH w AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(t)-6), i ->
+                       CAST('0x' || substr(md5($win8), 1, 15) AS BIGINT))) AS h,
+                     unnest(range(1, len(t)-6)) AS pos
+              FROM (SELECT doc_id, $mdToks AS t FROM documents)),
+            m AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.pos AS pa, b.pos AS pb
+              FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id),
+            runs AS (
+              SELECT doc_a, doc_b, diag, isl, COUNT(*) AS run, MIN(pa) AS pa0
+              FROM (
+                SELECT doc_a, doc_b, pa, pb - pa AS diag,
+                       pa - row_number() OVER (PARTITION BY doc_a, doc_b, pb - pa
+                         ORDER BY pa) AS isl
+                FROM m)
+              GROUP BY doc_a, doc_b, diag, isl),
+            -- MATERIALIZED: inlining would push the run/pa0 aggregates
+            -- through ranges into kept's EXISTS predicate, which the
+            -- binder rejects ("WHERE clause cannot contain aggregates")
+            ranges AS MATERIALIZED (
+              SELECT doc_b AS doc_id, pa0 + diag AS strt, run + 7 AS span
+              FROM runs WHERE run + 7 >= 12),
+            tok AS (
+              SELECT doc_id, unnest(t) AS tok,
+                     unnest(range(1, len(t)+1)) AS pos
+              FROM (SELECT doc_id, $mdToks AS t FROM documents)),
+            kept AS (
+              SELECT k.doc_id, k.pos, k.tok FROM tok k
+              WHERE NOT EXISTS (
+                SELECT 1 FROM ranges r
+                WHERE r.doc_id = k.doc_id
+                  AND k.pos >= r.strt AND k.pos < r.strt + r.span))
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+                   string_agg(tok, ' ' ORDER BY pos) AS text
+            FROM kept GROUP BY doc_id ORDER BY doc_id"""
       },
 
       // the quality column is x9's integer-exact rational; rank/threshold

@@ -131,6 +131,58 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(capped == Set((4L, 5L)), s"boilerplate pairs must drop: $capped")
   }
 
+  test("spanDedupDrop: keep-longest survivor; no surviving pair shares a span") {
+    // docs 1+2 share a 12-token span, doc 2 is longer → 2 survives, 1
+    // drops; doc 3 (chained to 2 by a different span) joins the SAME
+    // cluster transitively, so only one of {1,2,3} remains
+    val span = (1 to 12).map(i => s"s$i").mkString(" ")
+    val span2 = (1 to 12).map(i => s"z$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"pre1 pre2 $span tail1"),
+      (2L, s"longer lead in words here $span and extra trailing content $span2"),
+      (3L, s"alpha beta $span2 gamma"),
+      (4L, "completely different content with nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.spanDedupDrop(docs, "text", "doc_id",
+      windowLen = 8, minSpan = 12L)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(2L, 4L), s"cluster {1,2,3} keeps its longest (2): $ids")
+    // the verdict property: survivors re-checked against the kernel share
+    // no span at or above the threshold
+    val resid = DedupOps.sharedSpanPairs(out, "text", "doc_id", 8)
+      .filter(col("max_span") >= 12)
+    assert(resid.isEmpty)
+  }
+
+  test("spanTrim: the larger-id side loses exactly the shared span") {
+    val span = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 u3 u4 u5 $span u6 u7"),
+      (2L, s"v1 v2 v3 $span v4 v5 v6 v7 v8 v9 v10"),
+      (3L, "plain unrelated words that stay whole"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.spanTrim(docs, "text", "doc_id",
+        windowLen = 4, minSpan = 8L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // min id (first occurrence) keeps its copy — untouched
+    assert(out(1L) == (19L, s"u1 u2 u3 u4 u5 $span u6 u7"))
+    // larger id is trimmed to exactly the non-span tokens, order kept
+    assert(out(2L) == (10L, "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10"))
+    assert(out(3L)._2 == "plain unrelated words that stay whole")
+  }
+
+  test("spanTrim: a fully-duplicated doc disappears; overlapping ranges union") {
+    val span = (1 to 16).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"intro words $span closing remark"),
+      (2L, span)) // doc 2 IS the span — loses every token
+      .toDF("doc_id", "text")
+    val out = DedupOps.spanTrim(docs, "text", "doc_id",
+        windowLen = 4, minSpan = 8L)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L), s"doc 2 must vanish: $out")
+  }
+
   test("x31: corpus-common docs score higher typicality than rare-token docs") {
     val sf = SparkTestSession.sf0001
     val rows = SparkEntry.queries("x31_typicality")(spark, sf).collect()
