@@ -373,6 +373,39 @@ object ExtQueries {
         .select(col("vec_id"), col("cent_id"), round(col("raw_cos"), 4).as("cos"))
     }),
 
+    // the ANN RECALL gate as an oracle row: recall@5 of the two probing
+    // paths (2-bit multiprobe sign bucket; fixed-centroid IVF at
+    // nprobe=2) against the exact brute-force truth, over a 50-query
+    // batch drawn from the corpus (self excluded). Recall is hits/truth
+    // in exact integer form — an index is only as good as its MEASURED
+    // recall, and a probe-parameter regression moves this row.
+    "x34_ann_recall" -> ((s, d) => {
+      import graft.queries.Det.round4Rat
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val truth = SimilarityOps.topKBatch(emb, "vec_id", "embedding",
+        queries, "qid", "qv", 5, excludeSelf = true)
+      val cents = emb.filter(col("vec_id").between(1, 4))
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      def score(name: String, approx: org.apache.spark.sql.DataFrame) =
+        SimilarityOps.recallAtK(truth, approx, "qid", "vec_id")
+          .agg(sum("hits").as("h"), sum("n_truth").as("n"))
+          .select(lit(name).as("method"),
+            col("h").cast("long").as("hits"),
+            col("n").cast("long").as("n_truth"),
+            round4Rat(col("h"), col("n")).as("recall"))
+      score("bucket_b2_multi",
+          SimilarityOps.topKBucketedBatch(emb, "vec_id", "embedding",
+            queries, "qid", "qv", 5, bits = 2, multiprobe = true,
+            excludeSelf = true))
+        .unionAll(score("ivf_np2",
+          SimilarityOps.topKIvfBatch(emb, "vec_id", "embedding",
+            queries, "qid", "qv", cents, 5, nprobe = 2,
+            excludeSelf = true)))
+        .orderBy("method")
+    }),
+
     // deterministic stratified sampling: downsample over-represented
     // languages (en 40 %, zh 80 %, rest 60 %) with md5-decided membership.
     "x22_stratified_sample" -> ((s, d) => {
@@ -1239,6 +1272,89 @@ object ExtQueries {
               WHERE a.vec_id <> 0
                 AND a.cent_id = (SELECT cent_id FROM assigned WHERE vec_id = 0))
             ORDER BY raw_cos DESC, vec_id LIMIT 5""",
+
+      // brute truth + both probing paths rebuilt per query batch; hits
+      // counted by exact (qid, vec_id) join, recall as the shared
+      // integer rational
+      "x34_ann_recall" -> {
+        val qflips = Seq(1, 2).map(i => s"xor(b, $i)").mkString(", ")
+        s"""WITH q AS (
+              SELECT vec_id AS qid, embedding AS qv FROM embeddings
+              WHERE vec_id < 50),
+            truth AS (
+              SELECT qid, vec_id FROM (
+                SELECT q.qid, e.vec_id,
+                       row_number() OVER (PARTITION BY q.qid
+                         ORDER BY ${ddbCos("e.embedding", "q.qv")} DESC,
+                           e.vec_id) AS rn
+                FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+              WHERE rn <= 5),
+            qb AS (
+              SELECT qid, qv, CAST(${ddbBucketN("qv", 2)} AS INT) AS b
+              FROM q),
+            qprobes AS (
+              SELECT qid, qv, unnest([b, $qflips]) AS bucket FROM qb),
+            eb AS (
+              SELECT vec_id, embedding,
+                     CAST(${ddbBucketN("embedding", 2)} AS INT) AS bucket
+              FROM embeddings),
+            bucketed AS (
+              SELECT qid, vec_id FROM (
+                SELECT p.qid, e.vec_id,
+                       row_number() OVER (PARTITION BY p.qid
+                         ORDER BY ${ddbCos("e.embedding", "p.qv")} DESC,
+                           e.vec_id) AS rn
+                FROM eb e JOIN qprobes p USING (bucket)
+                WHERE e.vec_id <> p.qid)
+              WHERE rn <= 5),
+            cents AS (
+              SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+              WHERE vec_id BETWEEN 1 AND 4),
+            assigned AS (
+              SELECT vec_id, embedding, cent_id FROM (
+                SELECT e.vec_id, e.embedding, c.cent_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY ${ddbCos("e.embedding", "c.cv")} DESC,
+                           c.cent_id) AS rn
+                FROM embeddings e CROSS JOIN cents c)
+              WHERE rn = 1),
+            qcells AS (
+              SELECT qid, qv, cent_id FROM (
+                SELECT q.qid, q.qv, c.cent_id,
+                       row_number() OVER (PARTITION BY q.qid
+                         ORDER BY ${ddbCos("q.qv", "c.cv")} DESC,
+                           c.cent_id) AS rn
+                FROM q CROSS JOIN cents c)
+              WHERE rn <= 2),
+            ivf AS (
+              SELECT qid, vec_id FROM (
+                SELECT p.qid, a.vec_id,
+                       row_number() OVER (PARTITION BY p.qid
+                         ORDER BY ${ddbCos("a.embedding", "p.qv")} DESC,
+                           a.vec_id) AS rn
+                FROM assigned a JOIN qcells p USING (cent_id)
+                WHERE a.vec_id <> p.qid)
+              WHERE rn <= 5),
+            nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+            SELECT method, hits, n_truth,
+                   ((hits * 20000 + n_truth) // (2 * NULLIF(n_truth, 0)))
+                     / 10000.0 AS recall
+            FROM (
+              SELECT 'bucket_b2_multi' AS method,
+                     CAST((SELECT COUNT(*) FROM truth t
+                           JOIN bucketed x ON t.qid = x.qid
+                            AND t.vec_id = x.vec_id) AS BIGINT) AS hits,
+                     n_truth
+              FROM nt
+              UNION ALL
+              SELECT 'ivf_np2',
+                     CAST((SELECT COUNT(*) FROM truth t
+                           JOIN ivf x ON t.qid = x.qid
+                            AND t.vec_id = x.vec_id) AS BIGINT),
+                     n_truth
+              FROM nt)
+            ORDER BY method"""
+      },
 
       "x22_stratified_sample" ->
         """SELECT doc_id, lang, source FROM (

