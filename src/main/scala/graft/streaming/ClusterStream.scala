@@ -82,6 +82,38 @@ object ClusterStream {
     if (!fs.exists(store) && fs.exists(next)) fs.rename(next, store)
   }
 
+  /** Read the current labeling, resolving mid-swap states a bare
+    * `spark.read.parquet(labelsDir)` trips over: between applyBatch's
+    * delete and rename an external reader sees NO store — this helper
+    * rolls a completed `.next` forward (idempotent and race-safe: a
+    * concurrent writer's rename makes ours return false, after which the
+    * store exists) and retries briefly until the store resolves.
+    *
+    * Residual caveat, documented rather than hidden: the returned frame
+    * lists files at resolve time but reads them lazily, so a swap landing
+    * MID-JOB can still invalidate file splits — inherent to a
+    * rename-swapped store. A consumer that must survive concurrent swaps
+    * end-to-end should copy the labeling to its own stage first (one
+    * cheap columnar pass) or keep the maintenance stream quiesced while
+    * reading; on object stores (non-atomic rename) prefer the staged
+    * copy unconditionally.
+    */
+  def readLabels(spark: org.apache.spark.sql.SparkSession, labelsDir: String,
+      maxAttempts: Int = 10): DataFrame = {
+    val store = new org.apache.hadoop.fs.Path(labelsDir)
+    val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
+    var attempt = 0
+    while (!fs.exists(store) && attempt < maxAttempts) {
+      rollForward(fs, labelsDir)
+      if (!fs.exists(store)) Thread.sleep(100L)
+      attempt += 1
+    }
+    require(fs.exists(store),
+      s"no labeling at $labelsDir after $maxAttempts attempts " +
+        "(neither store nor completed .next)")
+    spark.read.parquet(labelsDir)
+  }
+
   /** Maintain `labelsDir` continuously from a streaming `pairs` frame
     * (columns doc_a, doc_b). Readers see the labeling as plain parquet —
     * the same artifact the batch x25 job produces.

@@ -40,6 +40,29 @@ class ClusterStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("readLabels resolves a mid-swap store (missing dir, complete .next)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("cluster-read").toString
+    val labelsDir = s"$base/labels"
+    ClusterStream.applyBatch(Seq((1L, 2L)).toDF("doc_a", "doc_b"), labelsDir)
+    // simulate a crash between applyBatch's delete and rename: the store
+    // vanishes, a COMPLETE .next holds the labeling
+    val fs = new org.apache.hadoop.fs.Path(labelsDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.rename(new org.apache.hadoop.fs.Path(labelsDir),
+      new org.apache.hadoop.fs.Path(labelsDir + ".next"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(labelsDir)))
+    val got = ClusterStream.readLabels(spark, labelsDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+    // the roll-forward is durable: the store is back in place for writers
+    assert(fs.exists(new org.apache.hadoop.fs.Path(labelsDir)))
+    // nothing to resolve -> loud failure, not an empty frame
+    intercept[IllegalArgumentException] {
+      ClusterStream.readLabels(spark, s"$base/nowhere", maxAttempts = 1)
+    }
+  }
+
   test("an empty micro-batch leaves the store untouched") {
     val base = java.nio.file.Files.createTempDirectory("cluster-stream2").toString
     val labelsDir = s"$base/labels"
