@@ -380,6 +380,50 @@ object DedupOps {
         (col("pa0") + col("diag")).as("pb0"), col("run"))
   }
 
+  /** Cross-frame shared spans: verbatim runs of at least one
+    * `windowLen`-token window shared between a PROBE document and a
+    * REFERENCE document — the asymmetric form of [[sharedSpanPairs]],
+    * for checking arrivals against a known corpus (verbatim eval-leak
+    * detection at ingest, quote tracing against licensed sources). Same
+    * index/islands kernel; the two sides come from different frames, so
+    * no `doc_a < doc_b` dedup applies. Returns one row per
+    * (probe_id, ref_id) with `n_matches` and the longest common `max_span`
+    * (tokens). Callers whose frames share documents should exclude
+    * identity pairs themselves — ids are not assumed to share a space.
+    *
+    * `maxWindowDf` caps the REFERENCE-side document frequency (a
+    * boilerplate window present in >cap reference docs leaves the index),
+    * bounding per-key fan-out exactly as in the symmetric family. The
+    * reference is re-indexed per call — back it with parquet (or stage
+    * it) when probing repeatedly, the [[crossContamination]] contract.
+    */
+  def spanMatches(probe: DataFrame, reference: DataFrame, textCol: String,
+      idCol: String, windowLen: Int,
+      maxWindowDf: Option[Long] = None): DataFrame = {
+    def index(df: DataFrame, idOut: String, posOut: String) =
+      spreadByDoc(df, idCol)
+        .select(col(idCol).as(idOut),
+          posexplode(TextOps.shingles(TextOps.tokens(col(textCol)), windowLen))
+            .as(Seq(posOut, "w")))
+        .select(col(idOut), col(posOut), TextOps.md5Key60(col("w")).as("h"))
+    val ref0 = index(reference, "ref_id", "pr")
+    val ref = maxWindowDf.fold(ref0) { cap =>
+      val hot = ref0.groupBy("h")
+        .agg(count_distinct(col("ref_id")).as("df"))
+        .filter(col("df") > cap).select("h")
+      ref0.join(hot, Seq("h"), "left_anti")
+    }
+    val byDiag = Window.partitionBy("probe_id", "ref_id", "diag").orderBy("pp")
+    index(probe, "probe_id", "pp").join(ref, Seq("h"))
+      .withColumn("diag", col("pr") - col("pp"))
+      .withColumn("isl", col("pp") - row_number().over(byDiag))
+      .groupBy("probe_id", "ref_id", "diag", "isl")
+      .agg(count(lit(1)).as("run"))
+      .groupBy("probe_id", "ref_id")
+      .agg(sum("run").cast(LongType).as("n_matches"),
+        (max("run") + (windowLen - 1)).cast(LongType).as("max_span"))
+  }
+
   /** Span-level dedup, DROP policy — the ACTION half of the span family
     * ([[sharedSpanPairs]] is the signal): documents connected by a shared
     * verbatim run of at least `minSpan` tokens form clusters (connected

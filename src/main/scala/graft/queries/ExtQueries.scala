@@ -508,6 +508,19 @@ object ExtQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // cross-frame shared spans (the asymmetric x29): train-side docs
+    // sharing a verbatim 8-token-window run with the EVAL split —
+    // substring-level leak detection, catching the copied paragraph that
+    // x23's set-overlap contamination misses when global overlap is low.
+    // Same kernel the streaming ingest gate (SpanStream) runs per batch.
+    "x35_span_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val isEval = col("source").isInCollection(Seq("src18", "src19"))
+      DedupOps.spanMatches(docs.filter(!isEval), docs.filter(isEval),
+          "text", "doc_id", windowLen = 8)
+        .orderBy("probe_id", "ref_id")
+    }),
+
     // span dedup, DROP policy — the action on x29's signal: docs
     // connected by a shared verbatim run of >= 12 tokens cluster (CC);
     // each cluster keeps its longest member by n_chars (tie -> min id).
@@ -1484,6 +1497,42 @@ object ExtQueries {
                    CAST(SUM(run) AS BIGINT) AS n_matches,
                    CAST(MAX(run) + 7 AS BIGINT) AS max_span
             FROM runs GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b"""
+      },
+
+      // x29's windows/islands with the two sides drawn from the train and
+      // eval splits (no a<b dedup — the frames are disjoint)
+      "x35_span_decontam" -> {
+        val win8 = (1 to 7).foldLeft("t[i]") { (acc, j) => s"$acc||' '||t[i+$j]" }
+        s"""WITH pw AS (
+              SELECT doc_id AS probe_id,
+                     unnest(list_transform(range(1, len(t)-6), i ->
+                       CAST('0x' || substr(md5($win8), 1, 15) AS BIGINT))) AS h,
+                     unnest(range(1, len(t)-6)) AS pp
+              FROM (SELECT doc_id, $mdToks AS t FROM documents
+                    WHERE source NOT IN ('src18', 'src19'))),
+            rw AS (
+              SELECT doc_id AS ref_id,
+                     unnest(list_transform(range(1, len(t)-6), i ->
+                       CAST('0x' || substr(md5($win8), 1, 15) AS BIGINT))) AS h,
+                     unnest(range(1, len(t)-6)) AS pr
+              FROM (SELECT doc_id, $mdToks AS t FROM documents
+                    WHERE source IN ('src18', 'src19'))),
+            m AS (
+              SELECT p.probe_id, r.ref_id, p.pp, r.pr
+              FROM pw p JOIN rw r ON p.h = r.h),
+            runs AS (
+              SELECT probe_id, ref_id, diag, isl, COUNT(*) AS run
+              FROM (
+                SELECT probe_id, ref_id, pr - pp AS diag,
+                       pp - row_number() OVER (PARTITION BY probe_id, ref_id, pr - pp
+                         ORDER BY pp) AS isl
+                FROM m)
+              GROUP BY probe_id, ref_id, diag, isl)
+            SELECT probe_id, ref_id,
+                   CAST(SUM(run) AS BIGINT) AS n_matches,
+                   CAST(MAX(run) + 7 AS BIGINT) AS max_span
+            FROM runs GROUP BY probe_id, ref_id
+            ORDER BY probe_id, ref_id"""
       },
 
       // x29's windows/islands + CC over the >= 12-token pairs + the
