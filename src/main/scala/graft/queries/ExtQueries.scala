@@ -104,6 +104,21 @@ object ExtQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // SEMANTIC dedup (the SemDeDup recipe): embedding-space near-dup
+    // pairs from the blocked kernel (x5b's sign-bucket equi-join — never
+    // a nested loop) clustered by connected components; each cluster
+    // keeps its min id. The ACTION on the embedding-pair signal, exactly
+    // as x30/x32 act on the token-space signals — semantic duplicates
+    // (paraphrases, re-encodes) that no token-level dedup catches.
+    "x36_semantic_dedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val pairs = SimilarityOps.cosinePairsBucketed(emb,
+          "vec_id", "embedding", 0.4, bits = 4)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      DedupOps.survivors(emb.select("vec_id"), pairs, "vec_id")
+        .orderBy("vec_id")
+    }),
+
     "x6_sim_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
@@ -814,6 +829,46 @@ object ExtQueries {
               JOIN embeddings a ON id_a = a.vec_id
               JOIN embeddings b ON id_b = b.vec_id)
             WHERE cos >= 0.4 ORDER BY id_a, id_b"""
+      },
+
+      // x5b's candidate/verify pipeline + recursive CC + min-id survivors
+      "x36_semantic_dedup" -> {
+        val flips = (0 until 4).map(i => s"xor(bucket, ${1 << i})").mkString(", ")
+        s"""WITH RECURSIVE e AS (
+              SELECT vec_id, embedding,
+                     CAST(${ddbBucketN("embedding", 4)} AS INT) AS bucket
+              FROM embeddings),
+            probes AS (
+              SELECT vec_id, embedding,
+                     unnest([bucket, $flips]) AS bucket0 FROM e),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM probes a JOIN e b ON a.bucket0 = b.bucket
+              WHERE a.vec_id < b.vec_id),
+            p AS (
+              SELECT id_a, id_b FROM (
+                SELECT id_a, id_b,
+                       ${ddbDot("a.embedding", "b.embedding")}
+                         / (sqrt(${ddbNorm2("a.embedding")})
+                            * sqrt(${ddbNorm2("b.embedding")})) AS cos
+                FROM cand
+                JOIN embeddings a ON id_a = a.vec_id
+                JOIN embeddings b ON id_b = b.vec_id)
+              WHERE cos >= 0.4),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+            walk(id, lab) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT g.dst, wk.lab FROM walk wk JOIN edges g ON g.src = wk.id),
+            dropped AS (
+              SELECT id FROM (
+                SELECT id, MIN(lab) AS lab FROM walk GROUP BY id)
+              WHERE id <> lab)
+            SELECT vec_id FROM embeddings
+            WHERE vec_id NOT IN (SELECT id FROM dropped)
+            ORDER BY vec_id"""
       },
 
       // NB: order by the RAW cosine (inner column), not the rounded output

@@ -28,6 +28,30 @@ object CurationProps extends Properties("curation") {
         out.head.getAs[Long]("n_matches") == l - 7
     }
 
+  property("derived-rate frame sampling equals map sampling for any mixture") =
+    forAll(Gen.choose(2, 4), Gen.choose(0L, Long.MaxValue)) { (k, seed) =>
+      import spark.implicits._
+      // arbitrary mixtures produce arbitrary k/10^4 rates — the broadcast
+      // join path must make the identical integer-exact membership
+      // decisions as the collected-map path (the x24c composition glue)
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until 120).map { i =>
+        (i.toLong, s"c${i % k}", 1L + rnd.nextInt(300))
+      }.toDF("doc_id", "cls", "n_tok")
+      val targets = (0 until k).map(i => s"c$i" -> (500L + rnd.nextInt(5000))).toMap
+      val ratesDf = PackingOps.mixtureRatesCounted(docs, "cls", "n_tok",
+        targets, 1L).persist()
+      try {
+        val byFrame = PackingOps.stratifiedSampleByRates(docs, "cls",
+          "doc_id", ratesDf).select("doc_id")
+        val m = ratesDf.collect()
+          .map(r => r.getString(0) -> r.getDouble(3)).toMap
+        val byMap = PackingOps.stratifiedSample(docs, "cls", "doc_id", m, 0.0)
+          .select("doc_id")
+        byFrame.exceptAll(byMap).isEmpty && byMap.exceptAll(byFrame).isEmpty
+      } finally { ratesDf.unpersist(); () }
+    }
+
   property("mixtureRates: binding class keeps 1.0, all rates <= 1, mixture hit within rounding") =
     forAll(Gen.choose(2, 4).flatMap(k =>
       Gen.listOfN(k, Gen.zip(Gen.choose(5, 400), Gen.choose(500, 5000)))),
