@@ -167,6 +167,20 @@ class PlanSpec extends AnyFunSuite {
     assert(manifest.count() > 0)
   }
 
+  test("x32/x33/x35/x36: span surgery + semantic dedup stay equi-keyed") {
+    // the action operators inherit the kernels' discipline: candidates
+    // meet on hash/bucket equi-joins, never a cross product; x33's
+    // range-predicate removal join is doc-id-equi with the range as a
+    // post-join filter
+    for (q <- Seq("x32_span_dedup", "x33_span_trim", "x35_span_decontam",
+        "x36_semantic_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      assert(!p.contains("Exchange SinglePartition"), s"$q:\n$p")
+    }
+  }
+
   test("x29: shared-span candidates come from an equi-join on the window key") {
     val p = plan("x29_shared_spans")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
