@@ -142,6 +142,51 @@ object PackingOps {
           dec38(col("s_m")) * dec38(col("n_tokens"))).as("rate"))
   }
 
+  /** Scale-safe EXACT top-p% per class — the corpus-scale form of the
+    * percentile quality gate (x26's semantics without its skew hazard):
+    * `row_number().over(Window.partitionBy(class))` serializes an entire
+    * class onto ONE task — at 100 TB the `en` partition is the job. This
+    * form never ranks the class: scores are QUANTIZED (the engine's
+    * 4-decimal rationals → ≤ 10⁴+1 distinct values), so a per-(class,
+    * score) HISTOGRAM (map-side partial agg, skew-free) plus a window
+    * over the ≤ 10⁴-row histogram finds each class's exact threshold
+    * bucket; docs join back against the broadcast-sized threshold table.
+    * Only the BOUNDARY bucket needs a tiebreak rank (min id first — the
+    * same total order as rank-by-(score desc, id)), so the one remaining
+    * window is confined to each class's tie mass at the threshold value,
+    * not the class.
+    *
+    * Keeps exactly floor(keepNum·n/keepDen) rows per class — identical
+    * row set to the rank form, bit for bit (the oracle twin IS the rank
+    * form). Degenerate case: if most of a class holds one score value,
+    * the boundary window is that mass — quantized scores make total
+    * degeneracy visible upstream, and the cap is the caller's score
+    * design.
+    */
+  def topPctByScore(df: DataFrame, classCol: String, scoreCol: String,
+      idCol: String, keepNum: Int, keepDen: Int): DataFrame = {
+    require(keepNum > 0 && keepDen > 0 && keepNum <= keepDen)
+    val hist = df.groupBy(col(classCol), col(scoreCol))
+      .agg(count(lit(1)).as("_cnt"))
+    val byScore = Window.partitionBy(classCol).orderBy(col(scoreCol).desc)
+    val marked = hist
+      .withColumn("_cum", sum("_cnt").over(byScore))
+      .withColumn("_n", sum("_cnt").over(Window.partitionBy(classCol)))
+      .withColumn("_k", expr(s"(_n * $keepNum) div $keepDen"))
+      .withColumn("_need", least(col("_cnt"), col("_k") - (col("_cum") - col("_cnt"))))
+      .filter(col("_need") > 0)
+      .select(col(classCol), col(scoreCol), col("_cnt"), col("_need"))
+    val joined = df.join(broadcast(marked), Seq(classCol, scoreCol))
+    val full = joined.filter(col("_need") === col("_cnt"))
+      .drop("_cnt", "_need")
+    val byTie = Window.partitionBy(classCol, scoreCol).orderBy(idCol)
+    val edge = joined.filter(col("_need") < col("_cnt"))
+      .withColumn("_tie", row_number().over(byTie))
+      .filter(col("_tie") <= col("_need"))
+      .drop("_cnt", "_need", "_tie")
+    full.unionByName(edge)
+  }
+
   /** Deterministic stratified sampling: per-class keep rates (class
     * balancing / downsampling over-represented languages or sources),
     * decided by an md5 hash of the id — no RNG, no seed plumbing, stable

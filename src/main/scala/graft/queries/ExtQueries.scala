@@ -590,6 +590,29 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // the SCALE form of x26: identical kept set, no per-language rank —
+    // row_number over Window.partitionBy(lang) serializes a whole
+    // language onto one task (the x31 failure class). The 4-decimal
+    // quality rational has <= 10^4+1 distinct values, so a (lang,
+    // quality) histogram finds each language's exact threshold bucket
+    // and only the boundary tie mass needs a rank. Oracle twin IS the
+    // rank form — the two must agree bit for bit.
+    "x26b_quality_topp_hist" -> ((s, d) => {
+      import graft.queries.Det.round4Rat
+      val toks = TextOps.tokens(col("text"))
+      val nt = size(toks).cast("long")
+      val sw = size(filter(toks, t => t.isInCollection(TextOps.stopwords))).cast("long")
+      val qNum = lit(20L) * nt * least(nt, lit(100L)) +
+        lit(1500L) * (nt - sw) +
+        lit(3L) * nt * least(col("n_chars").cast("long"), lit(500L))
+      val qDen = lit(5000L) * nt
+      val scored = Tables.documents(s, d).filter(nt > 0)
+        .select(col("doc_id"), col("lang"), round4Rat(qNum, qDen).as("quality"))
+      graft.operators.PackingOps.topPctByScore(scored, "lang", "quality",
+          "doc_id", keepNum = 4, keepDen = 10)
+        .orderBy("doc_id")
+    }),
+
     // domain-mixture reweighting: the sampling rates that hit a target
     // per-language TOKEN mixture (en 50 % / zh 30 % / rest 20 %) without
     // upsampling — the data-mixing stage between cleaning and sampling.
@@ -1708,6 +1731,33 @@ object ExtQueries {
                      COUNT(*) OVER (PARTITION BY lang) AS n_lang
               FROM scored)
             SELECT doc_id, lang, quality, rk, n_lang
+            FROM ranked WHERE rk * 10 <= n_lang * 4 ORDER BY doc_id""",
+
+      // the twin is DELIBERATELY the rank form x26 uses: the histogram
+      // path must reproduce the rank path's kept set exactly
+      "x26b_quality_topp_hist" ->
+        s"""WITH scored AS (
+              SELECT doc_id, lang,
+                     ((qnum * 20000 + qden) // (2 * NULLIF(qden, 0))) / 10000.0
+                       AS quality
+              FROM (
+                SELECT doc_id, lang,
+                       20 * nt * least(nt, 100) + 1500 * (nt - sw)
+                         + 3 * nt * least(n_chars, 500) AS qnum,
+                       5000 * nt AS qden
+                FROM (
+                  SELECT doc_id, lang, n_chars, CAST(len(t) AS BIGINT) AS nt,
+                         CAST(len(list_filter(t, x -> list_contains($swList, x)))
+                           AS BIGINT) AS sw
+                  FROM (SELECT doc_id, lang, n_chars, $mdToks AS t FROM documents))
+                WHERE nt > 0)),
+            ranked AS (
+              SELECT doc_id, lang, quality,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY quality DESC, doc_id) AS rk,
+                     COUNT(*) OVER (PARTITION BY lang) AS n_lang
+              FROM scored)
+            SELECT doc_id, lang, quality
             FROM ranked WHERE rk * 10 <= n_lang * 4 ORDER BY doc_id""",
 
       "x28_mixture_rates" ->

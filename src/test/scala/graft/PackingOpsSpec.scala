@@ -95,6 +95,34 @@ class PackingOpsSpec extends AnyFunSuite {
     // post-sample token expectation: 30·⅓ : 10·1 == 1 : 1 — the target
   }
 
+  test("topPctByScore: exact floor(k) per class with min-id boundary ties") {
+    import spark.implicits._
+    // class a: 10 docs — one 0.9, three tied 0.8 (ids 2,3,4), six 0.5.
+    // keep 3/10 -> k=3: the 0.9 + exactly TWO of the tied 0.8s (min ids)
+    val a = Seq((1L, "a", 0.9), (2L, "a", 0.8), (3L, "a", 0.8),
+      (4L, "a", 0.8)) ++ (5L to 10L).map((_, "a", 0.5))
+    // class b: 5 docs, distinct scores — keep 3/10 -> k=1 (floor(1.5))
+    val b = (11L to 15L).map(i => (i, "b", i / 100.0))
+    val docs = (a ++ b).toDF("doc_id", "cls", "score")
+    val kept = PackingOps.topPctByScore(docs, "cls", "score", "doc_id", 3, 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 15L), kept)
+  }
+
+  test("topPctByScore equals the rank form on the fixture scores") {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col("doc_id"), col("lang"),
+      (length(col("text")) % 7).cast("double").as("q")) // coarse ties
+    val hist = PackingOps.topPctByScore(scored, "lang", "q", "doc_id", 4, 10)
+      .select("doc_id")
+    val w = Window.partitionBy("lang").orderBy(col("q").desc, col("doc_id"))
+    val rank = scored
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .filter(col("rk") * 10 <= col("n") * 4).select("doc_id")
+    assert(hist.exceptAll(rank).isEmpty && rank.exceptAll(hist).isEmpty)
+  }
+
   test("counted mixture rates equal the tokenizing form") {
     val counted = docs.select(col("doc_id"), col("lang"),
       size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))

@@ -194,6 +194,15 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges.count(_.contains("lang")) == 1, p)
   }
 
+  test("x26b: histogram gate is two-phase with a broadcast threshold join") {
+    // the scale form of x26: the corpus never enters a per-language
+    // window — the (lang, quality) histogram partial-aggregates map-side
+    // and the tiny threshold table broadcasts back onto the doc side
+    val p = plan("x26b_quality_topp_hist")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("x28: mixture rates tokenize the corpus once (window binding, no branch)") {
     val p = plan("x28_mixture_rates")
     assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
