@@ -103,6 +103,21 @@ object WindowQueries {
         .orderBy("event_type")
     }),
 
+    // the SCALE form of o5: event_type is LOW-cardinality, so the o5
+    // window puts each type's entire posting on one task (the x26/x31
+    // hazard class). max(struct(value, event_id)) is a true AGGREGATE —
+    // map-side partial per input partition, a hot group costs one struct
+    // per task — and struct ordering (value, then event_id, both desc
+    // via max) reproduces the window's exact tiebreak.
+    "o5b_argmax_agg" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(max(struct(col("value"), col("event_id"))).as("m"))
+        .select(col("event_type"), col("m.event_id").as("best_event"),
+          col("m.value").as("best_value"))
+        .orderBy("event_type")
+    }),
+
     // W7 running (cumulative) aggregate — exact decimal accumulation so the
     // prefix sums match DuckDB's segment-tree evaluation bit-for-bit
     "w7_running_sum" -> ((s, d) => {
@@ -261,6 +276,14 @@ object WindowQueries {
          WHERE rn = 1 ORDER BY user_id""",
 
     "o5_argmax_per_group" ->
+      """SELECT event_type, event_id AS best_event, value AS best_value
+         FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                 ORDER BY value DESC, event_id DESC) AS rn FROM events)
+         WHERE rn = 1 ORDER BY event_type""",
+
+    // deliberately the same rank SQL as o5: the aggregate form must
+    // reproduce the window form's result exactly
+    "o5b_argmax_agg" ->
       """SELECT event_type, event_id AS best_event, value AS best_value
          FROM (SELECT *, row_number() OVER (PARTITION BY event_type
                  ORDER BY value DESC, event_id DESC) AS rn FROM events)

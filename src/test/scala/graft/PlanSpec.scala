@@ -194,6 +194,12 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges.count(_.contains("lang")) == 1, p)
   }
 
+  test("o5b: argmax is a two-phase aggregate, no window anywhere") {
+    val p = plan("o5b_argmax_agg")
+    assert(p.contains("partial_max"), p)
+    assert(!p.linesIterator.exists(l => l.trim.startsWith("Window")), p)
+  }
+
   test("x26b: histogram gate is two-phase with a broadcast threshold join") {
     // the scale form of x26: the corpus never enters a per-language
     // window — the (lang, quality) histogram partial-aggregates map-side
