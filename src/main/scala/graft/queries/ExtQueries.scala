@@ -104,6 +104,32 @@ object ExtQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // CLUSTER-BALANCED sampling (diversity-preserving curation): assign
+    // every embedding to its IVF cell, then downsample each cell to the
+    // SMALLEST cell's expected size — md5-deterministic rates, no
+    // per-cell rank (the low-cardinality window hazard). Pure
+    // composition: assignCentroids + mixtureRatesCounted with EQUAL
+    // target shares over per-cell doc counts (binding cell = smallest,
+    // rate_c = T_min/T_c) + the broadcast rate join. The "don't let one
+    // dense region dominate the training mix" step of embedding-space
+    // curation.
+    "x37_cluster_balanced" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id").between(1, 4))
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+      val assigned = SimilarityOps.assignCentroids(emb, "vec_id",
+          "embedding", cents)
+        .select(col("vec_id"), col("cent_id").cast("string").as("cell"),
+          lit(1L).as("one"))
+      val rates = graft.operators.PackingOps.mixtureRatesCounted(assigned,
+        "cell", "one", Map("1" -> 2500L, "2" -> 2500L, "3" -> 2500L,
+          "4" -> 2500L), defaultBps = 2500L)
+      graft.operators.PackingOps.stratifiedSampleByRates(assigned, "cell",
+          "vec_id", rates)
+        .select(col("vec_id"), col("cell").cast("long").as("cent_id"))
+        .orderBy("vec_id")
+    }),
+
     // SEMANTIC dedup (the SemDeDup recipe): embedding-space near-dup
     // pairs from the blocked kernel (x5b's sign-bucket equi-join — never
     // a nested loop) clustered by connected components; each cluster
@@ -853,6 +879,40 @@ object ExtQueries {
               JOIN embeddings b ON id_b = b.vec_id)
             WHERE cos >= 0.4 ORDER BY id_a, id_b"""
       },
+
+      // x14's assignment CTE + x28's rate formula with equal shares
+      // (binding cell = smallest, keeps rate 1.0) + the md5 filter
+      "x37_cluster_balanced" ->
+        s"""WITH cents AS (
+              SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+              WHERE vec_id BETWEEN 1 AND 4),
+            assigned AS (
+              SELECT vec_id, cent_id FROM (
+                SELECT e.vec_id, c.cent_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY ${ddbCos("e.embedding", "c.cv")} DESC,
+                           c.cent_id) AS rn
+                FROM embeddings e CROSS JOIN cents c)
+              WHERE rn = 1),
+            mr AS (
+              SELECT cent_id, CAST(COUNT(*) AS HUGEINT) AS n, 2500 AS s_bps
+              FROM assigned GROUP BY cent_id),
+            mrw AS (
+              SELECT cent_id,
+                     ((CAST(s_bps AS HUGEINT) * first_value(n) OVER bind * 20000
+                        + first_value(s_bps) OVER bind * n)
+                       // (2 * NULLIF(first_value(s_bps) OVER bind * n, 0)))
+                       AS rate_bps
+              FROM mr
+              WINDOW bind AS (ORDER BY CAST(n AS DOUBLE) / s_bps, cent_id))
+            SELECT vec_id, cent_id FROM (
+              SELECT a.vec_id, a.cent_id,
+                     CAST('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 10000 AS h,
+                     m.rate_bps
+              FROM assigned a JOIN mrw m USING (cent_id))
+            WHERE h < rate_bps
+            ORDER BY vec_id""",
 
       // x5b's candidate/verify pipeline + recursive CC + min-id survivors
       "x36_semantic_dedup" -> {
