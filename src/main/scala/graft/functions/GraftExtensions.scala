@@ -47,5 +47,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("distinct_shingles", "distinct_shingles(array<string>, n) - distinct word n-grams"),
       (args: Seq[Expression]) => DistinctShingles(args(0),
         args(1).eval().asInstanceOf[Int])))
+
+    ext.injectFunction((FunctionIdentifier("topk_by_score"),
+      info("topk_by_score",
+        "topk_by_score(score double, id bigint, k) - per-group top-k aggregate with map-side partial pruning"),
+      (args: Seq[Expression]) => TopKByScore(args(0), args(1),
+        args(2).eval().asInstanceOf[Int])))
   }
 }

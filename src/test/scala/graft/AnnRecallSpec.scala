@@ -77,6 +77,30 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(narrow < 0.2, s"unclustered 8-bit single-probe is ~0.02: $narrow")
   }
 
+  test("top-k aggregate equals the rank-window form and plans two-phase") {
+    import org.apache.spark.sql.expressions.Window
+    // the batch tails run TopKByScore (bounded heap, map-side partial);
+    // the window form is the executable spec it must match bit for bit
+    val cand = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("c", SimilarityOps.cosineFast(col("embedding"), col("qv")))
+    val byQ = Window.partitionBy("qid").orderBy(col("c").desc, col("vec_id"))
+    val windowed = cand.withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("vec_id"), round(col("c"), 4).as("cos"))
+    assert(truth.exceptAll(windowed).isEmpty && windowed.exceptAll(truth).isEmpty)
+    val p = truth.queryExecution.executedPlan.toString
+    assert(p.contains("partial_topk_by_score"),
+      s"top-k must partial-aggregate map-side:\n$p")
+    assert(!p.linesIterator.exists(_.trim.startsWith("Window")), p)
+    // and the SQL surface exposes it
+    val viaSql = spark.sql(
+      s"""SELECT topk_by_score(CAST(vec_id AS DOUBLE), vec_id, 3) AS t
+          FROM parquet.`$sf01/embeddings.parquet`""").head()
+      .getSeq[org.apache.spark.sql.Row](0).map(_.getLong(1))
+    assert(viaSql == Seq(499L, 498L, 497L))
+  }
+
   test("trained-IVF nprobe dial is monotone; nprobe=2 of 4 clears 0.65") {
     val r1 = ivf(1)
     val r2 = ivf(2)
