@@ -28,6 +28,25 @@ object CurationProps extends Properties("curation") {
         out.head.getAs[Long]("n_matches") == l - 7
     }
 
+  property("spanTrim removes exactly the planted span from the larger id") =
+    forAll(Gen.choose(8, 24), Gen.choose(0, 6), Gen.choose(0, 6)) { (l, pre, suf) =>
+      import spark.implicits._
+      // disjoint vocabularies outside the span — doc 2 (larger id) must
+      // lose exactly the l span tokens; doc 1 keeps its copy verbatim
+      val span = (1 to l).map(i => s"s$i")
+      val d1 = (1 to 3).map(i => s"p$i") ++ span ++ (1 to 2).map(i => s"q$i")
+      val d2 = (1 to pre).map(i => s"u$i") ++ span ++ (1 to suf).map(i => s"v$i")
+      val docs = Seq((1L, d1.mkString(" ")), (2L, d2.mkString(" ")))
+        .toDF("doc_id", "text")
+      val out = DedupOps.spanTrim(docs, "text", "doc_id",
+          windowLen = 8, minSpan = 8L)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      val doc2Expected = (1 to pre).map(i => s"u$i") ++ (1 to suf).map(i => s"v$i")
+      out(1L) == ((d1.length.toLong, d1.mkString(" "))) &&
+        (if (doc2Expected.isEmpty) !out.contains(2L)
+         else out(2L) == ((doc2Expected.length.toLong, doc2Expected.mkString(" "))))
+    }
+
   property("derived-rate frame sampling equals map sampling for any mixture") =
     forAll(Gen.choose(2, 4), Gen.choose(0L, Long.MaxValue)) { (k, seed) =>
       import spark.implicits._
