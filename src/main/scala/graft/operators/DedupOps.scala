@@ -509,6 +509,63 @@ object DedupOps {
       .withColumnRenamed("doc_id", idCol)
   }
 
+  /** Corpus-frequency boilerplate scrub — the CORPUS-WIDE member of the
+    * span-surgery pair ([[spanTrim]] is the pairwise one): every
+    * `windowLen`-token window present in at least `minDf` DISTINCT
+    * documents is treated as boilerplate (license headers, navigation
+    * chrome, template prose) and its token positions are removed from
+    * EVERY document that contains it — no keep-first side, because
+    * corpus-hot text is noise wherever it appears; when one copy is
+    * worth keeping, that is [[spanTrim]]'s pairwise contract. Returns
+    * `(idCol, n_tok, text)` token-level output as [[spanTrim]] does;
+    * documents scrubbed to zero tokens disappear.
+    *
+    * Scale shape — this is the dual of `maxWindowDf`: the cap DROPS hot
+    * windows from a pair index to protect the join, this operator TARGETS
+    * exactly those windows as the thing to delete. Window DF comes from a
+    * `groupBy(h)` count-distinct (map-side partial aggregation — a
+    * stopword-grade window adds combiner rows per partition, never a
+    * single-task posting list), and the surviving hot set is tiny by
+    * construction (it's boilerplate, not the corpus), so AQE turns the
+    * position join back into a broadcast at runtime — no hard hint, so a
+    * pathological `minDf` cannot OOM the driver. The corpus tokenizes
+    * ONCE to a parquet
+    * stage shared by indexing and reassembly, the [[spanTrim]] property.
+    * Overlapping hot windows union naturally through the anti-join.
+    */
+  def hotSpanScrub(docs: DataFrame, textCol: String, idCol: String,
+      windowLen: Int, minDf: Long,
+      stageDir: Option[String] = None): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would scrub every window of the corpus")
+    val spark = docs.sparkSession
+    val stage = StageIO.resolve(spark, stageDir, "hot-span-tok")
+    docs.select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("toks"))
+      .write.mode("overwrite").parquet(stage)
+    val tokd = spark.read.parquet(stage)
+    val indexed = spreadByDoc(tokd, "doc_id")
+      .select(col("doc_id"),
+        posexplode(TextOps.shingles(col("toks"), windowLen)).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"), TextOps.md5Key60(col("w")).as("h"))
+    val hot = indexed.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select("h")
+    val ranges = indexed.join(hot, Seq("h"))
+      .select(col("doc_id").as("rid"), col("pos").as("start"))
+    val tokPos = tokd.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+    val kept = tokPos.join(ranges,
+      col("doc_id") === col("rid") && col("pos") >= col("start") &&
+        col("pos") < col("start") + windowLen, "left_anti")
+    kept.groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_tok"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("text"))
+      .withColumnRenamed("doc_id", idCol)
+  }
+
   /** Connected components over the near-dup pair graph: every document
     * that appears in `pairs` (columns doc_a, doc_b) is labeled with the
     * MINIMUM doc id reachable from it — the cluster id. This is what makes

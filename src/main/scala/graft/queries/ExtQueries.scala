@@ -586,6 +586,19 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // corpus-frequency boilerplate SCRUB — the corpus-wide span surgery:
+    // every 8-token window present in >= 3 distinct documents is removed
+    // from EVERY document containing it (x33 trims pairwise and keeps
+    // the first copy; corpus-hot text is noise everywhere). Window DF is
+    // a groupBy(h) count-distinct — map-side partial agg, never a
+    // hot-key window — and the hot set is small enough that AQE
+    // broadcasts the position join back.
+    "x38_boilerplate_scrub" -> ((s, d) => {
+      DedupOps.hotSpanScrub(Tables.documents(s, d), "text", "doc_id",
+          windowLen = 8, minDf = 3L)
+        .orderBy("doc_id")
+    }),
+
     // per-language TOP-p% quality gate — percentile-based corpus filtering
     // (keep the best 40 % of each language by x9's quality score). Rank
     // and threshold are INTEGER-exact end to end: row_number over the
@@ -1761,6 +1774,38 @@ object ExtQueries {
                 SELECT 1 FROM ranges r
                 WHERE r.doc_id = k.doc_id
                   AND k.pos >= r.strt AND k.pos < r.strt + r.span))
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+                   string_agg(tok, ' ' ORDER BY pos) AS text
+            FROM kept GROUP BY doc_id ORDER BY doc_id"""
+      },
+
+      // x33's window index, but ranges come from corpus-wide window DF
+      // (>= 3 distinct docs) instead of pairwise runs; every occurrence
+      // of a hot window is removed, so no doc_a/doc_b asymmetry exists
+      "x38_boilerplate_scrub" -> {
+        val win8 = (1 to 7).foldLeft("t[i]") { (acc, j) => s"$acc||' '||t[i+$j]" }
+        s"""WITH w AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(t)-6), i ->
+                       CAST('0x' || substr(md5($win8), 1, 15) AS BIGINT))) AS h,
+                     unnest(range(1, len(t)-6)) AS pos
+              FROM (SELECT doc_id, $mdToks AS t FROM documents)),
+            hot AS MATERIALIZED (
+              SELECT h FROM (
+                SELECT h, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY h)
+              WHERE df >= 3),
+            ranges AS MATERIALIZED (
+              SELECT w.doc_id, w.pos AS strt FROM w JOIN hot USING (h)),
+            tok AS (
+              SELECT doc_id, unnest(t) AS tok,
+                     unnest(range(1, len(t)+1)) AS pos
+              FROM (SELECT doc_id, $mdToks AS t FROM documents)),
+            kept AS (
+              SELECT k.doc_id, k.pos, k.tok FROM tok k
+              WHERE NOT EXISTS (
+                SELECT 1 FROM ranges r
+                WHERE r.doc_id = k.doc_id
+                  AND k.pos >= r.strt AND k.pos < r.strt + 8))
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
                    string_agg(tok, ' ' ORDER BY pos) AS text
             FROM kept GROUP BY doc_id ORDER BY doc_id"""

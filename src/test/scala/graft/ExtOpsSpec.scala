@@ -183,6 +183,29 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(out == Set(1L), s"doc 2 must vanish: $out")
   }
 
+  test("hotSpanScrub: corpus-hot windows vanish from every doc; cold spans stay") {
+    // the same 8-token boilerplate sits in docs 1-3 (df=3 >= minDf) — it
+    // must disappear from ALL of them (no keep-first side, unlike
+    // spanTrim); the span shared by only docs 4+5 (df=2) stays put
+    val hot = (1 to 8).map(i => s"h$i").mkString(" ")
+    val cold = (1 to 8).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 $hot a3"),
+      (2L, s"b1 $hot b2 b3 b4"),
+      (3L, hot), // doc 3 IS the boilerplate — scrubbed to nothing
+      (4L, s"d1 d2 $cold d3"),
+      (5L, s"e1 $cold e2"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.hotSpanScrub(docs, "text", "doc_id",
+        windowLen = 8, minDf = 3L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) == (3L, "a1 a2 a3"))
+    assert(out(2L) == (4L, "b1 b2 b3 b4"))
+    assert(!out.contains(3L), s"the all-boilerplate doc must vanish: $out")
+    assert(out(4L) == (11L, s"d1 d2 $cold d3"))
+    assert(out(5L) == (10L, s"e1 $cold e2"))
+  }
+
   test("x31: corpus-common docs score higher typicality than rare-token docs") {
     val sf = SparkTestSession.sf0001
     val rows = SparkEntry.queries("x31_typicality")(spark, sf).collect()
