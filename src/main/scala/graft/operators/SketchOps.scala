@@ -50,4 +50,73 @@ object SketchOps {
   def distinctEstimate(df: DataFrame, valueCol: String, lgK: Int = 12): DataFrame =
     df.agg(hll_sketch_estimate(
       hll_sketch_agg(col(valueCol), lit(lgK))).as("distinct_est"))
+
+  // ---- count-min sketch: heavy-hitter FREQUENCY estimation ----
+  //
+  // HLL answers "how many distinct"; count-min answers "how often does
+  // each key occur" in the same fixed-size, mergeable shape. Its role on
+  // this surface is setting the skew dials: maxShingleDf / maxWindowDf /
+  // maxTokenDf all need "which keys are hot" BEFORE running the pair
+  // join they protect, and at 100 TB the exact groupBy answer for that
+  // question is itself a full shuffle of the key space per refresh. The
+  // sketch is one pass, fixed memory, and counter-additive — persist one
+  // per day/shard and merge summaries, never rows (the HLL pattern).
+  //
+  // Representation: a COUNTER TABLE (r, b, cnt), r < depth, b < width —
+  // at most depth x width rows regardless of corpus size. A table (not a
+  // struct blob) is the Spark-native form: build is one groupBy on the
+  // (r, b) key with map-side partial aggregation — a stopword-grade key
+  // only adds combiner rows per partition, and the shuffle key space is
+  // BOUNDED by construction, so the sketch build cannot itself skew —
+  // and merge is a plain union + sum. md5-derived bucket hashing keeps
+  // every path engine-portable (oracle-checked end to end in x39).
+
+  /** Build a count-min sketch over `valueCol` (one row per occurrence —
+    * pre-explode token arrays; feed distinct (doc, token) pairs to count
+    * document frequency instead of occurrences). Standard guarantee per
+    * probe: estimate >= true count always; overestimate bounded by
+    * collision mass ~ N/width per row, taken over `depth` independent
+    * rows (SketchOpsSpec asserts the deterministic half).
+    */
+  def cmsSketch(df: DataFrame, valueCol: String, depth: Int = 4,
+      width: Int = 1024): DataFrame =
+    df.select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"), cmsBucket(col(valueCol), r, width).as("b"))): _*))
+        .as("rb"))
+      .select(col("rb.r").as("r"), col("rb.b").as("b"))
+      .groupBy("r", "b")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge sketch tables (union the frames first): counters add, so the
+    * merged sketch is BYTE-IDENTICAL to one built over the union of the
+    * inputs — same exactness contract as the HLL path above, asserted in
+    * SketchOpsSpec. All inputs must share depth/width.
+    */
+  def cmsMerge(sketches: DataFrame): DataFrame =
+    sketches.groupBy("r", "b").agg(sum("cnt").as("cnt"))
+
+  /** Point estimates for `probes(valueCol)`: min over the sketch's depth
+    * rows of the probed counter (absent bucket = 0). The sketch side is
+    * <= depth x width rows — AQE broadcasts it, so probing N keys is one
+    * map-side join plus a per-key min.
+    */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, valueCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val keyed = probes.select(col(valueCol),
+        explode(array((0 until depth).map(r =>
+          struct(lit(r).as("r"), cmsBucket(col(valueCol), r, width).as("b"))): _*))
+          .as("rb"))
+      .select(col(valueCol), col("rb.r").as("r"), col("rb.b").as("b"))
+    keyed.join(sketch, Seq("r", "b"), "left")
+      .groupBy(valueCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Row-r bucket of a value: md5-60-bit of "value:r" mod width —
+    * engine-portable (DuckDB: `CAST('0x'||substr(md5(v||':r'),1,15) AS
+    * BIGINT) % width`; the 60-bit key is non-negative, so plain mod
+    * agrees across engines).
+    */
+  private def cmsBucket(v: org.apache.spark.sql.Column, r: Int, width: Int) =
+    pmod(TextOps.md5Key60(concat(v, lit(s":$r"))), lit(width.toLong))
 }

@@ -599,6 +599,25 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // count-min HOT-TOKEN table — the dial-setting tool for the DF caps
+    // (maxShingleDf / maxWindowDf / minDf): exact top-20 token counts
+    // side by side with their count-min estimates from a 4x1024 counter
+    // table. The sketch build is one BOUNDED-key shuffle (at most
+    // depth x width keys, map-side combine — a stopword cannot skew it)
+    // and the probe join broadcasts the counter table; est >= cnt always,
+    // and both engines derive identical counters from the md5 buckets.
+    "x39_cms_hot_tokens" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(20)
+      val sk = graft.operators.SketchOps.cmsSketch(toks, "tok")
+      graft.operators.SketchOps.cmsEstimate(sk, top.select("tok"), "tok")
+        .join(top, Seq("tok"))
+        .select(col("tok"), col("cnt"), col("est"))
+        .orderBy(col("cnt").desc, col("tok"))
+    }),
+
     // per-language TOP-p% quality gate — percentile-based corpus filtering
     // (keep the best 40 % of each language by x9's quality score). Rank
     // and threshold are INTEGER-exact end to end: row_number over the
@@ -1810,6 +1829,36 @@ object ExtQueries {
                    string_agg(tok, ' ' ORDER BY pos) AS text
             FROM kept GROUP BY doc_id ORDER BY doc_id"""
       },
+
+      // the count-min counter table rebuilt from the same md5 buckets:
+      // counters are exact groupBy counts on (r, b), estimates the min
+      // over depth rows — both integer-exact, nothing float crosses
+      "x39_cms_hot_tokens" ->
+        s"""WITH toks AS (
+              SELECT unnest(t) AS tok
+              FROM (SELECT $mdToks AS t FROM documents)),
+            top AS (
+              SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM toks GROUP BY tok
+              ORDER BY cnt DESC, tok LIMIT 20),
+            rws AS (SELECT unnest(range(0, 4)) AS r),
+            sk AS (
+              SELECT r, b, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                SELECT rws.r,
+                       CAST('0x' || substr(md5(tok || ':'
+                         || CAST(rws.r AS VARCHAR)), 1, 15) AS BIGINT)
+                         % 1024 AS b
+                FROM toks, rws)
+              GROUP BY r, b),
+            keyed AS (
+              SELECT t.tok, t.cnt, rws.r,
+                     CAST('0x' || substr(md5(t.tok || ':'
+                       || CAST(rws.r AS VARCHAR)), 1, 15) AS BIGINT)
+                       % 1024 AS b
+              FROM top t, rws)
+            SELECT k.tok, k.cnt, CAST(MIN(coalesce(s.c, 0)) AS BIGINT) AS est
+            FROM keyed k LEFT JOIN sk s ON s.r = k.r AND s.b = k.b
+            GROUP BY k.tok, k.cnt ORDER BY cnt DESC, tok""",
 
       // the quality column is x9's integer-exact rational; rank/threshold
       // are pure integers, so nothing float-sensitive crosses the gate

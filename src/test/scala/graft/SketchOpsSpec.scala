@@ -62,4 +62,36 @@ class SketchOpsSpec extends AnyFunSuite {
     val perType = SketchOps.mergeEstimate(byType, Seq("event_type"))
     assert(perType.collect().forall(_.getLong(1) > 0))
   }
+
+  // ---- count-min ----
+
+  lazy val docToks = Tables.documents(spark, "/root/testdata/sf0.001")
+    .select(explode(graft.operators.TextOps.tokens(col("text"))).as("tok"))
+
+  test("count-min never underestimates, and nails the heavy hitters") {
+    val exact = docToks.groupBy("tok").count()
+    val sk = SketchOps.cmsSketch(docToks, "tok")
+    // the counter table is bounded by construction
+    assert(sk.count() <= 4L * 1024L)
+    val est = SketchOps.cmsEstimate(sk, exact.select("tok"), "tok")
+    val joined = exact.join(est, "tok")
+      .select(col("tok"), col("count"), col("est")).collect()
+    assert(joined.nonEmpty)
+    assert(joined.forall(r => r.getLong(2) >= r.getLong(1)),
+      "count-min must only overestimate")
+    // heavy-hitter use: the top-5 by estimate are the top-5 by truth
+    def top5(ix: Int) = joined.sortBy(r => (-r.getLong(ix), r.getString(0)))
+      .take(5).map(_.getString(0)).toSeq
+    assert(top5(2) == top5(1), "estimate order must match truth on the head")
+  }
+
+  test("count-min merge of shard sketches equals the global sketch exactly") {
+    val shardA = docToks.filter(pmod(crc32(col("tok")), lit(2)) === 0)
+    val shardB = docToks.filter(pmod(crc32(col("tok")), lit(2)) === 1)
+    val merged = SketchOps.cmsMerge(
+      SketchOps.cmsSketch(shardA, "tok").unionAll(SketchOps.cmsSketch(shardB, "tok")))
+    val global = SketchOps.cmsSketch(docToks, "tok")
+    // counters add: merged must be row-for-row identical to the rebuild
+    assert(merged.exceptAll(global).isEmpty && global.exceptAll(merged).isEmpty)
+  }
 }
