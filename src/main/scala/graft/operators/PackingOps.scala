@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -166,13 +166,41 @@ object PackingOps {
   def topPctByScore(df: DataFrame, classCol: String, scoreCol: String,
       idCol: String, keepNum: Int, keepDen: Int): DataFrame = {
     require(keepNum > 0 && keepDen > 0 && keepNum <= keepDen)
+    capByScoreHist(df, classCol, scoreCol, idCol,
+      expr(s"(_n * $keepNum) div $keepDen"))
+  }
+
+  /** Scale-safe ABSOLUTE per-class cap — "keep at most `n` rows per
+    * class, best-first by score" (per-source / per-domain document caps,
+    * the don't-let-one-site-dominate curation step). Identical row set to
+    * `row_number().over(partitionBy(class).orderBy(score desc, id)) <= n`
+    * but via [[topPctByScore]]'s histogram-threshold machinery, because
+    * the cap's natural group key (source, domain) is exactly the
+    * low-cardinality case where a per-class rank window serializes each
+    * class onto one task. Same quantized-score contract; classes smaller
+    * than `n` pass through whole.
+    */
+  def topNByScore(df: DataFrame, classCol: String, scoreCol: String,
+      idCol: String, n: Long): DataFrame = {
+    require(n > 0, "a cap of zero keeps nothing")
+    capByScoreHist(df, classCol, scoreCol, idCol, least(lit(n), col("_n")))
+  }
+
+  /** Shared histogram-threshold core of [[topPctByScore]] /
+    * [[topNByScore]]: `kExpr` (over the histogram columns, `_n` = class
+    * size) decides how many rows each class keeps; everything else —
+    * per-(class, score) histogram, threshold scan, boundary-bucket
+    * tiebreak rank confined to the tie mass — is common.
+    */
+  private def capByScoreHist(df: DataFrame, classCol: String, scoreCol: String,
+      idCol: String, kExpr: Column): DataFrame = {
     val hist = df.groupBy(col(classCol), col(scoreCol))
       .agg(count(lit(1)).as("_cnt"))
     val byScore = Window.partitionBy(classCol).orderBy(col(scoreCol).desc)
     val marked = hist
       .withColumn("_cum", sum("_cnt").over(byScore))
       .withColumn("_n", sum("_cnt").over(Window.partitionBy(classCol)))
-      .withColumn("_k", expr(s"(_n * $keepNum) div $keepDen"))
+      .withColumn("_k", kExpr)
       .withColumn("_need", least(col("_cnt"), col("_k") - (col("_cum") - col("_cnt"))))
       .filter(col("_need") > 0)
       .select(col(classCol), col(scoreCol), col("_cnt"), col("_need"))

@@ -671,6 +671,28 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // per-SOURCE document cap — "no domain dominates": keep at most 10
+    // docs per source, best-first by the x9 quality rational (min-id
+    // tiebreak). Source is a LOW-cardinality key, exactly the case where
+    // a per-source rank window serializes each source onto one task —
+    // x26b's histogram-threshold machinery with an absolute cap instead
+    // of a percentage; the oracle twin is the rank form.
+    "x40_source_cap" -> ((s, d) => {
+      import graft.queries.Det.round4Rat
+      val toks = TextOps.tokens(col("text"))
+      val nt = size(toks).cast("long")
+      val sw = size(filter(toks, t => t.isInCollection(TextOps.stopwords))).cast("long")
+      val qNum = lit(20L) * nt * least(nt, lit(100L)) +
+        lit(1500L) * (nt - sw) +
+        lit(3L) * nt * least(col("n_chars").cast("long"), lit(500L))
+      val qDen = lit(5000L) * nt
+      val scored = Tables.documents(s, d).filter(nt > 0)
+        .select(col("doc_id"), col("source"), round4Rat(qNum, qDen).as("quality"))
+      graft.operators.PackingOps.topNByScore(scored, "source", "quality",
+          "doc_id", n = 10L)
+        .orderBy("doc_id")
+    }),
+
     // domain-mixture reweighting: the sampling rates that hit a target
     // per-language TOKEN mixture (en 50 % / zh 30 % / rest 20 %) without
     // upsampling — the data-mixing stage between cleaning and sampling.
@@ -1886,6 +1908,31 @@ object ExtQueries {
               FROM scored)
             SELECT doc_id, lang, quality, rk, n_lang
             FROM ranked WHERE rk * 10 <= n_lang * 4 ORDER BY doc_id""",
+
+      // rank form of the absolute per-source cap — the histogram path
+      // must reproduce this kept set exactly (x26b precedent)
+      "x40_source_cap" ->
+        s"""WITH scored AS (
+              SELECT doc_id, source,
+                     ((qnum * 20000 + qden) // (2 * NULLIF(qden, 0))) / 10000.0
+                       AS quality
+              FROM (
+                SELECT doc_id, source,
+                       20 * nt * least(nt, 100) + 1500 * (nt - sw)
+                         + 3 * nt * least(n_chars, 500) AS qnum,
+                       5000 * nt AS qden
+                FROM (
+                  SELECT doc_id, source, n_chars, CAST(len(t) AS BIGINT) AS nt,
+                         CAST(len(list_filter(t, x -> list_contains($swList, x)))
+                           AS BIGINT) AS sw
+                  FROM (SELECT doc_id, source, n_chars, $mdToks AS t FROM documents))
+                WHERE nt > 0))
+            SELECT doc_id, source, quality FROM (
+              SELECT doc_id, source, quality,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY quality DESC, doc_id) AS rk
+              FROM scored)
+            WHERE rk <= 10 ORDER BY doc_id""",
 
       // the twin is DELIBERATELY the rank form x26 uses: the histogram
       // path must reproduce the rank path's kept set exactly

@@ -123,6 +123,31 @@ class PackingOpsSpec extends AnyFunSuite {
     assert(hist.exceptAll(rank).isEmpty && rank.exceptAll(hist).isEmpty)
   }
 
+  test("topNByScore: absolute cap with min-id boundary ties; small classes whole") {
+    import spark.implicits._
+    // class a: 1 at 0.9, three tied at 0.8 — cap 2 keeps the 0.9 and the
+    // MIN-id 0.8 (rank-form tiebreak); class b has fewer than the cap
+    val a = Seq((1L, "a", 0.9), (2L, "a", 0.8), (3L, "a", 0.8), (4L, "a", 0.8))
+    val b = Seq((11L, "b", 0.5))
+    val kept = PackingOps.topNByScore((a ++ b).toDF("doc_id", "cls", "score"),
+        "cls", "score", "doc_id", n = 2L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 11L), kept)
+  }
+
+  test("topNByScore equals the rank form on the fixture scores") {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col("doc_id"), col("source"),
+      (length(col("text")) % 7).cast("double").as("q")) // coarse ties
+    val hist = PackingOps.topNByScore(scored, "source", "q", "doc_id", 10L)
+      .select("doc_id")
+    val w = Window.partitionBy("source").orderBy(col("q").desc, col("doc_id"))
+    val rank = scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10).select("doc_id")
+    assert(hist.exceptAll(rank).isEmpty && rank.exceptAll(hist).isEmpty)
+  }
+
   test("counted mixture rates equal the tokenizing form") {
     val counted = docs.select(col("doc_id"), col("lang"),
       size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
