@@ -231,6 +231,33 @@ class PlanSpec extends AnyFunSuite {
       s"no window operator anywhere in the skew-safe plan:\n$p")
   }
 
+  test("x38: scrub reads only the staged tokenization; DF is a partial agg") {
+    // the corpus-wide boilerplate scrub inherits x31's skew-safe shape:
+    // window DF via groupBy (map-side combine, never a per-key window),
+    // candidates equi-keyed, the raw corpus never rescanned after staging
+    val p = plan("x38_boilerplate_scrub")
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toList
+    assert(scans.nonEmpty && scans.forall(l => !l.contains("documents")),
+      s"returned plan must read only the stage:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.linesIterator.exists(l =>
+        l.trim.startsWith("Window") || l.contains("windowspecdefinition")),
+      s"no window operator anywhere in the scrub plan:\n$p")
+  }
+
+  test("x39: sketch build partial-aggregates; the counter table broadcasts") {
+    val p = plan("x39_cms_hot_tokens")
+    assert(p.contains("partial_count"), s"bounded-key build must combine map-side:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"probe join must broadcast the sketch:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x40: the absolute cap shares x26b's histogram-gate plan shape") {
+    val p = plan("x40_source_cap")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("x14b: trained-IVF assignment is broadcast, never a shuffle join") {
     val p = plan("x14b_sim_ivf_trained")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
