@@ -125,4 +125,40 @@ object TextOps {
       .when(gen >= stream, "gen")
       .otherwise("stream")
   }
+
+  // ---- PII redaction (curation surface) ----
+  //
+  // The scrub every public-web corpus runs before training: emails,
+  // IPv4 addresses, and phone-shaped digit runs are replaced with typed
+  // placeholder tokens. Patterns stay inside the Java-regex / RE2
+  // COMMON subset (no lookaround, no backreferences) so the exact same
+  // strings drive Spark and the DuckDB oracle (x41 hash-checks the
+  // redacted text end to end). Scale: pure codegen'd regexp_replace —
+  // per-row work, no shuffle, composes into any gate.
+
+  /** Email addresses (conservative: letters/digits/._%+- local part). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 (word-bounded; no octet-range check — redaction
+    * prefers false positives over leaked addresses).
+    */
+  val ipv4Pattern = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** NANP-style phone runs `ddd-ddd-dddd` (word-bounded). */
+  val phonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Replace every PII match with its placeholder. Email runs first so a
+    * digits-heavy local part is never half-eaten by the IP rule; the
+    * order is part of the contract (the oracle twin mirrors it).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
+  /** Match count for one PII pattern (pre-redaction audit metric). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
 }

@@ -599,6 +599,31 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // PII REDACTION — the scrub step of the curation surface. The
+    // fixture corpus is PII-free by construction, so the query PLANTS
+    // deterministic PII (email on even ids, an IPv4 per doc, a phone on
+    // ids divisible by 3) and then scrubs it — the point under test is
+    // the Java-regex/RE2-portable pattern set and replacement order,
+    // hash-checked on the redacted text. Pure per-row regexp work: no
+    // shuffle, composes into any gate.
+    "x41_pii_redact" -> ((s, d) => {
+      val id = col("doc_id")
+      val planted = Tables.documents(s, d).select(id,
+        concat(col("text"),
+          when(id % 2 === 0,
+            concat(lit(" contact user"), id.cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          lit(" from 10.0."), (id % 250).cast("string"), lit(".7"),
+          when(id % 3 === 0, lit(" call 555-123-4567")).otherwise(lit("")))
+          .as("txt"))
+      planted.select(id,
+          TextOps.redactPii(col("txt")).as("clean"),
+          TextOps.piiCount(col("txt"), TextOps.emailPattern).as("n_email"),
+          TextOps.piiCount(col("txt"), TextOps.ipv4Pattern).as("n_ip"),
+          TextOps.piiCount(col("txt"), TextOps.phonePattern).as("n_phone"))
+        .orderBy("doc_id")
+    }),
+
     // count-min HOT-TOKEN table — the dial-setting tool for the DF caps
     // (maxShingleDf / maxWindowDf / minDf): exact top-20 token counts
     // side by side with their count-min estimates from a 4x1024 counter
@@ -1850,6 +1875,35 @@ object ExtQueries {
             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
                    string_agg(tok, ' ' ORDER BY pos) AS text
             FROM kept GROUP BY doc_id ORDER BY doc_id"""
+      },
+
+      // same planted PII, same patterns, same replacement order; DuckDB
+      // needs the explicit 'g' flag (Spark's regexp_replace is global)
+      "x41_pii_redact" -> {
+        val email = graft.operators.TextOps.emailPattern
+        val ip = graft.operators.TextOps.ipv4Pattern
+        val phone = graft.operators.TextOps.phonePattern
+        s"""WITH planted AS (
+              SELECT doc_id,
+                     text
+                       || CASE WHEN doc_id % 2 = 0
+                            THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                 || '@example.com' ELSE '' END
+                       || ' from 10.0.' || CAST(doc_id % 250 AS VARCHAR) || '.7'
+                       || CASE WHEN doc_id % 3 = 0
+                            THEN ' call 555-123-4567' ELSE '' END AS txt
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(txt,
+                     '$email', '<EMAIL>', 'g'),
+                     '$ip', '<IP>', 'g'),
+                     '$phone', '<PHONE>', 'g') AS clean,
+                   CAST(len(regexp_extract_all(txt, '$email')) AS BIGINT)
+                     AS n_email,
+                   CAST(len(regexp_extract_all(txt, '$ip')) AS BIGINT) AS n_ip,
+                   CAST(len(regexp_extract_all(txt, '$phone')) AS BIGINT)
+                     AS n_phone
+            FROM planted ORDER BY doc_id"""
       },
 
       // the count-min counter table rebuilt from the same md5 buckets:

@@ -206,6 +206,24 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(out(5L) == (10L, s"e1 $cold e2"))
   }
 
+  test("redactPii: typed placeholders, email-before-ip order, clean text unchanged") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "reach me at jane.doe+spam@sub.example.co or 192.168.1.1"),
+      (2L, "digits-heavy local part 10.0.0.1@mail.example.com stays ONE email"),
+      (3L, "call 555-123-4567 ext 9"),
+      (4L, "no pii here at all"),
+      (5L, "version 1.2.3 is not an ip, 1.2.3.4 is"))
+      .toDF("id", "txt")
+      .select(col("id"), graft.operators.TextOps.redactPii(col("txt")).as("clean"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) == "reach me at <EMAIL> or <IP>")
+    assert(rows(2L) == "digits-heavy local part <EMAIL> stays ONE email")
+    assert(rows(3L) == "call <PHONE> ext 9")
+    assert(rows(4L) == "no pii here at all")
+    assert(rows(5L) == "version 1.2.3 is not an ip, <IP> is")
+  }
+
   test("x31: corpus-common docs score higher typicality than rare-token docs") {
     val sf = SparkTestSession.sf0001
     val rows = SparkEntry.queries("x31_typicality")(spark, sf).collect()
