@@ -47,6 +47,26 @@ object CurationProps extends Properties("curation") {
          else out(2L) == ((doc2Expected.length.toLong, doc2Expected.mkString(" "))))
     }
 
+  property("hotSpanScrub removes a planted window iff its df reaches minDf") =
+    forAll(Gen.choose(2, 6), Gen.choose(2L, 6L)) { (copies, minDf) =>
+      import spark.implicits._
+      // `copies` docs carry the same 8-token window between disjoint
+      // per-doc vocabularies; scrubbed everywhere iff copies >= minDf
+      val hot = (1 to 8).map(i => s"h$i")
+      val docs = (1 to copies).map { d =>
+        (d.toLong, ((1 to 2).map(i => s"p${d}_$i") ++ hot :+ s"q$d").mkString(" "))
+      }.toDF("doc_id", "text")
+      val out = DedupOps.hotSpanScrub(docs, "text", "doc_id",
+          windowLen = 8, minDf = minDf)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      val expected = (1 to copies).map { d =>
+        val keep = (1 to 2).map(i => s"p${d}_$i") :+ s"q$d"
+        val full = (1 to 2).map(i => s"p${d}_$i") ++ hot :+ s"q$d"
+        d.toLong -> (if (copies >= minDf) keep else full).mkString(" ")
+      }.toMap
+      out == expected
+    }
+
   property("derived-rate frame sampling equals map sampling for any mixture") =
     forAll(Gen.choose(2, 4), Gen.choose(0L, Long.MaxValue)) { (k, seed) =>
       import spark.implicits._
