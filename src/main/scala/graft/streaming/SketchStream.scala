@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.SketchOps
+
+/** Streaming SKETCH MAINTENANCE — the incremental twin of the batch
+  * count-min build ([[SketchOps.cmsSketch]], x39): keep a durable
+  * hot-key frequency sketch current while values stream in, so the DF
+  * skew dials (`maxShingleDf` / `maxWindowDf` / `minDf`) and the ingest
+  * gates that use them read an up-to-date "which keys are hot" table
+  * without ever rescanning history.
+  *
+  * Store layout is a COUNTER LOG, not a mutable counter: each
+  * micro-batch writes its own (r, b, cnt) counter table under
+  * `storeDir/batch_id=<id>/`, and readers merge the log
+  * ([[SketchOps.cmsMerge]] — counter addition, exact). That layout is
+  * what makes foreachBatch's at-least-once replay safe: counter
+  * addition is NOT idempotent, but a replayed batch OVERWRITES its own
+  * batch_id partition instead of re-adding into a running total —
+  * idempotency comes from the keyed sink, the
+  * [[DecontaminationStream]] contract, where [[ClusterStream]] instead
+  * leaned on CC's monotonicity.
+  *
+  * Scale shape: each batch writes at most depth x width rows (kilobytes
+  * — the sketch bound, nothing scales with batch size), the log grows
+  * one tiny partition per micro-batch, and the read-side merge is a
+  * bounded-key groupBy over #batches x depth x width rows. A
+  * long-running stream compacts CLOSED batch ranges offline
+  * ([[compact]]) — run it only when the stream is stopped (or its
+  * checkpoint trimmed past the compacted ids): compaction folds batch
+  * partitions into one, so a replay of a compacted id afterwards would
+  * double-count.
+  */
+object SketchStream {
+
+  /** Sketch one micro-batch into its own batch_id partition (overwrite —
+    * replay-idempotent). Empty batches write nothing.
+    */
+  def applyBatch(batch: DataFrame, valueCol: String, storeDir: String,
+      batchId: Long, depth: Int = 4, width: Int = 1024): Unit =
+    if (!batch.isEmpty)
+      SketchOps.cmsSketch(batch, valueCol, depth, width)
+        .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+
+  /** The merged sketch over every batch in the log — same schema as a
+    * batch-built [[SketchOps.cmsSketch]], and (counter addition being
+    * exact) the same VALUES as one build over all data ever streamed:
+    * SketchStreamSpec asserts equality, not approximation. Returns an
+    * empty counter table if nothing has been written yet.
+    */
+  def readSketch(spark: SparkSession, storeDir: String): DataFrame = {
+    val store = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(store))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "r INT NOT NULL, b BIGINT, cnt BIGINT"))
+    else
+      SketchOps.cmsMerge(spark.read.parquet(storeDir).select("r", "b", "cnt"))
+  }
+
+  /** Fold the whole log into a single batch partition keyed by the max
+    * folded id (so a later batch id never collides with it). OFFLINE
+    * maintenance: only safe when no stream is writing and no folded
+    * batch id can replay (see the class scaladoc).
+    */
+  def compact(spark: SparkSession, storeDir: String): Unit = {
+    val store = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(store)) {
+      val all = spark.read.parquet(storeDir)
+      val maxId = all.agg(max(col("batch_id").cast("long"))).head().getLong(0)
+      val next = new org.apache.hadoop.fs.Path(storeDir + ".next")
+      // the .next write is a complete materialization of the merge, so
+      // the source partitions are only deleted after it commits — a
+      // crash in between leaves .next complete (the ClusterStream swap)
+      SketchOps.cmsMerge(all.select("r", "b", "cnt"))
+        .write.mode("overwrite").parquet(s"$next/batch_id=$maxId")
+      fs.delete(store, true)
+      fs.rename(next, store)
+    }
+  }
+
+  /** Maintain `storeDir` continuously from a streaming frame of values.
+    * Readers see plain parquet — the same artifact the batch x39 build
+    * produces, one partition per micro-batch.
+    */
+  def startSketchMaintenance(values: DataFrame, valueCol: String,
+      storeDir: String, checkpointDir: String, depth: Int = 4,
+      width: Int = 1024): StreamingQuery =
+    values.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyBatch(batch.toDF(), valueCol, storeDir, batchId, depth, width)
+      }
+      .start()
+}

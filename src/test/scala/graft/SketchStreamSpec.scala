@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SketchOps
+import graft.streaming.SketchStream
+
+/** Incremental count-min maintenance: the merged counter log must equal
+  * the batch-built sketch over all values ever streamed — EXACTLY, the
+  * counter-addition contract — and the batchId-keyed sink must make
+  * at-least-once replay a no-op.
+  */
+class SketchStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def counters(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] =
+    df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("merged log equals the batch-built sketch over all streamed values") {
+    val base = java.nio.file.Files.createTempDirectory("sketch-stream").toString
+    val store = s"$base/sketch"
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = SketchStream.startSketchMaintenance(
+      input.toDF().toDF("tok"), "tok", store, s"$base/ckpt")
+    try {
+      input.addData("a", "a", "b"); q.processAllAvailable()
+      input.addData("a", "c"); q.processAllAvailable()
+      input.addData("b", "b", "b", "d"); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = counters(SketchStream.readSketch(spark, store))
+    val global = counters(SketchOps.cmsSketch(
+      Seq("a", "a", "b", "a", "c", "b", "b", "b", "d").toDF("tok"), "tok"))
+    assert(streamed == global, "counter log merge must equal one global build")
+    // and the estimates read through the merged store are exact here
+    val est = SketchOps.cmsEstimate(SketchStream.readSketch(spark, store),
+        Seq("a", "b", "c", "d").toDF("tok"), "tok")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == Map("a" -> 3L, "b" -> 4L, "c" -> 1L, "d" -> 1L))
+  }
+
+  test("replaying a batch id overwrites its partition — no double count") {
+    val base = java.nio.file.Files.createTempDirectory("sketch-replay").toString
+    val store = s"$base/sketch"
+    SketchStream.applyBatch(Seq("x", "x", "y").toDF("tok"), "tok", store, 0L)
+    SketchStream.applyBatch(Seq("y", "z").toDF("tok"), "tok", store, 1L)
+    val before = counters(SketchStream.readSketch(spark, store))
+    // at-least-once delivery: batch 1 arrives again with the same content
+    SketchStream.applyBatch(Seq("y", "z").toDF("tok"), "tok", store, 1L)
+    assert(counters(SketchStream.readSketch(spark, store)) == before)
+    // an empty batch writes nothing (no empty partition poisoning reads)
+    SketchStream.applyBatch(Seq.empty[String].toDF("tok"), "tok", store, 2L)
+    assert(counters(SketchStream.readSketch(spark, store)) == before)
+  }
+
+  test("compact folds the log into one partition with identical counters") {
+    val base = java.nio.file.Files.createTempDirectory("sketch-compact").toString
+    val store = s"$base/sketch"
+    SketchStream.applyBatch(Seq("p", "p", "q").toDF("tok"), "tok", store, 0L)
+    SketchStream.applyBatch(Seq("q", "r").toDF("tok"), "tok", store, 1L)
+    val before = counters(SketchStream.readSketch(spark, store))
+    SketchStream.compact(spark, store)
+    assert(counters(SketchStream.readSketch(spark, store)) == before)
+    // one partition remains, keyed by the max folded id
+    val parts = spark.read.parquet(store)
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(parts == Set(1L), parts)
+    // a FRESH batch id after compaction keeps accumulating correctly
+    SketchStream.applyBatch(Seq("r").toDF("tok"), "tok", store, 2L)
+    val after = counters(SketchStream.readSketch(spark, store))
+    val global = counters(SketchOps.cmsSketch(
+      Seq("p", "p", "q", "q", "r", "r").toDF("tok"), "tok"))
+    assert(after == global)
+  }
+
+  test("reading an unwritten store yields an empty counter table, not a crash") {
+    val got = SketchStream.readSketch(spark,
+      java.nio.file.Files.createTempDirectory("sketch-empty").toString + "/nope")
+    assert(got.isEmpty)
+  }
+}
