@@ -624,6 +624,41 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // BIGRAM-SURPRISE score — the integer-exact form of perplexity
+    // filtering (score docs by how predictable each next token is under
+    // a corpus n-gram model; prune the tails): per doc the average of
+    // bits(U(w1)) - bits(B(w1,w2)) over its bigrams, where B/U are
+    // corpus bigram / left-unigram counts and bits(c) = length(bin(c))
+    // is the integer log2 bucket — a float log would not survive the
+    // cross-engine hash, binary length does. Complements x31 (unigram
+    // typicality) with the conditional signal. Scale shape: the bigram
+    // frame is staged ONCE (8-byte md5 keys, never strings); both count
+    // tables are groupBy partial aggs (skew-free); the join back matches
+    // each bigram row to exactly one count row per side — no fan-out —
+    // and no window appears anywhere.
+    "x42_bigram_surprise" -> ((s, d) => {
+      import graft.queries.Det.round4Rat
+      val toks = TextOps.tokens(col("text"))
+      val stage = graft.operators.StageIO.resolve(s, None, "x42-bg")
+      Tables.documents(s, d).filter(size(toks) >= 2)
+        .select(col("doc_id"), explode(TextOps.bigrams(toks)).as("bg"))
+        .select(col("doc_id"),
+          TextOps.md5Key60(col("bg")).as("hb"),
+          TextOps.md5Key60(substring_index(col("bg"), " ", 1)).as("h1"))
+        .write.mode("overwrite").parquet(stage)
+      val bg = s.read.parquet(stage)
+      val bits = (c: org.apache.spark.sql.Column) => length(bin(c)).cast("long")
+      val bCounts = bg.groupBy("hb").agg(count(lit(1)).as("bc"))
+      val uCounts = bg.groupBy("h1").agg(count(lit(1)).as("uc"))
+      bg.join(bCounts, "hb").join(uCounts, "h1")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(bits(col("uc")) - bits(col("bc"))).as("surprise_bits"))
+        .select(col("doc_id"), col("n_bigrams"), col("surprise_bits"),
+          round4Rat(col("surprise_bits"), col("n_bigrams")).as("surprise"))
+        .orderBy("doc_id")
+    }),
+
     // count-min HOT-TOKEN table — the dial-setting tool for the DF caps
     // (maxShingleDf / maxWindowDf / minDf): exact top-20 token counts
     // side by side with their count-min estimates from a 4x1024 counter
@@ -1876,6 +1911,30 @@ object ExtQueries {
                    string_agg(tok, ' ' ORDER BY pos) AS text
             FROM kept GROUP BY doc_id ORDER BY doc_id"""
       },
+
+      // the same md5 bigram/left-unigram keys, counts, and binary-length
+      // bits; surprise mirrors round4Rat's integer rounding exactly
+      "x42_bigram_surprise" ->
+        s"""WITH bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(t)), i ->
+                       CAST('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15)
+                         AS BIGINT))) AS hb,
+                     unnest(list_transform(range(1, len(t)), i ->
+                       CAST('0x' || substr(md5(t[i]), 1, 15) AS BIGINT))) AS h1
+              FROM (SELECT doc_id, $mdToks AS t FROM documents)
+              WHERE len(t) >= 2),
+            bc AS (SELECT hb, CAST(COUNT(*) AS BIGINT) AS bc
+                   FROM bg GROUP BY hb),
+            uc AS (SELECT h1, CAST(COUNT(*) AS BIGINT) AS uc
+                   FROM bg GROUP BY h1)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(length(bin(uc)) - length(bin(bc))) AS BIGINT)
+                     AS surprise_bits,
+                   ((SUM(length(bin(uc)) - length(bin(bc))) * 20000 + COUNT(*))
+                     // (2 * COUNT(*))) / 10000.0 AS surprise
+            FROM bg JOIN bc USING (hb) JOIN uc USING (h1)
+            GROUP BY doc_id ORDER BY doc_id""",
 
       // same planted PII, same patterns, same replacement order; DuckDB
       // needs the explicit 'g' flag (Spark's regexp_replace is global)

@@ -224,6 +224,21 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(rows(5L) == "version 1.2.3 is not an ip, <IP> is")
   }
 
+  test("x42: predictable bigrams score near zero; rare continuations score high") {
+    val sf = SparkTestSession.sf0001
+    val rows = SparkEntry.queries("x42_bigram_surprise")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val scores = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("surprise")).toMap
+    // bits(U) >= bits(B) always: surprise is non-negative, and an average
+    // of integer bit gaps stays below 64
+    assert(scores.values.forall(v => v >= 0.0 && v < 64.0))
+    // the corpus's shared vocabulary means SOME doc sees a predictable
+    // continuation (gap 0 for at least one bigram) while rare bigrams
+    // (B=1) under hot left-unigrams push other docs well above zero
+    assert(scores.values.max > 1.0, s"max ${scores.values.max}")
+  }
+
   test("x31: corpus-common docs score higher typicality than rare-token docs") {
     val sf = SparkTestSession.sf0001
     val rows = SparkEntry.queries("x31_typicality")(spark, sf).collect()
