@@ -258,6 +258,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("x42: surprise reads only the staged bigrams; counts partial-aggregate") {
+    val p = plan("x42_bigram_surprise")
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toList
+    assert(scans.nonEmpty && scans.forall(l => !l.contains("documents")),
+      s"returned plan must read only the bigram stage:\n$p")
+    assert(p.contains("partial_count"), s"count tables must be two-phase:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.trim.startsWith("Window") || l.contains("windowspecdefinition")),
+      s"no window operator anywhere:\n$p")
+  }
+
   test("x14b: trained-IVF assignment is broadcast, never a shuffle join") {
     val p = plan("x14b_sim_ivf_trained")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
