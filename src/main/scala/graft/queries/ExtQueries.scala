@@ -659,6 +659,41 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // TF-IDF KEYWORD extraction — per-doc top-3 terms by an INTEGER
+    // tf·idf score: tf × (bits(N) − bits(df)), the x42 binary-length
+    // log2 bucket standing in for the float idf log (topical metadata
+    // for routing/clustering a corpus). Per-doc top-k runs through the
+    // TopKByScore bounded-heap AGGREGATE keyed by the token's md5-60
+    // hash (its tie order is engine-portable: score desc, hash asc) —
+    // never a per-doc rank window; the tf frame stages once and both
+    // count tables partial-aggregate.
+    "x43_tfidf_keywords" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nBits = java.lang.Long.toBinaryString(docs.count()).length.toLong
+      val bits = (c: org.apache.spark.sql.Column) => length(bin(c)).cast("long")
+      val stage = graft.operators.StageIO.resolve(s, None, "x43-tf")
+      docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"), col("tok"),
+          TextOps.md5Key60(col("tok")).as("hk"), col("tf"))
+        .write.mode("overwrite").parquet(stage)
+      val tf = s.read.parquet(stage)
+      val dfT = tf.groupBy("hk").agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfT, "hk")
+        .withColumn("score",
+          (col("tf") * (lit(nBits) - bits(col("df")))).cast("double"))
+      val back = tf.select(col("doc_id").as("_d"), col("hk").as("_hk"),
+        col("tok"))
+      scored.groupBy("doc_id")
+        .agg(graft.functions.AggExprs.topKByScore(col("score"), col("hk"), 3)
+          .as("_tk"))
+        .select(col("doc_id"), explode(col("_tk")).as("_e"))
+        .join(back, col("doc_id") === col("_d") && col("_e.id") === col("_hk"))
+        .select(col("doc_id"), col("tok"),
+          col("_e.score").cast("long").as("score"))
+        .orderBy(col("doc_id"), col("score").desc, col("tok"))
+    }),
+
     // count-min HOT-TOKEN table — the dial-setting tool for the DF caps
     // (maxShingleDf / maxWindowDf / minDf): exact top-20 token counts
     // side by side with their count-min estimates from a 4x1024 counter
@@ -1964,6 +1999,29 @@ object ExtQueries {
                      AS n_phone
             FROM planted ORDER BY doc_id"""
       },
+
+      // same integer score; the per-doc top-3 is the rank form over
+      // (score desc, md5-60 hash asc) — the heap aggregate's tie order
+      "x43_tfidf_keywords" ->
+        s"""WITH tf AS (
+              SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf,
+                     CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hk
+              FROM (SELECT doc_id, unnest($mdToks) AS tok FROM documents)
+              GROUP BY doc_id, tok),
+            dft AS (SELECT hk, CAST(COUNT(*) AS BIGINT) AS df
+                    FROM tf GROUP BY hk),
+            nb AS (SELECT length(bin(COUNT(*))) AS nbits FROM documents),
+            scored AS (
+              SELECT t.doc_id, t.tok, t.hk,
+                     CAST(t.tf * (nb.nbits - length(bin(d.df))) AS BIGINT)
+                       AS score
+              FROM tf t JOIN dft d USING (hk), nb)
+            SELECT doc_id, tok, score FROM (
+              SELECT doc_id, tok, score,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, hk) AS rk
+              FROM scored)
+            WHERE rk <= 3 ORDER BY doc_id, score DESC, tok""",
 
       // the count-min counter table rebuilt from the same md5 buckets:
       // counters are exact groupBy counts on (r, b), estimates the min

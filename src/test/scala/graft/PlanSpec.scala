@@ -269,6 +269,17 @@ class PlanSpec extends AnyFunSuite {
       s"no window operator anywhere:\n$p")
   }
 
+  test("x43: keyword top-k is the heap aggregate over the staged tf frame") {
+    val p = plan("x43_tfidf_keywords")
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toList
+    assert(scans.nonEmpty && scans.forall(l => !l.contains("documents")),
+      s"returned plan must read only the tf stage:\n$p")
+    assert(p.contains("topk_by_score"), s"per-doc top-k must be the aggregate:\n$p")
+    assert(!p.linesIterator.exists(l =>
+        l.trim.startsWith("Window") || l.contains("windowspecdefinition")),
+      s"no rank window anywhere:\n$p")
+  }
+
   test("x14b: trained-IVF assignment is broadcast, never a shuffle join") {
     val p = plan("x14b_sim_ivf_trained")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
