@@ -659,6 +659,38 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // CORPUS CURATION REPORT — the one-scan health check a data team
+    // runs before a training build: per language, document and token
+    // volume, exact-duplicate count (docs minus distinct md5 texts —
+    // 16-byte keys, the x1 discipline), quality mass as an INTEGER sum
+    // of the per-doc 4-decimal quality (round(q·10⁴) recovers the
+    // rational's numerator exactly — no float sum drifts), and the
+    // n_chars envelope. One groupBy over one scan; every column is a
+    // partial-aggregable integer.
+    "x44_corpus_report" -> ((s, d) => {
+      import graft.queries.Det.round4Rat
+      val toks = TextOps.tokens(col("text"))
+      val nt = size(toks).cast("long")
+      val sw = size(filter(toks, t => t.isInCollection(TextOps.stopwords))).cast("long")
+      val qNum = lit(20L) * nt * least(nt, lit(100L)) +
+        lit(1500L) * (nt - sw) +
+        lit(3L) * nt * least(col("n_chars").cast("long"), lit(500L))
+      val qDen = lit(5000L) * nt
+      Tables.documents(s, d)
+        .select(col("lang"), col("n_chars"), md5(col("text")).as("h"),
+          nt.as("nt"),
+          when(nt > 0, round(round4Rat(qNum, qDen) * 10000).cast("long"))
+            .otherwise(lit(0L)).as("qbps"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nt").as("n_tokens"),
+          (count(lit(1)) - count_distinct(col("h"))).as("n_exact_dups"),
+          sum("qbps").as("quality_bps_sum"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"))
+        .orderBy("lang")
+    }),
+
     // TF-IDF KEYWORD extraction — per-doc top-3 terms by an INTEGER
     // tf·idf score: tf × (bits(N) − bits(df)), the x42 binary-length
     // log2 bucket standing in for the float idf log (topical metadata
@@ -1999,6 +2031,30 @@ object ExtQueries {
                      AS n_phone
             FROM planted ORDER BY doc_id"""
       },
+
+      // per-doc quality recomputed as in x9, summed as integer bps;
+      // dup count via count minus distinct md5
+      "x44_corpus_report" ->
+        s"""WITH scored AS (
+              SELECT lang, n_chars, md5(text) AS h,
+                     CAST(len(t) AS BIGINT) AS nt,
+                     CASE WHEN len(t) > 0 THEN
+                       CAST(round(
+                         (((20 * CAST(len(t) AS BIGINT) * least(CAST(len(t) AS BIGINT), 100)
+                            + 1500 * (CAST(len(t) AS BIGINT)
+                              - CAST(len(list_filter(t, x -> list_contains($swList, x))) AS BIGINT))
+                            + 3 * CAST(len(t) AS BIGINT) * least(n_chars, 500)) * 20000
+                           + 5000 * CAST(len(t) AS BIGINT))
+                          // (2 * 5000 * CAST(len(t) AS BIGINT))) / 10000.0
+                         * 10000) AS BIGINT)
+                     ELSE 0 END AS qbps
+              FROM (SELECT lang, n_chars, text, $mdToks AS t FROM documents))
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(nt) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups,
+                   CAST(SUM(qbps) AS BIGINT) AS quality_bps_sum,
+                   MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+            FROM scored GROUP BY lang ORDER BY lang""",
 
       // same integer score; the per-doc top-3 is the rank form over
       // (score desc, md5-60 hash asc) — the heap aggregate's tie order
