@@ -126,6 +126,22 @@ object TextOps {
       .otherwise("stream")
   }
 
+  /** The oracle-portable quality rational (x9's formula) as an integer
+    * (numerator, denominator) pair over the common denominator 5000·nt:
+    * quality = min(nt,100)/100·0.4 + (1 − sw/nt)·0.3 + min(nc,500)/500·0.3.
+    * Callers round it (`Det.round4Rat`) or threshold it with a pure
+    * integer cross-multiply — nothing float ever needs to exist.
+    */
+  def qualityRat(text: Column, nChars: Column): (Column, Column) = {
+    val toks = tokens(text)
+    val nt = size(toks).cast("long")
+    val sw = size(filter(toks, t => t.isInCollection(stopwords))).cast("long")
+    val num = lit(20L) * nt * least(nt, lit(100L)) +
+      lit(1500L) * (nt - sw) +
+      lit(3L) * nt * least(nChars.cast("long"), lit(500L))
+    (num, lit(5000L) * nt)
+  }
+
   // ---- PII redaction (curation surface) ----
   //
   // The scrub every public-web corpus runs before training: emails,

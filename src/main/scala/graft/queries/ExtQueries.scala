@@ -511,13 +511,8 @@ object ExtQueries {
     // pattern).
     "x30_dedup_best_survivor" -> ((s, d) => {
       import graft.queries.Det.round4Rat
-      val toks = TextOps.tokens(col("text"))
-      val nt = size(toks).cast("long")
-      val sw = size(filter(toks, t => t.isInCollection(TextOps.stopwords))).cast("long")
-      val qNum = lit(20L) * nt * least(nt, lit(100L)) +
-        lit(1500L) * (nt - sw) +
-        lit(3L) * nt * least(col("n_chars").cast("long"), lit(500L))
-      val qDen = lit(5000L) * nt
+      val nt = size(TextOps.tokens(col("text"))).cast("long")
+      val (qNum, qDen) = TextOps.qualityRat(col("text"), col("n_chars"))
       val docs = Tables.documents(s, d)
       val stage = graft.operators.StageIO.resolve(s, None, "x30-scored")
       docs.select(col("doc_id"), col("lang"), round4Rat(qNum, qDen).as("quality"))
@@ -669,13 +664,8 @@ object ExtQueries {
     // partial-aggregable integer.
     "x44_corpus_report" -> ((s, d) => {
       import graft.queries.Det.round4Rat
-      val toks = TextOps.tokens(col("text"))
-      val nt = size(toks).cast("long")
-      val sw = size(filter(toks, t => t.isInCollection(TextOps.stopwords))).cast("long")
-      val qNum = lit(20L) * nt * least(nt, lit(100L)) +
-        lit(1500L) * (nt - sw) +
-        lit(3L) * nt * least(col("n_chars").cast("long"), lit(500L))
-      val qDen = lit(5000L) * nt
+      val nt = size(TextOps.tokens(col("text"))).cast("long")
+      val (qNum, qDen) = TextOps.qualityRat(col("text"), col("n_chars"))
       Tables.documents(s, d)
         .select(col("lang"), col("n_chars"), md5(col("text")).as("h"),
           nt.as("nt"),
@@ -754,13 +744,8 @@ object ExtQueries {
     // the top-X% by quality-model score" is actually executed.
     "x26_quality_topp" -> ((s, d) => {
       import graft.queries.Det.round4Rat
-      val toks = TextOps.tokens(col("text"))
-      val nt = size(toks).cast("long")
-      val sw = size(filter(toks, t => t.isInCollection(TextOps.stopwords))).cast("long")
-      val qNum = lit(20L) * nt * least(nt, lit(100L)) +
-        lit(1500L) * (nt - sw) +
-        lit(3L) * nt * least(col("n_chars").cast("long"), lit(500L))
-      val qDen = lit(5000L) * nt
+      val nt = size(TextOps.tokens(col("text"))).cast("long")
+      val (qNum, qDen) = TextOps.qualityRat(col("text"), col("n_chars"))
       val scored = Tables.documents(s, d).filter(nt > 0)
         .select(col("doc_id"), col("lang"), round4Rat(qNum, qDen).as("quality"))
       val byQuality = Window.partitionBy("lang")
@@ -784,13 +769,8 @@ object ExtQueries {
     // rank form — the two must agree bit for bit.
     "x26b_quality_topp_hist" -> ((s, d) => {
       import graft.queries.Det.round4Rat
-      val toks = TextOps.tokens(col("text"))
-      val nt = size(toks).cast("long")
-      val sw = size(filter(toks, t => t.isInCollection(TextOps.stopwords))).cast("long")
-      val qNum = lit(20L) * nt * least(nt, lit(100L)) +
-        lit(1500L) * (nt - sw) +
-        lit(3L) * nt * least(col("n_chars").cast("long"), lit(500L))
-      val qDen = lit(5000L) * nt
+      val nt = size(TextOps.tokens(col("text"))).cast("long")
+      val (qNum, qDen) = TextOps.qualityRat(col("text"), col("n_chars"))
       val scored = Tables.documents(s, d).filter(nt > 0)
         .select(col("doc_id"), col("lang"), round4Rat(qNum, qDen).as("quality"))
       graft.operators.PackingOps.topPctByScore(scored, "lang", "quality",
@@ -806,13 +786,8 @@ object ExtQueries {
     // of a percentage; the oracle twin is the rank form.
     "x40_source_cap" -> ((s, d) => {
       import graft.queries.Det.round4Rat
-      val toks = TextOps.tokens(col("text"))
-      val nt = size(toks).cast("long")
-      val sw = size(filter(toks, t => t.isInCollection(TextOps.stopwords))).cast("long")
-      val qNum = lit(20L) * nt * least(nt, lit(100L)) +
-        lit(1500L) * (nt - sw) +
-        lit(3L) * nt * least(col("n_chars").cast("long"), lit(500L))
-      val qDen = lit(5000L) * nt
+      val nt = size(TextOps.tokens(col("text"))).cast("long")
+      val (qNum, qDen) = TextOps.qualityRat(col("text"), col("n_chars"))
       val scored = Tables.documents(s, d).filter(nt > 0)
         .select(col("doc_id"), col("source"), round4Rat(qNum, qDen).as("quality"))
       graft.operators.PackingOps.topNByScore(scored, "source", "quality",
