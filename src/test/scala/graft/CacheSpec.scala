@@ -21,7 +21,10 @@ class CacheSpec extends AnyFunSuite {
     "x18_knn_vote", "x19_l2_topk",
     // the iterative-CC family checkpoints rounds internally; the contract
     // is that every block is freed before the call returns
-    "x25_dedup_clusters", "x24b_manifest_neardup", "x29_shared_spans")
+    "x25_dedup_clusters", "x24b_manifest_neardup", "x29_shared_spans",
+    // the round-8 staged queries: scrub/surprise/keywords stage parquet,
+    // never persist
+    "x38_boilerplate_scrub", "x42_bigram_surprise", "x43_tfidf_keywords")
 
   test("dedup/ANN queries leave no persisted RDDs behind") {
     for (name <- extQueries) {
