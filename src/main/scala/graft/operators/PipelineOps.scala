@@ -42,13 +42,8 @@ object PipelineOps {
 
     // quality gate — x9's integer rational, compared exactly:
     // quality >= bps/10000  <=>  10000*qNum >= bps*qDen
-    val toks = TextOps.tokens(col("text"))
-    val nt = size(toks).cast("long")
-    val sw = size(filter(toks, t => t.isInCollection(TextOps.stopwords))).cast("long")
-    val qNum = lit(20L) * nt * least(nt, lit(100L)) +
-      lit(1500L) * (nt - sw) +
-      lit(3L) * nt * least(col("n_chars").cast("long"), lit(500L))
-    val qDen = lit(5000L) * nt
+    val nt = size(TextOps.tokens(col("text"))).cast("long")
+    val (qNum, qDen) = TextOps.qualityRat(col("text"), col("n_chars"))
     val gated = docs.filter(!isEval)
       .filter(nt > 0 && lit(10000L) * qNum >= lit(minQualityBps) * qDen)
       .withColumn("n_tok", nt)

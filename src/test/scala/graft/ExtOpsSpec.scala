@@ -239,6 +239,37 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(scores.values.max > 1.0, s"max ${scores.values.max}")
   }
 
+  test("hotSpanScrub composes in front of the manifest build") {
+    // the pre-clean a web corpus actually needs: scrub corpus-hot
+    // boilerplate FIRST (metadata joined back by id, n_chars recomputed
+    // on the scrubbed text), then run the standard gated build over the
+    // cleaned frame — no packed doc carries the boilerplate forward
+    import spark.implicits._
+    val boiler = (1 to 8).map(i => s"nav$i").mkString(" ")
+    val body = (1 to 30).map(i => s"word$i").mkString(" ")
+    val docs = ((1 to 6).map(d => (d.toLong, s"$boiler $body doc$d", "en", "src1")) :+
+      (7L, s"$body eval holdout", "en", "src9"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val scrubbed = DedupOps.hotSpanScrub(docs, "text", "doc_id",
+        windowLen = 8, minDf = 3L)
+      .join(docs.select("doc_id", "lang", "source"), "doc_id")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    assert(scrubbed.filter(col("text").contains("nav1")).isEmpty,
+      "boilerplate must be gone before the build")
+    val manifest = graft.operators.PipelineOps.trainingManifest(scrubbed,
+      evalSources = Seq("src9"), minQualityBps = 0L, contamThreshold = 0.9,
+      rates = Map("en" -> 1.0), defaultRate = 1.0, capacity = 16, shards = 2)
+    // the near-identical bodies dedup to one exact survivor (scrubbing
+    // unified nothing here — bodies differ by their docN suffix), and
+    // every packed doc is a scrubbed doc
+    val packedIds = manifest.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(packedIds.nonEmpty && packedIds.subsetOf((1L to 6L).toSet))
+    val packedTexts = scrubbed.filter(col("doc_id").isInCollection(packedIds))
+    assert(packedTexts.filter(col("text").contains("nav")).isEmpty)
+  }
+
   test("x31: corpus-common docs score higher typicality than rare-token docs") {
     val sf = SparkTestSession.sf0001
     val rows = SparkEntry.queries("x31_typicality")(spark, sf).collect()
