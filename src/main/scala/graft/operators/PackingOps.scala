@@ -49,18 +49,35 @@ object PackingOps {
     * the expensive half of packing.
     */
   def chunkPackCounted(df: DataFrame, idCol: String, nTokCol: String,
-      capacity: Int, shards: Int): DataFrame = {
+      capacity: Int, shards: Int): DataFrame =
+    chunkPackCore(df, idCol, nTokCol, capacity, shards, Seq(col(idCol)))
+
+  /** [[chunkPackCounted]] with CURRICULUM ordering: documents lay out
+    * within each shard by `scoreCol` DESCENDING (id tiebreak) instead of
+    * id order, so early training sequences draw from the highest-scored
+    * data — the quality-curriculum data-ordering lever, at zero extra
+    * cost (the ordering key of the same per-shard running-sum window).
+    * Determinism is unchanged: shard assignment stays content-keyed and
+    * the in-shard order is a total order.
+    */
+  def chunkPackByScore(df: DataFrame, idCol: String, nTokCol: String,
+      scoreCol: String, capacity: Int, shards: Int): DataFrame =
+    chunkPackCore(df, idCol, nTokCol, capacity, shards,
+      Seq(col(scoreCol).desc, col(idCol)))
+
+  private def chunkPackCore(df: DataFrame, idCol: String, nTokCol: String,
+      capacity: Int, shards: Int, order: Seq[Column]): DataFrame = {
     require(capacity > 0 && shards > 0)
     // ROWS frame, not the orderBy default RANGE: RANGE would sum peer rows
     // on a duplicated id and silently corrupt the packing (the DuckDB
     // oracle pins ROWS UNBOUNDED PRECEDING..CURRENT ROW). `idCol` must be
     // unique per row for the manifest to be well-defined regardless.
-    val w = Window.partitionBy("shard").orderBy(idCol)
+    val w = Window.partitionBy("shard").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(
-        col(idCol),
-        md5Mod(col(idCol), shards).cast("int").as("shard"),
-        col(nTokCol).cast("long").as("n_tok"))
+    // withColumn (not a narrowing select) so score/order columns survive
+    // up to the window, whatever they are
+    df.withColumn("shard", md5Mod(col(idCol), shards).cast("int"))
+      .withColumn("n_tok", col(nTokCol).cast("long"))
       .filter(col("n_tok") > 0)
       .withColumn("cum_end", sum("n_tok").over(w))
       // token span [cum_end - n_tok, cum_end) overlaps chunks

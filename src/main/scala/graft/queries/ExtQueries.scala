@@ -319,6 +319,20 @@ object ExtQueries {
         .orderBy("shard", "chunk_id", "doc_id")
     }),
 
+    // CURRICULUM packing — x21's geometry with quality-DESCENDING layout
+    // inside each shard (id tiebreak): early training sequences draw from
+    // the highest-quality data, the data-ordering lever, at zero extra
+    // cost (same per-shard running-sum window, different order key). The
+    // quality score is n_chars here — already counted, integer, and a
+    // monotone proxy on the fixture; production passes the x9 rational.
+    "x45_chunk_pack_curriculum" -> ((s, d) => {
+      graft.operators.PackingOps.chunkPackByScore(
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_tok")),
+          "doc_id", "n_tok", "n_chars", capacity = 512, shards = 8)
+        .orderBy("shard", "chunk_id", "doc_id")
+    }),
+
     // decontamination: training docs sharing >= 50 % of an eval doc's
     // 3-gram shingles (src18/src19 play the held-out eval corpus).
     "x23_decontamination" -> ((s, d) => {
@@ -1257,6 +1271,33 @@ object ExtQueries {
            ), c AS (
              SELECT doc_id, shard, n_tok,
                     CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_end
+             FROM t WHERE n_tok > 0
+           ), e AS (
+             SELECT shard, doc_id, n_tok, cum_end,
+                    unnest(generate_series((cum_end - n_tok) // 512,
+                                           (cum_end - 1) // 512)) AS chunk_id
+             FROM c
+           )
+           SELECT shard, CAST(chunk_id AS INT) AS chunk_id, doc_id,
+                  CAST(least(cum_end, (chunk_id + 1) * 512)
+                       - greatest(cum_end - n_tok, chunk_id * 512) AS INT)
+                    AS tok_in_chunk
+           FROM e ORDER BY shard, chunk_id, doc_id""",
+
+      // x21's SQL with the window ordered by n_chars DESC, doc_id
+      "x45_chunk_pack_curriculum" ->
+        """WITH t AS (
+             SELECT doc_id, n_chars,
+                    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                         AS BIGINT) % 8 AS INT) AS shard,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             FROM documents
+           ), c AS (
+             SELECT doc_id, shard, n_tok,
+                    CAST(SUM(n_tok) OVER (PARTITION BY shard
+                         ORDER BY n_chars DESC, doc_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                       AS BIGINT) AS cum_end
              FROM t WHERE n_tok > 0

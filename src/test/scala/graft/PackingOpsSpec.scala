@@ -148,6 +148,29 @@ class PackingOpsSpec extends AnyFunSuite {
     assert(hist.exceptAll(rank).isEmpty && rank.exceptAll(hist).isEmpty)
   }
 
+  test("curriculum packing conserves token mass and leads with the best docs") {
+    val counted = docs.select(col("doc_id"), col("n_chars"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
+    val cur = PackingOps.chunkPackByScore(counted, "doc_id", "n_tok",
+      "n_chars", capacity = 512, shards = 8)
+    val std = PackingOps.chunkPackCounted(counted, "doc_id", "n_tok", 512, 8)
+    // same geometry, same mass — only the layout order changes
+    assert(cur.agg(sum("tok_in_chunk")).head().getLong(0) ==
+      std.agg(sum("tok_in_chunk")).head().getLong(0))
+    // the first doc laid out in each shard is that shard's best scorer
+    val firstPerShard = cur.filter(col("chunk_id") === 0)
+      .join(counted, "doc_id")
+      .groupBy("shard").agg(max("n_chars").as("first_max"))
+    val bestPerShard = counted
+      .withColumn("shard",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 8)
+      .groupBy("shard").agg(max("n_chars").as("best"))
+    val joined = firstPerShard.join(bestPerShard, "shard").collect()
+    assert(joined.nonEmpty && joined.forall(r =>
+      r.getAs[Long]("first_max") == r.getAs[Long]("best")))
+  }
+
   test("counted mixture rates equal the tokenizing form") {
     val counted = docs.select(col("doc_id"), col("lang"),
       size(TextOps.tokens(col("text"))).cast("long").as("n_tok"))
