@@ -280,6 +280,22 @@ class PlanSpec extends AnyFunSuite {
       s"no rank window anywhere:\n$p")
   }
 
+  test("x44: the corpus report is one scan with two-phase aggregates") {
+    val p = plan("x44_corpus_report")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
+    assert(p.contains("partial_"), s"report aggregates must combine map-side:\n$p")
+    assert(!p.linesIterator.exists(l => l.trim.startsWith("Window")), p)
+  }
+
+  test("x45: curriculum packing shuffles once on shard, like x21") {
+    val df = SparkEntry.queries("x45_chunk_pack_curriculum")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.count(_.contains("shard")) == 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("x14b: trained-IVF assignment is broadcast, never a shuffle join") {
     val p = plan("x14b_sim_ivf_trained")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
