@@ -483,12 +483,7 @@ object DedupOps {
       stageDir: Option[String] = None): DataFrame = {
     require(minSpan >= windowLen,
       s"a span shorter than the window ($windowLen) is undetectable")
-    val spark = docs.sparkSession
-    val stage = StageIO.resolve(spark, stageDir, "span-trim-tok")
-    docs.select(col(idCol).as("doc_id"),
-        TextOps.tokens(col(textCol)).as("toks"))
-      .write.mode("overwrite").parquet(stage)
-    val tokd = spark.read.parquet(stage)
+    val tokd = stageTokens(docs, textCol, idCol, stageDir, "span-trim-tok")
     val spanL = col("run") + lit(windowLen - 1)
     val ranges = sharedSpanRuns(tokd, col("toks"), "doc_id", windowLen,
         maxWindowDf)
@@ -496,6 +491,31 @@ object DedupOps {
       // doc_a < doc_b by construction: the min id wins, doc_b is trimmed
       .select(col("doc_b").as("rid"), col("pb0").as("start"),
         spanL.as("span"))
+    removeRangesAndReassemble(tokd, ranges, idCol)
+  }
+
+  /** Tokenize a corpus ONCE to a parquet stage — the shared first step of
+    * both span surgeries (the kernel and the reassembly each consume the
+    * stage as cheap columnar reads; see [[spanTrim]]'s scale notes).
+    */
+  private def stageTokens(docs: DataFrame, textCol: String, idCol: String,
+      stageDir: Option[String], tag: String): DataFrame = {
+    val spark = docs.sparkSession
+    val stage = StageIO.resolve(spark, stageDir, tag)
+    docs.select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("toks"))
+      .write.mode("overwrite").parquet(stage)
+    spark.read.parquet(stage)
+  }
+
+  /** Shared surgery tail of [[spanTrim]] / [[hotSpanScrub]]: drop every
+    * token position of `tokd` covered by a `ranges` row (`rid`, `start`,
+    * `span` — overlapping ranges union through the anti-join) and
+    * re-assemble the survivors in position order. Documents left with
+    * zero tokens disappear; output is `(idCol, n_tok, text)`.
+    */
+  private def removeRangesAndReassemble(tokd: DataFrame, ranges: DataFrame,
+      idCol: String): DataFrame = {
     val tokPos = tokd.select(col("doc_id"),
       posexplode(col("toks")).as(Seq("pos", "tok")))
     val kept = tokPos.join(ranges,
@@ -537,12 +557,7 @@ object DedupOps {
       windowLen: Int, minDf: Long,
       stageDir: Option[String] = None): DataFrame = {
     require(minDf >= 2, "minDf < 2 would scrub every window of the corpus")
-    val spark = docs.sparkSession
-    val stage = StageIO.resolve(spark, stageDir, "hot-span-tok")
-    docs.select(col(idCol).as("doc_id"),
-        TextOps.tokens(col(textCol)).as("toks"))
-      .write.mode("overwrite").parquet(stage)
-    val tokd = spark.read.parquet(stage)
+    val tokd = stageTokens(docs, textCol, idCol, stageDir, "hot-span-tok")
     val indexed = spreadByDoc(tokd, "doc_id")
       .select(col("doc_id"),
         posexplode(TextOps.shingles(col("toks"), windowLen)).as(Seq("pos", "w")))
@@ -552,18 +567,9 @@ object DedupOps {
       .filter(col("df") >= minDf)
       .select("h")
     val ranges = indexed.join(hot, Seq("h"))
-      .select(col("doc_id").as("rid"), col("pos").as("start"))
-    val tokPos = tokd.select(col("doc_id"),
-      posexplode(col("toks")).as(Seq("pos", "tok")))
-    val kept = tokPos.join(ranges,
-      col("doc_id") === col("rid") && col("pos") >= col("start") &&
-        col("pos") < col("start") + windowLen, "left_anti")
-    kept.groupBy("doc_id")
-      .agg(count(lit(1)).cast(LongType).as("n_tok"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-            x => x.getField("tok")), " ").as("text"))
-      .withColumnRenamed("doc_id", idCol)
+      .select(col("doc_id").as("rid"), col("pos").as("start"),
+        lit(windowLen).cast(LongType).as("span"))
+    removeRangesAndReassemble(tokd, ranges, idCol)
   }
 
   /** Connected components over the near-dup pair graph: every document

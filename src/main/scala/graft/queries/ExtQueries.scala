@@ -738,10 +738,15 @@ object ExtQueries {
     // and the probe join broadcasts the counter table; est >= cnt always,
     // and both engines derive identical counters from the md5 buckets.
     "x39_cms_hot_tokens" -> ((s, d) => {
+      import s.implicits._
       val toks = Tables.documents(s, d)
         .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      // the 20-row head is referenced twice (probe side + join-back); a
+      // lazy frame would re-run the full corpus aggregation for each, so
+      // the BOUNDED head collects once and re-enters as a literal table
       val top = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("tok")).limit(20)
+        .as[(String, Long)].collect().toSeq.toDF("tok", "cnt")
       val sk = graft.operators.SketchOps.cmsSketch(toks, "tok")
       graft.operators.SketchOps.cmsEstimate(sk, top.select("tok"), "tok")
         .join(top, Seq("tok"))

@@ -15,8 +15,9 @@ import graft.operators.TextOps
   * a training run would actually see), and routed pass/reject against an
   * integer threshold: pass iff `qNum · 10⁴ ≥ minQualityBps · qDen` — a
   * pure cross-multiply, so the gate decision is the same integer
-  * arithmetic the batch oracle checks, never a float compare. Blank
-  * documents are unscorable and reject with `quality_bps = -1`.
+  * arithmetic the batch oracle checks, never a float compare. Blank and
+  * NULL documents are unscorable and reject with `quality_bps = -1` —
+  * every input row lands in exactly one sink.
   *
   * Rejected rows are KEPT (with their quality bps) — curation discards
   * are exactly what a data team audits for gate bugs.
@@ -34,14 +35,19 @@ object CurationStream {
     * (floor(q·10⁴), −1 for unscorable docs).
     */
   def applyBatch(batch: DataFrame, batchId: Long, textCol: String,
-      minQualityBps: Long, passDir: String, rejectDir: String): Unit =
+      minQualityBps: Long, passDir: String, rejectDir: String): Unit = {
+    // the -1 unscorable sentinel must sit strictly below every legal
+    // floor for the quality_bps routing below to be a total split
+    require(minQualityBps >= 0, "quality floor is in non-negative bps")
     if (!batch.isEmpty) {
       val scrubbed = batch.withColumn(textCol,
         TextOps.redactPii(col(textCol)))
       val (qNum, qDen) = TextOps.qualityRat(col(textCol),
         length(col(textCol)))
-      // blank text is unscorable OUTRIGHT: whitespace-split of "" yields
-      // one empty token, so the rational alone would happily score it
+      // blank OR NULL text is unscorable OUTRIGHT: whitespace-split of ""
+      // yields one empty token, so the rational alone would happily score
+      // it, and a NULL predicate would silently drop the row from BOTH
+      // sinks (Dataset.filter keeps only TRUE)
       val scorable = length(trim(col(textCol))) > 0
       // floor(qNum·10⁴ / qDen) without a float division: (a − a mod b)/b
       // is an exact integer-valued double (the round4Rat device)
@@ -49,8 +55,11 @@ object CurationStream {
       val scored = scrubbed.withColumn("quality_bps",
         when(scorable && qDen > 0, (a - pmod(a, qDen)) / qDen)
           .otherwise(lit(-1L)).cast("long"))
-      val pass = scorable && qDen > 0 &&
-        qNum * lit(10000L) >= lit(minQualityBps) * qDen
+      // route on the MATERIALIZED score: floor(x) >= m  <=>  x >= m for
+      // integer m, so this is the same gate as the raw cross-multiply —
+      // never NULL (unscorable is -1), one tokenization per row, and the
+      // two filters are an exact partition of the batch
+      val pass = col("quality_bps") >= lit(minQualityBps)
       val p = scored.persist()
       try {
         p.filter(pass).write.mode("overwrite")
@@ -59,6 +68,7 @@ object CurationStream {
           .parquet(s"$rejectDir/batch=$batchId")
       } finally { p.unpersist(); () }
     }
+  }
 
   /** Run the gate continuously over a streaming frame of documents. */
   def startGate(docs: DataFrame, textCol: String, minQualityBps: Long,

@@ -37,13 +37,30 @@ import graft.operators.SketchOps
 object SketchStream {
 
   /** Sketch one micro-batch into its own batch_id partition (overwrite —
-    * replay-idempotent). Empty batches write nothing.
+    * replay-idempotent). Empty batches write nothing. Rolls forward a
+    * compaction a previous run crashed in the middle of, so new batches
+    * never interleave with a stranded `.next`.
     */
   def applyBatch(batch: DataFrame, valueCol: String, storeDir: String,
-      batchId: Long, depth: Int = 4, width: Int = 1024): Unit =
+      batchId: Long, depth: Int = 4, width: Int = 1024): Unit = {
+    rollForward(batch.sparkSession, storeDir)
     if (!batch.isEmpty)
       SketchOps.cmsSketch(batch, valueCol, depth, width)
         .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+  }
+
+  /** Complete a [[compact]] swap a previous run crashed in the middle of:
+    * if the store is missing but a complete `.next` exists, promote it —
+    * without this, a crash between compact's delete and rename would
+    * strand the whole counter log in `.next` while [[readSketch]]
+    * reported a healthy-looking EMPTY sketch (the ClusterStream lesson).
+    */
+  private def rollForward(spark: SparkSession, storeDir: String): Unit = {
+    val store = new org.apache.hadoop.fs.Path(storeDir)
+    val next = new org.apache.hadoop.fs.Path(storeDir + ".next")
+    val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(store) && fs.exists(next)) { fs.rename(next, store); () }
+  }
 
   /** The merged sketch over every batch in the log — same schema as a
     * batch-built [[SketchOps.cmsSketch]], and (counter addition being
@@ -52,6 +69,7 @@ object SketchStream {
     * empty counter table if nothing has been written yet.
     */
   def readSketch(spark: SparkSession, storeDir: String): DataFrame = {
+    rollForward(spark, storeDir)
     val store = new org.apache.hadoop.fs.Path(storeDir)
     val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(store))
@@ -68,6 +86,7 @@ object SketchStream {
     * batch id can replay (see the class scaladoc).
     */
   def compact(spark: SparkSession, storeDir: String): Unit = {
+    rollForward(spark, storeDir)
     val store = new org.apache.hadoop.fs.Path(storeDir)
     val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(store)) {

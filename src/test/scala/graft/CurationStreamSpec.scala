@@ -49,6 +49,24 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(reject(3L)._2 == -1L)
   }
 
+  test("a NULL text row lands in reject, not in neither sink") {
+    // a NULL predicate silently drops rows from BOTH filter branches —
+    // the gate must be a total split of every batch (review finding)
+    val base = java.nio.file.Files.createTempDirectory("curation-null").toString
+    val batch = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(20L, good),
+        org.apache.spark.sql.Row(21L, null)),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING"))
+    CurationStream.applyBatch(batch, 0L, "text", 4000L,
+      s"$base/pass", s"$base/reject")
+    assert(rows(s"$base/pass").keySet == Set(20L))
+    val reject = rows(s"$base/reject")
+    assert(reject.keySet == Set(21L), s"NULL row must reject: $reject")
+    assert(reject(21L)._2 == -1L)
+  }
+
   test("gate equals the batch quality rational, and replay is a no-op") {
     val base = java.nio.file.Files.createTempDirectory("curation-replay").toString
     val batch = Seq((10L, good), (11L, junk)).toDF("doc_id", "text")

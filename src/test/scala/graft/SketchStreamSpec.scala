@@ -77,6 +77,24 @@ class SketchStreamSpec extends AnyFunSuite {
     assert(after == global)
   }
 
+  test("a crash between compact's delete and rename rolls forward, not empty") {
+    // without roll-forward, readSketch would report a healthy-looking
+    // EMPTY sketch while the whole counter log sat in .next (review
+    // finding) — every estimate silently zero
+    val base = java.nio.file.Files.createTempDirectory("sketch-crash").toString
+    val store = s"$base/sketch"
+    SketchStream.applyBatch(Seq("k", "k").toDF("tok"), "tok", store, 0L)
+    val before = counters(SketchStream.readSketch(spark, store))
+    // simulate the crash window: store deleted, complete .next on disk
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.rename(new org.apache.hadoop.fs.Path(store),
+      new org.apache.hadoop.fs.Path(store + ".next"))
+    assert(counters(SketchStream.readSketch(spark, store)) == before,
+      "reader must promote the stranded .next")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(store)))
+  }
+
   test("reading an unwritten store yields an empty counter table, not a crash") {
     val got = SketchStream.readSketch(spark,
       java.nio.file.Files.createTempDirectory("sketch-empty").toString + "/nope")
