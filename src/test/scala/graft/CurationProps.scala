@@ -2,6 +2,8 @@ package graft
 
 import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import graft.operators.{DedupOps, PackingOps}
 
 /** Properties for the corpus-curation operators added in round 7:
@@ -65,6 +67,22 @@ object CurationProps extends Properties("curation") {
         d.toLong -> (if (copies >= minDf) keep else full).mkString(" ")
       }.toMap
       out == expected
+    }
+
+  property("topNByScore equals the rank form under heavy score ties") =
+    forAll(Gen.choose(1L, 5L), Gen.listOfN(20, Gen.choose(0, 3))) { (n, scores) =>
+      import spark.implicits._
+      // quantized scores from a 4-value domain force boundary-bucket ties
+      val df = scores.zipWithIndex.map { case (sc, i) =>
+        (i.toLong, if (i % 2 == 0) "a" else "b", sc / 10.0)
+      }.toDF("doc_id", "cls", "score")
+      val hist = PackingOps.topNByScore(df, "cls", "score", "doc_id", n)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val w = Window.partitionBy("cls").orderBy(col("score").desc, col("doc_id"))
+      val rank = df.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= n)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      hist == rank
     }
 
   property("derived-rate frame sampling equals map sampling for any mixture") =
