@@ -5,7 +5,7 @@ import java.util.{Comparator, PriorityQueue}
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -51,8 +51,17 @@ private[functions] object TopKEntry {
   */
 case class TopKByScore(scoreExpr: Expression, idExpr: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[PriorityQueue[TopKEntry]] {
+    extends TypedImperativeAggregate[PriorityQueue[TopKEntry]]
+    with ImplicitCastInputTypes {
   require(k > 0, "top-k needs k > 0")
+
+  // update() casts eval results straight to Double/Long, so mistyped
+  // columns must be coerced (or rejected) at ANALYSIS time — without this,
+  // a SQL caller passing an int score compiles the plan and then throws
+  // ClassCastException inside executors (advisor r8)
+  // Seq[DataType] <: Seq[AbstractDataType] (covariant return narrowing) —
+  // AbstractDataType itself is private[sql], unnameable from here
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
 
   private def worstFirst = TopKEntry.worstFirst
 

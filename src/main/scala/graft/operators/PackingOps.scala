@@ -181,10 +181,11 @@ object PackingOps {
     * design.
     */
   def topPctByScore(df: DataFrame, classCol: String, scoreCol: String,
-      idCol: String, keepNum: Int, keepDen: Int): DataFrame = {
+      idCol: String, keepNum: Int, keepDen: Int,
+      stageDir: Option[String] = None): DataFrame = {
     require(keepNum > 0 && keepDen > 0 && keepNum <= keepDen)
     capByScoreHist(df, classCol, scoreCol, idCol,
-      expr(s"(_n * $keepNum) div $keepDen"))
+      expr(s"(_n * $keepNum) div $keepDen"), stageDir)
   }
 
   /** Scale-safe ABSOLUTE per-class cap — "keep at most `n` rows per
@@ -198,9 +199,10 @@ object PackingOps {
     * than `n` pass through whole.
     */
   def topNByScore(df: DataFrame, classCol: String, scoreCol: String,
-      idCol: String, n: Long): DataFrame = {
+      idCol: String, n: Long, stageDir: Option[String] = None): DataFrame = {
     require(n > 0, "a cap of zero keeps nothing")
-    capByScoreHist(df, classCol, scoreCol, idCol, least(lit(n), col("_n")))
+    capByScoreHist(df, classCol, scoreCol, idCol, least(lit(n), col("_n")),
+      stageDir)
   }
 
   /** Shared histogram-threshold core of [[topPctByScore]] /
@@ -208,10 +210,26 @@ object PackingOps {
     * size) decides how many rows each class keeps; everything else —
     * per-(class, score) histogram, threshold scan, boundary-bucket
     * tiebreak rank confined to the tie mass — is common.
+    *
+    * The input is STAGED to parquet once (StageIO — `stageDir` overrides
+    * the scratch default): the gate consumes its input in three lazy
+    * branches (histogram, full-bucket join, boundary-tie join), so a
+    * caller passing a lazy tokenizing frame would otherwise pay the
+    * corpus pass up to three times — the x30/x31 staging discipline
+    * (advisor r8). The threshold join carries NO hard broadcast hint:
+    * its boundedness (≤ #classes × 10⁴+1 rows) rests on the quantized-
+    * score contract, which is the caller's to honor — an unquantized
+    * score column should degrade to a shuffle join at runtime, not force
+    * a driver OOM through a hint (the hotSpanScrub rule; advisor r8).
+    * AQE broadcasts the tiny table when the contract holds.
     */
   private def capByScoreHist(df: DataFrame, classCol: String, scoreCol: String,
-      idCol: String, kExpr: Column): DataFrame = {
-    val hist = df.groupBy(col(classCol), col(scoreCol))
+      idCol: String, kExpr: Column, stageDir: Option[String]): DataFrame = {
+    val spark = df.sparkSession
+    val stage = StageIO.resolve(spark, stageDir, "score-gate")
+    df.write.mode("overwrite").parquet(stage)
+    val staged = spark.read.parquet(stage)
+    val hist = staged.groupBy(col(classCol), col(scoreCol))
       .agg(count(lit(1)).as("_cnt"))
     val byScore = Window.partitionBy(classCol).orderBy(col(scoreCol).desc)
     val marked = hist
@@ -221,7 +239,7 @@ object PackingOps {
       .withColumn("_need", least(col("_cnt"), col("_k") - (col("_cum") - col("_cnt"))))
       .filter(col("_need") > 0)
       .select(col(classCol), col(scoreCol), col("_cnt"), col("_need"))
-    val joined = df.join(broadcast(marked), Seq(classCol, scoreCol))
+    val joined = staged.join(marked, Seq(classCol, scoreCol))
     val full = joined.filter(col("_need") === col("_cnt"))
       .drop("_cnt", "_need")
     val byTie = Window.partitionBy(classCol, scoreCol).orderBy(idCol)

@@ -93,6 +93,13 @@ object SketchStream {
       val all = spark.read.parquet(storeDir)
       val maxId = all.agg(max(col("batch_id").cast("long"))).head().getLong(0)
       val next = new org.apache.hadoop.fs.Path(storeDir + ".next")
+      // a stranded .next BESIDE a live store means a previous compact
+      // crashed between its .next commit and the store delete (rollForward
+      // only promotes when the store is GONE). The overwrite below scopes
+      // to this compaction's own batch_id subdir, so without this delete
+      // the stale full-merge partition would survive the rename and its
+      // counters would double on top of the new merge (advisor r8).
+      if (fs.exists(next)) fs.delete(next, true)
       // the .next write is a complete materialization of the merge, so
       // the source partitions are only deleted after it commits — a
       // crash in between leaves .next complete (the ClusterStream swap)

@@ -101,6 +101,24 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(viaSql == Seq(499L, 498L, 497L))
   }
 
+  test("topk_by_score coerces numeric inputs at analysis; rejects the rest there") {
+    // ImplicitCastInputTypes (advisor r8): an INT score must be cast to
+    // double during analysis — not compile the plan and ClassCastException
+    // in executors — and an un-castable type must fail analysis outright
+    val viaInt = spark.sql(
+      s"""SELECT topk_by_score(vec_id, vec_id, 2) AS t
+          FROM parquet.`$sf01/embeddings.parquet`""").head()
+      .getSeq[org.apache.spark.sql.Row](0).map(_.getLong(1))
+    assert(viaInt == Seq(499L, 498L))
+    // an array has no implicit cast to double — must die in the analyzer
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        s"""SELECT topk_by_score(array(vec_id), vec_id, 2)
+            FROM parquet.`$sf01/embeddings.parquet`""").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("topk_by_score"), err.getMessage)
+  }
+
   test("trained-IVF nprobe dial is monotone; nprobe=2 of 4 clears 0.65") {
     val r1 = ivf(1)
     val r2 = ivf(2)

@@ -95,6 +95,31 @@ class SketchStreamSpec extends AnyFunSuite {
     assert(fs.exists(new org.apache.hadoop.fs.Path(store)))
   }
 
+  test("a stranded .next beside a live store never double-counts a compact") {
+    // the OTHER crash window: a previous compact committed its .next but
+    // died before deleting the store. rollForward no-ops (store exists),
+    // and compact's overwrite scopes to its own batch_id subdir — without
+    // an explicit delete the stale full-merge partition would ride the
+    // rename into the store and add on top of the new merge (advisor r8)
+    val base = java.nio.file.Files.createTempDirectory("sketch-stale").toString
+    val store = s"$base/sketch"
+    SketchStream.applyBatch(Seq("u", "u", "v").toDF("tok"), "tok", store, 0L)
+    // simulate a compact of THAT state crashing after its .next commit:
+    // .next holds the batch-0 merge under batch_id=0 — a different id
+    // than the next compact will write, so overwrite cannot mask it
+    SketchOps.cmsMerge(spark.read.parquet(store).select("r", "b", "cnt"))
+      .write.mode("overwrite").parquet(s"$store.next/batch_id=0")
+    SketchStream.applyBatch(Seq("v", "w").toDF("tok"), "tok", store, 1L)
+    val before = counters(SketchStream.readSketch(spark, store))
+    SketchStream.compact(spark, store)
+    assert(counters(SketchStream.readSketch(spark, store)) == before,
+      "stale .next partitions must not leak into the compacted store")
+    val parts = spark.read.parquet(store)
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(parts == Set(1L), parts)
+  }
+
   test("reading an unwritten store yields an empty counter table, not a crash") {
     val got = SketchStream.readSketch(spark,
       java.nio.file.Files.createTempDirectory("sketch-empty").toString + "/nope")
