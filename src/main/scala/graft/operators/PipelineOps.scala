@@ -38,7 +38,11 @@ object PipelineOps {
     */
   private[graft] def gateAndDedup(docs: DataFrame, evalSources: Seq[String],
       minQualityBps: Long): DataFrame = {
-    val isEval = col("source").isInCollection(evalSources)
+    // never-NULL: a NULL source must count as NOT-eval (kept for training)
+    // rather than silently failing both the train and eval filters — the
+    // CurationStream NULL-routing lesson (r8)
+    val isEval = coalesce(col("source").isInCollection(evalSources),
+      lit(false))
 
     // quality gate — x9's integer rational, compared exactly:
     // quality >= bps/10000  <=>  10000*qNum >= bps*qDen
@@ -104,7 +108,10 @@ object PipelineOps {
       targetMixtureBps: Option[Map[String, Long]] = None,
       defaultMixtureBps: Long = 0L): DataFrame = {
     val spark = docs.sparkSession
-    val isEval = col("source").isInCollection(evalSources)
+    // never-NULL for the same reason as in gateAndDedup: the eval filter
+    // below must partition against the train side exactly
+    val isEval = coalesce(col("source").isInCollection(evalSources),
+      lit(false))
 
     // materialize the shared gate→dedup prefix ONCE (see object scaladoc)
     val stageBase = StageIO.resolve(spark, stageDir, "manifest-stage")

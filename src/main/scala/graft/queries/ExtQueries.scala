@@ -336,10 +336,15 @@ object ExtQueries {
     // decontamination: training docs sharing >= 50 % of an eval doc's
     // 3-gram shingles (src18/src19 play the held-out eval corpus).
     "x23_decontamination" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val isEval = col("source").isin("src18", "src19")
+      // never-NULL split column: filter(p)/filter(!p) is NOT a partition
+      // when p can be NULL — a NULL source would vanish from BOTH sides
+      // (the CurationStream NULL-routing lesson, r8). coalesce makes the
+      // split total; `source` is non-NULL in the fixture, so same hash.
+      val docs = Tables.documents(s, d).withColumn("is_eval",
+        coalesce(col("source").isin("src18", "src19"), lit(false)))
       graft.operators.DedupOps.crossContamination(
-          docs.filter(!isEval), docs.filter(isEval), "text", "doc_id", 0.5)
+          docs.filter(!col("is_eval")), docs.filter(col("is_eval")),
+          "text", "doc_id", 0.5)
         .select(col("eval_id"), col("train_id"),
           col("inter").cast("long").as("inter"),
           col("n_eval").cast("long").as("n_eval"),
@@ -564,10 +569,12 @@ object ExtQueries {
     // x23's set-overlap contamination misses when global overlap is low.
     // Same kernel the streaming ingest gate (SpanStream) runs per batch.
     "x35_span_decontam" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val isEval = col("source").isInCollection(Seq("src18", "src19"))
-      DedupOps.spanMatches(docs.filter(!isEval), docs.filter(isEval),
-          "text", "doc_id", windowLen = 8)
+      // route on a materialized never-NULL boolean — see x23's note
+      val docs = Tables.documents(s, d).withColumn("is_eval",
+        coalesce(col("source").isInCollection(Seq("src18", "src19")),
+          lit(false)))
+      DedupOps.spanMatches(docs.filter(!col("is_eval")),
+          docs.filter(col("is_eval")), "text", "doc_id", windowLen = 8)
         .orderBy("probe_id", "ref_id")
     }),
 

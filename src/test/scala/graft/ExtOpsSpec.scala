@@ -270,6 +270,25 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(packedTexts.filter(col("text").contains("nav")).isEmpty)
   }
 
+  test("a NULL source routes to the train side, not into the void") {
+    // filter(p)/filter(!p) is NOT a partition when p can be NULL (the
+    // CurationStream r8 lesson): a NULL-source doc must count as
+    // NOT-eval and survive the gate, never vanish from both splits
+    import spark.implicits._
+    val body = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+        (1L, s"$body one", "en", "src1"),
+        (2L, s"$body two", "en", null.asInstanceOf[String]),
+        (3L, s"$body eval", "en", "src9"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val gated = graft.operators.PipelineOps.gateAndDedup(docs,
+      evalSources = Seq("src9"), minQualityBps = 0L)
+    val kept = gated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L),
+      s"NULL source must be train-side, eval excluded: $kept")
+  }
+
   test("x31: corpus-common docs score higher typicality than rare-token docs") {
     val sf = SparkTestSession.sf0001
     val rows = SparkEntry.queries("x31_typicality")(spark, sf).collect()
