@@ -333,6 +333,35 @@ object ExtQueries {
         .orderBy("shard", "chunk_id", "doc_id")
     }),
 
+    // MODEL-based quality gate — the classifier-score curation step
+    // production corpora run (fastText-style gating re-expressed): a
+    // LogReg trained on integer text features with WEAK labels from the
+    // x9 quality extremes, its 10⁶-quantized coefficients persisted as a
+    // plain parquet TABLE, the corpus scored by an integer broadcast
+    // dot-product (no UDF, no model object on the hot path), and the top
+    // 30 % per language kept through the histogram gate on the bucketed
+    // margin. The oracle reads the SAME persisted weight table and
+    // reproduces margins and the kept set exactly (x14b's
+    // persisted-artifact pattern). Reference analogue: the classifier
+    // surface of training.py:66-90 applied to curation.
+    "x46_model_quality_gate" -> ((s, d) => {
+      import graft.ml.QualityClassifier
+      val docs = Tables.documents(s, d)
+        .filter(size(TextOps.tokens(col("text"))) > 0)
+      val wDir =
+        s"file:///tmp/graft_quality_model/${new java.io.File(d).getName}"
+      QualityClassifier.trainWeak(docs, "text", "n_chars",
+          loBps = 5500L, hiBps = 8000L)
+        .coalesce(1).write.mode("overwrite").parquet(wDir)
+      val scored = QualityClassifier.scoreMargin(
+          docs.select("doc_id", "lang", "text", "n_chars"),
+          "text", "n_chars", s.read.parquet(wDir))
+        .select(col("doc_id"), col("lang"), col("score_q"), col("margin"))
+      graft.operators.PackingOps.topPctByScore(scored, "lang", "score_q",
+          "doc_id", keepNum = 3, keepDen = 10)
+        .orderBy("doc_id")
+    }),
+
     // decontamination: training docs sharing >= 50 % of an eval doc's
     // 3-gram shingles (src18/src19 play the held-out eval corpus).
     "x23_decontamination" -> ((s, d) => {
@@ -1324,6 +1353,55 @@ object ExtQueries {
                        - greatest(cum_end - n_tok, chunk_id * 512) AS INT)
                     AS tok_in_chunk
            FROM e ORDER BY shard, chunk_id, doc_id""",
+
+      // the persisted integer weight table makes the model score pure
+      // bigint arithmetic — margins and the kept set reproduce exactly
+      // from the artifact; the gate's oracle twin is the rank form (x26b)
+      "x46_model_quality_gate" ->
+        s"""WITH w AS (
+              SELECT
+                max(CASE WHEN feature = 'intercept' THEN w END) AS w0,
+                max(CASE WHEN feature = 'f_len' THEN w END) AS w_len,
+                max(CASE WHEN feature = 'f_nonstop' THEN w END) AS w_ns,
+                max(CASE WHEN feature = 'f_chars' THEN w END) AS w_ch,
+                max(CASE WHEN feature = 'f_rep' THEN w END) AS w_rep
+              FROM read_parquet('/tmp/graft_quality_model/__GRAFT_SF__/*.parquet')),
+            f AS (
+              SELECT doc_id, lang,
+                     least(nt, 100) AS f_len, nt - sw AS f_nonstop,
+                     least(n_chars, 500) AS f_chars, rep AS f_rep
+              FROM (
+                SELECT doc_id, lang, n_chars, CAST(len(t) AS BIGINT) AS nt,
+                       CAST(len(list_filter(t, x -> list_contains($swList, x)))
+                         AS BIGINT) AS sw,
+                       CAST(coalesce(list_max(list_transform(list_distinct(bg),
+                         x -> len(list_filter(bg, y -> y = x)))), 0) AS BIGINT)
+                         AS rep
+                FROM (
+                  SELECT doc_id, lang, n_chars, t,
+                         list_transform(range(1, len(t)), i -> t[i]||' '||t[i+1])
+                           AS bg
+                  FROM (SELECT doc_id, lang, n_chars, $mdToks AS t
+                        FROM documents)))
+              WHERE nt > 0),
+            m AS (
+              SELECT doc_id, lang,
+                     w0 + w_len * f_len + w_ns * f_nonstop
+                       + w_ch * f_chars + w_rep * f_rep AS margin
+              FROM f, w),
+            sc AS (
+              SELECT doc_id, lang, margin,
+                     (least(greatest(margin, -5000000000), 5000000000)
+                       + 5000000000) // 1000000 AS score_q
+              FROM m),
+            ranked AS (
+              SELECT doc_id, lang, score_q, margin,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY score_q DESC, doc_id) AS rk,
+                     COUNT(*) OVER (PARTITION BY lang) AS n_lang
+              FROM sc)
+            SELECT doc_id, lang, score_q, margin
+            FROM ranked WHERE rk * 10 <= n_lang * 3 ORDER BY doc_id""",
 
       "x23_decontamination" ->
         s"""WITH d AS (

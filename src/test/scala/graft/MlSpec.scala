@@ -136,6 +136,58 @@ class MlSpec extends AnyFunSuite {
     assert(key(SimilarityOps.centroidTable(loaded.get, spark)) == key(c1))
   }
 
+  test("x46: weak-label training scores the corpus as an exact integer dot product") {
+    import org.apache.spark.sql.functions._
+    import graft.ml.QualityClassifier
+    val sf = SparkTestSession.sf0001
+    val docs = Tables.documents(spark, sf)
+      .filter(size(graft.operators.TextOps.tokens(col("text"))) > 0)
+    val weights = QualityClassifier.trainWeak(docs, "text", "n_chars",
+      loBps = 5500L, hiBps = 8000L)
+    val wmap = weights.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wmap.keySet ==
+      Set("intercept", "f_len", "f_nonstop", "f_chars", "f_rep"))
+    val scored = QualityClassifier.scoreMargin(
+      docs.select("doc_id", "text", "n_chars"), "text", "n_chars", weights)
+    // independent margin recompute from the RAW text, pure Scala — the
+    // in-plan dot product must match bit for bit on integer arithmetic
+    val sample = scored.select("doc_id", "text", "n_chars", "margin")
+      .orderBy("doc_id").limit(20).collect()
+    for (r <- sample) {
+      val toks = r.getString(1).split(" ", -1).toSeq
+      val nt = toks.size.toLong
+      val sw = toks.count(graft.operators.TextOps.stopwords.contains).toLong
+      val rep = if (nt < 2) 0L
+        else toks.sliding(2).map(_.mkString(" ")).toSeq
+          .groupBy(identity).values.map(_.size).max.toLong
+      val feats = Map("f_len" -> math.min(nt, 100L), "f_nonstop" -> (nt - sw),
+        "f_chars" -> math.min(r.getLong(2), 500L), "f_rep" -> rep)
+      val expected = wmap("intercept") +
+        feats.map { case (n, v) => wmap(n) * v }.sum
+      assert(r.getLong(3) == expected,
+        s"doc ${r.getLong(0)}: margin ${r.getLong(3)} != $expected")
+    }
+    // the learned model must actually separate the weak extremes: mean
+    // margin of positives above mean margin of negatives
+    val (qNum, qDen) = graft.operators.TextOps.qualityRat(col("text"),
+      col("n_chars"))
+    val byLabel = QualityClassifier.scoreMargin(
+        docs.select("doc_id", "text", "n_chars"), "text", "n_chars", weights)
+      .withColumn("lbl",
+        when(lit(10000L) * qNum >= lit(8000L) * qDen, 1)
+          .when(lit(10000L) * qNum <= lit(5500L) * qDen, 0))
+      .filter(col("lbl").isNotNull)
+      .groupBy("lbl").agg(avg(col("margin")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(byLabel(1) > byLabel(0),
+      s"positives must out-score negatives: $byLabel")
+    // degenerate thresholds (one class) fail loudly, never a constant model
+    intercept[IllegalArgumentException] {
+      QualityClassifier.trainWeak(docs, "text", "n_chars",
+        loBps = 1L, hiBps = 9999L)
+    }
+  }
+
   test("M7+: per-fold metrics are logged as run artifacts and queryable") {
     val root = java.nio.file.Files.createTempDirectory("graft-folds").toString
     val reg = new ModelRegistry(spark, root)
