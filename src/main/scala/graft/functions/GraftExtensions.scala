@@ -53,5 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "topk_by_score(score double, id bigint, k) - per-group top-k aggregate with map-side partial pruning"),
       (args: Seq[Expression]) => TopKByScore(args(0), args(1),
         args(2).eval().asInstanceOf[Int])))
+
+    ext.injectFunction((FunctionIdentifier("double_sort_key"),
+      info("double_sort_key",
+        "double_sort_key(x double) - order-preserving 64-bit integer key of a double (quantile-sketch bucketing)"),
+      (args: Seq[Expression]) => DoubleSortKey(args.head)))
   }
 }

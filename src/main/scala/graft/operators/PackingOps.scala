@@ -250,6 +250,76 @@ object PackingOps {
     full.unionByName(edge)
   }
 
+  /** [[topPctByScore]] for UNQUANTIZED scores (a model margin, a
+    * continuous loss — any double): same kept set as the rank form, but
+    * the threshold comes from a [[SketchOps.quantileSketch]] bucket table
+    * instead of the exact (class, score) histogram, whose size is
+    * corpus-bound when scores never repeat. See [[capByScoreSketch]].
+    */
+  def topPctByScoreSketch(df: DataFrame, classCol: String, scoreCol: String,
+      idCol: String, keepNum: Int, keepDen: Int, bucketBits: Int = 12,
+      stageDir: Option[String] = None): DataFrame = {
+    require(keepNum > 0 && keepDen > 0 && keepNum <= keepDen)
+    capByScoreSketch(df, classCol, scoreCol, idCol,
+      expr(s"(_n * $keepNum) div $keepDen"), bucketBits, stageDir)
+  }
+
+  /** [[topNByScore]] for UNQUANTIZED scores — see [[capByScoreSketch]]. */
+  def topNByScoreSketch(df: DataFrame, classCol: String, scoreCol: String,
+      idCol: String, n: Long, bucketBits: Int = 12,
+      stageDir: Option[String] = None): DataFrame = {
+    require(n > 0, "a cap of zero keeps nothing")
+    capByScoreSketch(df, classCol, scoreCol, idCol, least(lit(n), col("_n")),
+      bucketBits, stageDir)
+  }
+
+  /** The [[capByScoreHist]] machinery with the quantile-SKETCH table as
+    * its threshold source — the gate for scores the quantized contract
+    * does not cover. Buckets come from the order-preserving IEEE key
+    * ([[SketchOps.quantileBucket]]): every row in a higher bucket
+    * outranks every row in a lower one, so whole buckets above the
+    * threshold pass untouched and ONLY the threshold bucket needs the
+    * (score desc, id) tiebreak rank — a window confined to expected mass
+    * n/2^bucketBits, the resolution dial, never a class. Kept set ==
+    * the rank form bit for bit (the boundary rank uses the same total
+    * order). Same staging discipline and no-hard-hint rule as the
+    * histogram core; the sketch table is ≤ #classes × 2^bucketBits rows,
+    * AQE-broadcast at runtime.
+    */
+  private def capByScoreSketch(df: DataFrame, classCol: String,
+      scoreCol: String, idCol: String, kExpr: Column, bucketBits: Int,
+      stageDir: Option[String]): DataFrame = {
+    val spark = df.sparkSession
+    val stage = StageIO.resolve(spark, stageDir, "score-gate-sketch")
+    df.write.mode("overwrite").parquet(stage)
+    val staged = spark.read.parquet(stage)
+    val sketch = SketchOps.quantileSketch(staged, Seq(classCol), scoreCol,
+      bucketBits)
+    val byBucket = Window.partitionBy(classCol).orderBy(col("qb").desc)
+    val marked = sketch
+      .withColumn("_cum", sum("cnt").over(byBucket))
+      .withColumn("_n", sum("cnt").over(Window.partitionBy(classCol)))
+      .withColumn("_k", kExpr)
+      .withColumn("_need",
+        least(col("cnt"), col("_k") - (col("_cum") - col("cnt"))))
+      .filter(col("_need") > 0)
+      .select(col(classCol), col("qb"), col("cnt"), col("_need"))
+    val joined = staged
+      .withColumn("qb", SketchOps.quantileBucket(col(scoreCol), bucketBits))
+      .join(marked, Seq(classCol, "qb"))
+    val full = joined.filter(col("_need") === col("cnt"))
+      .drop("qb", "cnt", "_need")
+    val byTie = Window.partitionBy(col(classCol), col("qb"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val edge = joined.filter(col("_need") < col("cnt"))
+      .withColumn("_tie", row_number().over(byTie))
+      .filter(col("_tie") <= col("_need"))
+      .drop("qb", "cnt", "_need", "_tie")
+    // the equi-join moved its keys to the front — restore the caller's
+    // column order so the gate is schema-transparent
+    full.unionByName(edge).select(staged.columns.map(col): _*)
+  }
+
   /** Deterministic stratified sampling: per-class keep rates (class
     * balancing / downsampling over-represented languages or sources),
     * decided by an md5 hash of the id — no RNG, no seed plumbing, stable

@@ -119,4 +119,75 @@ object SketchOps {
     */
   private def cmsBucket(v: org.apache.spark.sql.Column, r: Int, width: Int) =
     pmod(TextOps.md5Key60(concat(v, lit(s":$r"))), lit(width.toLong))
+
+  // ---- quantile sketch: rank/threshold estimation over UNBOUNDED scores ----
+  //
+  // HLL answers "how many distinct", count-min "how often"; this table
+  // answers "where does rank k fall" — the threshold source a score gate
+  // needs when scores are NOT quantized (a model margin, a continuous
+  // loss) and the (class, score) histogram of PackingOps.capByScoreHist
+  // would be corpus-sized. KLL's ROLE in a deterministic, exactly-
+  // mergeable form: bucket = the top `bucketBits` bits of the score's
+  // order-preserving IEEE key (DoubleSortKey — monotone over ALL
+  // doubles), counters per (group, bucket). Merge is counter addition,
+  // so merge == rebuild EXACTLY (the CMS discipline — no randomized
+  // compaction, no merge-order dependence), at the price of a fixed
+  // 2^bucketBits resolution instead of KLL's adaptive one: rank queries
+  // resolve to a bucket, and a caller needing exactness ranks WITHIN
+  // that one bucket (expected mass n/2^bucketBits — the dial).
+
+  /** Per-group quantile-sketch table `(groupCols..., qb, cnt)` — at most
+    * 2^bucketBits counter rows per group regardless of corpus size, and
+    * the build is a map-side-combined groupBy on a BOUNDED key space
+    * (the cmsSketch property). Persist per batch/day and merge summaries.
+    */
+  def quantileSketch(df: DataFrame, groupCols: Seq[String], scoreCol: String,
+      bucketBits: Int = 12): DataFrame =
+    df.groupBy((groupCols.map(col) :+
+        quantileBucket(col(scoreCol), bucketBits).as("qb")): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The monotone bucket of a score — exposed so a gate can compute a
+    * row's own bucket consistently with a sketch built at the same
+    * `bucketBits`. Arithmetic shift keeps the key's sign-ordering.
+    */
+  def quantileBucket(score: org.apache.spark.sql.Column,
+      bucketBits: Int): org.apache.spark.sql.Column = {
+    require(bucketBits >= 1 && bucketBits <= 62, s"bucketBits: $bucketBits")
+    shiftright(graft.functions.QuantileExprs.doubleSortKey(score),
+      64 - bucketBits)
+  }
+
+  /** Merge quantile-sketch tables (union the frames first): counters add,
+    * so the merged table is IDENTICAL to one built over the union of the
+    * inputs. All inputs must share `bucketBits`.
+    */
+  def quantileMerge(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketches.groupBy((groupCols.map(col) :+ col("qb")): _*)
+      .agg(sum("cnt").as("cnt"))
+
+  /** Rank query: for each group, the bucket containing rank
+    * `ceil(q · n)` from the TOP (q = 0.1 → the bucket where the top-10 %
+    * cutoff falls), with `n_above` = rows in strictly higher buckets and
+    * `n` = group size. The window runs over ≤ 2^bucketBits counter rows
+    * per group — never the corpus.
+    */
+  def quantileRank(sketch: DataFrame, groupCols: Seq[String],
+      q: Double): DataFrame = {
+    require(q > 0.0 && q <= 1.0, s"rank fraction: $q")
+    val qNum = math.round(q * 10000).toInt
+    val byBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("qb").desc)
+    val grp = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    sketch
+      .withColumn("_cum", sum("cnt").over(byBucket))
+      .withColumn("n", sum("cnt").over(grp))
+      // k = ceil(qNum·n / 10⁴) in integer arithmetic
+      .withColumn("_k", expr(s"(n * $qNum + 9999) div 10000"))
+      .filter(col("_cum") >= col("_k") &&
+        col("_cum") - col("cnt") < col("_k"))
+      .select((groupCols.map(col) :+ col("qb") :+
+        (col("_cum") - col("cnt")).as("n_above") :+ col("n")): _*)
+  }
 }

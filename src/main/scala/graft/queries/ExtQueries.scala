@@ -362,6 +362,25 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // the UNQUANTIZED-score gate: top 25 % per language by a CONTINUOUS
+    // double score (chars per token — one exact-integer division, so
+    // both engines hold the identical IEEE double), thresholded through
+    // the mergeable quantile-sketch table (SketchOps.quantileSketch +
+    // PackingOps.topPctByScoreSketch) instead of the (class, score)
+    // histogram, which is corpus-sized when scores never repeat. Kept
+    // set == the rank form bit for bit — the oracle twin IS the rank
+    // form; only ids cross the hash (Det: raw doubles never do).
+    "x47_sketch_quality_gate" -> ((s, d) => {
+      val nt = size(TextOps.tokens(col("text"))).cast("long")
+      val scored = Tables.documents(s, d).filter(nt > 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars").cast("double") / nt.cast("double")).as("cpt"))
+      graft.operators.PackingOps.topPctByScoreSketch(scored, "lang", "cpt",
+          "doc_id", keepNum = 1, keepDen = 4)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // decontamination: training docs sharing >= 50 % of an eval doc's
     // 3-gram shingles (src18/src19 play the held-out eval corpus).
     "x23_decontamination" -> ((s, d) => {
@@ -1402,6 +1421,24 @@ object ExtQueries {
               FROM sc)
             SELECT doc_id, lang, score_q, margin
             FROM ranked WHERE rk * 10 <= n_lang * 3 ORDER BY doc_id""",
+
+      // rank form of the sketch gate: the continuous score is one exact
+      // division, identical IEEE double in both engines, and only the
+      // kept ids cross the hash
+      "x47_sketch_quality_gate" ->
+        s"""WITH scored AS (
+              SELECT doc_id, lang,
+                     CAST(n_chars AS DOUBLE) / CAST(len($mdToks) AS DOUBLE)
+                       AS cpt
+              FROM documents WHERE len($mdToks) > 0),
+            ranked AS (
+              SELECT doc_id, lang, cpt,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY cpt DESC, doc_id) AS rk,
+                     COUNT(*) OVER (PARTITION BY lang) AS n_lang
+              FROM scored)
+            SELECT doc_id, lang
+            FROM ranked WHERE rk * 4 <= n_lang * 1 ORDER BY doc_id""",
 
       "x23_decontamination" ->
         s"""WITH d AS (

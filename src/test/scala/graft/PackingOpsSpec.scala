@@ -212,4 +212,42 @@ class PackingOpsSpec extends AnyFunSuite {
       Map.empty, defaultRate = 0.3).select("doc_id")
     assert(lo.exceptAll(again).isEmpty && again.exceptAll(lo).isEmpty)
   }
+
+  test("topNByScoreSketch equals the rank form on continuous (never-tied) scores") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // gaussian scores never repeat — exactly the domain the quantized
+    // histogram gate cannot take; the sketch gate must still match the
+    // rank form row for row
+    val rnd = new scala.util.Random(17)
+    val scored = (1 to 2000)
+      .map(i => (i.toLong, if (i % 4 == 0) "a" else "b", rnd.nextGaussian()))
+      .toDF("doc_id", "cls", "score")
+    val w = Window.partitionBy("cls").orderBy(col("score").desc, col("doc_id"))
+    val rank = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 50).drop("rk")
+    val sk = PackingOps.topNByScoreSketch(scored, "cls", "score", "doc_id", 50L)
+    assert(sk.exceptAll(rank).isEmpty && rank.exceptAll(sk).isEmpty)
+  }
+
+  test("topPctByScoreSketch handles boundary-bucket ties like the rank form") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // coarse discrete scores force heavy tie mass INSIDE the threshold
+    // bucket — the (score desc, id) boundary rank must break them the
+    // rank form's way; a low bucketBits widens the bucket deliberately
+    val rnd = new scala.util.Random(19)
+    val scored = (1 to 1500)
+      .map(i => (i.toLong, if (i % 3 == 0) "p" else "q",
+        (rnd.nextInt(5) + 1).toDouble))
+      .toDF("doc_id", "cls", "score")
+    val w = Window.partitionBy("cls").orderBy(col("score").desc, col("doc_id"))
+    val rank = scored
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("cls")))
+      .filter(col("rk") * 10 <= col("n") * 3).drop("rk", "n")
+    val sk = PackingOps.topPctByScoreSketch(scored, "cls", "score", "doc_id",
+      3, 10, bucketBits = 4)
+    assert(sk.exceptAll(rank).isEmpty && rank.exceptAll(sk).isEmpty)
+  }
 }

@@ -94,4 +94,64 @@ class SketchOpsSpec extends AnyFunSuite {
     // counters add: merged must be row-for-row identical to the rebuild
     assert(merged.exceptAll(global).isEmpty && global.exceptAll(merged).isEmpty)
   }
+
+  test("double_sort_key is order-preserving over the whole double line") {
+    import spark.implicits._
+    // the tricky neighborhoods: sign flip, the two zeros, denormals,
+    // infinities, plus a pseudo-random spread (seeded — deterministic)
+    val rnd = new scala.util.Random(7)
+    val vals = Seq(Double.NegativeInfinity, -1.7e308, -1.0, -1e-300,
+        -java.lang.Double.MIN_VALUE, -0.0, 0.0, java.lang.Double.MIN_VALUE,
+        1e-300, 1.0, 1.7e308, Double.PositiveInfinity) ++
+      (1 to 200).map(_ => (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(20) - 10))
+    val keyed = vals.toDF("x")
+      .select(col("x"), graft.functions.QuantileExprs.doubleSortKey(col("x")).as("k"))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1))
+    for (Seq((x, kx), (y, ky)) <- keyed.sortBy(_._1).toSeq.sliding(2)) {
+      if (x < y) assert(kx < ky, s"key must preserve order: $x -> $kx, $y -> $ky")
+      else assert(kx == ky, s"equal doubles need equal keys: $x, $y") // the zeros
+    }
+    // NaN lands above +inf, Spark's sort convention
+    val nanKey = Seq(Double.NaN).toDF("x")
+      .select(graft.functions.QuantileExprs.doubleSortKey(col("x")))
+      .head().getLong(0)
+    assert(nanKey > keyed.map(_._2).max)
+  }
+
+  test("quantile-sketch merge of shard tables equals the global rebuild exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val scored = (1 to 3000)
+      .map(i => (i.toLong, if (i % 3 == 0) "a" else "b", rnd.nextGaussian()))
+      .toDF("id", "cls", "score")
+    val shards = (0 until 3).map(s =>
+      SketchOps.quantileSketch(scored.filter(pmod(col("id"), lit(3)) === s),
+        Seq("cls"), "score"))
+    val merged = SketchOps.quantileMerge(
+      shards.reduce(_ unionAll _), Seq("cls"))
+    val global = SketchOps.quantileSketch(scored, Seq("cls"), "score")
+    assert(merged.exceptAll(global).isEmpty && global.exceptAll(merged).isEmpty)
+    // bounded: counter rows never exceed 2^bucketBits per group
+    val maxRows = global.groupBy("cls").count().agg(max("count")).head().getLong(0)
+    assert(maxRows <= (1L << 12))
+  }
+
+  test("quantileRank brackets the exact top-q cutoff") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val scored = (1 to 5000).map(i => (i.toLong, "g", rnd.nextDouble()))
+      .toDF("id", "cls", "score")
+    val sk = SketchOps.quantileSketch(scored, Seq("cls"), "score")
+    val r = SketchOps.quantileRank(sk, Seq("cls"), 0.1).head()
+    val (qb, nAbove, n) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n == 5000)
+    val k = (n * 1000 + 9999) / 10000 // ceil(0.1·n)
+    // the rank-k row lies inside the reported bucket: strictly-higher
+    // buckets hold fewer than k rows, and the bucket closes the gap
+    assert(nAbove < k)
+    val inBucket = scored
+      .withColumn("qb2", SketchOps.quantileBucket(col("score"), 12))
+      .filter(col("qb2") === qb).count()
+    assert(nAbove + inBucket >= k)
+  }
 }
