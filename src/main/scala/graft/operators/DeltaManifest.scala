@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** INCREMENTAL manifest refresh — the missing piece between the batch
+  * build ([[PipelineOps.trainingManifest]], full-rebuild only) and the
+  * per-stage streaming gates: process an ARRIVALS batch into a delta
+  * manifest using persisted state, never rescanning the old corpus.
+  *
+  * State is a batch-keyed log under one `stateDir` (the
+  * [[graft.streaming.SketchStream]] counter-log discipline — a replayed
+  * batch OVERWRITES its own partitions, so at-least-once delivery is
+  * idempotent by construction, no swap dance needed):
+  *
+  *   stateDir/hashes/batch=<id>   content hashes ever admitted (16-byte
+  *                                rows — the exact-dedup state)
+  *   stateDir/totals/batch=<id>   per-shard token deltas (≤ `shards`
+  *                                rows per batch — the packing state)
+  *   stateDir/manifest/batch=<id> the manifest rows themselves
+  *
+  * What makes a batch O(arrivals): the gate/sample are per-row; exact
+  * dedup is one anti-join against the hash log (shuffle keyed on 16-byte
+  * hashes of the ARRIVALS only — the log side is read, not rebuilt);
+  * near-dup membership comes from the persisted cluster store the ingest
+  * streams already maintain ([[graft.streaming.ClusterStream]] — labels
+  * as a broadcast-or-shuffle equi-join, never a pair recomputation);
+  * decontamination indexes the arrivals against the STATIC eval split;
+  * and packing continues per-shard running sums from the totals log
+  * (≤ #batches × shards counter rows) instead of re-laying the corpus.
+  * The DF skew dials for the contamination join come from the
+  * [[graft.streaming.SketchStream]] counter log the same way — hot-key
+  * state read as a bounded table, not recomputed (SCALE.md §delta).
+  *
+  * EXACTNESS contract (DeltaManifestSpec): under append-only ids (every
+  * arrival id larger than everything packed before — the natural ingest
+  * order) and a static eval split,
+  *
+  *   prior manifest ∪ delta rows == full rebuild over corpus ∪ arrivals
+  *
+  * row for row: prior rows never change (arrivals sort after them in
+  * every shard window, so prior running sums are untouched — delta docs
+  * fill the partial last chunk and continue), and cluster survivors are
+  * stable because ids only grow (a cluster's min id never changes when
+  * members arrive later). Mixture-driven rates (x24c) are corpus-global
+  * by definition and stay rebuild-only — a delta changes every class's
+  * binding ratio, which is a re-plan, not a refresh.
+  */
+object DeltaManifest {
+
+  /** Seed the state log from a completed full build: content hashes from
+    * the build's gated stage (ONE pass over the stage parquet — the last
+    * time anything reads old text), totals and rows from its manifest.
+    */
+  def initFromFull(gatedStage: DataFrame, manifest: DataFrame,
+      stateDir: String): Unit = {
+    gatedStage.select(md5(col("text")).as("text_hash"))
+      .write.mode("overwrite").parquet(s"$stateDir/hashes/batch=0")
+    manifest.write.mode("overwrite").parquet(s"$stateDir/manifest/batch=0")
+    manifest.groupBy("shard")
+      .agg(sum("tok_in_chunk").cast("long").as("n_tok"))
+      .write.mode("overwrite").parquet(s"$stateDir/totals/batch=0")
+  }
+
+  /** Every content hash ever admitted (merged over the log). `below`
+    * bounds the read to batches < it — [[applyBatch]] reads state below
+    * its OWN id so a replayed batch never sees its previous attempt's
+    * writes (the replay-idempotency condition).
+    */
+  def seenHashes(spark: SparkSession, stateDir: String,
+      below: Long = Long.MaxValue): DataFrame =
+    readLog(spark, s"$stateDir/hashes", "text_hash STRING", below)
+      .select("text_hash").distinct()
+
+  /** Current per-shard token totals (merged counter log — ≤ #batches ×
+    * shards rows, the bounded-state property).
+    */
+  def shardTotals(spark: SparkSession, stateDir: String,
+      below: Long = Long.MaxValue): DataFrame =
+    readLog(spark, s"$stateDir/totals", "shard INT, n_tok BIGINT", below)
+      .groupBy("shard").agg(sum("n_tok").cast("long").as("n_tok"))
+
+  /** The full manifest as of the last applied batch (prior ∪ deltas). */
+  def readManifest(spark: SparkSession, stateDir: String): DataFrame =
+    readLog(spark, s"$stateDir/manifest",
+        "shard INT, chunk_id INT, doc_id BIGINT, tok_in_chunk INT",
+        Long.MaxValue)
+      .select("shard", "chunk_id", "doc_id", "tok_in_chunk")
+
+  private def readLog(spark: SparkSession, dir: String, schemaDDL: String,
+      below: Long): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p))
+      spark.read.parquet(dir).filter(col("batch").cast("long") < below)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      org.apache.spark.sql.types.StructType.fromDDL(schemaDDL))
+  }
+
+  /** Process one arrivals batch into delta manifest rows; returns the
+    * delta and appends it (plus the state it implies) to the log under
+    * `batchId`. Stages mirror [[PipelineOps.trainingManifest]] in the
+    * same order — gate → exact dedup (vs the hash log) → near-dup drop
+    * (vs the cluster store, when `labelsDir` is given) → decontamination
+    * (vs the static eval split) → stratified sample → packing continued
+    * from the totals log.
+    *
+    * The cluster-store rule: an arrival is dropped when the store labels
+    * it into a cluster whose id is NOT its own — the cluster's min-id
+    * member (a prior doc, or the batch's min arrival) is the survivor,
+    * exactly [[DedupOps.survivors]]' choice in the full rebuild. Feed the
+    * store the batch's pair graph (ClusterStream.applyBatch) BEFORE
+    * calling this.
+    */
+  def applyBatch(arrivals: DataFrame, evalDocs: DataFrame,
+      evalSources: Seq[String], stateDir: String, batchId: Long,
+      minQualityBps: Long, contamThreshold: Double,
+      rates: Map[String, Double], defaultRate: Double,
+      capacity: Int, shards: Int,
+      labelsDir: Option[String] = None): DataFrame = {
+    require(batchId > 0, "batch 0 is the full-build seed (initFromFull)")
+    val spark = arrivals.sparkSession
+
+    // gate + in-batch exact dedup (the trainingManifest prefix), staged
+    // once: the dedup anti-join, decontamination index, sample and hash
+    // log write below all consume it as cheap columnar reads
+    val stage = StageIO.resolve(spark, None, "delta-gated")
+    PipelineOps.gateAndDedup(arrivals, evalSources, minQualityBps)
+      .withColumn("text_hash", md5(col("text")))
+      .write.mode("overwrite").parquet(stage)
+    val gated = spark.read.parquet(stage)
+
+    // cross-batch exact dedup: anything whose content was ever admitted
+    // BELOW this batch id — a replayed batch must not see its own
+    // previous attempt's state
+    val fresh = gated.join(seenHashes(spark, stateDir, below = batchId),
+      Seq("text_hash"), "left_anti")
+
+    // near-dup drop against the persisted cluster store: keep unlabeled
+    // docs and cluster minima only
+    val survivors = labelsDir.fold(fresh) { dir =>
+      val labels = graft.streaming.ClusterStream.readLabels(spark, dir)
+      fresh.join(labels, Seq("doc_id"), "left")
+        .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+        .drop("cluster_id")
+    }
+
+    // decontamination: arrivals-side index vs the static eval split
+    val leaked = DedupOps.crossContamination(survivors, evalDocs, "text",
+        "doc_id", contamThreshold)
+      .select(col("train_id").as("doc_id")).distinct()
+    val clean = survivors.join(leaked, Seq("doc_id"), "left_anti")
+
+    val sampled = PackingOps.stratifiedSample(clean, "lang", "doc_id",
+      rates, defaultRate)
+    val delta = PackingOps.chunkPackCountedFrom(sampled, "doc_id", "n_tok",
+      capacity, shards, shardTotals(spark, stateDir, below = batchId))
+
+    // batch-keyed state commits (replay overwrites, never double-counts).
+    // Hashes log EVERY gated doc (dupes of a seen hash add nothing; a
+    // batch's own survivors cover its in-batch dupes), manifest + totals
+    // log the packed outcome.
+    delta.write.mode("overwrite").parquet(s"$stateDir/manifest/batch=$batchId")
+    val written = spark.read.parquet(s"$stateDir/manifest/batch=$batchId")
+      .select("shard", "chunk_id", "doc_id", "tok_in_chunk")
+    gated.select("text_hash")
+      .write.mode("overwrite").parquet(s"$stateDir/hashes/batch=$batchId")
+    written.groupBy("shard")
+      .agg(sum("tok_in_chunk").cast("long").as("n_tok"))
+      .write.mode("overwrite").parquet(s"$stateDir/totals/batch=$batchId")
+    written
+  }
+}

@@ -2,13 +2,16 @@ package graft.operators
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** Pure-JVM media codecs — no external libraries. Two REAL formats:
+/** Pure-JVM media codecs — no external libraries. Four REAL formats:
   *
   *  - BMP: 24-bit uncompressed (BITMAPFILEHEADER + BITMAPINFOHEADER,
   *    BI_RGB, bottom-up rows, 4-byte row padding) — the standard Windows
   *    bitmap layout, byte-compatible with any image viewer.
   *  - WAV: RIFF/WAVE PCM 16-bit (fmt + data chunks; the decoder walks the
   *    chunk list, so files with extra chunks — LIST, fact — parse too).
+  *  - PNG / JPEG via `javax.imageio` (public JDK API — the two formats
+  *    real corpora carry; see the imageio section for the
+  *    lossless-vs-lossy oracle contract).
   *
   * Video has no library-free standard container, so assets use a trivial
   * length-delimited sequence of real BMP frames behind a 12-byte header
@@ -181,6 +184,53 @@ object MediaCodec {
     }
     require(sampleRate > 0 && samples != null, "missing fmt /data chunk")
     WavAudio(sampleRate, channels, samples)
+  }
+
+  // ------------------------------------------------------- PNG / JPEG
+  //
+  // The two formats real multimodal corpora actually carry, via
+  // `javax.imageio` — public JDK API, so the pure-JVM no-new-dependency
+  // contract holds. PNG is lossless: decoded pixels are byte-identical
+  // to the planted ones, so channel statistics stay oracle-checkable as
+  // closed forms. JPEG is lossy by design: dims and parse success are
+  // exact; pixel values are only near the planted ones (asserted with a
+  // tolerance in MultimodalSpec, never hashed across the oracle).
+
+  /** Encode BGR24 pixels as PNG or JPEG (`format`: "png" | "jpg"). */
+  def encodeImageIO(img: BmpImage, format: String): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(img.width, img.height,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    // fill the raster's raw byte buffer, whose layout for TYPE_3BYTE_BGR
+    // is exactly BmpImage's B,G,R interleave — setDataElements would
+    // instead expect BAND order (R first) and silently swap channels
+    val data = bi.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    System.arraycopy(img.pixels, 0, data, 0, img.pixels.length)
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(bi, format, out),
+      s"no ImageIO writer for format $format")
+    out.toByteArray
+  }
+
+  /** Decode any ImageIO-readable payload (PNG, JPEG, ...) to BGR24.
+    * Non-BGR source types (palette PNG, grayscale JPEG) are redrawn into
+    * a BGR raster so the output layout is always [[BmpImage]]'s.
+    */
+  def decodeImageIO(bytes: Array[Byte]): BmpImage = {
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(src != null, "not an ImageIO-readable image")
+    val bgr =
+      if (src.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR) src
+      else {
+        val conv = new java.awt.image.BufferedImage(src.getWidth,
+          src.getHeight, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val g = conv.createGraphics()
+        try g.drawImage(src, 0, 0, null) finally g.dispose()
+        conv
+      }
+    val data = bgr.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    BmpImage(bgr.getWidth, bgr.getHeight, data.clone())
   }
 
   // -------------------------------------------------------------- video

@@ -137,6 +137,66 @@ object MultimodalOps {
     assets.as[MediaAsset].mapPartitions(_.map(decode))
   }
 
+  // ------------------------------------------------ PNG / JPEG (imageio)
+
+  /** Synthesize a PNG/JPEG asset table (ids alternate png → jpeg) with
+    * CONSTANT-channel pixels, all closed forms of (id, utf-8 length):
+    *   w = 16 + id%48, h = 16 + len%48,
+    *   B = (7·id + 3·len)%256, G = len%256, R = id%256.
+    * Constant channels are what keep the LOSSLESS half oracle-checkable:
+    * PNG decode returns the planted bytes exactly, so each channel SUM
+    * is w·h·constant — DuckDB reproduces it without running a codec.
+    */
+  def toImageIOAssets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => synthesizeImage(id, text) })
+      .toDF()
+  }
+
+  private[operators] def synthesizeImage(id: Long, text: String): MediaAsset = {
+    val len = text.getBytes("UTF-8").length
+    val w = 16 + math.floorMod(id, 48).toInt
+    val h = 16 + math.floorMod(len, 48)
+    val b = math.floorMod(7 * id + 3 * len, 256).toInt.toByte
+    val g = math.floorMod(len, 256).toByte
+    val r = math.floorMod(id, 256).toInt.toByte
+    val pixels = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < pixels.length) {
+      pixels(i) = b; pixels(i + 1) = g; pixels(i + 2) = r
+      i += 3
+    }
+    val fmt = if (math.floorMod(id, 2) == 0) "png" else "jpg"
+    val payload = encodeImageIO(BmpImage(w, h, pixels), fmt)
+    val mt = if (fmt == "png") "png" else "jpeg"
+    MediaAsset(id, mt, payload, payload.length)
+  }
+
+  /** Per-image features off the ImageIO decode path: dims plus exact
+    * per-channel pixel sums of the DECODED payload. For PNG the sums
+    * equal the planted closed forms (lossless); for JPEG they are
+    * decoder truth but not closed-form — callers compare them with a
+    * tolerance (MultimodalSpec), never across the oracle.
+    */
+  def extractImageFeatures(assets: DataFrame): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.as[MediaAsset].mapPartitions(_.map { a =>
+      val img = decodeImageIO(a.payload)
+      var (sb, sg, sr) = (0L, 0L, 0L)
+      var i = 0
+      while (i < img.pixels.length) {
+        sb += img.pixels(i) & 0xFF
+        sg += img.pixels(i + 1) & 0xFF
+        sr += img.pixels(i + 2) & 0xFF
+        i += 3
+      }
+      (a.asset_id, a.media_type, img.width, img.height, sb, sg, sr)
+    }).toDF("asset_id", "media_type", "width", "height",
+      "sum_b", "sum_g", "sum_r")
+  }
+
   /** Real resize: decode → nearest-neighbour downscale to maxDim → re-encode.
     * Images and video frames are re-encoded byte-real; audio passes through.
     */

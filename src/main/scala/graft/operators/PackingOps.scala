@@ -52,6 +52,23 @@ object PackingOps {
       capacity: Int, shards: Int): DataFrame =
     chunkPackCore(df, idCol, nTokCol, capacity, shards, Seq(col(idCol)))
 
+  /** [[chunkPackCounted]] CONTINUING from per-shard token offsets — the
+    * incremental-manifest form ([[DeltaManifest]]): a delta batch's
+    * packing starts each shard's running sum at the tokens already laid
+    * down by prior batches, so delta rows continue (and fill the partial
+    * last chunk of) the existing layout instead of restarting chunk ids
+    * at zero. `offsets` is `(shard, n_tok)` — shards absent from it
+    * start at 0. Under the append-only id contract (arrival ids larger
+    * than everything packed before), prior ∪ delta equals a full rebuild
+    * row for row. The offset table is `shards` rows by construction —
+    * a hard broadcast is structurally safe here, unlike data-dependent
+    * hot sets.
+    */
+  def chunkPackCountedFrom(df: DataFrame, idCol: String, nTokCol: String,
+      capacity: Int, shards: Int, offsets: DataFrame): DataFrame =
+    chunkPackCore(df, idCol, nTokCol, capacity, shards, Seq(col(idCol)),
+      Some(offsets))
+
   /** [[chunkPackCounted]] with CURRICULUM ordering: documents lay out
     * within each shard by `scoreCol` DESCENDING (id tiebreak) instead of
     * id order, so early training sequences draw from the highest-scored
@@ -66,7 +83,8 @@ object PackingOps {
       Seq(col(scoreCol).desc, col(idCol)))
 
   private def chunkPackCore(df: DataFrame, idCol: String, nTokCol: String,
-      capacity: Int, shards: Int, order: Seq[Column]): DataFrame = {
+      capacity: Int, shards: Int, order: Seq[Column],
+      offsets: Option[DataFrame] = None): DataFrame = {
     require(capacity > 0 && shards > 0)
     // ROWS frame, not the orderBy default RANGE: RANGE would sum peer rows
     // on a duplicated id and silently corrupt the packing (the DuckDB
@@ -76,10 +94,19 @@ object PackingOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // withColumn (not a narrowing select) so score/order columns survive
     // up to the window, whatever they are
-    df.withColumn("shard", md5Mod(col(idCol), shards).cast("int"))
+    val sharded = df.withColumn("shard", md5Mod(col(idCol), shards).cast("int"))
       .withColumn("n_tok", col(nTokCol).cast("long"))
       .filter(col("n_tok") > 0)
-      .withColumn("cum_end", sum("n_tok").over(w))
+    val based = offsets.fold(sharded.withColumn("_off", lit(0L))) { o =>
+      sharded.join(
+          broadcast(o.select(col("shard").cast("int").as("shard"),
+            col("n_tok").cast("long").as("_off"))),
+          Seq("shard"), "left")
+        .withColumn("_off", coalesce(col("_off"), lit(0L)))
+    }
+    based
+      .withColumn("cum_end", col("_off") + sum("n_tok").over(w))
+      .drop("_off")
       // token span [cum_end - n_tok, cum_end) overlaps chunks
       // floor(start/cap) .. floor((end-1)/cap), inclusive
       .withColumn("chunk_id",

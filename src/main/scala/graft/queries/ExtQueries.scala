@@ -941,6 +941,24 @@ object ExtQueries {
         .select(col("asset_id"), col("media_type"), col("n_bytes"),
           col("width"), col("height"), col("n_frames"))
         .orderBy("asset_id")
+    }),
+
+    // PNG/JPEG through `javax.imageio` — the formats real corpora carry
+    // (x12b covers the hand-rolled BMP/WAV/video codecs). Payloads are
+    // REAL encoded images with constant channels; the decode parses them
+    // back and the oracle reproduces dims for both formats and the exact
+    // per-channel pixel sums for the LOSSLESS one (PNG decode returns
+    // the planted bytes bit-for-bit, so sum = w·h·constant). JPEG sums
+    // are decoder truth but lossy — NULLed here, tolerance-checked in
+    // MultimodalSpec instead.
+    "x12c_imageio_decode" -> ((s, d) => {
+      val assets = MultimodalOps.toImageIOAssets(
+        Tables.documents(s, d), "doc_id", "text")
+      val feats = MultimodalOps.extractImageFeatures(assets)
+      Seq("sum_b", "sum_g", "sum_r").foldLeft(feats) { (df, c) =>
+          df.withColumn(c, when(col("media_type") === "png", col(c)))
+        }
+        .orderBy("asset_id")
     }))
 
   // DuckDB oracle SQL. Shared shapes: t = tokens, sh = distinct 3-shingles.
@@ -2411,6 +2429,27 @@ object ExtQueries {
              CAST(CASE t WHEN 1 THEN 16 ELSE h END AS INT) AS height,
              CAST(CASE t WHEN 0 THEN 1 WHEN 1 THEN fr ELSE nf END AS INT)
                AS n_frames
+           FROM d ORDER BY asset_id""",
+
+      // closed-form twin of the ImageIO decode: dims for both formats,
+      // exact channel sums for the lossless one (constant-channel PNG)
+      "x12c_imageio_decode" ->
+        """WITH d AS (
+             SELECT doc_id, doc_id % 2 AS fmt,
+                    16 + (doc_id % 48) AS w,
+                    16 + (octet_length(encode(text)) % 48) AS h,
+                    octet_length(encode(text)) AS len
+             FROM documents)
+           SELECT doc_id AS asset_id,
+                  CASE fmt WHEN 0 THEN 'png' ELSE 'jpeg' END AS media_type,
+                  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                  CASE WHEN fmt = 0
+                    THEN CAST(w*h*((7*doc_id + 3*len) % 256) AS BIGINT) END
+                    AS sum_b,
+                  CASE WHEN fmt = 0
+                    THEN CAST(w*h*(len % 256) AS BIGINT) END AS sum_g,
+                  CASE WHEN fmt = 0
+                    THEN CAST(w*h*(doc_id % 256) AS BIGINT) END AS sum_r
            FROM d ORDER BY asset_id""")
   }
 }

@@ -157,4 +157,57 @@ class MultimodalSpec extends AnyFunSuite {
       f.asset_id == v.getAs[Long]("asset_id") && f.frame_idx == 0).head
     assert(sampled.frame_checksum == MultimodalOps.fnv(f0.pixels))
   }
+
+  test("PNG round-trips arbitrary pixels byte-exactly; payload is real PNG") {
+    // a non-constant pattern proves the raster path, not just flat fills
+    val w = 23; val h = 17 // non-multiple-of-4 width exercises layout
+    val pixels = Array.tabulate(w * h * 3)(i => ((i * 31 + 7) % 256).toByte)
+    val bytes = MediaCodec.encodeImageIO(BmpImage(w, h, pixels), "png")
+    // PNG signature: 0x89 'P' 'N' 'G'
+    assert((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P'.toByte &&
+      bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte)
+    val back = MediaCodec.decodeImageIO(bytes)
+    assert(back.width == w && back.height == h)
+    assert(back.pixels.sameElements(pixels), "PNG must be lossless")
+  }
+
+  test("JPEG decodes to exact dims and near-planted constant channels") {
+    val w = 40; val h = 30
+    val (b, g, r) = (200.toByte, 100.toByte, 50.toByte)
+    val pixels = Array.tabulate(w * h * 3)(i =>
+      (i % 3) match { case 0 => b; case 1 => g; case _ => r })
+    val bytes = MediaCodec.encodeImageIO(BmpImage(w, h, pixels), "jpg")
+    // JPEG SOI marker
+    assert((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8)
+    val back = MediaCodec.decodeImageIO(bytes)
+    assert(back.width == w && back.height == h)
+    // lossy: per-channel MEANS stay within a few values of the constants
+    val n = (w * h).toDouble
+    val sums = new Array[Long](3)
+    for (i <- back.pixels.indices) sums(i % 3) += back.pixels(i) & 0xFF
+    assert(math.abs(sums(0) / n - 200.0) < 4.0, s"B mean ${sums(0) / n}")
+    assert(math.abs(sums(1) / n - 100.0) < 4.0, s"G mean ${sums(1) / n}")
+    assert(math.abs(sums(2) / n - 50.0) < 4.0, s"R mean ${sums(2) / n}")
+  }
+
+  test("imageio asset table decodes with closed-form dims and exact PNG sums") {
+    val imgAssets = MultimodalOps.toImageIOAssets(
+      Tables.documents(spark, SparkTestSession.sf0001), "doc_id", "text")
+    val feats = MultimodalOps.extractImageFeatures(imgAssets).collect()
+    assert(feats.length == 500)
+    val texts = Tables.documents(spark, SparkTestSession.sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (f <- feats) {
+      val id = f.getLong(0)
+      val len = texts(id).getBytes("UTF-8").length
+      val (w, h) = (16 + (id % 48).toInt, 16 + len % 48)
+      assert(f.getInt(2) == w && f.getInt(3) == h, s"dims of asset $id")
+      if (f.getString(1) == "png") {
+        assert(f.getLong(4) == w.toLong * h * ((7 * id + 3 * len) % 256))
+        assert(f.getLong(5) == w.toLong * h * (len % 256))
+        assert(f.getLong(6) == w.toLong * h * (id % 256))
+      }
+    }
+  }
 }
