@@ -422,21 +422,40 @@ object DedupOps {
   def spanMatches(probe: DataFrame, reference: DataFrame, textCol: String,
       idCol: String, windowLen: Int,
       maxWindowDf: Option[Long] = None): DataFrame = {
-    def index(df: DataFrame, idOut: String, posOut: String) =
-      spreadByDoc(df, idCol)
-        .select(col(idCol).as(idOut),
-          posexplode(TextOps.shingles(TextOps.tokens(col(textCol)), windowLen))
-            .as(Seq(posOut, "w")))
-        .select(col(idOut), col(posOut), TextOps.md5Key60(col("w")).as("h"))
-    val ref0 = index(reference, "ref_id", "pr")
+    val ref0 = windowIndex(reference, textCol, idCol, windowLen, "ref_id", "pr")
     val ref = maxWindowDf.fold(ref0) { cap =>
       val hot = ref0.groupBy("h")
         .agg(count_distinct(col("ref_id")).as("df"))
         .filter(col("df") > cap).select("h")
       ref0.join(hot, Seq("h"), "left_anti")
     }
+    spanMatchesIndexed(
+      windowIndex(probe, textCol, idCol, windowLen, "probe_id", "pp"),
+      ref, windowLen)
+  }
+
+  /** One side's inverted window index: `(idOut, posOut, h)` rows, `h` the
+    * 60-bit md5 window key. Hoisted so a STREAMING gate can persist a
+    * batch's index as state (8-byte fingerprints, never text —
+    * [[graft.streaming.SpanStream]]) and probe later batches against it
+    * through [[spanMatchesIndexed]] without re-tokenizing history.
+    */
+  private[graft] def windowIndex(df: DataFrame, textCol: String,
+      idCol: String, windowLen: Int, idOut: String, posOut: String): DataFrame =
+    spreadByDoc(df, idCol)
+      .select(col(idCol).as(idOut),
+        posexplode(TextOps.shingles(TextOps.tokens(col(textCol)), windowLen))
+          .as(Seq(posOut, "w")))
+      .select(col(idOut), col(posOut), TextOps.md5Key60(col("w")).as("h"))
+
+  /** [[spanMatches]]' islands kernel over two PRE-BUILT indexes
+    * (`probeIdx`: probe_id/pp/h, `refIdx`: ref_id/pr/h) — the shared
+    * core of the batch operator and the stateful streaming gate.
+    */
+  private[graft] def spanMatchesIndexed(probeIdx: DataFrame,
+      refIdx: DataFrame, windowLen: Int): DataFrame = {
     val byDiag = Window.partitionBy("probe_id", "ref_id", "diag").orderBy("pp")
-    index(probe, "probe_id", "pp").join(ref, Seq("h"))
+    probeIdx.join(refIdx, Seq("h"))
       .withColumn("diag", col("pr") - col("pp"))
       .withColumn("isl", col("pp") - row_number().over(byDiag))
       .groupBy("probe_id", "ref_id", "diag", "isl")

@@ -23,14 +23,24 @@ import graft.operators.DedupOps
   * replays are idempotent.
   *
   * Scale shape: per batch one inverted window-index equi-join of
-  * O(batch windows) against O(reference windows); no streaming state
-  * store — the immutable reference index IS the state. Back `reference`
-  * with parquet (or stage it) so it is not recomputed per batch;
-  * `maxWindowDf` caps reference-side boilerplate fan-out. Checking
-  * arrivals against EACH OTHER (intra-stream span dedup) is the
-  * watermarked-bucket problem [[NearDupStream]] solves for MinHash and is
-  * out of scope here: span runs need positions, which would put document
-  * content in state.
+  * O(batch windows) against O(reference windows); the reference-only
+  * gate keeps no streaming state — the immutable reference index IS the
+  * state. Back `reference` with parquet (or stage it) so it is not
+  * recomputed per batch; `maxWindowDf` caps reference-side boilerplate
+  * fan-out.
+  *
+  * INTRA-STREAM span state ([[applyBatchStateful]]): copier pairs
+  * arriving in DIFFERENT micro-batches need history, and span runs need
+  * positions — but not text: each batch persists its inverted WINDOW
+  * INDEX (8-byte md5-60 fingerprints + positions, content-free) to a
+  * batchId-keyed log, and later batches probe that log through the same
+  * islands kernel ([[DedupOps.spanMatchesIndexed]]). The log is the
+  * bounded-state dial: `maxHistoryBatches` evicts partitions past the
+  * horizon (the watermark trade every streaming dedup makes — a copier
+  * pair farther apart than the horizon is missed; the batch x29 pass
+  * over landed data remains the exhaustive check). A replayed batch
+  * reads history strictly BELOW its own id, so at-least-once delivery
+  * never matches a document against its previous attempt's state.
   */
 object SpanStream {
 
@@ -58,6 +68,91 @@ object SpanStream {
         b.unpersist()
       }
     }
+
+  /** [[applyBatch]] plus intra-stream state: the batch is checked against
+    * the static `reference` AND every prior batch inside the history
+    * horizon, and against ITSELF (in-batch pairs — the larger id flags,
+    * the keep-first convention), then its own window index joins the log.
+    * Flag decisions follow the batch family: a cross-batch copier flags
+    * the ARRIVING document (the earlier one already landed clean).
+    */
+  def applyBatchStateful(batch: DataFrame, batchId: Long,
+      reference: Option[DataFrame], textCol: String, idCol: String,
+      windowLen: Int, minSpan: Long, maxWindowDf: Option[Long],
+      cleanDir: String, flaggedDir: String, indexDir: String,
+      maxHistoryBatches: Option[Long] = None): Unit =
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      val b = batch.persist()
+      try {
+        // persist this batch's index FIRST (overwrite — replay-idempotent);
+        // gating reads history strictly below batchId, so a replay never
+        // sees its own previous write
+        DedupOps.windowIndex(b, textCol, idCol, windowLen, idCol, "pos")
+          .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+        val history = spark.read.parquet(indexDir)
+          .filter(col("batch").cast("long") < batchId &&
+            maxHistoryBatches.fold(lit(true))(h =>
+              col("batch").cast("long") >= batchId - h))
+          .select(col(idCol).as("ref_id"), col("pos").as("pr"), col("h"))
+        val refIdx0 = reference.fold(history) { r =>
+          history.unionByName(DedupOps.windowIndex(r, textCol, idCol,
+            windowLen, "ref_id", "pr"))
+        }
+        val refIdx = maxWindowDf.fold(refIdx0) { cap =>
+          val hot = refIdx0.groupBy("h")
+            .agg(count_distinct(col("ref_id")).as("df"))
+            .filter(col("df") > cap).select("h")
+          refIdx0.join(hot, Seq("h"), "left_anti")
+        }
+        val probeIdx = DedupOps.windowIndex(b, textCol, idCol, windowLen,
+          "probe_id", "pp")
+        val crossFlags = DedupOps.spanMatchesIndexed(probeIdx, refIdx,
+            windowLen)
+          .filter(col("max_span") >= minSpan)
+          .select(col("probe_id").as(idCol))
+        // in-batch pairs: doc_a < doc_b by construction — doc_b flags
+        val intraFlags = DedupOps.sharedSpanPairs(b, textCol, idCol,
+            windowLen, maxWindowDf)
+          .filter(col("max_span") >= minSpan)
+          .select(col("doc_b").as(idCol))
+        val flagged = crossFlags.unionByName(intraFlags).distinct().persist()
+        try {
+          b.join(flagged, Seq(idCol), "left_anti")
+            .write.mode("overwrite").parquet(s"$cleanDir/batch=$batchId")
+          b.join(flagged, Seq(idCol), "left_semi")
+            .write.mode("overwrite").parquet(s"$flaggedDir/batch=$batchId")
+        } finally { flagged.unpersist(); () }
+        // evict log partitions past the horizon — the bounded-state dial
+        maxHistoryBatches.foreach { h =>
+          val root = new org.apache.hadoop.fs.Path(indexDir)
+          val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+          if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+            val name = st.getPath.getName
+            if (name.startsWith("batch=") &&
+                scala.util.Try(name.stripPrefix("batch=").toLong)
+                  .toOption.exists(_ < batchId - h))
+              fs.delete(st.getPath, true)
+          }
+        }
+      } finally { b.unpersist(); () }
+    }
+
+  /** Run the STATEFUL gate continuously ([[applyBatchStateful]]). */
+  def startStatefulGate(docs: DataFrame, reference: Option[DataFrame],
+      textCol: String, idCol: String, windowLen: Int, minSpan: Long,
+      cleanDir: String, flaggedDir: String, indexDir: String,
+      checkpointDir: String, maxWindowDf: Option[Long] = None,
+      maxHistoryBatches: Option[Long] = None): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyBatchStateful(batch.toDF(), batchId, reference, textCol, idCol,
+          windowLen, minSpan, maxWindowDf, cleanDir, flaggedDir, indexDir,
+          maxHistoryBatches)
+      }
+      .start()
 
   /** Run the gate continuously over a streaming `docs` frame (columns
     * must include `idCol` and `textCol`).

@@ -50,6 +50,61 @@ class SpanStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful gate catches copier pairs arriving ACROSS micro-batches") {
+    val base = java.nio.file.Files.createTempDirectory("span-state").toString
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = SpanStream.startStatefulGate(
+      input.toDF().toDF("doc_id", "text"), reference = None, "text",
+      "doc_id", windowLen = 8, minSpan = 12L, s"$base/clean",
+      s"$base/flagged", s"$base/index", s"$base/ckpt")
+    try {
+      // batch 1: an original lands clean; its window index becomes state
+      input.addData((10L, s"original author writes $span first time here"))
+      q.processAllAvailable()
+      // batch 2: a copier of batch 1's doc (no static reference knows it),
+      // an in-batch copier pair (13 copies 12 — larger id flags), and an
+      // unrelated original
+      input.addData(
+        (11L, s"later arrival copying $span from a previous batch"),
+        (12L, "in batch original text that someone else will copy word for word today"),
+        (13L, "in batch original text that someone else will copy word for word today indeed"),
+        (14L, "completely unrelated clean arrival about other matters"))
+      q.processAllAvailable()
+      val clean = spark.read.parquet(s"$base/clean")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val flagged = spark.read.parquet(s"$base/flagged")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(flagged == Set(11L, 13L),
+        s"cross-batch copier + in-batch larger id must flag: $flagged")
+      assert(clean == Set(10L, 12L, 14L), clean)
+    } finally q.stop()
+  }
+
+  test("stateful replay is idempotent; the horizon bounds history") {
+    val base = java.nio.file.Files.createTempDirectory("span-horizon").toString
+    def run(b: org.apache.spark.sql.DataFrame, id: Long) =
+      SpanStream.applyBatchStateful(b, id, None, "text", "doc_id",
+        windowLen = 8, minSpan = 12L, None, s"$base/clean",
+        s"$base/flagged", s"$base/index", maxHistoryBatches = Some(1L))
+    run(Seq((20L, s"first author $span original")).toDF("doc_id", "text"), 0L)
+    // replaying batch 0 must not match the doc against its own state
+    run(Seq((20L, s"first author $span original")).toDF("doc_id", "text"), 0L)
+    assert(spark.read.parquet(s"$base/clean")
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(20L))
+    // batch 1 copier of batch 0: inside the horizon — flags
+    run(Seq((21L, s"near copier $span lands")).toDF("doc_id", "text"), 1L)
+    // batch 3 copier of batch 0: batch 0's index is evicted (horizon 1,
+    // and batch 2 never ran) — the documented miss; batch pass catches it
+    run(Seq((22L, s"far copier $span lands")).toDF("doc_id", "text"), 3L)
+    val flagged = spark.read.parquet(s"$base/flagged")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val clean = spark.read.parquet(s"$base/clean")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(21L), flagged)
+    assert(clean == Set(20L, 22L), clean)
+  }
+
   test("gate decisions equal the batch kernel's (code-path parity)") {
     val arrivals = Seq(
       (1L, s"lead in words here $span"),
