@@ -54,6 +54,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => TopKByScore(args(0), args(1),
         args(2).eval().asInstanceOf[Int])))
 
+    ext.injectFunction((FunctionIdentifier("top_bigram_count"),
+      info("top_bigram_count",
+        "top_bigram_count(array<string>) - count of the most frequent consecutive bigram (one pass)"),
+      (args: Seq[Expression]) => TopBigramCount(args.head)))
+
     ext.injectFunction((FunctionIdentifier("double_sort_key"),
       info("double_sort_key",
         "double_sort_key(x double) - order-preserving 64-bit integer key of a double (quantile-sketch bucketing)"),

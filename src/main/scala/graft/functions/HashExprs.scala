@@ -180,6 +180,46 @@ case class DistinctShingles(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Count of the MOST FREQUENT consecutive bigram in a token array — the
+  * one-pass native form of [[graft.operators.TextOps.topBigramCount]].
+  * The compositional higher-order form evaluates
+  * `filter(bg, _ === b)` per DISTINCT bigram — O(distinct × n) per
+  * document, which at corpus scale makes the repetition feature the
+  * whole profile (measured ~60× this kernel at sf0.1). One hash-counting
+  * pass is O(n). Bigram identity is the same space-joined string the
+  * compositional form (and the x27 oracle) uses — identical values,
+  * collisions included; pairs touching a null element contribute
+  * nothing, exactly as the lambda form's null-propagating concat+filter.
+  */
+case class TopBigramCount(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "top_bigram_count"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 2) return 0
+    val sep = UTF8String.fromString(" ")
+    val counts = new java.util.HashMap[UTF8String, Int]()
+    var best = 0
+    var i = 0
+    while (i < n - 1) {
+      if (!arr.isNullAt(i) && !arr.isNullAt(i + 1)) {
+        val bg = UTF8String.concatWs(sep,
+          arr.getUTF8String(i), arr.getUTF8String(i + 1))
+        val c = counts.merge(bg, 1, (a, b) => a + b)
+        if (c > best) best = c
+      }
+      i += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(c: Expression): TopBigramCount =
+    copy(child = c)
+}
+
 object HashExprs {
   def simhash64(toks: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(toks)))
@@ -192,4 +232,7 @@ object HashExprs {
 
   def distinctShingles(toks: Column, n: Int = 3): Column =
     Bridge.column(DistinctShingles(Bridge.expression(toks), n))
+
+  def topBigramCount(toks: Column): Column =
+    Bridge.column(TopBigramCount(Bridge.expression(toks)))
 }

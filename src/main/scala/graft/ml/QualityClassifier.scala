@@ -55,7 +55,10 @@ object QualityClassifier {
       "f_len" -> least(nt, lit(100L)),
       "f_nonstop" -> (nt - sw),
       "f_chars" -> least(nCharsCol.cast("long"), lit(500L)),
-      "f_rep" -> TextOps.topBigramCount(toks).cast("long"))
+      // the fused native kernel (one counting pass) — the compositional
+      // TextOps form is O(distinct-bigrams × bigrams) per doc and owns
+      // the whole profile at corpus scale (HashExprsSpec: same values)
+      "f_rep" -> graft.functions.HashExprs.topBigramCount(toks).cast("long"))
   }
 
   val featureNames: Seq[String] = Seq("f_len", "f_nonstop", "f_chars", "f_rep")
@@ -67,21 +70,52 @@ object QualityClassifier {
     * `intercept` row. Fails loudly if either extreme is empty — a
     * degenerate threshold choice must not train a silent constant model.
     */
-  def trainWeak(docs: DataFrame, textCol: String, nCharsCol: String,
-      loBps: Long, hiBps: Long, maxIter: Int = 100): DataFrame = {
-    require(loBps < hiBps, "weak-label extremes must be disjoint")
-    val spark = docs.sparkSession
+  /** Materialize the feature columns (plus the weak-label quality
+    * rational as `_qnum`/`_qden`) onto `docs` — the ONE pass that
+    * tokenizes. Everything downstream (training, scoring, gating) reads
+    * columns: at corpus scale, stage this frame to parquet once
+    * ([[trainWeak]] does; x46 shares one stage between train and score)
+    * because the bigram repetition feature is the expensive kernel and
+    * must not re-run per consumer (the x31 staging discipline).
+    */
+  def featurize(docs: DataFrame, textCol: String,
+      nCharsCol: String): DataFrame = {
     val (qNum, qDen) = TextOps.qualityRat(col(textCol), col(nCharsCol))
-    val feats = features(col(textCol), col(nCharsCol))
-    val labeled = feats.foldLeft(
-        docs.filter(size(TextOps.tokens(col(textCol))) > 0)) {
+    features(col(textCol), col(nCharsCol))
+      .foldLeft(docs.filter(size(TextOps.tokens(col(textCol))) > 0)) {
         case (df, (n, e)) => df.withColumn(n, e)
       }
+      .withColumn("_qnum", qNum).withColumn("_qden", qDen)
+  }
+
+  /** Train on a [[featurize]]d (ideally staged) frame. Weak labels come
+    * from the quality rational's extremes (≥ hiBps/10⁴ positive,
+    * ≤ loBps/10⁴ negative, middle dropped — integer cross-multiply).
+    * The training set is BOUNDED (`maxTrainRows`, md5-keyed
+    * deterministic sample) and coalesced: an LBFGS fit is a distributed
+    * pass PER ITERATION, so an unbounded extremes set would cost
+    * ~maxIter corpus passes for a 4-feature model a bounded sample
+    * trains identically well. Fails loudly if either extreme is empty.
+    */
+  def trainWeakFeaturized(feat: DataFrame, loBps: Long, hiBps: Long,
+      maxIter: Int = 100, maxTrainRows: Long = 100000L): DataFrame = {
+    require(loBps < hiBps, "weak-label extremes must be disjoint")
+    val spark = feat.sparkSession
+    val labeled0 = feat
       .withColumn("label",
-        when(lit(10000L) * qNum >= lit(hiBps) * qDen, 1.0)
-          .when(lit(10000L) * qNum <= lit(loBps) * qDen, 0.0))
+        when(lit(10000L) * col("_qnum") >= lit(hiBps) * col("_qden"), 1.0)
+          .when(lit(10000L) * col("_qnum") <= lit(loBps) * col("_qden"), 0.0))
       .filter(col("label").isNotNull)
       .select((col("label") +: featureNames.map(col)): _*)
+    val n = labeled0.count()
+    val labeled = (if (n > maxTrainRows) {
+        val keepBps = ((maxTrainRows * 10000) / n).max(1L)
+        labeled0.filter(
+          pmod(conv(substring(md5(concat_ws("|",
+            (col("label") +: featureNames.map(col)): _*)), 1, 15), 16, 10)
+            .cast("long"), lit(10000L)) < keepBps)
+      } else labeled0)
+      .coalesce(4)
     val classes = labeled.select("label").distinct().count()
     require(classes == 2,
       s"weak labels must cover both extremes, got $classes class(es)")
@@ -99,21 +133,36 @@ object QualityClassifier {
       .toDF("feature", "w")
   }
 
-  /** Score `docs` with a persisted coefficient table: appends an integer
-    * `margin` column (= w_intercept + Σ w_f · f, weights 10⁶-scaled) and
-    * its bucketed gate form `score_q`. The weight table pivots to ONE row
-    * and broadcasts — the dot product is per-row codegen'd arithmetic,
-    * nothing shuffles, nothing collects.
+  /** [[trainWeakFeaturized]] from raw text: featurizes to a scratch
+    * parquet stage first so the count / class-check / fit passes read
+    * columns instead of re-running the tokenize+bigram kernel.
     */
-  def scoreMargin(docs: DataFrame, textCol: String, nCharsCol: String,
-      weights: DataFrame): DataFrame = {
+  def trainWeak(docs: DataFrame, textCol: String, nCharsCol: String,
+      loBps: Long, hiBps: Long, maxIter: Int = 100,
+      maxTrainRows: Long = 100000L): DataFrame = {
+    val spark = docs.sparkSession
+    val stage = graft.operators.StageIO.resolve(spark, None, "quality-feat")
+    featurize(docs, textCol, nCharsCol)
+      .drop(textCol)
+      .write.mode("overwrite").parquet(stage)
+    trainWeakFeaturized(spark.read.parquet(stage), loBps, hiBps, maxIter,
+      maxTrainRows)
+  }
+
+  /** Score a [[featurize]]d frame with a persisted coefficient table:
+    * appends the integer `margin` (= w_intercept + Σ w_f · f, weights
+    * 10⁶-scaled) and its bucketed gate form `score_q`. The weight table
+    * pivots to ONE row and broadcasts — the dot product is per-row
+    * codegen'd arithmetic over materialized columns; nothing shuffles,
+    * nothing collects, nothing re-tokenizes.
+    */
+  def scoreFeaturized(feat: DataFrame, weights: DataFrame): DataFrame = {
     val wide = weights.groupBy().pivot("feature").agg(first("w"))
       .select((col("intercept").as("_w0") +:
         featureNames.map(n => col(n).as(s"_w_$n"))): _*)
-    val feats = features(col(textCol), col(nCharsCol))
-    val margin = feats.map { case (n, e) => col(s"_w_$n") * e }
+    val margin = featureNames.map(n => col(s"_w_$n") * col(n))
       .foldLeft(col("_w0"))(_ + _)
-    docs.crossJoin(broadcast(wide))
+    feat.crossJoin(broadcast(wide))
       .withColumn("margin", margin)
       // integer `div` (never a float division + floor: a near-integer
       // double quotient could floor differently across engines); operands
@@ -124,4 +173,10 @@ object QualityClassifier {
           s"+ ${marginClamp}L) div ${bucketWidth}L"))
       .drop("_w0" +: featureNames.map(n => s"_w_$n"): _*)
   }
+
+  /** [[scoreFeaturized]] from raw text (one featurize pass inline). */
+  def scoreMargin(docs: DataFrame, textCol: String, nCharsCol: String,
+      weights: DataFrame): DataFrame =
+    scoreFeaturized(featurize(docs, textCol, nCharsCol), weights)
+      .drop(featureNames :+ "_qnum" :+ "_qden": _*)
 }

@@ -346,16 +346,26 @@ object ExtQueries {
     // surface of training.py:66-90 applied to curation.
     "x46_model_quality_gate" -> ((s, d) => {
       import graft.ml.QualityClassifier
-      val docs = Tables.documents(s, d)
-        .filter(size(TextOps.tokens(col("text"))) > 0)
+      // ONE feature stage (the tokenize+bigram pass) shared by training
+      // and scoring — the expensive kernel runs once, everything after
+      // reads columns (the x31 staging discipline)
+      val stage = graft.operators.StageIO.resolve(s, None, "x46-features")
+      QualityClassifier.featurize(
+          Tables.documents(s, d).select("doc_id", "lang", "text", "n_chars"),
+          "text", "n_chars")
+        .drop("text")
+        .write.mode("overwrite").parquet(stage)
+      val feat = s.read.parquet(stage)
       val wDir =
         s"file:///tmp/graft_quality_model/${new java.io.File(d).getName}"
-      QualityClassifier.trainWeak(docs, "text", "n_chars",
-          loBps = 5500L, hiBps = 8000L)
+      // the gate is ORDINAL in the margin (rank by bucketed score), so
+      // coarse LBFGS convergence gates identically to a tight fit —
+      // every iteration is a job, and 30 buys the boundary
+      QualityClassifier.trainWeakFeaturized(feat, loBps = 5500L,
+          hiBps = 8000L, maxIter = 30)
         .coalesce(1).write.mode("overwrite").parquet(wDir)
-      val scored = QualityClassifier.scoreMargin(
-          docs.select("doc_id", "lang", "text", "n_chars"),
-          "text", "n_chars", s.read.parquet(wDir))
+      val scored = QualityClassifier.scoreFeaturized(feat,
+          s.read.parquet(wDir))
         .select(col("doc_id"), col("lang"), col("score_q"), col("margin"))
       graft.operators.PackingOps.topPctByScore(scored, "lang", "score_q",
           "doc_id", keepNum = 3, keepDen = 10)
@@ -895,7 +905,10 @@ object ExtQueries {
         .select(col("doc_id"),
           nt.cast("int").as("n_tokens"),
           round4Rat(nt - nd, nt).as("dup_token_frac"),
-          round4Rat(TextOps.topBigramCount(toks).cast("long"), nt - 1)
+          // fused kernel — same values as TextOps.topBigramCount
+          // (HashExprsSpec), O(n) instead of O(distinct × n) per doc
+          round4Rat(graft.functions.HashExprs.topBigramCount(toks)
+            .cast("long"), nt - 1)
             .as("top_bigram_frac"))
         .orderBy("doc_id")
     }),

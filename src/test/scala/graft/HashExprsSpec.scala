@@ -85,4 +85,30 @@ class HashExprsSpec extends AnyFunSuite {
     assert(spec.exceptAll(fast).count() == 0L)
     assert(fast.exceptAll(spec).count() == 0L)
   }
+
+  test("fused TopBigramCount equals the compositional form on real docs") {
+    val docs = Tables.documents(spark, SparkTestSession.sf0001)
+    val toks = graft.operators.TextOps.tokens(col("text"))
+    val spec = docs.select(col("doc_id"),
+      graft.operators.TextOps.topBigramCount(toks).as("c"))
+    val fast = docs.select(col("doc_id"),
+      HashExprs.topBigramCount(toks).as("c"))
+    assert(spec.exceptAll(fast).count() == 0L)
+    assert(fast.exceptAll(spec).count() == 0L)
+    // edge cases the lambda form's null/short semantics pin down
+    import spark.implicits._
+    val edge = Seq(
+      (1L, Seq("a")),                                  // under 2 tokens -> 0
+      (2L, Seq("a", "b", "a", "b", "a")),              // "a b" x2
+      (3L, Seq[String](null, "a", null, "a", "b")),    // null pairs skip
+      (4L, Seq("x", "x", "x", "x")))                   // "x x" x3
+      .toDF("id", "toks")
+    val both = edge.select(col("id"),
+        graft.operators.TextOps.topBigramCount(col("toks")).as("spec"),
+        HashExprs.topBigramCount(col("toks")).as("fast"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    for ((id, s, f) <- both) assert(s == f, s"doc $id: $s != $f")
+    assert(both.map(t => t._1 -> t._2).toMap ==
+      Map(1L -> 0, 2L -> 2, 3L -> 1, 4L -> 3))
+  }
 }
