@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.commons.codec.digest.DigestUtils
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -192,9 +193,23 @@ case class DistinctShingles(child: Expression, n: Int)
   * nothing, exactly as the lambda form's null-propagating concat+filter.
   */
 case class TopBigramCount(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def prettyName: String = "top_bigram_count"
+  // mistyped SQL input (array<int>, a plain string) must die in the
+  // analyzer, not misread array bytes in executors (the TopKByScore
+  // lesson, advisor r8 / review r9)
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+
+  // the compositional spec maps a NULL token array to 0 (its coalesce
+  // swallows the null); default unary null propagation would return
+  // NULL and silently diverge from the oracle on NULL-text rows
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0 else nullSafeEval(v)
+  }
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]

@@ -487,7 +487,11 @@ object DedupOps {
       stageDir: Option[String] = None): DataFrame = {
     require(minSpan >= windowLen,
       s"a span shorter than the window ($windowLen) is undetectable")
-    val pairs = sharedSpanPairs(docs, textCol, idCol, windowLen, maxWindowDf)
+    // the capped index stage gets its own SUBDIR of the caller's stage
+    // (never the root — clusterLabels writes `<stageDir>/labels` beside
+    // it, and two parquet writers must not share one directory)
+    val pairs = sharedSpanPairs(docs, textCol, idCol, windowLen, maxWindowDf,
+        stageDir.map(_ + "/span-index"))
       .filter(col("max_span") >= minSpan)
       .select("doc_a", "doc_b")
     scoreCol match {

@@ -62,15 +62,18 @@ object DeltaManifest {
       .write.mode("overwrite").parquet(s"$stateDir/totals/batch=0")
   }
 
-  /** Every content hash ever admitted (merged over the log). `below`
-    * bounds the read to batches < it — [[applyBatch]] reads state below
-    * its OWN id so a replayed batch never sees its previous attempt's
-    * writes (the replay-idempotency condition).
+  /** Every content hash ever admitted (merged over the log; MAY contain
+    * duplicates across batches — its consumer is an anti-join, where
+    * right-side dupes change nothing, and a distinct here would shuffle
+    * the corpus-sized log once per batch for no semantic effect, review
+    * r9). `below` bounds the read to batches < it — [[applyBatch]] reads
+    * state below its OWN id so a replayed batch never sees its previous
+    * attempt's writes (the replay-idempotency condition).
     */
   def seenHashes(spark: SparkSession, stateDir: String,
       below: Long = Long.MaxValue): DataFrame =
     readLog(spark, s"$stateDir/hashes", "text_hash STRING", below)
-      .select("text_hash").distinct()
+      .select("text_hash")
 
   /** Current per-shard token totals (merged counter log — ≤ #batches ×
     * shards rows, the bounded-state property).
@@ -158,16 +161,23 @@ object DeltaManifest {
 
     // batch-keyed state commits (replay overwrites, never double-counts).
     // Hashes log EVERY gated doc (dupes of a seen hash add nothing; a
-    // batch's own survivors cover its in-batch dupes), manifest + totals
-    // log the packed outcome.
-    delta.write.mode("overwrite").parquet(s"$stateDir/manifest/batch=$batchId")
-    val written = spark.read.parquet(s"$stateDir/manifest/batch=$batchId")
+    // batch's own survivors cover its in-batch dupes). ORDER matters:
+    // the manifest partition is the "batch applied" signal an operator
+    // resumes from, so it lands LAST — a crash mid-commit leaves hashes/
+    // totals present but the manifest missing, and the replay of this id
+    // (which reads state strictly below itself) simply overwrites all
+    // three. Manifest-first would instead let a resume skip to the next
+    // batch with this batch's dedup/packing state missing (review r9).
+    val d = delta.persist()
+    try {
+      gated.select("text_hash")
+        .write.mode("overwrite").parquet(s"$stateDir/hashes/batch=$batchId")
+      d.groupBy("shard")
+        .agg(sum("tok_in_chunk").cast("long").as("n_tok"))
+        .write.mode("overwrite").parquet(s"$stateDir/totals/batch=$batchId")
+      d.write.mode("overwrite").parquet(s"$stateDir/manifest/batch=$batchId")
+    } finally { d.unpersist(); () }
+    spark.read.parquet(s"$stateDir/manifest/batch=$batchId")
       .select("shard", "chunk_id", "doc_id", "tok_in_chunk")
-    gated.select("text_hash")
-      .write.mode("overwrite").parquet(s"$stateDir/hashes/batch=$batchId")
-    written.groupBy("shard")
-      .agg(sum("tok_in_chunk").cast("long").as("n_tok"))
-      .write.mode("overwrite").parquet(s"$stateDir/totals/batch=$batchId")
-    written
   }
 }

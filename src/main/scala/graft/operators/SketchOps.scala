@@ -176,6 +176,9 @@ object SketchOps {
       q: Double): DataFrame = {
     require(q > 0.0 && q <= 1.0, s"rank fraction: $q")
     val qNum = math.round(q * 10000).toInt
+    // q below the 1-bps resolution would make _k = 0 and return an
+    // EMPTY frame despite the q > 0 require passing (review r9)
+    require(qNum >= 1, s"rank fraction $q rounds below 1 bps")
     val byBucket = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*).orderBy(col("qb").desc)
     val grp = org.apache.spark.sql.expressions.Window

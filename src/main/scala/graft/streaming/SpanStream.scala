@@ -85,37 +85,46 @@ object SpanStream {
       val spark = batch.sparkSession
       val b = batch.persist()
       try {
-        // persist this batch's index FIRST (overwrite — replay-idempotent);
-        // gating reads history strictly below batchId, so a replay never
-        // sees its own previous write
+        // ONE window-index kernel per batch: computed once, persisted
+        // (overwrite — replay-idempotent, and reads below see history
+        // strictly under batchId), then EVERY probe below reads the
+        // parquet back — the previous shape ran the tokenize+shingle+md5
+        // kernel three times per batch and leaked one scratch stage per
+        // micro-batch through the capped intra-batch path (review r9)
         DedupOps.windowIndex(b, textCol, idCol, windowLen, idCol, "pos")
           .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+        val own = spark.read.parquet(s"$indexDir/batch=$batchId")
+        def capRef(idx: DataFrame): DataFrame = maxWindowDf.fold(idx) { cap =>
+          val hot = idx.groupBy("h")
+            .agg(count_distinct(col("ref_id")).as("df"))
+            .filter(col("df") > cap).select("h")
+          idx.join(hot, Seq("h"), "left_anti")
+        }
+        val probeIdx = own.select(col(idCol).as("probe_id"),
+          col("pos").as("pp"), col("h"))
         val history = spark.read.parquet(indexDir)
           .filter(col("batch").cast("long") < batchId &&
             maxHistoryBatches.fold(lit(true))(h =>
               col("batch").cast("long") >= batchId - h))
           .select(col(idCol).as("ref_id"), col("pos").as("pr"), col("h"))
-        val refIdx0 = reference.fold(history) { r =>
+        val refIdx = capRef(reference.fold(history) { r =>
           history.unionByName(DedupOps.windowIndex(r, textCol, idCol,
             windowLen, "ref_id", "pr"))
-        }
-        val refIdx = maxWindowDf.fold(refIdx0) { cap =>
-          val hot = refIdx0.groupBy("h")
-            .agg(count_distinct(col("ref_id")).as("df"))
-            .filter(col("df") > cap).select("h")
-          refIdx0.join(hot, Seq("h"), "left_anti")
-        }
-        val probeIdx = DedupOps.windowIndex(b, textCol, idCol, windowLen,
-          "probe_id", "pp")
+        })
         val crossFlags = DedupOps.spanMatchesIndexed(probeIdx, refIdx,
             windowLen)
           .filter(col("max_span") >= minSpan)
           .select(col("probe_id").as(idCol))
-        // in-batch pairs: doc_a < doc_b by construction — doc_b flags
-        val intraFlags = DedupOps.sharedSpanPairs(b, textCol, idCol,
-            windowLen, maxWindowDf)
-          .filter(col("max_span") >= minSpan)
-          .select(col("doc_b").as(idCol))
+        // in-batch pairs off the SAME stored index: self-matches and the
+        // symmetric twin drop at the pair level; the larger id flags
+        // (the keep-first convention, as sharedSpanPairs' doc_b)
+        val ownRef = capRef(own.select(col(idCol).as("ref_id"),
+          col("pos").as("pr"), col("h")))
+        val intraFlags = DedupOps.spanMatchesIndexed(probeIdx, ownRef,
+            windowLen)
+          .filter(col("probe_id") > col("ref_id") &&
+            col("max_span") >= minSpan)
+          .select(col("probe_id").as(idCol))
         val flagged = crossFlags.unionByName(intraFlags).distinct().persist()
         try {
           b.join(flagged, Seq(idCol), "left_anti")

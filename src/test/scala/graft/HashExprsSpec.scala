@@ -101,14 +101,15 @@ class HashExprsSpec extends AnyFunSuite {
       (1L, Seq("a")),                                  // under 2 tokens -> 0
       (2L, Seq("a", "b", "a", "b", "a")),              // "a b" x2
       (3L, Seq[String](null, "a", null, "a", "b")),    // null pairs skip
-      (4L, Seq("x", "x", "x", "x")))                   // "x x" x3
-      .toDF("id", "toks")
+      (4L, Seq("x", "x", "x", "x")),                   // "x x" x3
+      (5L, null.asInstanceOf[Seq[String]]))            // NULL array -> 0,
+      .toDF("id", "toks")                              // like the coalesce
     val both = edge.select(col("id"),
         graft.operators.TextOps.topBigramCount(col("toks")).as("spec"),
         HashExprs.topBigramCount(col("toks")).as("fast"))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
     for ((id, s, f) <- both) assert(s == f, s"doc $id: $s != $f")
     assert(both.map(t => t._1 -> t._2).toMap ==
-      Map(1L -> 0, 2L -> 2, 3L -> 1, 4L -> 3))
+      Map(1L -> 0, 2L -> 2, 3L -> 1, 4L -> 3, 5L -> 0))
   }
 }
