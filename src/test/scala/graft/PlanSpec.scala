@@ -323,6 +323,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
+  test("x46: the model gate reads only staged features; scoring is join-free arithmetic") {
+    // the tokenize+bigram kernel runs once, in the feature-stage job: the
+    // returned plan reads the feature stage + the weight artifact, never
+    // `documents`; the dot product is a broadcast of ONE pivoted weight
+    // row — no shuffle join on the corpus side before the histogram gate
+    val df = SparkEntry.queries("x46_model_quality_gate")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toList
+    assert(scans.nonEmpty && scans.forall(l => !l.contains("documents")),
+      s"must read only the stage + weight artifact:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x47: the sketch gate never rank-windows a class — only the boundary bucket") {
+    val df = SparkEntry.queries("x47_sketch_quality_gate")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // every row_number window must partition by (class, bucket) — the
+    // boundary tie rank — never by the class alone (that is the rank
+    // form this gate exists to avoid)
+    val rankWins = p.linesIterator.filter(l =>
+      l.contains("row_number") && l.contains("windowspecdefinition")).toList
+    assert(rankWins.nonEmpty, s"boundary rank expected:\n$p")
+    rankWins.foreach(l => assert(l.contains("qb"),
+      s"rank windows must be confined to the boundary bucket: $l"))
+    // (the sketch build's partial agg hides under a ReusedExchange whose
+    // definition prints in the initial-plan section — not assertable
+    // here; SketchOpsSpec covers the bounded build directly)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("x14b: trained-IVF assignment is broadcast, never a shuffle join") {
     val p = plan("x14b_sim_ivf_trained")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
