@@ -192,10 +192,21 @@ object DedupOps {
     * the train side (overlap then undercounts capped shingles; eval-side
     * counts stay exact, so ratios only DROP — contamination is never
     * invented, and the uncapped form remains the reference semantics).
+    *
+    * `hotShingles` is the INCREMENTAL form of that cap: a frame with a
+    * single `shingle` string column naming boilerplate shingles known
+    * from persisted state (e.g. probed out of a [[SketchOps]] counter
+    * log maintained at ingest — [[DeltaManifest]] wires it), dropped
+    * from the train-side index exactly like `maxShingleDf`'s hot set.
+    * The point at scale: the train side here may be a small arrivals
+    * batch whose OWN df can't see historical boilerplate — the state
+    * can, without any corpus rescan. Same conservative direction:
+    * ratios only drop.
     */
   def crossContamination(train: DataFrame, eval: DataFrame, textCol: String,
       idCol: String, minOverlap: Double,
-      maxShingleDf: Option[Long] = None): DataFrame = {
+      maxShingleDf: Option[Long] = None,
+      hotShingles: Option[DataFrame] = None): DataFrame = {
     def index(df: DataFrame, out: String) = spreadByDoc(df, idCol)
       .select(col(idCol).as(out),
         graft.functions.HashExprs.distinctShingles(tokens(col(textCol))).as("sharr"))
@@ -205,10 +216,14 @@ object DedupOps {
       .select(col(out), col("n"), TextOps.md5Key60(col("s0")).as("s"))
     val ev = index(eval, "eval_id").withColumnRenamed("n", "n_eval")
     val tr0 = index(train, "train_id").drop("n")
-    val tr = maxShingleDf.fold(tr0) { cap =>
+    val tr1 = maxShingleDf.fold(tr0) { cap =>
       val hot = tr0.groupBy("s").agg(count(lit(1)).as("df"))
         .filter(col("df") > cap).select("s")
       tr0.join(hot, Seq("s"), "left_anti")
+    }
+    val tr = hotShingles.fold(tr1) { hs =>
+      tr1.join(hs.select(TextOps.md5Key60(col("shingle")).as("s")),
+        Seq("s"), "left_anti")
     }
     ev.join(tr, "s")
       .groupBy("eval_id", "train_id")

@@ -28,9 +28,11 @@ import org.apache.spark.sql.functions._
   * decontamination indexes the arrivals against the STATIC eval split;
   * and packing continues per-shard running sums from the totals log
   * (≤ #batches × shards counter rows) instead of re-laying the corpus.
-  * The DF skew dials for the contamination join come from the
-  * [[graft.streaming.SketchStream]] counter log the same way — hot-key
-  * state read as a bounded table, not recomputed (SCALE.md §delta).
+  * The DF skew dial for the contamination join comes from the
+  * [[graft.streaming.SketchStream]] counter log the same way
+  * (`shingleSketchDir`): the batch's own shingles probe the merged
+  * sketch and historically-hot ones leave the index — bounded state
+  * read, never a recount (SCALE.md §delta).
   *
   * EXACTNESS contract (DeltaManifestSpec): under append-only ids (every
   * arrival id larger than everything packed before — the natural ingest
@@ -120,7 +122,9 @@ object DeltaManifest {
       minQualityBps: Long, contamThreshold: Double,
       rates: Map[String, Double], defaultRate: Double,
       capacity: Int, shards: Int,
-      labelsDir: Option[String] = None): DataFrame = {
+      labelsDir: Option[String] = None,
+      shingleSketchDir: Option[String] = None,
+      hotShingleDf: Long = 1000L): DataFrame = {
     require(batchId > 0, "batch 0 is the full-build seed (initFromFull)")
     val spark = arrivals.sparkSession
 
@@ -148,9 +152,28 @@ object DeltaManifest {
         .drop("cluster_id")
     }
 
-    // decontamination: arrivals-side index vs the static eval split
+    // decontamination: arrivals-side index vs the static eval split.
+    // The DF skew dial comes from the SHINGLE SKETCH LOG when given: the
+    // batch's own distinct shingles (O(arrivals) probes) are estimated
+    // against the merged counter log, and shingles whose HISTORICAL
+    // frequency beats `hotShingleDf` leave the arrival index — the
+    // boilerplate cap a small batch cannot compute from itself, read
+    // from bounded state instead of a corpus rescan. CMS overestimates
+    // only, so the cap can only fire early — overlap ratios only drop,
+    // the maxShingleDf contract.
+    val hot = shingleSketchDir.map { dir =>
+      val probes = survivors
+        .select(explode(graft.functions.HashExprs.distinctShingles(
+          TextOps.tokens(col("text")))).as("shingle"))
+        .distinct()
+      SketchOps.cmsEstimate(
+          graft.streaming.SketchStream.readSketch(spark, dir),
+          probes, "shingle")
+        .filter(col("est") > hotShingleDf)
+        .select("shingle")
+    }
     val leaked = DedupOps.crossContamination(survivors, evalDocs, "text",
-        "doc_id", contamThreshold)
+        "doc_id", contamThreshold, hotShingles = hot)
       .select(col("train_id").as("doc_id")).distinct()
     val clean = survivors.join(leaked, Seq("doc_id"), "left_anti")
 

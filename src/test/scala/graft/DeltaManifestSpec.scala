@@ -110,6 +110,46 @@ class DeltaManifestSpec extends AnyFunSuite {
       "replay must not duplicate manifest or totals state")
   }
 
+  test("the shingle sketch log caps HISTORICAL boilerplate in decontamination") {
+    // an arrivals batch cannot see that a shingle is corpus-hot from its
+    // own rows; the ingest-maintained counter log can. An arrival whose
+    // ONLY overlap with the eval split is historically-hot boilerplate
+    // must pass when the sketch dial is on (ratios only drop), and flag
+    // when it is off.
+    val boilerToks = (1 to 10).map(i => s"nav$i")
+    val boiler = boilerToks.mkString(" ")
+    val evalDoc = mkDocs(Seq(
+      (30L, boiler + " " + (1 to 15).map(i => s"ev$i").mkString(" "),
+        "en", "src9")))
+    val arrival = mkDocs(Seq(
+      (101L, boiler + " " + (1 to 15).map(i => s"own$i").mkString(" "),
+        "en", "src1")))
+    def freshState(tag: String): String = {
+      val base = java.nio.file.Files.createTempDirectory(tag).toString
+      val pm = build(prior, s"$base/prior")
+      DeltaManifest.initFromFull(
+        spark.read.parquet(s"$base/prior/gated_deduped"), pm, s"$base/state")
+      s"$base/state"
+    }
+    // the ingest stream counted the boilerplate's shingles 10 times
+    val sketchDir =
+      java.nio.file.Files.createTempDirectory("delta-sketch").toString + "/log"
+    val boilerShingles = boilerToks.sliding(3).map(_.mkString(" ")).toSeq
+    graft.streaming.SketchStream.applyBatch(
+      (1 to 10).flatMap(_ => boilerShingles).toDF("shingle"),
+      "shingle", sketchDir, 0L)
+    def run(state: String, sketch: Option[String]) =
+      DeltaManifest.applyBatch(arrival, evalDoc, evalSources, state, 1L,
+          minQualityBps = 0L, contamThreshold = 0.3, rates = Map.empty,
+          defaultRate = 1.0, capacity = 64, shards = 2,
+          shingleSketchDir = sketch, hotShingleDf = 5L)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(run(freshState("delta-nodial"), None) == Set(),
+      "boilerplate overlap must flag without the dial")
+    assert(run(freshState("delta-dial"), Some(sketchDir)) == Set(101L),
+      "historically-hot shingles must leave the index with the dial on")
+  }
+
   test("the cluster store drops near-dup arrivals like the full build's survivors") {
     val base = java.nio.file.Files.createTempDirectory("delta-labels").toString
     val priorManifest = build(prior, s"$base/prior")
