@@ -213,6 +213,19 @@ class PackingOpsSpec extends AnyFunSuite {
     assert(lo.exceptAll(again).isEmpty && again.exceptAll(lo).isEmpty)
   }
 
+  test("sketch gate equals the exact histogram gate on the fixture's quantized scores") {
+    // where BOTH gates apply (quantized scores), they must agree — the
+    // sketch form is the histogram form's superset, not a variant
+    val scored = docs.select(col("doc_id"), col("lang"),
+      (length(col("text")) % 7).cast("double").as("q"))
+    val hist = PackingOps.topPctByScore(scored, "lang", "q", "doc_id", 4, 10)
+      .select("doc_id")
+    val sk = PackingOps.topPctByScoreSketch(scored, "lang", "q", "doc_id",
+        4, 10)
+      .select("doc_id")
+    assert(hist.exceptAll(sk).isEmpty && sk.exceptAll(hist).isEmpty)
+  }
+
   test("topNByScoreSketch equals the rank form on continuous (never-tied) scores") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
