@@ -27,6 +27,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(shg.length == 3) // 4 windows, 3 distinct (w1w2w3 repeats)
   }
 
+  test("top_bigram_count / double_sort_key in SQL") {
+    val r = spark.sql(
+      """SELECT
+           top_bigram_count(array('a', 'b', 'a', 'b', 'a')) AS rep,
+           top_bigram_count(CAST(NULL AS ARRAY<STRING>)) AS rep_null,
+           double_sort_key(CAST(1.5 AS DOUBLE)) AS kp,
+           double_sort_key(CAST(-1.5 AS DOUBLE)) AS kn,
+           double_sort_key(CAST(0.0 AS DOUBLE)) AS kz
+      """).head()
+    assert(r.getInt(0) == 2)
+    assert(r.getInt(1) == 0) // NULL array -> 0, the compositional parity
+    assert(r.getLong(3) < r.getLong(4) && r.getLong(4) < r.getLong(2),
+      "key order must follow numeric order: -1.5 < 0 < 1.5")
+    // a mistyped array dies in the analyzer, not in executors
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT top_bigram_count(array(1, 2, 3))").collect()
+    }
+  }
+
   test("md5_simhash60 in SQL equals the expression API") {
     import org.apache.spark.sql.functions._
     val viaSql = spark.sql("SELECT md5_simhash60(array('hello')) AS s").head().getLong(0)
