@@ -23,13 +23,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * Java would buy nothing.
   */
 
+/** Shared analyzer guard for the SQL-registered array kernels: mistyped
+  * input (array<int>, a plain string) must fail analysis, never misread
+  * array bytes in executors (the TopKByScore lesson, advisor r8).
+  */
+private[functions] trait ExpectsTokenArray
+    extends org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+}
+
 /** 64-bit SimHash over a token array: bit j of the result is the sign of
   * Σ_tokens (bit j of xxhash64(token, seed=42) ? +1 : -1) — exactly
   * [[graft.operators.DedupOps.simhash]] (Spark's xxhash64 default seed
   * is 42).
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsTokenArray {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
@@ -74,7 +83,7 @@ case class SimHash64(child: Expression)
   * pipeline is oracle-checked end to end.
   */
 case class Md5SimHash60(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsTokenArray {
   override def dataType: DataType = LongType
   override def prettyName: String = "md5_simhash60"
 
@@ -116,7 +125,7 @@ case class Md5SimHash60(child: Expression)
   * reuse, no intermediate arrays.
   */
 case class MinHashHexSig(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsTokenArray {
   override def dataType: DataType = ArrayType(StringType)
   override def prettyName: String = "minhash_hex_sig"
 
@@ -152,7 +161,7 @@ case class MinHashHexSig(child: Expression, numHashes: Int)
   * one pass, no per-index lambda evaluation, no intermediate array.
   */
 case class DistinctShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsTokenArray {
   override def dataType: DataType = ArrayType(StringType)
   override def prettyName: String = "distinct_shingles"
 
@@ -193,15 +202,9 @@ case class DistinctShingles(child: Expression, n: Int)
   * nothing, exactly as the lambda form's null-propagating concat+filter.
   */
 case class TopBigramCount(child: Expression)
-    extends UnaryExpression with CodegenFallback
-    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+    extends UnaryExpression with CodegenFallback with ExpectsTokenArray {
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def prettyName: String = "top_bigram_count"
-  // mistyped SQL input (array<int>, a plain string) must die in the
-  // analyzer, not misread array bytes in executors (the TopKByScore
-  // lesson, advisor r8 / review r9)
-  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
-
   // the compositional spec maps a NULL token array to 0 (its coalesce
   // swallows the null); default unary null propagation would return
   // NULL and silently diverge from the oracle on NULL-text rows

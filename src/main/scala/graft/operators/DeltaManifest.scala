@@ -154,23 +154,39 @@ object DeltaManifest {
 
     // decontamination: arrivals-side index vs the static eval split.
     // The DF skew dial comes from the SHINGLE SKETCH LOG when given: the
-    // batch's own distinct shingles (O(arrivals) probes) are estimated
+    // batch's own distinct shingles (O(arrivals) probes — off the staged
+    // `gated` frame, a superset of the survivors' shingles, so no
+    // downstream join re-evaluates just to build probes) are estimated
     // against the merged counter log, and shingles whose HISTORICAL
     // frequency beats `hotShingleDf` leave the arrival index — the
     // boilerplate cap a small batch cannot compute from itself, read
     // from bounded state instead of a corpus rescan. CMS overestimates
     // only, so the cap can only fire early — overlap ratios only drop,
     // the maxShingleDf contract.
+    //
+    // The derived hot set is SNAPSHOTTED into the state log on first
+    // attempt and REUSED by replays: the ingest sketch keeps growing
+    // between an attempt and its replay, so reading it live would let
+    // the same batch id produce a different delta — the one input the
+    // below-id discipline cannot bound (different id space), frozen by
+    // value instead (review r9b).
     val hot = shingleSketchDir.map { dir =>
-      val probes = survivors
-        .select(explode(graft.functions.HashExprs.distinctShingles(
-          TextOps.tokens(col("text")))).as("shingle"))
-        .distinct()
-      SketchOps.cmsEstimate(
-          graft.streaming.SketchStream.readSketch(spark, dir),
-          probes, "shingle")
-        .filter(col("est") > hotShingleDf)
-        .select("shingle")
+      val snap = s"$stateDir/hotset/batch=$batchId"
+      val ok = new org.apache.hadoop.fs.Path(s"$snap/_SUCCESS")
+      val fs = ok.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(ok)) {
+        val probes = gated
+          .select(explode(graft.functions.HashExprs.distinctShingles(
+            TextOps.tokens(col("text")))).as("shingle"))
+          .distinct()
+        SketchOps.cmsEstimate(
+            graft.streaming.SketchStream.readSketch(spark, dir),
+            probes, "shingle")
+          .filter(col("est") > hotShingleDf)
+          .select("shingle")
+          .write.mode("overwrite").parquet(snap)
+      }
+      spark.read.parquet(snap)
     }
     val leaked = DedupOps.crossContamination(survivors, evalDocs, "text",
         "doc_id", contamThreshold, hotShingles = hot)
