@@ -37,9 +37,15 @@ object Verify {
     // basename here makes both engines derive the same per-run path (no
     // sf literal baked into the SQL, no stale-artifact reads when Verify
     // runs at another scale factor)
+    // __GRAFT_ART__ resolves to the SAME warehouse-derived artifact root
+    // the queries write to, as a plain local path DuckDB can open — the
+    // artifact handoff (x46 weights, x14b centroids) no longer rides a
+    // fixed /tmp path two concurrent drivers could collide on (judge r9)
     val sfName = new java.io.File(sfDir).getName
+    val artRoot = graft.operators.StageIO.artifactRootLocal(spark)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__GRAFT_SF__", sfName))}" }
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__GRAFT_SF__", sfName)
+        .replace("__GRAFT_ART__", artRoot))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -95,10 +95,17 @@ object QualityClassifier {
     * deterministic sample) and coalesced: an LBFGS fit is a distributed
     * pass PER ITERATION, so an unbounded extremes set would cost
     * ~maxIter corpus passes for a 4-feature model a bounded sample
-    * trains identically well. Fails loudly if either extreme is empty.
+    * trains identically well. The keep-hash is keyed on the PER-ROW id
+    * (`idCol`), not the feature values: the features are low-cardinality
+    * integers, so a value-keyed hash keeps or drops every row sharing a
+    * feature vector together — a value-correlated sample that deviates
+    * arbitrarily from `maxTrainRows` on duplicate-heavy corpora, where
+    * an id-keyed hash samples rows independently and stays row-uniform
+    * (advisor r9). Fails loudly if either extreme is empty.
     */
   def trainWeakFeaturized(feat: DataFrame, loBps: Long, hiBps: Long,
-      maxIter: Int = 100, maxTrainRows: Long = 100000L): DataFrame = {
+      maxIter: Int = 100, maxTrainRows: Long = 100000L,
+      idCol: String = "doc_id"): DataFrame = {
     require(loBps < hiBps, "weak-label extremes must be disjoint")
     val spark = feat.sparkSession
     val labeled0 = feat
@@ -106,15 +113,16 @@ object QualityClassifier {
         when(lit(10000L) * col("_qnum") >= lit(hiBps) * col("_qden"), 1.0)
           .when(lit(10000L) * col("_qnum") <= lit(loBps) * col("_qden"), 0.0))
       .filter(col("label").isNotNull)
-      .select((col("label") +: featureNames.map(col)): _*)
+      .select((col(idCol) +: col("label") +: featureNames.map(col)): _*)
     val n = labeled0.count()
     val labeled = (if (n > maxTrainRows) {
         val keepBps = ((maxTrainRows * 10000) / n).max(1L)
         labeled0.filter(
-          pmod(conv(substring(md5(concat_ws("|",
-            (col("label") +: featureNames.map(col)): _*)), 1, 15), 16, 10)
+          pmod(conv(substring(md5(concat(lit("qc-train|"),
+            col(idCol).cast("string"))), 1, 15), 16, 10)
             .cast("long"), lit(10000L)) < keepBps)
       } else labeled0)
+      .drop(idCol)
       .coalesce(4)
     val classes = labeled.select("label").distinct().count()
     require(classes == 2,
@@ -139,14 +147,14 @@ object QualityClassifier {
     */
   def trainWeak(docs: DataFrame, textCol: String, nCharsCol: String,
       loBps: Long, hiBps: Long, maxIter: Int = 100,
-      maxTrainRows: Long = 100000L): DataFrame = {
+      maxTrainRows: Long = 100000L, idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
     val stage = graft.operators.StageIO.resolve(spark, None, "quality-feat")
     featurize(docs, textCol, nCharsCol)
       .drop(textCol)
       .write.mode("overwrite").parquet(stage)
     trainWeakFeaturized(spark.read.parquet(stage), loBps, hiBps, maxIter,
-      maxTrainRows)
+      maxTrainRows, idCol)
   }
 
   /** Score a [[featurize]]d frame with a persisted coefficient table:

@@ -171,6 +171,14 @@ object SketchOps {
     * cutoff falls), with `n_above` = rows in strictly higher buckets and
     * `n` = group size. The window runs over ≤ 2^bucketBits counter rows
     * per group — never the corpus.
+    *
+    * The input is [[quantileMerge]]d internally first: a unioned-but-
+    * unmerged log (several rows per (group, qb)) would otherwise make
+    * the RANGE-frame cumulative sum count peer duplicate-qb rows
+    * together and the threshold filter emit duplicate boundary rows per
+    * group — accepting raw log unions here removes that footgun rather
+    * than documenting it (advisor r9). Merged input passes through the
+    * merge unchanged.
     */
   def quantileRank(sketch: DataFrame, groupCols: Seq[String],
       q: Double): DataFrame = {
@@ -183,7 +191,7 @@ object SketchOps {
       .partitionBy(groupCols.map(col): _*).orderBy(col("qb").desc)
     val grp = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*)
-    sketch
+    quantileMerge(sketch, groupCols)
       .withColumn("_cum", sum("cnt").over(byBucket))
       .withColumn("n", sum("cnt").over(grp))
       // k = ceil(qNum·n / 10⁴) in integer arithmetic

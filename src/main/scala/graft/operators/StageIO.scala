@@ -36,6 +36,26 @@ private[graft] object StageIO {
       path
     }
 
+  /** PERSISTED-artifact root: artifacts an oracle must read back AFTER the
+    * run (the x46 weight table, the x14b centroid table) live here, keyed
+    * by dataset name by their writers. Distinct from [[scratchRoot]] on
+    * purpose — [[cleanScratch]] runs between queries, but the DuckDB
+    * compare runs after the whole Verify pass, so these must survive it.
+    * Deriving from the warehouse (not a fixed `/tmp` path) keeps two
+    * concurrent drivers — each with its own working dir / warehouse — from
+    * clobbering each other's artifacts (judge + advisor r9).
+    */
+  def artifactRoot(spark: SparkSession): String =
+    spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+      "/_graft_artifacts"
+
+  /** [[artifactRoot]] as a plain local-filesystem path (no `file:` scheme)
+    * — the form a non-Hadoop reader (the DuckDB oracle) consumes. Verify
+    * substitutes it for the `__GRAFT_ART__` placeholder in oracle SQL.
+    */
+  def artifactRootLocal(spark: SparkSession): String =
+    new org.apache.hadoop.fs.Path(artifactRoot(spark)).toUri.getPath
+
   /** Eagerly reclaim ALL scratch stages. Long-lived sessions (the 104×2-run
     * bench JVM, a resident service) would otherwise accumulate one parquet
     * stage per heavy-query run until JVM exit — unbounded disk growth

@@ -40,13 +40,67 @@ object SketchStream {
     * replay-idempotent). Empty batches write nothing. Rolls forward a
     * compaction a previous run crashed in the middle of, so new batches
     * never interleave with a stranded `.next`.
+    *
+    * The sketch GEOMETRY (depth × width) is persisted alongside the log
+    * (`_geometry` — underscore-hidden from parquet discovery) on first
+    * write and VALIDATED on every later one: counters from two
+    * geometries share (r, b) keys but mean different buckets, so a
+    * mixed-geometry log would merge into garbage silently. Probers read
+    * the persisted geometry back ([[geometry]]) instead of trusting
+    * their own defaults (advisor r9 — a DeltaManifest probe at the
+    * default 4×1024 against a log built at any other shape produced
+    * arbitrary estimates).
     */
   def applyBatch(batch: DataFrame, valueCol: String, storeDir: String,
       batchId: Long, depth: Int = 4, width: Int = 1024): Unit = {
-    rollForward(batch.sparkSession, storeDir)
-    if (!batch.isEmpty)
+    val spark = batch.sparkSession
+    rollForward(spark, storeDir)
+    geometry(spark, storeDir).foreach { case (d0, w0) =>
+      require(d0 == depth && w0 == width,
+        s"sketch log $storeDir was built at depth=$d0/width=$w0; " +
+          s"refusing depth=$depth/width=$width — mixed-geometry counters " +
+          "merge into garbage")
+    }
+    if (!batch.isEmpty) {
+      // geometry BEFORE data: a crash in between pins the shape with no
+      // counters yet (harmless — the replay rewrites the data); data-first
+      // would let a crash leave counters whose geometry the next writer
+      // silently redefines
+      if (geometry(spark, storeDir).isEmpty)
+        writeGeometry(spark, storeDir, depth, width)
       SketchOps.cmsSketch(batch, valueCol, depth, width)
         .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+    }
+  }
+
+  /** The persisted (depth, width) of the log at `storeDir`, if any batch
+    * has committed its geometry yet. Probers MUST use this over their own
+    * defaults (see [[applyBatch]]).
+    */
+  def geometry(spark: SparkSession, storeDir: String): Option[(Int, Int)] = {
+    val p = geomPath(storeDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in).mkString
+        finally in.close()
+      val kv = s.trim.split("\\s+").map(_.split("=", 2))
+        .map(a => a(0) -> a(1).toInt).toMap
+      Some((kv("depth"), kv("width")))
+    }
+  }
+
+  private def geomPath(storeDir: String) =
+    new org.apache.hadoop.fs.Path(storeDir, "_geometry")
+
+  private def writeGeometry(spark: SparkSession, storeDir: String,
+      depth: Int, width: Int): Unit = {
+    val p = geomPath(storeDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(s"depth=$depth width=$width".getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Complete a [[compact]] swap a previous run crashed in the middle of:
@@ -72,7 +126,11 @@ object SketchStream {
     rollForward(spark, storeDir)
     val store = new org.apache.hadoop.fs.Path(storeDir)
     val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(store))
+    // a store holding only the hidden `_geometry` file (a crash between
+    // the geometry and first data write) is still EMPTY as a sketch
+    val hasData = fs.exists(store) && fs.listStatus(store)
+      .exists(_.getPath.getName.startsWith("batch_id="))
+    if (!hasData)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "r INT NOT NULL, b BIGINT, cnt BIGINT"))
@@ -89,7 +147,9 @@ object SketchStream {
     rollForward(spark, storeDir)
     val store = new org.apache.hadoop.fs.Path(storeDir)
     val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(store)) {
+    if (fs.exists(store) && fs.listStatus(store)
+        .exists(_.getPath.getName.startsWith("batch_id="))) {
+      val geom = geometry(spark, storeDir)
       val all = spark.read.parquet(storeDir)
       val maxId = all.agg(max(col("batch_id").cast("long"))).head().getLong(0)
       val next = new org.apache.hadoop.fs.Path(storeDir + ".next")
@@ -105,6 +165,11 @@ object SketchStream {
       // crash in between leaves .next complete (the ClusterStream swap)
       SketchOps.cmsMerge(all.select("r", "b", "cnt"))
         .write.mode("overwrite").parquet(s"$next/batch_id=$maxId")
+      // the geometry rides the swap: it lives INSIDE the store dir, so
+      // the delete below would orphan the compacted counters from their
+      // shape and the next applyBatch would silently re-pin its own
+      geom.foreach { case (d, w) =>
+        writeGeometry(spark, next.toString, d, w) }
       fs.delete(store, true)
       fs.rename(next, store)
     }

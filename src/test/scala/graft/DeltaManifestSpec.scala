@@ -89,6 +89,60 @@ class DeltaManifestSpec extends AnyFunSuite {
       rows(full2).exceptAll(viaState).isEmpty)
   }
 
+  test("the hash log is prefix-partitioned and the pruned probe is exact") {
+    val base = java.nio.file.Files.createTempDirectory("delta-pfx").toString
+    val priorManifest = build(prior, s"$base/prior")
+    val state = s"$base/state"
+    DeltaManifest.initFromFull(
+      spark.read.parquet(s"$base/prior/gated_deduped"), priorManifest, state)
+    // layout: every batch dir holds pfx= subdirs (the partition-pruning
+    // handle the per-batch read bound rests on — SCALE.md §delta)
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val pfxDirs = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$state/hashes/batch=0"))
+      .map(_.getPath.getName).filter(_.startsWith("pfx="))
+    assert(pfxDirs.nonEmpty, "batch 0 hashes must be pfx-partitioned")
+    assert(pfxDirs.forall(_.length == "pfx=".length + DeltaManifest.pfxLen))
+    // prune parity: an anti-join against the log restricted to the
+    // probe's own prefixes equals the unrestricted one — rows outside
+    // the probe's prefixes can never match it
+    val probe = mkDocs(Seq(
+        (101L, body(101), "en", "src1"),
+        (102L, body(2), "en", "src1")))          // dupe of prior doc 2
+      .withColumn("text_hash", md5(col("text")))
+    val probePfxs = probe
+      .select(substring(col("text_hash"), 1, DeltaManifest.pfxLen).as("p"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    def anti(seen: DataFrame) =
+      probe.join(seen, Seq("text_hash"), "left_anti")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = anti(DeltaManifest.seenHashes(spark, state))
+    val pruned = anti(DeltaManifest.seenHashes(spark, state,
+      prefixes = Some(probePfxs)))
+    assert(full == Set(101L) && pruned == full,
+      s"pruned probe must equal the full read: full=$full pruned=$pruned")
+  }
+
+  test("the per-batch gated stage is reclaimed once the batch commits") {
+    // the UUID-scratch default leaked one stage per batch until JVM exit
+    // in a resident ingest process (advisor r9)
+    val base = java.nio.file.Files.createTempDirectory("delta-stage").toString
+    val priorManifest = build(prior, s"$base/prior")
+    val state = s"$base/state"
+    DeltaManifest.initFromFull(
+      spark.read.parquet(s"$base/prior/gated_deduped"), priorManifest, state)
+    DeltaManifest.applyBatch(
+      mkDocs(Seq((101L, body(101), "en", "src1"))),
+      prior.filter(col("source") === "src9"), evalSources, state, 1L,
+      minQualityBps = 0L, contamThreshold = 0.9, rates = Map.empty,
+      defaultRate = 1.0, capacity = 64, shards = 2).count()
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$state/_stage/batch=1")),
+      "the committed batch's stage must be deleted, not held to JVM exit")
+  }
+
   test("replaying a batch id overwrites its partitions — no double state") {
     val base = java.nio.file.Files.createTempDirectory("delta-replay").toString
     val priorManifest = build(prior, s"$base/prior")
@@ -131,13 +185,17 @@ class DeltaManifestSpec extends AnyFunSuite {
         spark.read.parquet(s"$base/prior/gated_deduped"), pm, s"$base/state")
       s"$base/state"
     }
-    // the ingest stream counted the boilerplate's shingles 10 times
+    // the ingest stream counted the boilerplate's shingles 10 times — at
+    // a NON-default geometry, so the delta's probe must read the log's
+    // persisted shape back instead of assuming 4x1024 (advisor r9: the
+    // default-geometry probe against this log would join arbitrary
+    // counters and break the dial silently)
     val sketchDir =
       java.nio.file.Files.createTempDirectory("delta-sketch").toString + "/log"
     val boilerShingles = boilerToks.sliding(3).map(_.mkString(" ")).toSeq
     graft.streaming.SketchStream.applyBatch(
       (1 to 10).flatMap(_ => boilerShingles).toDF("shingle"),
-      "shingle", sketchDir, 0L)
+      "shingle", sketchDir, 0L, depth = 3, width = 512)
     def run(state: String, sketch: Option[String]) =
       DeltaManifest.applyBatch(arrival, evalDoc, evalSources, state, 1L,
           minQualityBps = 0L, contamThreshold = 0.3, rates = Map.empty,

@@ -125,4 +125,29 @@ class SketchStreamSpec extends AnyFunSuite {
       java.nio.file.Files.createTempDirectory("sketch-empty").toString + "/nope")
     assert(got.isEmpty)
   }
+
+  test("geometry is pinned on first write, validated after, and rides compact") {
+    // a log maintained at one depth/width probed (or appended) at another
+    // makes counters join arbitrary buckets — the writer must refuse, and
+    // probers must be able to read the log's true shape back (advisor r9)
+    val base = java.nio.file.Files.createTempDirectory("sketch-geom").toString
+    val store = s"$base/sketch"
+    assert(SketchStream.geometry(spark, store).isEmpty)
+    SketchStream.applyBatch(Seq("g", "g").toDF("tok"), "tok", store, 0L,
+      depth = 3, width = 64)
+    assert(SketchStream.geometry(spark, store) == Some((3, 64)))
+    intercept[IllegalArgumentException] {
+      SketchStream.applyBatch(Seq("h").toDF("tok"), "tok", store, 1L)
+    } // the 4x1024 default against a 3x64 log must fail, not merge garbage
+    SketchStream.applyBatch(Seq("h").toDF("tok"), "tok", store, 1L,
+      depth = 3, width = 64)
+    SketchStream.compact(spark, store)
+    assert(SketchStream.geometry(spark, store) == Some((3, 64)),
+      "compact must carry the geometry through its store swap")
+    // estimates at the persisted geometry stay exact after all of it
+    val est = SketchOps.cmsEstimate(SketchStream.readSketch(spark, store),
+        Seq("g", "h").toDF("tok"), "tok", depth = 3, width = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == Map("g" -> 2L, "h" -> 1L))
+  }
 }
