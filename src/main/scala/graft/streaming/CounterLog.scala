@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared plumbing for batch-keyed COUNTER LOGS ([[SketchStream]],
+  * [[QuantileStream]]): the crash-safe `.next` roll-forward for compact
+  * swaps, the "any data yet?" probe that ignores the hidden geometry
+  * file, and the `_geometry` key-value file that pins a log's sketch
+  * shape on first write.
+  */
+private[streaming] object CounterLog {
+
+  /** Complete a compact swap a previous run crashed in the middle of: if
+    * the store is missing but a complete `.next` exists, promote it —
+    * without this a crash between compact's delete and rename would
+    * strand the whole log in `.next` while readers reported a
+    * healthy-looking EMPTY store (the ClusterStream lesson).
+    */
+  def rollForward(spark: SparkSession, storeDir: String): Unit = {
+    val store = new org.apache.hadoop.fs.Path(storeDir)
+    val next = new org.apache.hadoop.fs.Path(storeDir + ".next")
+    val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(store) && fs.exists(next)) { fs.rename(next, store); () }
+  }
+
+  /** Whether any `batch_id=` partition has committed — a store holding
+    * only the hidden `_geometry` file (a crash between the geometry and
+    * first data write) is still EMPTY as a sketch.
+    */
+  def hasData(spark: SparkSession, storeDir: String): Boolean = {
+    val store = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(store) && fs.listStatus(store)
+      .exists(_.getPath.getName.startsWith("batch_id="))
+  }
+
+  /** The pinned geometry key-values, if any batch has committed its
+    * geometry yet.
+    */
+  def readGeometry(spark: SparkSession, storeDir: String): Option[Map[String, Int]] = {
+    val p = geomPath(storeDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in).mkString
+        finally in.close()
+      Some(s.trim.split("\\s+").map(_.split("=", 2))
+        .map(a => a(0) -> a(1).toInt).toMap)
+    }
+  }
+
+  def writeGeometry(spark: SparkSession, storeDir: String,
+      kv: Seq[(String, Int)]): Unit = {
+    val p = geomPath(storeDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(kv.map { case (k, v) => s"$k=$v" }.mkString(" ")
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def geomPath(storeDir: String) =
+    new org.apache.hadoop.fs.Path(storeDir, "_geometry")
+}

@@ -54,7 +54,7 @@ object SketchStream {
   def applyBatch(batch: DataFrame, valueCol: String, storeDir: String,
       batchId: Long, depth: Int = 4, width: Int = 1024): Unit = {
     val spark = batch.sparkSession
-    rollForward(spark, storeDir)
+    CounterLog.rollForward(spark, storeDir)
     geometry(spark, storeDir).foreach { case (d0, w0) =>
       require(d0 == depth && w0 == width,
         s"sketch log $storeDir was built at depth=$d0/width=$w0; " +
@@ -67,7 +67,8 @@ object SketchStream {
       // would let a crash leave counters whose geometry the next writer
       // silently redefines
       if (geometry(spark, storeDir).isEmpty)
-        writeGeometry(spark, storeDir, depth, width)
+        CounterLog.writeGeometry(spark, storeDir,
+          Seq("depth" -> depth, "width" -> width))
       SketchOps.cmsSketch(batch, valueCol, depth, width)
         .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
     }
@@ -77,44 +78,9 @@ object SketchStream {
     * has committed its geometry yet. Probers MUST use this over their own
     * defaults (see [[applyBatch]]).
     */
-  def geometry(spark: SparkSession, storeDir: String): Option[(Int, Int)] = {
-    val p = geomPath(storeDir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val s = try scala.io.Source.fromInputStream(in).mkString
-        finally in.close()
-      val kv = s.trim.split("\\s+").map(_.split("=", 2))
-        .map(a => a(0) -> a(1).toInt).toMap
-      Some((kv("depth"), kv("width")))
-    }
-  }
-
-  private def geomPath(storeDir: String) =
-    new org.apache.hadoop.fs.Path(storeDir, "_geometry")
-
-  private def writeGeometry(spark: SparkSession, storeDir: String,
-      depth: Int, width: Int): Unit = {
-    val p = geomPath(storeDir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(s"depth=$depth width=$width".getBytes("UTF-8"))
-    finally out.close()
-  }
-
-  /** Complete a [[compact]] swap a previous run crashed in the middle of:
-    * if the store is missing but a complete `.next` exists, promote it —
-    * without this, a crash between compact's delete and rename would
-    * strand the whole counter log in `.next` while [[readSketch]]
-    * reported a healthy-looking EMPTY sketch (the ClusterStream lesson).
-    */
-  private def rollForward(spark: SparkSession, storeDir: String): Unit = {
-    val store = new org.apache.hadoop.fs.Path(storeDir)
-    val next = new org.apache.hadoop.fs.Path(storeDir + ".next")
-    val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(store) && fs.exists(next)) { fs.rename(next, store); () }
-  }
+  def geometry(spark: SparkSession, storeDir: String): Option[(Int, Int)] =
+    CounterLog.readGeometry(spark, storeDir)
+      .map(kv => (kv("depth"), kv("width")))
 
   /** The merged sketch over every batch in the log — same schema as a
     * batch-built [[SketchOps.cmsSketch]], and (counter addition being
@@ -123,14 +89,8 @@ object SketchStream {
     * empty counter table if nothing has been written yet.
     */
   def readSketch(spark: SparkSession, storeDir: String): DataFrame = {
-    rollForward(spark, storeDir)
-    val store = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
-    // a store holding only the hidden `_geometry` file (a crash between
-    // the geometry and first data write) is still EMPTY as a sketch
-    val hasData = fs.exists(store) && fs.listStatus(store)
-      .exists(_.getPath.getName.startsWith("batch_id="))
-    if (!hasData)
+    CounterLog.rollForward(spark, storeDir)
+    if (!CounterLog.hasData(spark, storeDir))
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "r INT NOT NULL, b BIGINT, cnt BIGINT"))
@@ -144,11 +104,10 @@ object SketchStream {
     * batch id can replay (see the class scaladoc).
     */
   def compact(spark: SparkSession, storeDir: String): Unit = {
-    rollForward(spark, storeDir)
+    CounterLog.rollForward(spark, storeDir)
     val store = new org.apache.hadoop.fs.Path(storeDir)
     val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(store) && fs.listStatus(store)
-        .exists(_.getPath.getName.startsWith("batch_id="))) {
+    if (CounterLog.hasData(spark, storeDir)) {
       val geom = geometry(spark, storeDir)
       val all = spark.read.parquet(storeDir)
       val maxId = all.agg(max(col("batch_id").cast("long"))).head().getLong(0)
@@ -169,7 +128,8 @@ object SketchStream {
       // the delete below would orphan the compacted counters from their
       // shape and the next applyBatch would silently re-pin its own
       geom.foreach { case (d, w) =>
-        writeGeometry(spark, next.toString, d, w) }
+        CounterLog.writeGeometry(spark, next.toString,
+          Seq("depth" -> d, "width" -> w)) }
       fs.delete(store, true)
       fs.rename(next, store)
     }
