@@ -212,6 +212,51 @@ object MediaCodec {
     out.toByteArray
   }
 
+  /** Encode an INDEXED raster (palette PNG, GIF — any ≤256-color format)
+    * from a 3×n palette and a per-pixel index function. Unlike the
+    * grayscale path, indexed decode is EXACT through [[decodeImageIO]]'s
+    * redraw: an IndexColorModel is sRGB, so drawImage copies palette
+    * colors verbatim — no colorspace conversion, channel sums stay
+    * closed-form across the oracle.
+    */
+  def encodeIndexed(width: Int, height: Int, palR: Array[Byte],
+      palG: Array[Byte], palB: Array[Byte], index: (Int, Int) => Int,
+      format: String): Array[Byte] = {
+    val icm = new java.awt.image.IndexColorModel(8, palR.length,
+      palR, palG, palB)
+    val bi = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    val raster = bi.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, index(x, y)); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(bi, format, out),
+      s"no ImageIO writer for format $format")
+    out.toByteArray
+  }
+
+  /** Encode a constant-value GRAYSCALE PNG (TYPE_BYTE_GRAY). NOTE the
+    * decode side is NOT value-exact: [[decodeImageIO]]'s redraw converts
+    * the linear-gray colorspace to sRGB (a gamma-like mapping), so only
+    * INVARIANTS survive — dims, and B == G == R on every pixel (gray in,
+    * gray out). Callers must not oracle absolute grayscale sums.
+    */
+  def encodeGray(width: Int, height: Int, value: Int): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val data = bi.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    java.util.Arrays.fill(data, value.toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(bi, "png", out),
+      "no ImageIO writer for format png")
+    out.toByteArray
+  }
+
   /** Decode any ImageIO-readable payload (PNG, JPEG, ...) to BGR24.
     * Non-BGR source types (palette PNG, grayscale JPEG) are redrawn into
     * a BGR raster so the output layout is always [[BmpImage]]'s.

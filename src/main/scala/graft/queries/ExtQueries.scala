@@ -1020,6 +1020,29 @@ object ExtQueries {
           df.withColumn(c, when(col("media_type") === "png", col(c)))
         }
         .orderBy("asset_id")
+    }),
+
+    // the WIDER raster family through the same decode path (judge r9
+    // #7): gradient PNG, palette PNG, GIF — all value-exact through the
+    // indexed/BGR redraw, channel sums closed forms the oracle
+    // recomputes — plus grayscale PNG, whose redraw crosses colorspaces
+    // (linear gray → sRGB): its sums are decoder truth, masked from the
+    // hash like x12c's JPEG, and the oracle checks the invariant that
+    // DOES survive the conversion, B == G == R on every pixel
+    "x12d_raster_decode" -> ((s, d) => {
+      val assets = MultimodalOps.toRasterAssets(
+        Tables.documents(s, d), "doc_id", "text")
+      // BIGINT 1/0, not boolean: the driver compare pandas-coerces a
+      // nullable boolean column to object-with-NaN and mismatches the
+      // parquet NULL — the masked numeric columns (x12c) compare clean
+      val feats = MultimodalOps.extractImageFeatures(assets)
+        .withColumn("gray_equal", when(col("media_type") === "png_gray",
+          (col("sum_b") === col("sum_g") && col("sum_g") === col("sum_r"))
+            .cast("long")))
+      Seq("sum_b", "sum_g", "sum_r").foldLeft(feats) { (df, c) =>
+          df.withColumn(c, when(col("media_type") =!= "png_gray", col(c)))
+        }
+        .orderBy("asset_id")
     }))
 
   // DuckDB oracle SQL. Shared shapes: t = tokens, sh = distinct 3-shingles.
@@ -2511,7 +2534,39 @@ object ExtQueries {
                     THEN CAST(w*h*(len % 256) AS BIGINT) END AS sum_g,
                   CASE WHEN fmt = 0
                     THEN CAST(w*h*(doc_id % 256) AS BIGINT) END AS sum_r
-           FROM d ORDER BY asset_id""")
+           FROM d ORDER BY asset_id""",
+
+      // closed forms per variant: gradient sums are arithmetic series
+      // (B(x)=x, w ≤ 64 so no mod wrap); palette/GIF sums are
+      // Σ_j stripe_count_j · color_j over the 4-color palette (indexed
+      // redraw is color-exact); grayscale sums are masked (the gray →
+      // sRGB redraw is not closed-form) and only the B == G == R
+      // invariant crosses the hash
+      "x12d_raster_decode" -> {
+        def palSum(scale: String, countJ: String, colorJ: String) =
+          s"CAST($scale * list_sum(list_transform([0,1,2,3], " +
+            s"j -> (($countJ) * (($colorJ) % 256)))) AS BIGINT)"
+        def sums(colorJ: String, grad: String) =
+          s"""CASE k WHEN 0 THEN CAST($grad AS BIGINT)
+                     WHEN 1 THEN ${palSum("h", "(w - j + 3) // 4", colorJ)}
+                     WHEN 2 THEN ${palSum("w", "(h - j + 3) // 4", colorJ)}
+               END"""
+        s"""WITH d AS (
+             SELECT doc_id, doc_id % 4 AS k,
+                    16 + (doc_id % 48) AS w,
+                    16 + (octet_length(encode(text)) % 48) AS h,
+                    octet_length(encode(text)) AS len
+             FROM documents)
+           SELECT doc_id AS asset_id,
+                  CASE k WHEN 0 THEN 'png_grad' WHEN 1 THEN 'png_palette'
+                         WHEN 2 THEN 'gif' ELSE 'png_gray' END AS media_type,
+                  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                  ${sums("11*doc_id + 19*j", "h * (w * (w-1) // 2)")} AS sum_b,
+                  ${sums("len + 37*j", "w * h * (len % 256)")} AS sum_g,
+                  ${sums("doc_id + 53*j", "w * h * (doc_id % 256)")} AS sum_r,
+                  CAST(CASE WHEN k = 3 THEN 1 END AS BIGINT) AS gray_equal
+           FROM d ORDER BY asset_id"""
+      })
 
     // x48's oracle IS x24's full five-stage rebuild over the whole
     // corpus: the incremental path must reproduce it from persisted

@@ -190,6 +190,74 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(sums(2) / n - 50.0) < 4.0, s"R mean ${sums(2) / n}")
   }
 
+  test("indexed rasters (palette PNG, GIF) redraw color-exactly; gray keeps B=G=R") {
+    val w = 21; val h = 13
+    val pr = Array[Byte](10, 60, 110, (200 & 0xFF).toByte)
+    val pg = Array[Byte](20, 70, 120, (210 & 0xFF).toByte)
+    val pb = Array[Byte](30, 80, (130 & 0xFF).toByte, (220 & 0xFF).toByte)
+    for (fmt <- Seq("png", "gif")) {
+      val bytes = MediaCodec.encodeIndexed(w, h, pr, pg, pb,
+        (x, y) => (x + y) % 4, fmt)
+      if (fmt == "gif")
+        assert(bytes(0) == 'G'.toByte && bytes(1) == 'I'.toByte &&
+          bytes(2) == 'F'.toByte)
+      val back = MediaCodec.decodeImageIO(bytes)
+      assert(back.width == w && back.height == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val j = (x + y) % 4
+        val o = (y * w + x) * 3
+        assert((back.pixels(o) & 0xFF) == (pb(j) & 0xFF) &&
+          (back.pixels(o + 1) & 0xFF) == (pg(j) & 0xFF) &&
+          (back.pixels(o + 2) & 0xFF) == (pr(j) & 0xFF),
+          s"$fmt pixel ($x,$y) must carry palette color $j exactly")
+      }
+    }
+    // grayscale: the redraw crosses colorspaces, so VALUES shift — but
+    // gray in means gray out: all three channels equal on every pixel
+    val gray = MediaCodec.decodeImageIO(MediaCodec.encodeGray(w, h, 77))
+    assert(gray.width == w && gray.height == h)
+    for (o <- 0 until w * h * 3 by 3)
+      assert(gray.pixels(o) == gray.pixels(o + 1) &&
+        gray.pixels(o + 1) == gray.pixels(o + 2))
+  }
+
+  test("raster asset table decodes with per-variant closed-form sums") {
+    val assets = MultimodalOps.toRasterAssets(
+      Tables.documents(spark, SparkTestSession.sf0001), "doc_id", "text")
+    val feats = MultimodalOps.extractImageFeatures(assets).collect()
+    assert(feats.length == 500)
+    assert(feats.map(_.getString(1)).toSet ==
+      Set("png_grad", "png_palette", "gif", "png_gray"))
+    val texts = Tables.documents(spark, SparkTestSession.sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (f <- feats) {
+      val id = f.getLong(0)
+      val len = texts(id).getBytes("UTF-8").length
+      val (w, h) = (16 + (id % 48).toInt, 16 + len % 48)
+      assert(f.getInt(2) == w && f.getInt(3) == h, s"dims of asset $id")
+      def pal(c: Int => Long, count: Int => Long, scale: Long) =
+        scale * (0 until 4).map(j => count(j) * (c(j) % 256)).sum
+      f.getString(1) match {
+        case "png_grad" =>
+          assert(f.getLong(4) == h.toLong * (w * (w - 1) / 2))
+          assert(f.getLong(5) == w.toLong * h * (len % 256))
+          assert(f.getLong(6) == w.toLong * h * (id % 256))
+        case "png_palette" =>
+          assert(f.getLong(4) == pal(j => 11 * id + 19 * j, j => (w - j + 3) / 4, h))
+          assert(f.getLong(5) == pal(j => len + 37 * j, j => (w - j + 3) / 4, h))
+          assert(f.getLong(6) == pal(j => id + 53 * j, j => (w - j + 3) / 4, h))
+        case "gif" =>
+          assert(f.getLong(4) == pal(j => 11 * id + 19 * j, j => (h - j + 3) / 4, w))
+          assert(f.getLong(5) == pal(j => len + 37 * j, j => (h - j + 3) / 4, w))
+          assert(f.getLong(6) == pal(j => id + 53 * j, j => (h - j + 3) / 4, w))
+        case "png_gray" =>
+          assert(f.getLong(4) == f.getLong(5) && f.getLong(5) == f.getLong(6),
+            s"gray asset $id must decode with equal channels")
+      }
+    }
+  }
+
   test("imageio asset table decodes with closed-form dims and exact PNG sums") {
     val imgAssets = MultimodalOps.toImageIOAssets(
       Tables.documents(spark, SparkTestSession.sf0001), "doc_id", "text")
