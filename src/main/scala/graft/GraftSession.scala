@@ -25,6 +25,15 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // v2 commit: tasks move output into place directly instead of the
+      // job-commit driver loop renaming every partition dir serially —
+      // the delta/ingest state logs write O(100) `pfx=` dirs per batch
+      // and the v1 rename loop dominated their wall clock. Correctness
+      // posture is unchanged for these writers: every partitioned log is
+      // overwrite-mode into a batch-keyed dir, and commit is signaled by
+      // the MANIFEST partition landing last, not by dir visibility (on a
+      // real cluster an object-store committer replaces this anyway).
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

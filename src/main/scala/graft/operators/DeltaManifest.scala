@@ -70,20 +70,34 @@ object DeltaManifest {
   /** The hash log's layout dial: each batch's hashes are sub-partitioned
     * by the hash's first `pfxLen` hex chars (16^pfxLen buckets), so a
     * probe that knows its own prefixes reads only matching buckets. With
-    * pfxLen=3 (4096 buckets), a batch of `a` arrivals prunes the
-    * corpus-sized log read to ≤ min(a, 4096)/4096 of its bytes — the
+    * pfxLen=2 (256 buckets), a batch of `a` arrivals prunes the
+    * corpus-sized log read to ≤ min(a, 256)/256 of its bytes — the
     * O(arrivals)-ish state-read bound SCALE.md §delta documents (the one
-    * state read that otherwise grew with the corpus, judge r9).
+    * state read that otherwise grew with the corpus, judge r9). 256 is
+    * deliberate: a 16-byte row × even 10¹⁰ admitted docs is ~625 MB per
+    * bucket — comfortably one scan task — while every extra hex char
+    * multiplies the per-batch FILE COUNT by 16 (a 4096-bucket log wrote
+    * ~6k files per seed batch and its creation overhead dominated the
+    * x48 bench before the prune ever paid for itself).
     */
-  val pfxLen = 3
+  val pfxLen = 2
 
   private def withPfx(hashes: DataFrame): DataFrame =
     hashes.withColumn("pfx", substring(col("text_hash"), 1, pfxLen))
 
+  /** Partitioned log append. The repartition on the partition column is
+    * load-bearing: without it every one of the writer's input tasks
+    * emits a file into every bucket it holds rows for (tasks × buckets
+    * files — ~130k tiny files for one seed batch at 32 tasks), where
+    * hash-clustering first bounds the batch to ≤ one file per bucket.
+    */
+  private[operators] def writePartitioned(df: DataFrame, dir: String): Unit =
+    df.repartition(col("pfx")).write.partitionBy("pfx")
+      .mode("overwrite").parquet(dir)
+
   private def writeHashes(hashes: DataFrame, stateDir: String,
       batchId: Long): Unit =
-    withPfx(hashes).write.partitionBy("pfx")
-      .mode("overwrite").parquet(s"$stateDir/hashes/batch=$batchId")
+    writePartitioned(withPfx(hashes), s"$stateDir/hashes/batch=$batchId")
 
   /** Every content hash ever admitted (merged over the log; MAY contain
     * duplicates across batches — its consumer is an anti-join, where
@@ -147,6 +161,28 @@ object DeltaManifest {
     * store the batch's pair graph (ClusterStream.applyBatch) BEFORE
     * calling this.
     */
+  private[operators] def stagePath(stateDir: String, batchId: Long) =
+    s"$stateDir/_stage/batch=$batchId"
+
+  /** Gate + in-batch exact dedup `arrivals` and STAGE the result for
+    * `batchId`, returning the staged frame. [[applyBatch]] calls this
+    * internally; a composed caller that needs the gated frame BEFORE
+    * the manifest step ([[IngestPipeline.tick]] — signatures and sketch
+    * rows must cover the batch the manifest will consider) stages it
+    * once here and passes `preStaged = true`, so the gate's tokenize +
+    * score pass runs exactly once per batch either way. Overwrite-mode:
+    * a replay restages, idempotent.
+    */
+  private[operators] def stageGated(arrivals: DataFrame,
+      evalSources: Seq[String], minQualityBps: Long, stateDir: String,
+      batchId: Long): DataFrame = {
+    val stage = stagePath(stateDir, batchId)
+    PipelineOps.gateAndDedup(arrivals, evalSources, minQualityBps)
+      .withColumn("text_hash", md5(col("text")))
+      .write.mode("overwrite").parquet(stage)
+    arrivals.sparkSession.read.parquet(stage)
+  }
+
   def applyBatch(arrivals: DataFrame, evalDocs: DataFrame,
       evalSources: Seq[String], stateDir: String, batchId: Long,
       minQualityBps: Long, contamThreshold: Double,
@@ -154,7 +190,8 @@ object DeltaManifest {
       capacity: Int, shards: Int,
       labelsDir: Option[String] = None,
       shingleSketchDir: Option[String] = None,
-      hotShingleDf: Long = 1000L): DataFrame = {
+      hotShingleDf: Long = 1000L,
+      preStaged: Boolean = false): DataFrame = {
     require(batchId > 0, "batch 0 is the full-build seed (initFromFull)")
     val spark = arrivals.sparkSession
 
@@ -166,11 +203,10 @@ object DeltaManifest {
     // batch commits — the UUID-scratch default was cleaned only at JVM
     // exit, an unbounded per-batch disk leak in a resident ingest
     // process (advisor r9, the SpanStream fix applied here)
-    val stage = s"$stateDir/_stage/batch=$batchId"
-    PipelineOps.gateAndDedup(arrivals, evalSources, minQualityBps)
-      .withColumn("text_hash", md5(col("text")))
-      .write.mode("overwrite").parquet(stage)
-    val gated = spark.read.parquet(stage)
+    val stage = stagePath(stateDir, batchId)
+    val gated =
+      if (preStaged) spark.read.parquet(stage)
+      else stageGated(arrivals, evalSources, minQualityBps, stateDir, batchId)
 
     // cross-batch exact dedup: anything whose content was ever admitted
     // BELOW this batch id — a replayed batch must not see its own
@@ -214,7 +250,13 @@ object DeltaManifest {
     // the same batch id produce a different delta — the one input the
     // below-id discipline cannot bound (different id space), frozen by
     // value instead (review r9b).
-    val hot = shingleSketchDir.map { dir =>
+    // a saturated dial (Long.MaxValue) can never fire — CMS counters are
+    // longs, so est > MaxValue is unsatisfiable; skip the probe pass (and
+    // its snapshot) entirely rather than computing an empty set the
+    // expensive way. None and Some(empty) are the same contract to
+    // crossContamination: no shingle leaves the index.
+    val hot = shingleSketchDir
+      .filter(_ => hotShingleDf < Long.MaxValue).map { dir =>
       val snap = s"$stateDir/hotset/batch=$batchId"
       val ok = new org.apache.hadoop.fs.Path(s"$snap/_SUCCESS")
       val fs = ok.getFileSystem(spark.sessionState.newHadoopConf())
@@ -271,9 +313,9 @@ object DeltaManifest {
     // its gated stage has no readers left — reclaim it now rather than
     // at JVM exit (every downstream frame below re-reads the manifest
     // partition, never the stage)
-    val stagePath = new org.apache.hadoop.fs.Path(stage)
-    stagePath.getFileSystem(spark.sessionState.newHadoopConf())
-      .delete(stagePath, true)
+    val stageP = new org.apache.hadoop.fs.Path(stage)
+    stageP.getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(stageP, true)
     spark.read.parquet(s"$stateDir/manifest/batch=$batchId")
       .select("shard", "chunk_id", "doc_id", "tok_in_chunk")
   }

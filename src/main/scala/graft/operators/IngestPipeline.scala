@@ -89,8 +89,8 @@ object IngestPipeline {
 
   private def writeSignatures(docs: DataFrame, stateDir: String,
       batchId: Long): Unit =
-    bandRows(docs).write.partitionBy("pfx")
-      .mode("overwrite").parquet(s"${sigDir(stateDir)}/batch=$batchId")
+    DeltaManifest.writePartitioned(bandRows(docs),
+      s"${sigDir(stateDir)}/batch=$batchId")
 
   /** Per-doc distinct shingles — the DOCUMENT-frequency rows the shingle
     * sketch log counts (the decontamination DF dial's unit).
@@ -139,12 +139,13 @@ object IngestPipeline {
     require(batchId > 0, "batch 0 is the full-build seed (init)")
     val spark = arrivals.sparkSession
 
-    // the same gate prefix DeltaManifest stages internally: near-dup
-    // signatures must cover the docs the manifest will consider, and
-    // gating is a cheap per-row pass (the manifest's own stage is the
-    // one that gets materialized)
-    val gated = PipelineOps.gateAndDedup(arrivals, evalSources,
-      minQualityBps)
+    // stage the gated batch ONCE (DeltaManifest's own stage, written
+    // here because signatures and sketch rows must cover exactly the
+    // docs the manifest will consider): the signature write, the
+    // shingle rows, and the manifest step below all read the staged
+    // parquet — the gate's tokenize + score pass never re-runs
+    val gated = DeltaManifest.stageGated(arrivals, evalSources,
+      minQualityBps, stateDir, batchId)
     writeSignatures(gated, stateDir, batchId)
 
     // probe: own partition vs (own ∪ history-below-id pruned to own
@@ -183,7 +184,7 @@ object IngestPipeline {
       batchId, minQualityBps, contamThreshold, rates, defaultRate,
       capacity, shards, labelsDir = Some(labelsDir(stateDir)),
       shingleSketchDir = Some(sketchDir(stateDir)),
-      hotShingleDf = hotShingleDf)
+      hotShingleDf = hotShingleDf, preStaged = true)
   }
 
   private val sigSchema = org.apache.spark.sql.types.StructType.fromDDL(

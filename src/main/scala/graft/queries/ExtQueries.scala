@@ -502,6 +502,56 @@ object ExtQueries {
         .orderBy("shard", "chunk_id", "doc_id")
     }),
 
+    // The ONE-CALL ingest tick under the oracle gate (x48's composition
+    // widened to the FULL ingest story): the prior build runs WITH
+    // verified-Jaccard near-dedup (the x24b semantics), IngestPipeline
+    // .init seeds ALL ingest state from it — hash log, MinHash SIGNATURE
+    // log over the pre-near-dedup gated stage (the frame whose every doc
+    // participates in the pair graph), shingle sketch counters — and ONE
+    // tick processes the arrivals tail end to end: signature-estimate
+    // pairs against the log, cluster-store labeling, manifest delta. The
+    // oracle replays BOTH semantics: the prior part is the x24b rebuild
+    // restricted to prior ids; the delta part encodes the operator's OWN
+    // incremental rule — connected components over arrival-involving
+    // signature-ESTIMATE pairs (history side = the prior gated stage),
+    // drop an arrival whose component min sits below its own id.
+    // Deliberately NOT the full near-dedup rebuild: near-dup similarity
+    // is not an equivalence relation, so an arrival that BRIDGES two
+    // previously-distinct prior clusters can never retroactively drop
+    // the second cluster's prior survivor from an append-only manifest —
+    // the oracle states the incremental semantics exactly;
+    // IngestPipelineSpec states where they coincide with the rebuild.
+    // The hot-shingle dial is OFF (Long.MaxValue): the CMS estimate is
+    // md5-free and collision-dependent at sketch width, deliberately
+    // kept out of the oracle path (its conservativeness contract is
+    // spec-checked instead).
+    "x49_ingest_tick" -> ((s, d) => {
+      import graft.operators.{DeltaManifest, IngestPipeline, PipelineOps, StageIO}
+      val docs = Tables.documents(s, d)
+      val isEval = coalesce(col("source").isin("src18", "src19"), lit(false))
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      val cut = maxId - maxId / 10
+      val base = StageIO.resolve(s, None, "x49-ingest")
+      val priorManifest = PipelineOps.trainingManifest(
+        docs.filter(isEval || col("doc_id") <= cut),
+        evalSources = Seq("src18", "src19"), minQualityBps = 4000L,
+        contamThreshold = 0.5, rates = Map("en" -> 0.4, "zh" -> 0.8),
+        defaultRate = 0.6, capacity = 256, shards = 4,
+        stageDir = Some(s"$base/prior"), nearDupThreshold = Some(0.8))
+      val state = s"$base/state"
+      IngestPipeline.init(
+        s.read.parquet(s"$base/prior/gated_deduped"), priorManifest, state)
+      IngestPipeline.tick(
+        docs.filter(!isEval && col("doc_id") > cut),
+        docs.filter(isEval), Seq("src18", "src19"), state, 1L,
+        minQualityBps = 4000L, contamThreshold = 0.5,
+        rates = Map("en" -> 0.4, "zh" -> 0.8), defaultRate = 0.6,
+        capacity = 256, shards = 4, nearDupThreshold = 0.7,
+        hotShingleDf = Long.MaxValue)
+      DeltaManifest.readManifest(s, state)
+        .orderBy("shard", "chunk_id", "doc_id")
+    }),
+
     // x14 with TRAINED centroids (the honest IVF path through the hash
     // gate): the coarse quantizer is a seeded KMeans fit persisted as a
     // parquet centroid table that BOTH engines then read — determinism
@@ -1825,6 +1875,201 @@ object ExtQueries {
                        - greatest(cum_end - n_tok, chunk_id * 256) AS INT)
                     AS tok_in_chunk
            FROM expanded ORDER BY shard, chunk_id, doc_id""",
+
+      // x49: the one-call ingest tick. Prior part = the x24b rebuild
+      // (verified-Jaccard near-dedup) restricted to ids at or below the
+      // 90 % cut; delta part = the OPERATOR'S incremental rule — CC over
+      // arrival-involving signature-ESTIMATE pairs (own side = in-batch
+      // exact-deduped gated arrivals, history side = the prior gated
+      // stage, i.e. PRE-near-dedup — exactly what the signature log
+      // holds), an arrival drops when its component min is below its own
+      // id; then cross-batch exact dedup vs the prior hash set,
+      // decontamination vs the static eval split, the same md5 sample,
+      // and ONE packing pass over prior ∪ delta sampled rows in id order
+      // (append-only ids make it identical to the totals-log
+      // continuation the operator runs)
+      "x49_ingest_tick" -> {
+        val estSlots = (0 until 12).map(i =>
+          s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH RECURSIVE base AS (
+             SELECT doc_id, text, lang, source, n_chars, $mdToks AS t
+             FROM documents
+           ), cutv AS (
+             SELECT max(doc_id) - max(doc_id) // 10 AS cut FROM documents
+           ), gated AS (
+             SELECT doc_id, text, lang, t FROM (
+               SELECT *, 20 * nt * least(nt, 100) + 1500 * (nt - sw)
+                           + 3 * nt * least(n_chars, 500) AS qnum,
+                      5000 * nt AS qden
+               FROM (
+                 SELECT *, CAST(len(t) AS BIGINT) AS nt,
+                        CAST(len(list_filter(t, x -> list_contains($swList, x)))
+                          AS BIGINT) AS sw
+                 FROM base WHERE source NOT IN ('src18', 'src19')))
+             WHERE nt > 0 AND 10000 * qnum >= 4000 * qden
+           ), pded AS (
+             SELECT doc_id, text, lang, t FROM (
+               SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS surv
+               FROM gated WHERE doc_id <= (SELECT cut FROM cutv))
+             WHERE doc_id = surv
+           ), aded AS (
+             SELECT doc_id, text, lang, t FROM (
+               SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS surv
+               FROM gated WHERE doc_id > (SELECT cut FROM cutv))
+             WHERE doc_id = surv
+           ), ndsh AS (
+             SELECT doc_id, $mdShingles AS sh FROM pded
+           ), ndsig AS (SELECT doc_id, sh, $sigCols FROM ndsh
+           ), ndband AS (SELECT doc_id, $bandCols FROM ndsig
+           ), ndexp AS (
+             SELECT doc_id, unnest([0,1,2]) AS band_idx,
+                    unnest([band0,band1,band2]) AS band_key FROM ndband
+           ), ndcand AS (
+             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM ndexp a JOIN ndexp b
+               ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+           ), ndpair AS (
+             SELECT doc_a, doc_b FROM (
+               SELECT doc_a, doc_b,
+                      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                        / (len(sa.sh) + len(sb.sh)
+                           - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) AS jac
+               FROM ndcand
+               JOIN ndsh sa ON doc_a = sa.doc_id
+               JOIN ndsh sb ON doc_b = sb.doc_id)
+             WHERE jac >= 0.8
+           ), ndedge AS (
+             SELECT doc_a AS src, doc_b AS dst FROM ndpair
+             UNION ALL SELECT doc_b, doc_a FROM ndpair
+           ), ndwalk(id, lab) AS (
+             SELECT src, src FROM ndedge
+             UNION
+             SELECT e.dst, w.lab FROM ndwalk w JOIN ndedge e ON e.src = w.id
+           ), nddrop AS (
+             SELECT id FROM (
+               SELECT id, min(lab) AS lab FROM ndwalk GROUP BY id)
+             WHERE id <> lab
+           ), pded2 AS (
+             SELECT doc_id, text, lang, t FROM pded
+             WHERE doc_id NOT IN (SELECT id FROM nddrop)
+           ), ev AS (
+             SELECT doc_id AS eval_id, CAST(len(sh) AS BIGINT) AS n_eval,
+                    unnest(sh) AS s
+             FROM (SELECT doc_id, $mdShingles AS sh FROM base
+                   WHERE source IN ('src18', 'src19'))
+             WHERE len(sh) > 0
+           ), ptr AS (
+             SELECT doc_id AS train_id, unnest(sh) AS s
+             FROM (SELECT doc_id, $mdShingles AS sh FROM pded2)
+             WHERE len(sh) > 0
+           ), pleaked AS (
+             SELECT DISTINCT train_id FROM (
+               SELECT eval_id, train_id, COUNT(*) AS inter,
+                      any_value(n_eval) AS n_eval
+               FROM ev JOIN ptr USING (s) GROUP BY 1, 2)
+             WHERE inter * 1.0 / n_eval >= 0.5
+           ), psamp AS (
+             SELECT doc_id, t FROM (
+               SELECT *, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                            AS BIGINT) % 10000 AS h
+               FROM pded2 WHERE doc_id NOT IN (SELECT train_id FROM pleaked))
+             WHERE h < CASE lang WHEN 'en' THEN 4000 WHEN 'zh' THEN 8000
+                                 ELSE 6000 END
+           ), afresh AS (
+             SELECT doc_id, text, lang, t FROM aded
+             WHERE md5(text) NOT IN (SELECT md5(text) FROM pded)
+           ), osh AS (
+             SELECT doc_id, sh FROM
+               (SELECT doc_id, $mdShingles AS sh FROM aded)
+             WHERE len(sh) > 0
+           ), hsh AS (
+             SELECT doc_id, sh FROM
+               (SELECT doc_id, $mdShingles AS sh FROM pded)
+             WHERE len(sh) > 0
+           ), osig AS (SELECT doc_id, $sigCols FROM osh
+           ), hsig AS (SELECT doc_id, $sigCols FROM hsh
+           ), allsig AS (
+             SELECT * FROM osig UNION ALL SELECT * FROM hsig
+           ), oexp AS (
+             SELECT doc_id, unnest([0,1,2]) AS band_idx,
+                    unnest([band0,band1,band2]) AS band_key
+             FROM (SELECT doc_id, $bandCols FROM osig)
+           ), hexp AS (
+             SELECT doc_id, unnest([0,1,2]) AS band_idx,
+                    unnest([band0,band1,band2]) AS band_key
+             FROM (SELECT doc_id, $bandCols FROM hsig)
+           ), bexp AS (
+             SELECT * FROM oexp UNION ALL SELECT * FROM hexp
+           ), scand AS (
+             SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                    greatest(a.doc_id, b.doc_id) AS doc_b
+             FROM oexp a JOIN bexp b
+               ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.doc_id <> b.doc_id
+           ), spair AS (
+             SELECT doc_a, doc_b FROM (
+               SELECT doc_a, doc_b, ($estSlots) AS k
+               FROM scand
+               JOIN allsig sa ON doc_a = sa.doc_id
+               JOIN allsig sb ON doc_b = sb.doc_id)
+             WHERE k / 12.0 >= 0.7
+           ), sedge AS (
+             SELECT doc_a AS src, doc_b AS dst FROM spair
+             UNION ALL SELECT doc_b, doc_a FROM spair
+           ), swalk(id, lab) AS (
+             SELECT src, src FROM sedge
+             UNION
+             SELECT e.dst, w.lab FROM swalk w JOIN sedge e ON e.src = w.id
+           ), slab AS (
+             SELECT id, min(lab) AS lab FROM swalk GROUP BY id
+           ), asurv AS (
+             SELECT f.doc_id, f.text, f.lang, f.t FROM afresh f
+             LEFT JOIN slab ON f.doc_id = slab.id
+             WHERE slab.id IS NULL OR slab.lab = f.doc_id
+           ), atr AS (
+             SELECT doc_id AS train_id, unnest(sh) AS s
+             FROM (SELECT doc_id, $mdShingles AS sh FROM asurv)
+             WHERE len(sh) > 0
+           ), aleaked AS (
+             SELECT DISTINCT train_id FROM (
+               SELECT eval_id, train_id, COUNT(*) AS inter,
+                      any_value(n_eval) AS n_eval
+               FROM ev JOIN atr USING (s) GROUP BY 1, 2)
+             WHERE inter * 1.0 / n_eval >= 0.5
+           ), asamp AS (
+             SELECT doc_id, t FROM (
+               SELECT *, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                            AS BIGINT) % 10000 AS h
+               FROM asurv WHERE doc_id NOT IN (SELECT train_id FROM aleaked))
+             WHERE h < CASE lang WHEN 'en' THEN 4000 WHEN 'zh' THEN 8000
+                                 ELSE 6000 END
+           ), samp AS (
+             SELECT * FROM psamp UNION ALL SELECT * FROM asamp
+           ), c AS (
+             SELECT doc_id, shard, n_tok,
+                    CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum_end
+             FROM (
+               SELECT doc_id,
+                      CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                           AS BIGINT) % 4 AS INT) AS shard,
+                      CAST(len(t) AS BIGINT) AS n_tok
+               FROM samp)
+             WHERE n_tok > 0
+           ), expanded AS (
+             SELECT shard, doc_id, n_tok, cum_end,
+                    unnest(generate_series((cum_end - n_tok) // 256,
+                                           (cum_end - 1) // 256)) AS chunk_id
+             FROM c
+           )
+           SELECT shard, CAST(chunk_id AS INT) AS chunk_id, doc_id,
+                  CAST(least(cum_end, (chunk_id + 1) * 256)
+                       - greatest(cum_end - n_tok, chunk_id * 256) AS INT)
+                    AS tok_in_chunk
+           FROM expanded ORDER BY shard, chunk_id, doc_id"""
+      },
 
       // same nearest-centroid argmin as x14, over the TRAINED centroid
       // table both engines read from the persisted parquet artifact
