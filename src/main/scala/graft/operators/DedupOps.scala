@@ -202,11 +202,23 @@ object DedupOps {
     * batch whose OWN df can't see historical boilerplate — the state
     * can, without any corpus rescan. Same conservative direction:
     * ratios only drop.
+    *
+    * `evalBloomBits` turns on [[BloomOps]] runtime pruning of the train
+    * side: the eval index's shingle-key set is bloomed (it is the small
+    * side by contract — size the bits at ~10× its distinct shingles) and
+    * the corpus-sized exploded train index is filtered BEFORE its
+    * shuffle, keeping only shingles that (probably) occur in eval. At
+    * 100 TB that shrinks the join's shuffled train rows from
+    * Σ_docs shingles(doc) to ≈ the genuinely-overlapping ones; false
+    * positives just ride into the inner equi-join and drop there, so
+    * the result is IDENTICAL to the unbloomed path (spec-pinned). The
+    * bloom build re-evaluates the eval index once — small side, priced.
     */
   def crossContamination(train: DataFrame, eval: DataFrame, textCol: String,
       idCol: String, minOverlap: Double,
       maxShingleDf: Option[Long] = None,
-      hotShingles: Option[DataFrame] = None): DataFrame = {
+      hotShingles: Option[DataFrame] = None,
+      evalBloomBits: Option[Int] = None): DataFrame = {
     def index(df: DataFrame, out: String) = spreadByDoc(df, idCol)
       .select(col(idCol).as(out),
         graft.functions.HashExprs.distinctShingles(tokens(col(textCol))).as("sharr"))
@@ -221,9 +233,13 @@ object DedupOps {
         .filter(col("df") > cap).select("s")
       tr0.join(hot, Seq("s"), "left_anti")
     }
-    val tr = hotShingles.fold(tr1) { hs =>
+    val tr2 = hotShingles.fold(tr1) { hs =>
       tr1.join(hs.select(TextOps.md5Key60(col("shingle")).as("s")),
         Seq("s"), "left_anti")
+    }
+    val tr = evalBloomBits.fold(tr2) { bits =>
+      val arr = BloomOps.buildBloomArray(ev.select("s"), "s", bits, 5)
+      tr2.filter(BloomOps.mightContainArray(col("s"), arr, bits, 5))
     }
     ev.join(tr, "s")
       .groupBy("eval_id", "train_id")

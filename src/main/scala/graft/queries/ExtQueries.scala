@@ -552,6 +552,48 @@ object ExtQueries {
         .orderBy("shard", "chunk_id", "doc_id")
     }),
 
+    // Z-order layout audit: Morton-interleave (l_partkey, l_suppkey)
+    // into 256×256 cells via ONE global min/max aggregate (broadcast
+    // 1-row frame — no sort, no window: the quantization that survives
+    // 100 TB), then report each 64-slice's bounding box over BOTH
+    // dimensions. The magic-shift bit spread is identical SQL on both
+    // engines, so the z-key crosses the oracle bit-for-bit; the tight
+    // per-slice boxes in the output ARE the row-group-pruning story
+    // (SCALE.md §layout; LayoutSpec measures the area win vs a linear
+    // sort and the file-level min/max boxes writeZOrdered produces).
+    "x50_zorder_layout" -> ((s, d) => {
+      import graft.operators.LayoutOps
+      val l = Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+      LayoutOps.withZKey(l, "l_partkey", "l_suppkey", buckets = 256,
+          keepBuckets = true)
+        .groupBy(shiftright(col("zkey"), 10).as("slice"))
+        .agg(count(lit(1)).as("n_rows"),
+          min("zb_a").as("min_pa"), max("zb_a").as("max_pa"),
+          min("zb_b").as("min_sb"), max("zb_b").as("max_sb"))
+        .orderBy("slice")
+    }),
+
+    // bloom-pruned left-semi join (the explicit runtime-filter pattern):
+    // a selective orders dim prunes the lineitem scan through a 2^16-bit
+    // xxhash64 bloom BEFORE the fact shuffle — the composed operator is
+    // provably equal to the plain semi join (false positives die in the
+    // exact join), which is exactly what the oracle asserts; BloomSpec
+    // asserts the plan shape (probe filter below the shuffle) and the
+    // measured false-positive rate. At 100 TB this is the semi join you
+    // run when the dim outgrows broadcast-hash range (SCALE.md §joins).
+    "x51_bloom_semi_join" -> ((s, d) => {
+      import graft.operators.BloomOps
+      val l = Tables.lineitem(s, d)
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 150000.0)
+      BloomOps.prunedLeftSemi(l, "l_orderkey", dim, "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          Det.sumExact(col("l_extendedprice")).as("total_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // x14 with TRAINED centroids (the honest IVF path through the hash
     // gate): the coarse quantizer is a seeded KMeans fit persisted as a
     // parquet centroid table that BOTH engines then read — determinism
@@ -2070,6 +2112,58 @@ object ExtQueries {
                     AS tok_in_chunk
            FROM expanded ORDER BY shard, chunk_id, doc_id"""
       },
+
+      // the same min/max bucketization (floor division over a broadcast
+      // 1-row bounds frame) and the same four magic-shift bit-spread
+      // steps as LayoutOps.spread16 — the z-key is pure integer
+      // arithmetic, identical on both engines
+      "x50_zorder_layout" ->
+        """WITH b AS (
+             SELECT min(l_partkey) AS mnp, max(l_partkey) AS mxp,
+                    min(l_suppkey) AS mns, max(l_suppkey) AS mxs
+             FROM lineitem
+           ), q AS (
+             SELECT ((l_partkey - mnp) * 256) // (mxp - mnp + 1) AS ba,
+                    ((l_suppkey - mns) * 256) // (mxs - mns + 1) AS bb
+             FROM lineitem, b
+           ), s1 AS (
+             SELECT ba, bb,
+                    (ba | (ba << 8)) & 16711935 AS a1,
+                    (bb | (bb << 8)) & 16711935 AS b1
+             FROM q
+           ), s2 AS (
+             SELECT ba, bb,
+                    (a1 | (a1 << 4)) & 252645135 AS a2,
+                    (b1 | (b1 << 4)) & 252645135 AS b2
+             FROM s1
+           ), s3 AS (
+             SELECT ba, bb,
+                    (a2 | (a2 << 2)) & 858993459 AS a3,
+                    (b2 | (b2 << 2)) & 858993459 AS b3
+             FROM s2
+           ), s4 AS (
+             SELECT ba, bb,
+                    ((a3 | (a3 << 1)) & 1431655765)
+                    | (((b3 | (b3 << 1)) & 1431655765) << 1) AS zkey
+             FROM s3
+           )
+           SELECT zkey >> 10 AS slice, count(*) AS n_rows,
+                  min(ba) AS min_pa, max(ba) AS max_pa,
+                  min(bb) AS min_sb, max(bb) AS max_sb
+           FROM s4 GROUP BY slice ORDER BY slice""",
+
+      // the oracle is the PLAIN semi join: the bloom is a plan-level
+      // pruning whose false positives die in the exact join, so result
+      // equality with the unpruned form IS the correctness contract
+      "x51_bloom_semi_join" ->
+        """SELECT l_returnflag, count(*) AS n_items,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                    AS total_price
+           FROM lineitem
+           WHERE l_orderkey IN (
+             SELECT o_orderkey FROM orders
+             WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000)
+           GROUP BY l_returnflag ORDER BY l_returnflag""",
 
       // same nearest-centroid argmin as x14, over the TRAINED centroid
       // table both engines read from the persisted parquet artifact
