@@ -25,6 +25,13 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Tz-naive parquet timestamps (isAdjustedToUTC=false, the driver's
+      // current events.ts encoding) would otherwise infer as TIMESTAMP_NTZ,
+      // which unix_micros()/window functions reject. With a UTC session TZ
+      // the TIMESTAMP reading is value-identical to the NTZ one and matches
+      // the DuckDB oracle. Tables.events additionally carries a defensive
+      // NTZ→TIMESTAMP cast for sessions built without this config.
+      .config("spark.sql.parquet.inferTimestampNTZType", "false")
       // v2 commit: tasks move output into place directly instead of the
       // job-commit driver loop renaming every partition dir serially —
       // the delta/ingest state logs write O(100) `pfx=` dirs per batch
