@@ -441,6 +441,39 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // x47's STATE-DRIVEN twin (judge r10 #4): the same top-25%-per-lang
+    // continuous-score gate, but the threshold comes from a PERSISTED
+    // QuantileStream counter log — seeded here over three deterministic
+    // doc_id%3 batches (each applyBatch writes its own batch_id
+    // partition, geometry pinned on first write), then read back merged
+    // and fed to topPctByScoreSketchFrom. Counter addition is exact, so
+    // the merged log == one sketch built over all rows, and because the
+    // log covers exactly the gated frame's rows the kept set equals the
+    // rank form bit for bit — the oracle IS x47's rank-form SQL. This is
+    // the gate a resident ingest process runs: threshold from state,
+    // never a corpus re-aggregation (QuantileStream.scala:40,
+    // PackingOps.topPctByScoreSketchFrom).
+    "x47b_sketch_gate_from_log" -> ((s, d) => {
+      import graft.operators.StageIO
+      import graft.streaming.QuantileStream
+      val nt = size(TextOps.tokens(col("text"))).cast("long")
+      val scored = Tables.documents(s, d).filter(nt > 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars").cast("double") / nt.cast("double")).as("cpt"))
+      val store = s"${StageIO.resolve(s, None, "x47b-qlog")}/qsketch"
+      (1L to 3L).foreach { b =>
+        QuantileStream.applyBatch(
+          scored.filter(pmod(col("doc_id"), lit(3)) === lit(b - 1L)),
+          Seq("lang"), "cpt", store, b)
+      }
+      val bits = QuantileStream.bucketBitsOf(s, store).get
+      graft.operators.PackingOps.topPctByScoreSketchFrom(scored,
+          QuantileStream.readSketch(s, store), "lang", "cpt", "doc_id",
+          keepNum = 1, keepDen = 4, bucketBits = bits)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // decontamination: training docs sharing >= 50 % of an eval doc's
     // 3-gram shingles (src18/src19 play the held-out eval corpus).
     "x23_decontamination" -> ((s, d) => {
@@ -1641,6 +1674,24 @@ object ExtQueries {
       // division, identical IEEE double in both engines, and only the
       // kept ids cross the hash
       "x47_sketch_quality_gate" ->
+        s"""WITH scored AS (
+              SELECT doc_id, lang,
+                     CAST(n_chars AS DOUBLE) / CAST(len($mdToks) AS DOUBLE)
+                       AS cpt
+              FROM documents WHERE len($mdToks) > 0),
+            ranked AS (
+              SELECT doc_id, lang, cpt,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY cpt DESC, doc_id) AS rk,
+                     COUNT(*) OVER (PARTITION BY lang) AS n_lang
+              FROM scored)
+            SELECT doc_id, lang
+            FROM ranked WHERE rk * 4 <= n_lang * 1 ORDER BY doc_id""",
+
+      // identical oracle to x47 by design: the persisted-log threshold
+      // equals the rebuilt-sketch threshold (counter addition is exact),
+      // and the sketch gate equals the rank form bit for bit.
+      "x47b_sketch_gate_from_log" ->
         s"""WITH scored AS (
               SELECT doc_id, lang,
                      CAST(n_chars AS DOUBLE) / CAST(len($mdToks) AS DOUBLE)

@@ -112,6 +112,46 @@ class IngestPipelineSpec extends AnyFunSuite {
       "prior ∪ deltas must equal the full near-dedup rebuild row for row")
   }
 
+  test("signature-log compaction is probe-invisible: identical pairs and deltas after") {
+    // two deterministic clones of the same state (init + tick 1); compact
+    // one's signature log (batches 0,1 fold into one batch=1 partition,
+    // same pfx layout), then run the SAME tick 2 on both. Batch 2's
+    // probe reads history `batch < 2` either way, so the cross-batch
+    // near-dup discovery (104 vs batch-1's 103) and the delta must come
+    // out identical — the compaction changed layout, not state.
+    val b1 = mkDocs(Seq(
+      (101L, body(101), "en", "src1"),
+      (102L, body(7) + " tiny edit", "en", "src1"),
+      (103L, body(103), "zh", "src1")))
+    val b2 = mkDocs(Seq(
+      (104L, body(103) + " tiny edit", "zh", "src1"),
+      (105L, body(105), "en", "src1")))
+    def seedAndTick1(): String = {
+      val base = java.nio.file.Files.createTempDirectory("ingest-cmp").toString
+      val state = initState(base)
+      tick(b1, state, 1L)
+      state
+    }
+    val plain = seedAndTick1()
+    val compacted = seedAndTick1()
+    IngestPipeline.compactSignatures(spark, compacted)
+    // the fold really happened: one batch= dir remains
+    val fs = new org.apache.hadoop.fs.Path(compacted)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val batchDirs = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$compacted/signatures"))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
+    assert(batchDirs == Seq("batch=1"),
+      s"expected the log folded into batch=1, got $batchDirs")
+    val dPlain = rows(tick(b2, plain, 2L))
+    val dCompacted = rows(tick(b2, compacted, 2L))
+    assert(dCompacted == dPlain,
+      "tick 2 must produce the identical delta from the compacted log")
+    assert(ids(DeltaManifest.readManifest(spark, compacted)) ==
+      ids(DeltaManifest.readManifest(spark, plain)),
+      "manifests must agree after ticking over the compacted log")
+  }
+
   test("a replayed tick overwrites itself: same delta, same state") {
     val base = java.nio.file.Files.createTempDirectory("ingest-rep").toString
     val state = initState(base)
