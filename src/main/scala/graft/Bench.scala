@@ -17,11 +17,31 @@ object Bench {
     java.lang.management.ManagementFactory.getMemoryMXBean
       .getHeapMemoryUsage.getUsed / 1e6
 
+  /** Cumulative storage-layer bytes read by this process
+    * (`/proc/self/io` `read_bytes` — actual block-device IO, so a
+    * page-cache hit costs 0). Per-query deltas complete the telemetry
+    * triad: sentinel = CPU contention, gc_ms/heap_mb = JVM memory,
+    * io_read_mb = disk — a query whose wall time inflates with flat
+    * sentinels, flat GC, and a jump in read bytes is paying cold page
+    * cache, the one r10 suspect the artifact couldn't see. Returns -1
+    * where /proc is unavailable; deltas then read 0 and the field is
+    * ignorable.
+    */
+  private def ioReadBytes(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/self/io")
+      try src.getLines().collectFirst {
+        case l if l.startsWith("read_bytes:") => l.split(":\\s*")(1).trim.toLong
+      }.getOrElse(-1L)
+      finally src.close()
+    } catch { case _: Throwable => -1L }
+
   /** One timed query: (cold sec, steady sec, gc ms cold, gc ms steady,
-    * heap MB after the steady run, wall-clock start ms).
+    * heap MB after the steady run, disk MB read per run, wall start ms).
     */
   private case class Timing(name: String, cold: Double, steady: Double,
-    gcCold: Long, gcSteady: Long, heapMb: Double, wallStart: Long)
+    gcCold: Long, gcSteady: Long, heapMb: Double,
+    ioCold: Double, ioSteady: Double, wallStart: Long)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -75,6 +95,7 @@ object Bench {
       val wallStart = System.currentTimeMillis()
       val timed = runs.map { run =>
         val g0 = gcMs()
+        val io0 = ioReadBytes()
         val t0 = System.nanoTime()
         try run() catch {
           case e: Throwable =>
@@ -82,10 +103,11 @@ object Bench {
             if (!failed.contains(name)) failed ::= name
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
-        ((System.nanoTime() - t0) / 1e9, gcMs() - g0)
+        ((System.nanoTime() - t0) / 1e9, gcMs() - g0,
+          math.max(0L, ioReadBytes() - io0) / 1e6)
       }
       Timing(name, timed(0)._1, timed(1)._1, timed(0)._2, timed(1)._2,
-        heapMb(), wallStart)
+        heapMb(), timed(0)._3, timed(1)._3, wallStart)
     }
     var sinceSentinel = 0
     val results = scala.collection.mutable.ListBuffer.empty[Timing]
@@ -149,7 +171,7 @@ object Bench {
         s"""{"after":"$after","ts_ms":$w,"sec":$s}""" }
       .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$totalSteady,"unit":"sec","queries":${fmt(_.steady.toString)},"queries_cold":${fmt(_.cold.toString)},"total_cold":$totalCold,"gc_ms":${fmt(_.gcSteady.toString)},"gc_ms_cold":${fmt(_.gcCold.toString)},"heap_mb":${fmt(_.heapMb.toString)},"wall_start_ms":${fmt(_.wallStart.toString)},"sentinel":$sentinelJson,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalSteady,"unit":"sec","queries":${fmt(_.steady.toString)},"queries_cold":${fmt(_.cold.toString)},"total_cold":$totalCold,"gc_ms":${fmt(_.gcSteady.toString)},"gc_ms_cold":${fmt(_.gcCold.toString)},"heap_mb":${fmt(_.heapMb.toString)},"io_read_mb":${fmt(_.ioSteady.toString)},"io_read_mb_cold":${fmt(_.ioCold.toString)},"wall_start_ms":${fmt(_.wallStart.toString)},"sentinel":$sentinelJson,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // the driver tail-captures stdout and has truncated the head of this
     // line before (BENCH_r02 lost its totals) — persist the artifact
