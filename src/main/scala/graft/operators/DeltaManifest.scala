@@ -136,6 +136,50 @@ object DeltaManifest {
         Long.MaxValue)
       .select("shard", "chunk_id", "doc_id", "tok_in_chunk")
 
+  /** Fold every batch partition of each state log into ONE partition
+    * keyed by the max folded id, so the logs stop growing a `batch=` dir
+    * (and ≤ 256 files, for the pfx-partitioned hash log) per tick
+    * forever. OFFLINE maintenance under the standard compaction rule
+    * ([[graft.streaming.SketchStream.compact]]): only when no tick is
+    * writing and no folded batch id can replay — a replay of a folded id
+    * would overwrite the whole folded partition with just its own rows.
+    *
+    * Per-log equivalence for every later (higher-id) reader:
+    *  - hashes: [[seenHashes]] tolerates duplicates (anti-join consumer)
+    *    and prunes on `pfx`, which the fold preserves — identical probe;
+    *  - totals: readers [[shardTotals]]-SUM the log, and the fold
+    *    pre-aggregates per shard — identical sums from `shards` rows;
+    *  - manifest: [[readManifest]] reads all rows; the fold is a plain
+    *    row rewrite.
+    */
+  def compact(spark: SparkSession, stateDir: String): Unit = {
+    foldLog(spark, s"$stateDir/hashes", pfx = true)
+    foldLog(spark, s"$stateDir/totals", pfx = false,
+      merge = df => df.groupBy("shard")
+        .agg(sum("n_tok").cast("long").as("n_tok")))
+    foldLog(spark, s"$stateDir/manifest", pfx = false)
+  }
+
+  private def foldLog(spark: SparkSession, dir: String, pfx: Boolean,
+      merge: DataFrame => DataFrame = identity): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val glob = if (pfx) s"$dir/batch=*/pfx=*/part-*" else s"$dir/batch=*/part-*"
+    val hasFiles = fs.exists(p) && Option(
+      fs.globStatus(new org.apache.hadoop.fs.Path(glob))).exists(_.nonEmpty)
+    if (hasFiles) {
+      val all = spark.read.parquet(dir)
+      val maxId = all.agg(max(col("batch").cast("long"))).head().getLong(0)
+      val folded = merge(all.drop("batch"))
+      val next = new org.apache.hadoop.fs.Path(dir + ".next")
+      if (fs.exists(next)) fs.delete(next, true)
+      if (pfx) writePartitioned(folded, s"$next/batch=$maxId")
+      else folded.write.mode("overwrite").parquet(s"$next/batch=$maxId")
+      fs.delete(p, true)
+      require(fs.rename(next, p), s"compaction swap failed: $next -> $p")
+    }
+  }
+
   private def readLog(spark: SparkSession, dir: String, schemaDDL: String,
       below: Long): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir)

@@ -129,6 +129,20 @@ object IngestPipeline {
     *     from the store updated in step 3, its boilerplate cap from the
     *     log updated in step 4
     */
+  /** Wall-clock per tick phase to stderr when SPARK_GRAFT_PHASE_LOG is
+    * set — operational telemetry for sizing a resident ingest process
+    * (which phase pays for a fatter batch) and for attributing the
+    * bench's composite timings to phases.
+    */
+  private def phased[T](name: String)(body: => T): T =
+    if (sys.env.contains("SPARK_GRAFT_PHASE_LOG")) {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(
+        f"[ingest] phase=$name%s sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      r
+    } else body
+
   def tick(arrivals: DataFrame, evalDocs: DataFrame,
       evalSources: Seq[String], stateDir: String, batchId: Long,
       minQualityBps: Long, contamThreshold: Double,
@@ -144,47 +158,57 @@ object IngestPipeline {
     // docs the manifest will consider): the signature write, the
     // shingle rows, and the manifest step below all read the staged
     // parquet — the gate's tokenize + score pass never re-runs
-    val gated = DeltaManifest.stageGated(arrivals, evalSources,
-      minQualityBps, stateDir, batchId)
-    writeSignatures(gated, stateDir, batchId)
+    val gated = phased("stage_gated") {
+      DeltaManifest.stageGated(arrivals, evalSources,
+        minQualityBps, stateDir, batchId)
+    }
+    phased("write_signatures") { writeSignatures(gated, stateDir, batchId) }
 
     // probe: own partition vs (own ∪ history-below-id pruned to own
     // prefixes). The prefix collect is bounded (≤ 16^pfxLen strings);
     // log rows outside those buckets cannot band-match the batch, so
     // the prune is exact while bytes read scale with the batch.
-    val own = readSigBatch(spark, stateDir, batchId)
-    val pfxs = own.select("pfx").distinct().collect()
-      .map(_.getString(0)).toSeq
-    val history = readSigLog(spark, stateDir, below = batchId)
-      .filter(col("pfx").isin(pfxs: _*))
-    val a = own.select(col("band_idx"), col("band_key"),
-      col("doc_id").as("ida"), col("sig").as("sig_a"))
-    val b = own.select(col("band_idx"), col("band_key"),
-        col("doc_id").as("idb"), col("sig").as("sig_b"))
-      .unionByName(history.select(col("band_idx"), col("band_key"),
-        col("doc_id").as("idb"), col("sig").as("sig_b")))
-    val pairs = a.join(b, Seq("band_idx", "band_key"))
-      .filter(col("ida") =!= col("idb"))
-      .select(least(col("ida"), col("idb")).as("doc_a"),
-        greatest(col("ida"), col("idb")).as("doc_b"),
-        col("sig_a"), col("sig_b"))
-      .dropDuplicates("doc_a", "doc_b")
-      .filter(estJaccard(col("sig_a"), col("sig_b")) >= nearDupThreshold)
-      .select("doc_a", "doc_b")
+    val pairs = phased("pair_probe") {
+      val own = readSigBatch(spark, stateDir, batchId)
+      val pfxs = own.select("pfx").distinct().collect()
+        .map(_.getString(0)).toSeq
+      val history = readSigLog(spark, stateDir, below = batchId)
+        .filter(col("pfx").isin(pfxs: _*))
+      val a = own.select(col("band_idx"), col("band_key"),
+        col("doc_id").as("ida"), col("sig").as("sig_a"))
+      val b = own.select(col("band_idx"), col("band_key"),
+          col("doc_id").as("idb"), col("sig").as("sig_b"))
+        .unionByName(history.select(col("band_idx"), col("band_key"),
+          col("doc_id").as("idb"), col("sig").as("sig_b")))
+      a.join(b, Seq("band_idx", "band_key"))
+        .filter(col("ida") =!= col("idb"))
+        .select(least(col("ida"), col("idb")).as("doc_a"),
+          greatest(col("ida"), col("idb")).as("doc_b"),
+          col("sig_a"), col("sig_b"))
+        .dropDuplicates("doc_a", "doc_b")
+        .filter(estJaccard(col("sig_a"), col("sig_b")) >= nearDupThreshold)
+        .select("doc_a", "doc_b")
+    }
 
     // pairs BEFORE the manifest — the contract this operator exists for
-    graft.streaming.ClusterStream.applyBatch(pairs, labelsDir(stateDir))
+    phased("cluster_store") {
+      graft.streaming.ClusterStream.applyBatch(pairs, labelsDir(stateDir))
+    }
 
-    val (gd, gw) = graft.streaming.SketchStream
-      .geometry(spark, sketchDir(stateDir)).getOrElse((4, 1024))
-    graft.streaming.SketchStream.applyBatch(shingleRows(gated), "shingle",
-      sketchDir(stateDir), batchId, gd, gw)
+    phased("shingle_sketch") {
+      val (gd, gw) = graft.streaming.SketchStream
+        .geometry(spark, sketchDir(stateDir)).getOrElse((4, 1024))
+      graft.streaming.SketchStream.applyBatch(shingleRows(gated), "shingle",
+        sketchDir(stateDir), batchId, gd, gw)
+    }
 
-    DeltaManifest.applyBatch(arrivals, evalDocs, evalSources, stateDir,
-      batchId, minQualityBps, contamThreshold, rates, defaultRate,
-      capacity, shards, labelsDir = Some(labelsDir(stateDir)),
-      shingleSketchDir = Some(sketchDir(stateDir)),
-      hotShingleDf = hotShingleDf, preStaged = true)
+    phased("delta_manifest") {
+      DeltaManifest.applyBatch(arrivals, evalDocs, evalSources, stateDir,
+        batchId, minQualityBps, contamThreshold, rates, defaultRate,
+        capacity, shards, labelsDir = Some(labelsDir(stateDir)),
+        shingleSketchDir = Some(sketchDir(stateDir)),
+        hotShingleDf = hotShingleDf, preStaged = true)
+    }
   }
 
   /** Fold every signature batch partition into ONE, keyed by the max
@@ -204,6 +228,20 @@ object IngestPipeline {
     * as it saw the individual batches — identical pairs before and after
     * (IngestPipelineSpec).
     */
+  /** Compact EVERY ingest state log in one offline call: the signature
+    * log ([[compactSignatures]]), the [[DeltaManifest]] logs
+    * (hashes/totals/manifest), and the shingle-DF counter log
+    * ([[graft.streaming.SketchStream.compact]] — geometry preserved).
+    * The cluster store needs nothing: it is a bounded swap-store, not a
+    * batch log. Same offline rule as each piece: no tick writing, no
+    * folded id replayable.
+    */
+  def compactAll(spark: SparkSession, stateDir: String): Unit = {
+    compactSignatures(spark, stateDir)
+    DeltaManifest.compact(spark, stateDir)
+    graft.streaming.SketchStream.compact(spark, sketchDir(stateDir))
+  }
+
   def compactSignatures(spark: SparkSession, stateDir: String): Unit = {
     val dir = sigDir(stateDir)
     val p = new org.apache.hadoop.fs.Path(dir)

@@ -134,15 +134,27 @@ class IngestPipelineSpec extends AnyFunSuite {
     }
     val plain = seedAndTick1()
     val compacted = seedAndTick1()
-    IngestPipeline.compactSignatures(spark, compacted)
-    // the fold really happened: one batch= dir remains
+    // fold EVERY state log — signatures, hashes, totals, manifest, and
+    // the shingle counter log — in the one-call maintenance entry
+    IngestPipeline.compactAll(spark, compacted)
+    // the folds really happened: one batch= dir remains in each log
     val fs = new org.apache.hadoop.fs.Path(compacted)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val batchDirs = fs.listStatus(
-        new org.apache.hadoop.fs.Path(s"$compacted/signatures"))
-      .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
-    assert(batchDirs == Seq("batch=1"),
-      s"expected the log folded into batch=1, got $batchDirs")
+    def batchDirs(sub: String): Seq[String] = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$compacted/$sub"))
+      .map(_.getPath.getName).filter(_.startsWith("batch")).toSeq.sorted
+    assert(batchDirs("signatures") == Seq("batch=1"),
+      s"signatures not folded: ${batchDirs("signatures")}")
+    assert(batchDirs("hashes") == Seq("batch=1"),
+      s"hashes not folded: ${batchDirs("hashes")}")
+    assert(batchDirs("totals") == Seq("batch=1"),
+      s"totals not folded: ${batchDirs("totals")}")
+    assert(batchDirs("manifest") == Seq("batch=1"),
+      s"manifest not folded: ${batchDirs("manifest")}")
+    // the manifest read survives the fold as-is
+    assert(ids(DeltaManifest.readManifest(spark, compacted)) ==
+      ids(DeltaManifest.readManifest(spark, plain)),
+      "compaction must not change the manifest read")
     val dPlain = rows(tick(b2, plain, 2L))
     val dCompacted = rows(tick(b2, compacted, 2L))
     assert(dCompacted == dPlain,
