@@ -63,5 +63,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("double_sort_key",
         "double_sort_key(x double) - order-preserving 64-bit integer key of a double (quantile-sketch bucketing)"),
       (args: Seq[Expression]) => DoubleSortKey(args.head)))
+
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize",
+        "nfc_normalize(string) - Unicode NFC canonicalization (byte-normalize before exact dedup)"),
+      (args: Seq[Expression]) => NfcNormalize(args.head)))
   }
 }

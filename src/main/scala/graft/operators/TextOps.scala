@@ -18,6 +18,18 @@ object TextOps {
     */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Canonical form for byte-keyed dedup: Unicode NFC (native expression,
+    * [[graft.functions.NfcNormalize]]) → lowercase → whitespace runs
+    * collapsed to one space → trim. Two visibly-identical documents that
+    * differ only in composition form, case, or spacing canonicalize to
+    * the same bytes — the standard pre-hash pass of a corpus dedup.
+    * DuckDB twin (oracle x52): `trim(regexp_replace(lower(
+    * nfc_normalize(text)), '\s+', ' ', 'g'))`.
+    */
+  def canonicalize(text: Column): Column =
+    trim(regexp_replace(lower(
+      graft.functions.TextNormCol.nfcNormalize(text)), "\\s+", " "))
+
   /** BPE-ish tokenizer: lowercase word pieces + digits + punctuation as
     * separate tokens (regex split keeping it deterministic).
     */

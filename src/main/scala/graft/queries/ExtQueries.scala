@@ -441,6 +441,27 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // canonical-form exact dedup: Unicode NFC (native codegen'd
+    // expression) → lower → whitespace-collapse → trim BEFORE the byte
+    // hash, so visibly-identical docs differing only in composition
+    // form, case, or spacing collapse into one group — the standard
+    // pre-hash canonicalization of a corpus dedup (x1 is the raw-byte
+    // twin). Output: per canonical group, the min-id survivor and the
+    // member count; md5 of the canonical form crosses the hash gate
+    // (the fixture is ASCII, where NFC is the identity on BOTH engines;
+    // the non-ASCII NFC behavior is spec-proven on planted combining-
+    // character strings in TextNormSpec).
+    "x52_canonical_dedup" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(graft.operators.TextOps.canonicalize(col("text"))).as("ck"))
+        .groupBy("ck")
+        .agg(min("doc_id").as("doc_id"),
+          count(lit(1)).as("n_members"))
+        .select("doc_id", "ck", "n_members")
+        .orderBy("doc_id")
+    }),
+
     // x47's STATE-DRIVEN twin (judge r10 #4): the same top-25%-per-lang
     // continuous-score gate, but the threshold comes from a PERSISTED
     // QuantileStream counter log — seeded here over three deterministic
@@ -1687,6 +1708,15 @@ object ExtQueries {
               FROM scored)
             SELECT doc_id, lang
             FROM ranked WHERE rk * 4 <= n_lang * 1 ORDER BY doc_id""",
+
+      "x52_canonical_dedup" ->
+        s"""SELECT min(doc_id) AS doc_id, ck, CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(lower(nfc_normalize(text)),
+                                             '\\s+', ' ', 'g'))) AS ck
+              FROM documents)
+            GROUP BY ck ORDER BY doc_id""",
 
       // identical oracle to x47 by design: the persisted-log threshold
       // equals the rebuilt-sketch threshold (counter addition is exact),
