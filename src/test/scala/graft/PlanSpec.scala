@@ -367,4 +367,24 @@ class PlanSpec extends AnyFunSuite {
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!readSchema.contains("o_orderstatus"), readSchema)
   }
+
+  test("x52: canonical dedup prunes to (doc_id, text), aggregates two-phase, codegen'd nfc") {
+    val df = SparkEntry.queries("x52_canonical_dedup")(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen stages render
+    val p = df.queryExecution.executedPlan.toString
+    // the canonicalize → md5 pass must read ONLY the two columns it
+    // uses — a scan dragging lang/source/n_chars along reads 100 TB of
+    // bytes it immediately drops
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), readSchema)
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"),
+      readSchema)
+    // map-side partial agg on the canonical key (shuffle carries one row
+    // per distinct canonical form per task, not the corpus)
+    assert(p.contains("partial"), p)
+    // the native NfcNormalize sits inside a whole-stage-codegen span
+    val nfcLine = p.linesIterator.find(_.contains("nfc_normalize"))
+    assert(nfcLine.exists(_.contains("*(")),
+      s"nfc_normalize not codegen'd:\n$p")
+  }
 }
