@@ -242,6 +242,33 @@ object IngestPipeline {
     graft.streaming.SketchStream.compact(spark, sketchDir(stateDir))
   }
 
+  /** The size-based trigger a resident process calls at tick boundaries:
+    * run [[compactAll]] only once the signature log (the proxy for every
+    * log's batch count — they grow in lockstep, one partition per tick)
+    * holds more than `maxBatches` batch partitions. Returns whether
+    * compaction ran. The OFFLINE precondition is still the caller's:
+    * call between ticks, never concurrently with one, and only when no
+    * batch id at-or-below the current high-water mark can replay.
+    *
+    * Sizing `maxBatches`: compaction rewrites the whole log (O(corpus)),
+    * a tick reads ≤ `maxBatches` × its own prefix buckets — so the dial
+    * trades one periodic full rewrite against per-tick file listing.
+    * 64 keeps listing bounded (≤ 64 × 256 files per probe) while the
+    * rewrite stays rarer than daily at hourly ticks.
+    */
+  def compactIfNeeded(spark: SparkSession, stateDir: String,
+      maxBatches: Int = 64): Boolean = {
+    require(maxBatches >= 1, s"maxBatches: $maxBatches")
+    val p = new org.apache.hadoop.fs.Path(sigDir(stateDir))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val nBatches =
+      if (fs.exists(p))
+        fs.listStatus(p).count(_.getPath.getName.startsWith("batch="))
+      else 0
+    if (nBatches > maxBatches) { compactAll(spark, stateDir); true }
+    else false
+  }
+
   def compactSignatures(spark: SparkSession, stateDir: String): Unit = {
     val dir = sigDir(stateDir)
     val p = new org.apache.hadoop.fs.Path(dir)

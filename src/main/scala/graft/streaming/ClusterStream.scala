@@ -55,7 +55,25 @@ object ClusterStream {
       .getFileSystem(spark.sessionState.newHadoopConf())
     rollForward(fs, labelsDir)
     val newEdges = batch.select(col("doc_a"), col("doc_b"))
-    if (!newEdges.isEmpty) {
+    if (newEdges.isEmpty) {
+      // a pair-less batch must still INITIALIZE a missing store: the
+      // labeling of an empty pair graph is the empty labeling, and a
+      // downstream reader (DeltaManifest.applyBatch's near-dup drop)
+      // correctly requires the store to EXIST after the pair feed ran —
+      // without this, the first tick of a corpus with no near-dups
+      // crashed the whole ingest (found by the compactIfNeeded spec).
+      // An empty batch over an EXISTING store stays a no-op.
+      val store = new org.apache.hadoop.fs.Path(labelsDir)
+      if (!fs.exists(store)) {
+        val next = new org.apache.hadoop.fs.Path(labelsDir + ".next")
+        if (fs.exists(next)) fs.delete(next, true)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "doc_id BIGINT, cluster_id BIGINT"))
+          .write.mode("overwrite").parquet(next.toString)
+        fs.rename(next, store)
+      }
+    } else {
       val store = new org.apache.hadoop.fs.Path(labelsDir)
       val next = new org.apache.hadoop.fs.Path(labelsDir + ".next")
       val edges =

@@ -75,4 +75,19 @@ class ClusterStreamSpec extends AnyFunSuite {
     ClusterStream.applyBatch(Seq((7L, 8L)).toDF("doc_a", "doc_b"), labelsDir)
     assert(labels(labelsDir) == before)
   }
+
+  test("a pair-less FIRST batch initializes an empty store (no-near-dup ingest)") {
+    // regression: a corpus whose first tick finds no near-dup pairs used
+    // to leave the store absent, and DeltaManifest.applyBatch's
+    // readLabels crashed the whole ingest — the labeling of an empty
+    // pair graph is the EMPTY labeling, and it must exist on disk
+    val base = java.nio.file.Files.createTempDirectory("cluster-stream3").toString
+    val labelsDir = s"$base/labels"
+    ClusterStream.applyBatch(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"), labelsDir)
+    assert(ClusterStream.readLabels(spark, labelsDir).count() == 0)
+    // later pairs build on the empty store normally
+    ClusterStream.applyBatch(Seq((7L, 8L)).toDF("doc_a", "doc_b"), labelsDir)
+    assert(labels(labelsDir) == Map(7L -> 7L, 8L -> 7L))
+  }
 }

@@ -164,6 +164,26 @@ class IngestPipelineSpec extends AnyFunSuite {
       "manifests must agree after ticking over the compacted log")
   }
 
+  test("compactIfNeeded triggers on batch count and is a no-op below it") {
+    val base = java.nio.file.Files.createTempDirectory("ingest-cin").toString
+    val state = initState(base)
+    tick(mkDocs(Seq((101L, body(101), "en", "src1"))), state, 1L)
+    // 2 batch partitions (seed 0 + tick 1) — above a threshold of 1,
+    // below a threshold of 10
+    assert(!IngestPipeline.compactIfNeeded(spark, state, maxBatches = 10),
+      "must not compact below the threshold")
+    assert(IngestPipeline.compactIfNeeded(spark, state, maxBatches = 1),
+      "must compact above the threshold")
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val sigBatches = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$state/signatures"))
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
+    assert(sigBatches == Seq("batch=1"), s"got $sigBatches")
+    // idempotent afterwards: one folded partition sits at the threshold
+    assert(!IngestPipeline.compactIfNeeded(spark, state, maxBatches = 1))
+  }
+
   test("a replayed tick overwrites itself: same delta, same state") {
     val base = java.nio.file.Files.createTempDirectory("ingest-rep").toString
     val state = initState(base)
