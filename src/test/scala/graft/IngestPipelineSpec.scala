@@ -184,6 +184,28 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(!IngestPipeline.compactIfNeeded(spark, state, maxBatches = 1))
   }
 
+  test("a tick with NO near-dup pairs and a tick gated to EMPTY both complete") {
+    // two production-shaped edges: (1) the first tick's batch contains no
+    // near-duplicates at all — the pair feed must still initialize the
+    // cluster store (the ClusterStream empty-batch regression); (2) a
+    // batch whose every arrival fails the quality gate stages an EMPTY
+    // frame — every downstream state append must no-op, not crash
+    val base = java.nio.file.Files.createTempDirectory("ingest-edge").toString
+    val state = initState(base)
+    // no pairs: one original doc, nothing near-dups it
+    val d1 = tick(mkDocs(Seq((101L, body(101), "en", "src1"))), state, 1L)
+    assert(ids(d1) == Set(101L))
+    // every survivor dropped: the lone arrival is an exact dup of prior
+    // doc 2, so the hash-log anti-join empties the batch and every
+    // downstream stage (labels join, sample, packing, delta append) runs
+    // over zero rows
+    val d2 = tick(mkDocs(Seq((102L, body(2), "en", "src1"))), state, 2L)
+    assert(ids(d2).isEmpty, s"an all-deduped tick must yield an empty delta")
+    // state stays consistent: a later normal tick still works
+    val d3 = tick(mkDocs(Seq((103L, body(103), "zh", "src1"))), state, 3L)
+    assert(ids(d3) == Set(103L))
+  }
+
   test("a replayed tick overwrites itself: same delta, same state") {
     val base = java.nio.file.Files.createTempDirectory("ingest-rep").toString
     val state = initState(base)
