@@ -8,7 +8,14 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.build("graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev loop only: SPARK_GRAFT_VERIFY_ONLY=x53_pq_ann,x34_ann_recall
+    // restricts the dump to named queries (the driver sets nothing and
+    // gets the full inventory)
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    def keep(name: String): Boolean = only.forall(_.contains(name))
+    SparkEntry.queries.filter(e => keep(e._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -43,7 +50,7 @@ object Verify {
     // fixed /tmp path two concurrent drivers could collide on (judge r9)
     val sfName = new java.io.File(sfDir).getName
     val artRoot = graft.operators.StageIO.artifactRootLocal(spark)
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(e => keep(e._1))
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__GRAFT_SF__", sfName)
         .replace("__GRAFT_ART__", artRoot))}" }
       .mkString("{", ",", "}")

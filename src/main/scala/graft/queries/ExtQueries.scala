@@ -76,6 +76,12 @@ object ExtQueries {
   // SimilarityOps.cosine/signBucket — edited in lockstep with those
   private def ddbCos(a: String, b: String) =
     s"${ddbDot(a, b)} / (sqrt(${ddbNorm2(a)}) * sqrt(${ddbNorm2(b)}))"
+  // x53/x54 PQ geometry: m subspaces over dim-64 vectors, size/m each
+  private val pqM = 16
+  private val pqSub = 4
+  // exact squared-L2 twin of PqOps.dist2 (left-to-right double sum)
+  private def ddbDist2(a: String, b: String) =
+    ddbSum(s"list_transform(list_zip($a,$b), z -> (CAST(z[1] AS DOUBLE)-CAST(z[2] AS DOUBLE))*(CAST(z[1] AS DOUBLE)-CAST(z[2] AS DOUBLE)))")
   private def ddbBucketN(v: String, bits: Int) = (0 until bits).map(i =>
     s"(CASE WHEN $v[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
   private def ddbBucket(v: String) = ddbBucketN(v, 8)
@@ -735,6 +741,50 @@ object ExtQueries {
         .unionAll(score("ivf_np2",
           SimilarityOps.topKIvfBatch(emb, "vec_id", "embedding",
             queries, "qid", "qv", cents, 5, nprobe = 2,
+            excludeSelf = true)))
+        .orderBy("method")
+    }),
+
+    // product-quantization ANN under the recall gate: train m=16 × k=64
+    // sub-codebooks (persisted — the artifact the oracle replays encode +
+    // ADC from, like x14b's centroids), encode the corpus to 16 6-bit
+    // codes (12 bytes vs the raw 256 — the compressed-domain scan is the
+    // 100 TB story), then measure recall@5 of the pure ADC scan and of
+    // ADC-shortlist-50 + exact rerank against exact squared-L2 truth
+    // over a 20-query batch. The codes travel through pack→unpack, so the
+    // row actually exercises the STORED packed shape end to end. Measured
+    // on this unclustered fixture (the quantizer worst case, see
+    // AnnRecallSpec): adc ≈ 0.6, rerank ≈ 0.95+.
+    "x53_pq_ann" -> ((s, d) => {
+      import graft.queries.Det.round4Rat
+      import graft.operators.PqOps
+      val emb = Tables.embeddings(s, d)
+      val m = 16; val kcw = 64
+      val cbDir = s"${graft.operators.StageIO.artifactRoot(s)}" +
+        s"/pq_codebook/${new java.io.File(d).getName}"
+      PqOps.pqTrain(emb, "vec_id", "embedding", m, kcw, iters = 2)
+        .coalesce(1).write.mode("overwrite").parquet(cbDir)
+      val cb = s.read.parquet(cbDir)
+      val codes = PqOps.unpack(
+        PqOps.pack(PqOps.pqEncode(emb, "vec_id", "embedding", cb, m), "vec_id"),
+        "vec_id")
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val truth = PqOps.l2TopKBatch(emb, "vec_id", "embedding",
+        queries, "qid", "qv", 5, excludeSelf = true)
+      def score(name: String, approx: org.apache.spark.sql.DataFrame) =
+        SimilarityOps.recallAtK(truth, approx.select("qid", "vec_id"), "qid", "vec_id")
+          .agg(sum("hits").as("h"), sum("n_truth").as("n"))
+          .select(lit(name).as("method"),
+            col("h").cast("long").as("hits"),
+            col("n").cast("long").as("n_truth"),
+            round4Rat(col("h"), col("n")).as("recall"))
+      score("pq_adc",
+          PqOps.adcTopKBatch(codes, "vec_id", queries, "qid", "qv",
+            cb, m, 5, excludeSelf = true))
+        .unionAll(score("pq_adc_rerank",
+          PqOps.adcRerankTopKBatch(emb, "vec_id", "embedding", codes,
+            queries, "qid", "qv", cb, m, 5, shortlist = 50,
             excludeSelf = true)))
         .orderBy("method")
     }),
@@ -2373,6 +2423,96 @@ object ExtQueries {
               FROM nt)
             ORDER BY method"""
       },
+
+      // PQ replayed from the persisted codebook artifact (training is NOT
+      // re-run — the parquet is the shared input, the x14b pattern):
+      // encode = per-(vector, subspace) argmin over codewords, ADC = the
+      // sub_id-ordered sum of the query's LUT lookups, truth/rerank =
+      // exact squared-L2; every ordering ties on ids. pqM/pqSub are in
+      // lockstep with the Spark side's m=16 over dim 64 (size/m = 4).
+      "x53_pq_ann" ->
+        s"""WITH cb AS (
+              SELECT sub_id, code_id, cw
+              FROM read_parquet('__GRAFT_ART__/pq_codebook/__GRAFT_SF__/*.parquet')),
+            q AS (
+              SELECT vec_id AS qid, embedding AS qv FROM embeddings
+              WHERE vec_id < 20),
+            truth AS (
+              SELECT qid, vec_id FROM (
+                SELECT q.qid, e.vec_id,
+                       row_number() OVER (PARTITION BY q.qid
+                         ORDER BY ${ddbDist2("e.embedding", "q.qv")} ASC,
+                           e.vec_id) AS rn
+                FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+              WHERE rn <= 5),
+            subs AS (
+              SELECT vec_id, s.sub_id,
+                     embedding[s.sub_id*$pqSub+1 : s.sub_id*$pqSub+$pqSub] AS sv
+              FROM embeddings, (SELECT unnest(range($pqM)) AS sub_id) s),
+            codes AS (
+              SELECT vec_id, sub_id, code_id FROM (
+                SELECT t.vec_id, t.sub_id, c.code_id,
+                       row_number() OVER (PARTITION BY t.vec_id, t.sub_id
+                         ORDER BY ${ddbDist2("t.sv", "c.cw")} ASC,
+                           c.code_id) AS rn
+                FROM subs t JOIN cb c ON t.sub_id = c.sub_id)
+              WHERE rn = 1),
+            qsubs AS (
+              SELECT qid, s.sub_id,
+                     qv[s.sub_id*$pqSub+1 : s.sub_id*$pqSub+$pqSub] AS sv
+              FROM q, (SELECT unnest(range($pqM)) AS sub_id) s),
+            lut AS (
+              SELECT t.qid, t.sub_id, c.code_id,
+                     ${ddbDist2("t.sv", "c.cw")} AS d
+              FROM qsubs t JOIN cb c ON t.sub_id = c.sub_id),
+            adc AS (
+              SELECT l.qid, cd.vec_id,
+                     list_reduce(list(l.d ORDER BY l.sub_id),
+                       (x,y) -> x+y) AS adist
+              FROM codes cd JOIN lut l
+                ON cd.sub_id = l.sub_id AND cd.code_id = l.code_id
+              WHERE cd.vec_id <> l.qid
+              GROUP BY l.qid, cd.vec_id),
+            pq AS (
+              SELECT qid, vec_id FROM (
+                SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                         ORDER BY adist ASC, vec_id) AS rn
+                FROM adc)
+              WHERE rn <= 5),
+            shortl AS (
+              SELECT qid, vec_id FROM (
+                SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                         ORDER BY adist ASC, vec_id) AS rn
+                FROM adc)
+              WHERE rn <= 50),
+            rerank AS (
+              SELECT qid, vec_id FROM (
+                SELECT sl.qid, sl.vec_id,
+                       row_number() OVER (PARTITION BY sl.qid
+                         ORDER BY ${ddbDist2("e.embedding", "q.qv")} ASC,
+                           sl.vec_id) AS rn
+                FROM shortl sl JOIN embeddings e ON sl.vec_id = e.vec_id
+                               JOIN q ON sl.qid = q.qid)
+              WHERE rn <= 5),
+            nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+            SELECT method, hits, n_truth,
+                   ((hits * 20000 + n_truth) // (2 * NULLIF(n_truth, 0)))
+                     / 10000.0 AS recall
+            FROM (
+              SELECT 'pq_adc' AS method,
+                     CAST((SELECT COUNT(*) FROM truth t
+                           JOIN pq x ON t.qid = x.qid
+                            AND t.vec_id = x.vec_id) AS BIGINT) AS hits,
+                     n_truth
+              FROM nt
+              UNION ALL
+              SELECT 'pq_adc_rerank',
+                     CAST((SELECT COUNT(*) FROM truth t
+                           JOIN rerank x ON t.qid = x.qid
+                            AND t.vec_id = x.vec_id) AS BIGINT),
+                     n_truth
+              FROM nt)
+            ORDER BY method""",
 
       "x22_stratified_sample" ->
         """SELECT doc_id, lang, source FROM (
