@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A persisted, incrementally-maintained IVF-PQ index over an embedding
+  * column — the similarity-surface twin of [[IngestPipeline]]: a resident
+  * process trains the quantizers ONCE on a seed batch, then each arrival
+  * tick appends compressed postings to the cell it belongs to; queries
+  * probe only their cells' partitions. The FAISS IVFADC layout, expressed
+  * as parquet + Catalyst instead of a custom file format.
+  *
+  * State under `base` (an artifact dir — the oracle replays from it):
+  *  - `centroids/`  (cent_id, cv): the coarse quantizer, a seeded KMeans
+  *    fit on the seed batch. FROZEN after init — retraining would silently
+  *    invalidate every already-written posting's cell assignment, so a
+  *    re-train is an explicit full rebuild, never a tick.
+  *  - `pq_codebook/` (sub_id, code_id, cw): [[PqOps.pqTrain]] sub-codebooks,
+  *    frozen for the same reason.
+  *  - `postings/cell=N/` (id, codes): hive-partitioned by cell, PQ codes
+  *    only — m·log2(k) bits per vector, no raw vectors. Ticks APPEND new
+  *    files into their cells; nothing existing is rewritten, so a tick
+  *    costs O(arrivals), not O(index).
+  *
+  * At 100 TB: the postings table is ~32× smaller than the vectors, the
+  * per-tick write is one broadcast-assign + broadcast-encode pass over
+  * the arrivals, and a probe is a PARTITION-PRUNED scan of nprobe cells
+  * per query (the scan's PartitionFilters prove it — AnnIndexSpec
+  * asserts so) doing 8-byte ADC lookups, never touching raw vectors.
+  * Metric is squared L2 end to end (assignment, codebook, ADC), matching
+  * [[PqOps]].
+  */
+object AnnIndex {
+
+  def centroidsDir(base: String): String = s"$base/centroids"
+  def codebookDir(base: String): String  = s"$base/pq_codebook"
+  def postingsDir(base: String): String  = s"$base/postings"
+
+  private def deleteDir(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Nearest-centroid cell by exact squared L2, tie → lower cent_id.
+    * `cents` is (cent_id, cv), broadcast-sized. Returns the input plus a
+    * `cell` column (one broadcast pass, map-side-combined argmin).
+    */
+  def assignCells(emb: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame =
+    emb.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .withColumn("_d", PqOps.dist2(col(vecCol), col("cv")))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("_d"), col("cent_id"), col(vecCol))).as("_m"))
+      .select(col(idCol), col("_m").getField(vecCol).as(vecCol),
+        col("_m.cent_id").cast("int").as("cell"))
+
+  /** Build the index: train both quantizers on `seed` (and only on it),
+    * reset the postings, and ingest the seed as the first batch. KMeans
+    * centroids use the fixed `seed` arg, so init is reproducible; the PQ
+    * codebook's deterministic-init Lloyd's comes from [[PqOps.pqTrain]].
+    */
+  def init(spark: SparkSession, seedEmb: DataFrame, idCol: String,
+      vecCol: String, base: String, kCells: Int, m: Int, kCodewords: Int,
+      kmSeed: Long = 42L, pqIters: Int = 2): Unit = {
+    val cents = SimilarityOps.trainCentroids(seedEmb, vecCol, kCells, kmSeed)
+    cents.coalesce(1).write.mode("overwrite").parquet(centroidsDir(base))
+    PqOps.pqTrain(seedEmb, idCol, vecCol, m, kCodewords, pqIters)
+      .coalesce(1).write.mode("overwrite").parquet(codebookDir(base))
+    // postings are append-only from here on — a stale dir from a prior
+    // build would double every vector, so the reset is part of init
+    deleteDir(spark, postingsDir(base))
+    appendBatch(spark, seedEmb, idCol, vecCol, base)
+  }
+
+  /** One ingest tick: assign arrivals to their (frozen) cells, encode to
+    * PQ codes, append into the cell partitions. O(arrivals) work and
+    * O(arrivals) bytes written; existing postings files are untouched.
+    */
+  def appendBatch(spark: SparkSession, emb: DataFrame, idCol: String,
+      vecCol: String, base: String): Unit = {
+    val cents = spark.read.parquet(centroidsDir(base))
+    val cb = spark.read.parquet(codebookDir(base))
+    val m = cb.select("sub_id").distinct().count().toInt // broadcast-sized
+    val assigned = assignCells(emb, idCol, vecCol, cents)
+    val codes = PqOps.pack(
+      PqOps.pqEncode(assigned, idCol, vecCol, cb, m), idCol)
+    assigned.select(col(idCol), col("cell")).join(codes, Seq(idCol))
+      .write.mode("append").partitionBy("cell").parquet(postingsDir(base))
+  }
+
+  /** Batch probe: each query picks its `nprobe` nearest cells (exact L2
+    * against the broadcast centroid table), the postings scan is pruned to
+    * the union of probed cells (`cell IN (...)` over the partition column —
+    * a LIST-PRUNED scan, asserted in AnnIndexSpec), candidates meet their
+    * query on the cell equi-join, and ranking is pure compressed-domain
+    * ADC. Returns (qidCol, idCol, cell, adist) — top `k` per query, adist
+    * ascending, ties on id. The driver-side collect is the probe set
+    * itself (≤ queries·nprobe cell ids), the same bounded-collect
+    * discipline as the bloom filter's bit array.
+    */
+  def probe(spark: SparkSession, queries: DataFrame, qidCol: String,
+      qvecCol: String, base: String, idCol: String, k: Int, nprobe: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    val cents = spark.read.parquet(centroidsDir(base))
+    val cb = spark.read.parquet(codebookDir(base))
+    val m = cb.select("sub_id").distinct().count().toInt
+    val byQ = org.apache.spark.sql.expressions.Window
+      .partitionBy(qidCol).orderBy(col("_d").asc, col("cent_id"))
+    val qcells = queries.crossJoin(broadcast(cents))
+      .withColumn("_d", PqOps.dist2(col(qvecCol), col("cv")))
+      .withColumn("_rn", row_number().over(byQ))
+      .filter(col("_rn") <= nprobe)
+      .select(col(qidCol), col("cent_id").cast("int").as("cell"))
+    val probed: Array[Int] =
+      qcells.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val postings = spark.read.parquet(postingsDir(base))
+      .filter(col("cell").isin(probed.map(Int.box): _*))
+    val candCodes = postings
+      .join(broadcast(qcells), Seq("cell"))
+      .select(col(qidCol), col("cell"), col(idCol), posexplode(col("codes")))
+      .select(col(qidCol), col("cell"), col(idCol),
+        col("pos").cast("int").as("sub_id"),
+        col("col").cast("int").as("code_id"))
+    val lut = PqOps.adcLut(queries, qidCol, qvecCol, cb, m)
+    val cand = candCodes
+      .join(broadcast(lut), Seq(qidCol, "sub_id", "code_id"))
+      .filter(if (excludeSelf) col(idCol) =!= col(qidCol) else lit(true))
+    PqOps.adcTail(cand, qidCol, idCol, k, carry = Seq("cell"))
+  }
+}

@@ -789,6 +789,35 @@ object ExtQueries {
         .orderBy("method")
     }),
 
+    // the similarity-surface ingest tick: a persisted IVF-PQ index built
+    // once on a seed batch (frozen quantizers), extended by two
+    // O(arrivals) append ticks into cell partitions, then probed — each
+    // query reads only its nprobe=2 cells (a partition-PRUNED scan,
+    // asserted from the executed plan in AnnIndexSpec) and ranks by
+    // compressed-domain ADC. The oracle replays assignment + encode +
+    // probe from the persisted centroid/codebook artifacts over the full
+    // corpus: ticks must be invisible in the result (incremental ≡
+    // rebuild, the x48 discipline on the similarity surface).
+    "x54_ann_index_probe" -> ((s, d) => {
+      import graft.operators.AnnIndex
+      val emb = Tables.embeddings(s, d)
+      val base = s"${graft.operators.StageIO.artifactRoot(s)}" +
+        s"/ann_index/${new java.io.File(d).getName}"
+      AnnIndex.init(s, emb.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", base, kCells = 8, m = 16, kCodewords = 64)
+      AnnIndex.appendBatch(s, emb.filter(col("vec_id") % 3 === 1),
+        "vec_id", "embedding", base)
+      AnnIndex.appendBatch(s, emb.filter(col("vec_id") % 3 === 2),
+        "vec_id", "embedding", base)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      AnnIndex.probe(s, queries, "qid", "qv", base, "vec_id", 5,
+          nprobe = 2, excludeSelf = true)
+        .select(col("qid"), col("vec_id"), col("cell"),
+          round(col("adist"), 4).as("adist"))
+        .orderBy("qid", "vec_id")
+    }),
+
     // deterministic stratified sampling: downsample over-represented
     // languages (en 40 %, zh 80 %, rest 60 %) with md5-decided membership.
     "x22_stratified_sample" -> ((s, d) => {
@@ -2513,6 +2542,76 @@ object ExtQueries {
                      n_truth
               FROM nt)
             ORDER BY method""",
+
+      // the IVF-PQ index replayed from its persisted quantizer artifacts:
+      // cell assignment (argmin L2 to the frozen centroids, tie → lower
+      // cell), PQ encode, nprobe=2 query cells, ADC over candidates whose
+      // cell is probed by that query — over the FULL corpus, so the Spark
+      // side's three append ticks must produce exactly this
+      "x54_ann_index_probe" ->
+        s"""WITH cents AS (
+              SELECT CAST(cent_id AS INT) AS cell, cv
+              FROM read_parquet('__GRAFT_ART__/ann_index/__GRAFT_SF__/centroids/*.parquet')),
+            cb AS (
+              SELECT sub_id, code_id, cw
+              FROM read_parquet('__GRAFT_ART__/ann_index/__GRAFT_SF__/pq_codebook/*.parquet')),
+            q AS (
+              SELECT vec_id AS qid, embedding AS qv FROM embeddings
+              WHERE vec_id < 10),
+            assigned AS (
+              SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY ${ddbDist2("e.embedding", "c.cv")} ASC,
+                           c.cell) AS rn
+                FROM embeddings e CROSS JOIN cents c)
+              WHERE rn = 1),
+            subs AS (
+              SELECT vec_id, s.sub_id,
+                     embedding[s.sub_id*$pqSub+1 : s.sub_id*$pqSub+$pqSub] AS sv
+              FROM embeddings, (SELECT unnest(range($pqM)) AS sub_id) s),
+            codes AS (
+              SELECT vec_id, sub_id, code_id FROM (
+                SELECT t.vec_id, t.sub_id, c.code_id,
+                       row_number() OVER (PARTITION BY t.vec_id, t.sub_id
+                         ORDER BY ${ddbDist2("t.sv", "c.cw")} ASC,
+                           c.code_id) AS rn
+                FROM subs t JOIN cb c ON t.sub_id = c.sub_id)
+              WHERE rn = 1),
+            qsubs AS (
+              SELECT qid, s.sub_id,
+                     qv[s.sub_id*$pqSub+1 : s.sub_id*$pqSub+$pqSub] AS sv
+              FROM q, (SELECT unnest(range($pqM)) AS sub_id) s),
+            lut AS (
+              SELECT t.qid, t.sub_id, c.code_id,
+                     ${ddbDist2("t.sv", "c.cw")} AS d
+              FROM qsubs t JOIN cb c ON t.sub_id = c.sub_id),
+            qcells AS (
+              SELECT qid, cell FROM (
+                SELECT q.qid, c.cell,
+                       row_number() OVER (PARTITION BY q.qid
+                         ORDER BY ${ddbDist2("q.qv", "c.cv")} ASC,
+                           c.cell) AS rn
+                FROM q CROSS JOIN cents c)
+              WHERE rn <= 2),
+            adc AS (
+              SELECT l.qid, cd.vec_id, a.cell,
+                     list_reduce(list(l.d ORDER BY l.sub_id),
+                       (x,y) -> x+y) AS adist
+              FROM codes cd
+              JOIN assigned a ON cd.vec_id = a.vec_id
+              JOIN qcells p ON a.cell = p.cell
+              JOIN lut l ON cd.sub_id = l.sub_id
+                AND cd.code_id = l.code_id AND l.qid = p.qid
+              WHERE cd.vec_id <> p.qid
+              GROUP BY l.qid, cd.vec_id, a.cell)
+            SELECT qid, vec_id, cell, round(adist, 4) AS adist FROM (
+              SELECT qid, vec_id, cell, adist,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY adist ASC, vec_id) AS rn
+              FROM adc)
+            WHERE rn <= 5
+            ORDER BY qid, vec_id""",
 
       "x22_stratified_sample" ->
         """SELECT doc_id, lang, source FROM (

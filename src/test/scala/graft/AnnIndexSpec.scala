@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AnnIndex, PqOps, SimilarityOps}
+
+/** The incrementally-maintained IVF-PQ index: tick-count invariance
+  * (N appends ≡ 1 append — the x48/x49 incremental-equals-rebuild
+  * discipline applied to the similarity surface), the partition-pruned
+  * probe scan (asserted from the executed plan's PartitionFilters and
+  * selected-partition count, not inferred from geometry), and the
+  * nprobe recall dial.
+  */
+class AnnIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf01 = "/root/testdata/sf0.01"
+  val kCells = 8; val m = 16; val kcw = 64
+
+  lazy val emb = Tables.embeddings(spark, sf01).cache()
+  lazy val seed = emb.filter(col("vec_id") % 3 === 0)
+  lazy val b1 = emb.filter(col("vec_id") % 3 === 1)
+  lazy val b2 = emb.filter(col("vec_id") % 3 === 2)
+  lazy val queries = emb.filter(col("vec_id") < 10)
+    .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+  lazy val base: String = {
+    val dir = graft.operators.StageIO.resolve(spark, None, "annix")
+    AnnIndex.init(spark, seed, "vec_id", "embedding", dir, kCells, m, kcw)
+    AnnIndex.appendBatch(spark, b1, "vec_id", "embedding", dir)
+    AnnIndex.appendBatch(spark, b2, "vec_id", "embedding", dir)
+    dir
+  }
+
+  private def probe(nprobe: Int, dir: String = base) =
+    AnnIndex.probe(spark, queries, "qid", "qv", dir, "vec_id", 5, nprobe,
+      excludeSelf = true)
+
+  test("two ticks ≡ one tick: probe results identical either way") {
+    val once = graft.operators.StageIO.resolve(spark, None, "annix1")
+    AnnIndex.init(spark, seed, "vec_id", "embedding", once, kCells, m, kcw)
+    AnnIndex.appendBatch(spark, b1.unionAll(b2), "vec_id", "embedding", once)
+    val a = probe(2).orderBy("qid", "vec_id").collect()
+    val b = probe(2, once).orderBy("qid", "vec_id").collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.nonEmpty)
+  }
+
+  test("the index holds every ingested vector exactly once, in one cell") {
+    val postings = spark.read.parquet(AnnIndex.postingsDir(base))
+    assert(postings.count() === emb.count())
+    assert(postings.groupBy("vec_id").count()
+      .filter(col("count") =!= 1).count() === 0)
+    assert(postings.filter(size(col("codes")) =!= m).count() === 0)
+  }
+
+  test("probe scan is partition-pruned to the probed cells") {
+    val df = probe(2)
+    df.collect()
+    // AQE nests the real operators inside query stages
+    // (ResultQueryStageExec.plan etc.), which TreeNode.collect does not
+    // enter — expand them explicitly
+    def expand(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      p +: kids.flatMap(expand)
+    }
+    val scans = expand(df.queryExecution.executedPlan).collect {
+      case s: FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("postings")) => s
+    }
+    assert(scans.nonEmpty, "no postings scan in the probe plan")
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "cell")),
+      s"no cell partition filter: ${scan.partitionFilters}")
+    // the scan must select strictly fewer partitions than the index has
+    // cells — the probe reads the probe set, not the index
+    val selected =
+      scan.relation.location.listFiles(scan.partitionFilters, Nil).length
+    assert(selected < kCells,
+      s"probe read $selected of $kCells cell partitions — no pruning")
+  }
+
+  test("probing every cell recovers the full-ADC result; more cells ≥ recall") {
+    val truth = PqOps.l2TopKBatch(emb, "vec_id", "embedding",
+      queries, "qid", "qv", 5, excludeSelf = true)
+    def recall(a: org.apache.spark.sql.DataFrame): Double =
+      SimilarityOps.recallAtK(truth, a.select("qid", "vec_id"),
+        "qid", "vec_id").agg(avg("recall")).head().getDouble(0)
+    val r2 = recall(probe(2))
+    val rAll = recall(probe(kCells))
+    assert(rAll >= r2 - 1e-9, s"nprobe dial broken: all=$rAll < np2=$r2")
+    assert(rAll > 0.3, s"full-probe ADC recall $rAll")
+    // and the full probe must agree with the flat ADC scan over the same
+    // codes + codebook (the index adds routing, not a different metric)
+    val cb = spark.read.parquet(AnnIndex.codebookDir(base))
+    val codes = PqOps.unpack(
+      spark.read.parquet(AnnIndex.postingsDir(base)).select("vec_id", "codes"),
+      "vec_id")
+    val flat = PqOps.adcTopKBatch(codes, "vec_id", queries, "qid", "qv",
+      cb, m, 5, excludeSelf = true)
+    val got = probe(kCells).select("qid", "vec_id", "adist")
+      .orderBy("qid", "vec_id").collect()
+    val want = flat.orderBy("qid", "vec_id").collect()
+    assert(got.toSeq === want.toSeq)
+  }
+}
