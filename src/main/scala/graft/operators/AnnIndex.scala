@@ -17,10 +17,14 @@ import org.apache.spark.sql.functions._
   *    re-train is an explicit full rebuild, never a tick.
   *  - `pq_codebook/` (sub_id, code_id, cw): [[PqOps.pqTrain]] sub-codebooks,
   *    frozen for the same reason.
-  *  - `postings/cell=N/` (id, codes): hive-partitioned by cell, PQ codes
-  *    only — m·log2(k) bits per vector, no raw vectors. Ticks APPEND new
-  *    files into their cells; nothing existing is rewritten, so a tick
-  *    costs O(arrivals), not O(index).
+  *  - `postings/batch=K/cell=N/` (id, codes): hive-partitioned by batch
+  *    then cell, PQ codes only — m·log2(k) bits per vector, no raw
+  *    vectors. Each tick writes its OWN `batch=K` dir ([[DeltaManifest]]'s
+  *    log discipline), so nothing existing is rewritten — a tick costs
+  *    O(arrivals), not O(index) — and replaying a batch id overwrites
+  *    exactly itself: the append is idempotent, which is what lets
+  *    [[graft.streaming.AnnIndexStream]] ride foreachBatch's
+  *    replay-on-failure semantics to an exactly-once index.
   *
   * At 100 TB: the postings table is ~32× smaller than the vectors, the
   * per-tick write is one broadcast-assign + broadcast-encode pass over
@@ -68,18 +72,20 @@ object AnnIndex {
     cents.coalesce(1).write.mode("overwrite").parquet(centroidsDir(base))
     PqOps.pqTrain(seedEmb, idCol, vecCol, m, kCodewords, pqIters)
       .coalesce(1).write.mode("overwrite").parquet(codebookDir(base))
-    // postings are append-only from here on — a stale dir from a prior
+    // postings accrue batch dirs from here on — a stale dir from a prior
     // build would double every vector, so the reset is part of init
     deleteDir(spark, postingsDir(base))
-    appendBatch(spark, seedEmb, idCol, vecCol, base)
+    appendBatch(spark, seedEmb, idCol, vecCol, base, batchId = 0L)
   }
 
   /** One ingest tick: assign arrivals to their (frozen) cells, encode to
-    * PQ codes, append into the cell partitions. O(arrivals) work and
-    * O(arrivals) bytes written; existing postings files are untouched.
+    * PQ codes, write them as the batch's own `batch=K` postings dir
+    * partitioned by cell. O(arrivals) work and O(arrivals) bytes written;
+    * other batches' files are untouched, and re-running the same batchId
+    * overwrites only itself (idempotent replay).
     */
   def appendBatch(spark: SparkSession, emb: DataFrame, idCol: String,
-      vecCol: String, base: String): Unit = {
+      vecCol: String, base: String, batchId: Long): Unit = {
     val cents = spark.read.parquet(centroidsDir(base))
     val cb = spark.read.parquet(codebookDir(base))
     val m = cb.select("sub_id").distinct().count().toInt // broadcast-sized
@@ -87,7 +93,37 @@ object AnnIndex {
     val codes = PqOps.pack(
       PqOps.pqEncode(assigned, idCol, vecCol, cb, m), idCol)
     assigned.select(col(idCol), col("cell")).join(codes, Seq(idCol))
-      .write.mode("append").partitionBy("cell").parquet(postingsDir(base))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"${postingsDir(base)}/batch=$batchId")
+  }
+
+  /** Fold every accumulated `batch=K` postings dir into ONE
+    * `batch=<maxId>` partition with the identical cell layout — the
+    * [[IngestPipeline.compactSignatures]] discipline for this store. A
+    * long-lived [[graft.streaming.AnnIndexStream]] grows one batch dir
+    * per tick forever, and file LISTING (not bytes) becomes the probe's
+    * dominant state-read cost; compaction is probe-equivalent (cell
+    * contents unchanged — AnnIndexSpec proves result equality) and runs
+    * offline. The swap is delete+rename with a complete `.next` built
+    * first, so a crash leaves a readable store.
+    */
+  def compactPostings(spark: SparkSession, base: String): Unit = {
+    val dir = postingsDir(base)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasFiles = fs.exists(p) && Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/batch=*/cell=*/part-*")))
+      .exists(_.nonEmpty)
+    if (hasFiles) {
+      val all = spark.read.parquet(dir)
+      val maxId = all.agg(max(col("batch").cast("long"))).head().getLong(0)
+      val next = new org.apache.hadoop.fs.Path(dir + ".next")
+      if (fs.exists(next)) fs.delete(next, true)
+      all.drop("batch").write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$next/batch=$maxId")
+      fs.delete(p, true)
+      require(fs.rename(next, p), s"compaction swap failed: $next -> $p")
+    }
   }
 
   /** Batch probe: each query picks its `nprobe` nearest cells (exact L2

@@ -53,8 +53,21 @@ case class AsOfJoin(
     "as-of join key types must match pairwise")
   require(leftTime.dataType == rightTime.dataType,
     "as-of join time columns must have the same type")
-  require(left.outputSet.intersect(right.outputSet).isEmpty,
-    "as-of join children must not share attributes (alias the right side)")
+
+  /** Children must not share attribute ids, or column binding in the exec
+    * would be ambiguous. NOT a constructor require: Catalyst transforms
+    * re-run the constructor via `withNewChildrenInternal` on intermediate
+    * trees (e.g. mid-`transformUp` states during micro-batch re-analysis),
+    * where the invariant can be transiently violated and legally restored
+    * by the rest of the rewrite — a constructor check turns those into
+    * spurious failures (observed flaky under the full streaming suite).
+    * Enforced where the plan is FINAL instead: [[AsOfJoinOps.asofJoin]]
+    * right after construction, and [[AsOfJoinStrategy]] before planning
+    * the exec.
+    */
+  def validateDisjointChildren(): Unit =
+    require(left.outputSet.intersect(right.outputSet).isEmpty,
+      "as-of join children must not share attributes (alias the right side)")
 
   // left-outer shape: every right column is nullable in the output
   override def output: Seq[Attribute] =
@@ -106,8 +119,10 @@ object AsOfJoinOps {
     for (t <- Seq(lt, rt))
       require(Seq(LongType, IntegerType, TimestampType).contains(t.dataType),
         s"as-of time column ${t.name} must be integral or timestamp, got ${t.dataType}")
-    Bridge.ofRows(spark, AsOfJoin(lplan, rplan,
+    val node = AsOfJoin(lplan, rplan,
       leftOn.map(attr(lplan, _, "left key")), rightOn.map(attr(rplan, _, "right key")),
-      lt, rt, tolerance, direction))
+      lt, rt, tolerance, direction)
+    node.validateDisjointChildren()
+    Bridge.ofRows(spark, node)
   }
 }

@@ -190,7 +190,11 @@ object AsOfJoinExec {
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tol, dir) =>
+    case j @ AsOfJoin(l, r, lk, rk, lt, rt, tol, dir) =>
+      // the point where the logical plan is final — transient
+      // mid-transform states are behind us, so the ambiguity check is
+      // meaningful here (and deliberately NOT in the node's constructor)
+      j.validateDisjointChildren()
       val conf = org.apache.spark.sql.internal.SQLConf.get
       val thresh = conf.autoBroadcastJoinThreshold
       val enabled =

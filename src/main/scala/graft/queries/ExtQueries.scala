@@ -806,9 +806,9 @@ object ExtQueries {
       AnnIndex.init(s, emb.filter(col("vec_id") % 3 === 0),
         "vec_id", "embedding", base, kCells = 8, m = 16, kCodewords = 64)
       AnnIndex.appendBatch(s, emb.filter(col("vec_id") % 3 === 1),
-        "vec_id", "embedding", base)
+        "vec_id", "embedding", base, batchId = 1L)
       AnnIndex.appendBatch(s, emb.filter(col("vec_id") % 3 === 2),
-        "vec_id", "embedding", base)
+        "vec_id", "embedding", base, batchId = 2L)
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       AnnIndex.probe(s, queries, "qid", "qv", base, "vec_id", 5,

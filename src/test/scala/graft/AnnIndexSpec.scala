@@ -27,8 +27,8 @@ class AnnIndexSpec extends AnyFunSuite {
   lazy val base: String = {
     val dir = graft.operators.StageIO.resolve(spark, None, "annix")
     AnnIndex.init(spark, seed, "vec_id", "embedding", dir, kCells, m, kcw)
-    AnnIndex.appendBatch(spark, b1, "vec_id", "embedding", dir)
-    AnnIndex.appendBatch(spark, b2, "vec_id", "embedding", dir)
+    AnnIndex.appendBatch(spark, b1, "vec_id", "embedding", dir, 1L)
+    AnnIndex.appendBatch(spark, b2, "vec_id", "embedding", dir, 2L)
     dir
   }
 
@@ -39,11 +39,21 @@ class AnnIndexSpec extends AnyFunSuite {
   test("two ticks ≡ one tick: probe results identical either way") {
     val once = graft.operators.StageIO.resolve(spark, None, "annix1")
     AnnIndex.init(spark, seed, "vec_id", "embedding", once, kCells, m, kcw)
-    AnnIndex.appendBatch(spark, b1.unionAll(b2), "vec_id", "embedding", once)
+    AnnIndex.appendBatch(spark, b1.unionAll(b2), "vec_id", "embedding",
+      once, 1L)
     val a = probe(2).orderBy("qid", "vec_id").collect()
     val b = probe(2, once).orderBy("qid", "vec_id").collect()
     assert(a.toSeq === b.toSeq)
     assert(a.nonEmpty)
+  }
+
+  test("replaying a batch id is idempotent: postings unchanged") {
+    val before = spark.read.parquet(AnnIndex.postingsDir(base))
+      .orderBy("vec_id").collect()
+    AnnIndex.appendBatch(spark, b2, "vec_id", "embedding", base, 2L)
+    val after = spark.read.parquet(AnnIndex.postingsDir(base))
+      .orderBy("vec_id").collect()
+    assert(after.toSeq === before.toSeq)
   }
 
   test("the index holds every ingested vector exactly once, in one cell") {
@@ -78,12 +88,13 @@ class AnnIndexSpec extends AnyFunSuite {
     val scan = scans.head
     assert(scan.partitionFilters.exists(_.references.exists(_.name == "cell")),
       s"no cell partition filter: ${scan.partitionFilters}")
-    // the scan must select strictly fewer partitions than the index has
-    // cells — the probe reads the probe set, not the index
+    // the scan must select strictly fewer leaf partitions (batch × cell)
+    // than the index holds — the probe reads the probe set, not the index
     val selected =
       scan.relation.location.listFiles(scan.partitionFilters, Nil).length
-    assert(selected < kCells,
-      s"probe read $selected of $kCells cell partitions — no pruning")
+    val total = scan.relation.location.listFiles(Nil, Nil).length
+    assert(selected < total,
+      s"probe read all $total postings partitions — no pruning")
   }
 
   test("probing every cell recovers the full-ADC result; more cells ≥ recall") {
@@ -108,5 +119,41 @@ class AnnIndexSpec extends AnyFunSuite {
       .orderBy("qid", "vec_id").collect()
     val want = flat.orderBy("qid", "vec_id").collect()
     assert(got.toSeq === want.toSeq)
+  }
+
+  test("streaming maintenance fills the index; probe matches batch build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = graft.operators.StageIO.resolve(spark, None, "annixs")
+    AnnIndex.init(spark, seed, "vec_id", "embedding", dir, kCells, m, kcw)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.AnnIndexStream.startIndexMaintenance(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dir, graft.operators.StageIO.resolve(spark, None, "annixs-ckpt"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    try {
+      input.addData(rows(b1)); q.processAllAvailable()
+      input.addData(rows(b2)); q.processAllAvailable()
+    } finally q.stop()
+    // quantizers are shared (same seed, frozen), so the streamed index
+    // must probe identically to the batch-built one
+    val a = probe(2, dir).orderBy("qid", "vec_id").collect()
+    val b = probe(2).orderBy("qid", "vec_id").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("compaction folds the batch dirs; probe results unchanged") {
+    val before = probe(2).orderBy("qid", "vec_id").collect()
+    AnnIndex.compactPostings(spark, base)
+    val fs = new org.apache.hadoop.fs.Path(AnnIndex.postingsDir(base))
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val batchDirs = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"${AnnIndex.postingsDir(base)}/batch=*"))
+    assert(batchDirs.length === 1, "compaction left more than one batch dir")
+    val after = probe(2).orderBy("qid", "vec_id").collect()
+    assert(after.toSeq === before.toSeq)
   }
 }
