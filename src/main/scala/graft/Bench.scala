@@ -58,7 +58,8 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // a typo'd filter would otherwise emit a clean-looking total=0 line
     // (x49_tick_only is a bench-synthesized timing, not a queries entry)
-    only.foreach(_.diff(SparkEntry.queries.keySet + "x49_tick_only").foreach(n =>
+    only.foreach(_.diff(SparkEntry.queries.keySet
+        + "x49_tick_only" + "x54_probe_only").foreach(n =>
       System.err.println(s"[bench] WARNING: SPARK_GRAFT_ONLY name '$n' matches no query")))
     var failed = List.empty[String]
     // ---- contention telemetry (judge r9): the r9 artifact showed a
@@ -151,13 +152,34 @@ object Bench {
       if (!sys.env.contains("SPARK_GRAFT_KEEP_SCRATCH"))
         graft.operators.StageIO.cleanScratch(spark)
     }
+    // ---- x54 marginal-cost split, same rationale: the composite entry
+    // re-runs quantizer training + three index builds + probe twice;
+    // the number that scales with query traffic is the PROBE against an
+    // already-built index. Build once untimed, time the probe twice.
+    if (only.forall(_.contains("x54_probe_only"))
+        && SparkEntry.queries.contains("x54_ann_index_probe")) {
+      try {
+        val base = graft.queries.ExtQueries.x54Build(spark, sfDir)
+        val run = () => {
+          graft.queries.ExtQueries.x54Probe(spark, sfDir, base).count(); ()
+        }
+        results += timeQuery("x54_probe_only", Seq(run, run))
+      } catch { case e: Throwable =>
+        failed ::= "x54_probe_only"
+        System.err.println(s"[bench] x54_probe_only build FAILED: ${e.getMessage}")
+      }
+      spark.catalog.clearCache()
+      if (!sys.env.contains("SPARK_GRAFT_KEEP_SCRATCH"))
+        graft.operators.StageIO.cleanScratch(spark)
+    }
     def fmt(sel: Timing => String) = results
       .map(r => s"\"" + r.name + "\":" + sel(r)).mkString("{", ",", "}")
     // `queries`/`value` carry the steady-state numbers (what the gate
     // compares); `queries_cold`/`total_cold` carry run-1 with its one-time
-    // planning overhead included. x49_tick_only is excluded from the
-    // totals (it re-times a subset of x49_ingest_tick, which is included).
-    val totalRows = results.filterNot(_.name == "x49_tick_only")
+    // planning overhead included. The *_only rows are excluded from the
+    // totals (each re-times a subset of its composite entry, included).
+    val totalRows = results
+      .filterNot(r => r.name == "x49_tick_only" || r.name == "x54_probe_only")
     val totalSteady = totalRows.map(_.steady).sum
     val totalCold = totalRows.map(_.cold).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")

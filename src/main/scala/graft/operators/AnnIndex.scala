@@ -46,6 +46,39 @@ object AnnIndex {
     if (fs.exists(p)) fs.delete(p, true)
   }
 
+  // the index geometry, pinned at init in a `_geometry` sidecar (the
+  // CounterLog discipline) so ticks and probes read one tiny file instead
+  // of running a distinct-count JOB over the codebook to rediscover m
+  private def geomPath(base: String) =
+    new org.apache.hadoop.fs.Path(base, "_geometry")
+
+  private def writeGeometry(spark: SparkSession, base: String,
+      kv: Seq[(String, Int)]): Unit = {
+    val p = geomPath(base)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(kv.map { case (k, v) => s"$k=$v" }.mkString(" ")
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** m from the `_geometry` sidecar; falls back to counting the
+    * broadcast-sized codebook's distinct sub_ids for stores built before
+    * the sidecar existed.
+    */
+  private def readM(spark: SparkSession, base: String, cb: DataFrame): Int = {
+    val p = geomPath(base)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in).mkString
+        finally in.close()
+      s.trim.split("\\s+").map(_.split("=", 2)).collectFirst {
+        case Array("m", v) => v.toInt
+      }.getOrElse(cb.select("sub_id").distinct().count().toInt)
+    } else cb.select("sub_id").distinct().count().toInt
+  }
+
   /** Nearest-centroid cell by exact squared L2, tie → lower cent_id.
     * `cents` is (cent_id, cv), broadcast-sized. Returns the input plus a
     * `cell` column (one broadcast pass, map-side-combined argmin).
@@ -72,6 +105,8 @@ object AnnIndex {
     cents.coalesce(1).write.mode("overwrite").parquet(centroidsDir(base))
     PqOps.pqTrain(seedEmb, idCol, vecCol, m, kCodewords, pqIters)
       .coalesce(1).write.mode("overwrite").parquet(codebookDir(base))
+    writeGeometry(spark, base,
+      Seq("m" -> m, "kCells" -> kCells, "kCodewords" -> kCodewords))
     // postings accrue batch dirs from here on — a stale dir from a prior
     // build would double every vector, so the reset is part of init
     deleteDir(spark, postingsDir(base))
@@ -88,7 +123,7 @@ object AnnIndex {
       vecCol: String, base: String, batchId: Long): Unit = {
     val cents = spark.read.parquet(centroidsDir(base))
     val cb = spark.read.parquet(codebookDir(base))
-    val m = cb.select("sub_id").distinct().count().toInt // broadcast-sized
+    val m = readM(spark, base, cb)
     val assigned = assignCells(emb, idCol, vecCol, cents)
     val codes = PqOps.pack(
       PqOps.pqEncode(assigned, idCol, vecCol, cb, m), idCol)
@@ -141,7 +176,7 @@ object AnnIndex {
       excludeSelf: Boolean = false): DataFrame = {
     val cents = spark.read.parquet(centroidsDir(base))
     val cb = spark.read.parquet(codebookDir(base))
-    val m = cb.select("sub_id").distinct().count().toInt
+    val m = readM(spark, base, cb)
     val byQ = org.apache.spark.sql.expressions.Window
       .partitionBy(qidCol).orderBy(col("_d").asc, col("cent_id"))
     val qcells = queries.crossJoin(broadcast(cents))

@@ -26,6 +26,37 @@ object ExtQueries {
     * that state — replay-idempotent (overwrite-keyed partitions, CC edge
     * union), so timing it twice against one seed is valid.
     */
+  /** x54's two halves, public for the same reason as [[x49Seed]]/
+    * [[x49Tick]]: the bench times the probe's marginal cost (the number
+    * that scales with query traffic at 100 TB) separately from the
+    * quantizer training + three index builds the composite entry re-runs.
+    */
+  def x54Build(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import graft.operators.AnnIndex
+    val emb = Tables.embeddings(s, d)
+    val base = s"${graft.operators.StageIO.artifactRoot(s)}" +
+      s"/ann_index/${new java.io.File(d).getName}"
+    AnnIndex.init(s, emb.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", base, kCells = 8, m = 16, kCodewords = 64)
+    AnnIndex.appendBatch(s, emb.filter(col("vec_id") % 3 === 1),
+      "vec_id", "embedding", base, batchId = 1L)
+    AnnIndex.appendBatch(s, emb.filter(col("vec_id") % 3 === 2),
+      "vec_id", "embedding", base, batchId = 2L)
+    base
+  }
+
+  def x54Probe(s: org.apache.spark.sql.SparkSession, d: String,
+      base: String): org.apache.spark.sql.DataFrame = {
+    import graft.operators.AnnIndex
+    val queries = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    AnnIndex.probe(s, queries, "qid", "qv", base, "vec_id", 5,
+        nprobe = 2, excludeSelf = true)
+      .select(col("qid"), col("vec_id"), col("cell"),
+        round(col("adist"), 4).as("adist"))
+      .orderBy("qid", "vec_id")
+  }
+
   def x49Seed(s: org.apache.spark.sql.SparkSession, d: String): String = {
     import graft.operators.{IngestPipeline, PipelineOps, StageIO}
     val docs = Tables.documents(s, d)
@@ -798,25 +829,7 @@ object ExtQueries {
     // probe from the persisted centroid/codebook artifacts over the full
     // corpus: ticks must be invisible in the result (incremental ≡
     // rebuild, the x48 discipline on the similarity surface).
-    "x54_ann_index_probe" -> ((s, d) => {
-      import graft.operators.AnnIndex
-      val emb = Tables.embeddings(s, d)
-      val base = s"${graft.operators.StageIO.artifactRoot(s)}" +
-        s"/ann_index/${new java.io.File(d).getName}"
-      AnnIndex.init(s, emb.filter(col("vec_id") % 3 === 0),
-        "vec_id", "embedding", base, kCells = 8, m = 16, kCodewords = 64)
-      AnnIndex.appendBatch(s, emb.filter(col("vec_id") % 3 === 1),
-        "vec_id", "embedding", base, batchId = 1L)
-      AnnIndex.appendBatch(s, emb.filter(col("vec_id") % 3 === 2),
-        "vec_id", "embedding", base, batchId = 2L)
-      val queries = emb.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      AnnIndex.probe(s, queries, "qid", "qv", base, "vec_id", 5,
-          nprobe = 2, excludeSelf = true)
-        .select(col("qid"), col("vec_id"), col("cell"),
-          round(col("adist"), 4).as("adist"))
-        .orderBy("qid", "vec_id")
-    }),
+    "x54_ann_index_probe" -> ((s, d) => x54Probe(s, d, x54Build(s, d))),
 
     // deterministic stratified sampling: downsample over-represented
     // languages (en 40 %, zh 80 %, rest 60 %) with md5-decided membership.
