@@ -125,8 +125,9 @@ object AnnIndex {
     val cb = spark.read.parquet(codebookDir(base))
     val m = readM(spark, base, cb)
     val assigned = assignCells(emb, idCol, vecCol, cents)
-    val codes = PqOps.pack(
-      PqOps.pqEncode(assigned, idCol, vecCol, cb, m), idCol)
+    // scan-local encode straight into the packed shape — the tick's
+    // encode half is a pure projection, no shuffle
+    val codes = PqOps.pqEncodePacked(assigned, idCol, vecCol, cb, m)
     assigned.select(col(idCol), col("cell")).join(codes, Seq(idCol))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"${postingsDir(base)}/batch=$batchId")

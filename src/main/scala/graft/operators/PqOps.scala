@@ -140,6 +140,50 @@ object PqOps {
       .agg(min(struct(col("d"), col("code_id"))).as("_m"))
       .select(col(idCol), col("sub_id"), col("_m.code_id").as("code_id"))
 
+  /** SCAN-LOCAL encode, directly in the packed shape: the codebook
+    * travels as a nested literal (m·k·(dim/m) doubles — it IS the model),
+    * and each row computes its m argmin codes inside one projection —
+    * no join, no argmin groupBy, no shuffle at all. [[pqEncode]]'s
+    * join+aggregate form plans a SortAggregate over n·m·k candidate rows
+    * (struct-min is sort-based); this form makes the corpus-wide encode
+    * pass embarrassingly parallel by construction, which is the shape a
+    * 100 TB bulk encode needs. Same codes bit for bit (same left-to-right
+    * double arithmetic, same keep-first-on-tie = lowest code_id;
+    * PqOpsSpec asserts equality) — the join form remains as the
+    * line-for-line twin of the oracle SQL.
+    */
+  def pqEncodePacked(emb: DataFrame, idCol: String, vecCol: String,
+      cb: DataFrame, m: Int): DataFrame = {
+    val rows = cb.orderBy("sub_id", "code_id").collect() // model-sized
+    val book: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+      val forS = rows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
+      require(forS.nonEmpty, s"no codewords for subspace $s")
+      require(forS.zipWithIndex.forall { case (r, i) => r.getInt(1) == i },
+        s"non-contiguous code ids in subspace $s")
+      forS.map(_.getSeq[Double](2).toSeq).toSeq
+    }
+    val k = book.head.length
+    val bookLit = typedlit(book)
+    val subLen = (size(col(vecCol)) / m).cast("int")
+    val codesCol = transform(sequence(lit(0), lit(m - 1)), s => {
+      val sv = transform(slice(col(vecCol), s * subLen + 1, subLen),
+        x => x.cast(DoubleType))
+      aggregate(sequence(lit(0), lit(k - 1)),
+        struct(lit(Double.MaxValue).as("d"), lit(0).as("c")),
+        (acc, c) => {
+          val cw = element_at(element_at(bookLit, s + 1), c + 1)
+          val d = aggregate(zip_with(sv, cw, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, v) => a + v)
+          // strict < keeps the FIRST (lowest) code on ties — the same
+          // order min(struct(d, code_id)) yields
+          when(d < acc.getField("d"),
+            struct(d.as("d"), c.cast("int").as("c"))).otherwise(acc)
+        },
+        acc => acc.getField("c"))
+    })
+    emb.select(col(idCol), codesCol.as("codes"))
+  }
+
   /** The stored shape: one row per vector, codes in sub_id order —
     * (idCol, codes: array<int>), m·log2(k) bits of payload per vector.
     * At rest this is the 8-bytes-per-vector table the ADC scan reads.

@@ -796,9 +796,11 @@ object ExtQueries {
       PqOps.pqTrain(emb, "vec_id", "embedding", m, kcw, iters = 2)
         .coalesce(1).write.mode("overwrite").parquet(cbDir)
       val cb = s.read.parquet(cbDir)
+      // scan-local packed encode (PqOpsSpec proves it bit-equal to the
+      // join-form pqEncode the oracle mirrors), unpacked for the ADC join
+      // — the row exercises the STORED packed shape end to end
       val codes = PqOps.unpack(
-        PqOps.pack(PqOps.pqEncode(emb, "vec_id", "embedding", cb, m), "vec_id"),
-        "vec_id")
+        PqOps.pqEncodePacked(emb, "vec_id", "embedding", cb, m), "vec_id")
       val queries = emb.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val truth = PqOps.l2TopKBatch(emb, "vec_id", "embedding",

@@ -50,6 +50,17 @@ class PqOpsSpec extends AnyFunSuite {
     assert(codes.filter(col("code_id") < 0 || col("code_id") >= kcw).count() === 0)
   }
 
+  test("scan-local packed encode == join-form encode, bit for bit") {
+    val packed = PqOps.pqEncodePacked(emb, "vec_id", "embedding", cb, m)
+    val viaPacked = PqOps.unpack(packed, "vec_id")
+    assert(viaPacked.exceptAll(codes).count() === 0)
+    assert(codes.exceptAll(viaPacked).count() === 0)
+    // and its plan carries no exchange: the bulk encode is scan-local
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"packed encode should not shuffle:\n$plan")
+  }
+
   test("pack/unpack roundtrip is lossless and packs m codes per vector") {
     val packed = PqOps.pack(codes, "vec_id")
     assert(packed.filter(size(col("codes")) =!= m).count() === 0)
