@@ -62,22 +62,39 @@ object AnnIndex {
     finally out.close()
   }
 
+  private def readGeometry(spark: SparkSession, base: String): Map[String, Int] = {
+    val p = geomPath(base)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in).mkString
+        finally in.close()
+      s.trim.split("\\s+").map(_.split("=", 2))
+        .collect { case Array(k, v) => k -> v.toInt }.toMap
+    }
+  }
+
   /** m from the `_geometry` sidecar; falls back to counting the
     * broadcast-sized codebook's distinct sub_ids for stores built before
     * the sidecar existed.
     */
-  private def readM(spark: SparkSession, base: String, cb: DataFrame): Int = {
-    val p = geomPath(base)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      val s = try scala.io.Source.fromInputStream(in).mkString
-        finally in.close()
-      s.trim.split("\\s+").map(_.split("=", 2)).collectFirst {
-        case Array("m", v) => v.toInt
-      }.getOrElse(cb.select("sub_id").distinct().count().toInt)
-    } else cb.select("sub_id").distinct().count().toInt
-  }
+  private def readM(spark: SparkSession, base: String, cb: DataFrame): Int =
+    readGeometry(spark, base).getOrElse("m",
+      cb.select("sub_id").distinct().count().toInt)
+
+  private def isResidual(spark: SparkSession, base: String): Boolean =
+    readGeometry(spark, base).getOrElse("residual", 0) == 1
+
+  /** v − centroid, element-wise in double — the IVFADC residual. */
+  private def residualOf(vec: Column, cv: Column): Column =
+    zip_with(vec, cv,
+      (x, y) => x.cast(org.apache.spark.sql.types.DoubleType)
+        - y.cast(org.apache.spark.sql.types.DoubleType))
+
+  /** The centroid table keyed the way postings are: (cell: int, cv). */
+  private def cellCents(cents: DataFrame): DataFrame =
+    cents.select(col("cent_id").cast("int").as("cell"), col("cv"))
 
   /** Nearest-centroid cell by exact squared L2, tie → lower cent_id.
     * `cents` is (cent_id, cv), broadcast-sized. Returns the input plus a
@@ -97,16 +114,33 @@ object AnnIndex {
     * reset the postings, and ingest the seed as the first batch. KMeans
     * centroids use the fixed `seed` arg, so init is reproducible; the PQ
     * codebook's deterministic-init Lloyd's comes from [[PqOps.pqTrain]].
+    *
+    * `residual = true` is the full IVFADC form: the codebook is trained
+    * on — and every vector encoded as — the RESIDUAL v − centroid(cell)
+    * instead of v itself. Residuals concentrate around the origin, so the
+    * same m·k codebook budget quantizes them with far less error on
+    * clustered data (the normal case for real embedding corpora); probes
+    * then build a per-(query, probed-cell) LUT from q − centroid. The
+    * flag is pinned in `_geometry` — ticks and probes follow it, callers
+    * never restate it.
     */
   def init(spark: SparkSession, seedEmb: DataFrame, idCol: String,
       vecCol: String, base: String, kCells: Int, m: Int, kCodewords: Int,
-      kmSeed: Long = 42L, pqIters: Int = 2): Unit = {
+      kmSeed: Long = 42L, pqIters: Int = 2,
+      residual: Boolean = false): Unit = {
     val cents = SimilarityOps.trainCentroids(seedEmb, vecCol, kCells, kmSeed)
     cents.coalesce(1).write.mode("overwrite").parquet(centroidsDir(base))
-    PqOps.pqTrain(seedEmb, idCol, vecCol, m, kCodewords, pqIters)
+    val trainInput =
+      if (!residual) seedEmb.select(col(idCol), col(vecCol))
+      else assignCells(seedEmb, idCol, vecCol, cents)
+        .join(broadcast(cellCents(cents)), Seq("cell"))
+        .withColumn(vecCol, residualOf(col(vecCol), col("cv")))
+        .select(col(idCol), col(vecCol))
+    PqOps.pqTrain(trainInput, idCol, vecCol, m, kCodewords, pqIters)
       .coalesce(1).write.mode("overwrite").parquet(codebookDir(base))
     writeGeometry(spark, base,
-      Seq("m" -> m, "kCells" -> kCells, "kCodewords" -> kCodewords))
+      Seq("m" -> m, "kCells" -> kCells, "kCodewords" -> kCodewords,
+        "residual" -> (if (residual) 1 else 0)))
     // postings accrue batch dirs from here on — a stale dir from a prior
     // build would double every vector, so the reset is part of init
     deleteDir(spark, postingsDir(base))
@@ -125,9 +159,15 @@ object AnnIndex {
     val cb = spark.read.parquet(codebookDir(base))
     val m = readM(spark, base, cb)
     val assigned = assignCells(emb, idCol, vecCol, cents)
+    val toEncode =
+      if (!isResidual(spark, base)) assigned
+      else assigned.join(broadcast(cellCents(cents)), Seq("cell"))
+        .withColumn(vecCol, residualOf(col(vecCol), col("cv")))
+        .select(col(idCol), col(vecCol), col("cell"))
     // scan-local encode straight into the packed shape — the tick's
-    // encode half is a pure projection, no shuffle
-    val codes = PqOps.pqEncodePacked(assigned, idCol, vecCol, cb, m)
+    // encode half stays a pure projection (the residual join is against
+    // the broadcast centroid table), no shuffle
+    val codes = PqOps.pqEncodePacked(toEncode, idCol, vecCol, cb, m)
     assigned.select(col(idCol), col("cell")).join(codes, Seq(idCol))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"${postingsDir(base)}/batch=$batchId")
@@ -178,26 +218,45 @@ object AnnIndex {
     val cents = spark.read.parquet(centroidsDir(base))
     val cb = spark.read.parquet(codebookDir(base))
     val m = readM(spark, base, cb)
+    val residual = isResidual(spark, base)
     val byQ = org.apache.spark.sql.expressions.Window
       .partitionBy(qidCol).orderBy(col("_d").asc, col("cent_id"))
     val qcells = queries.crossJoin(broadcast(cents))
       .withColumn("_d", PqOps.dist2(col(qvecCol), col("cv")))
       .withColumn("_rn", row_number().over(byQ))
       .filter(col("_rn") <= nprobe)
-      .select(col(qidCol), col("cent_id").cast("int").as("cell"))
-    val probed: Array[Int] =
-      qcells.select("cell").distinct().collect().map(_.getInt(0)).sorted
+      .select(col(qidCol), col(qvecCol), col("cent_id").cast("int").as("cell"))
+    val probed: Array[Int] = qcells.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
     val postings = spark.read.parquet(postingsDir(base))
       .filter(col("cell").isin(probed.map(Int.box): _*))
     val candCodes = postings
-      .join(broadcast(qcells), Seq("cell"))
+      .join(broadcast(qcells.select(col(qidCol), col("cell"))), Seq("cell"))
       .select(col(qidCol), col("cell"), col(idCol), posexplode(col("codes")))
       .select(col(qidCol), col("cell"), col(idCol),
         col("pos").cast("int").as("sub_id"),
         col("col").cast("int").as("code_id"))
-    val lut = PqOps.adcLut(queries, qidCol, qvecCol, cb, m)
+    // raw mode: one LUT per query (codes quantize v). residual mode: one
+    // LUT per (query, probed cell) — codes quantize v − centroid(cell),
+    // so the query side subtracts the SAME centroid before the lookup
+    // table is built; candidates then meet on (qid, cell, sub, code).
+    // Either LUT is q·nprobe·m·k doubles at most — always broadcast.
+    val (lut, lutKeys) =
+      if (!residual)
+        (PqOps.adcLut(queries, qidCol, qvecCol, cb, m),
+          Seq(qidCol, "sub_id", "code_id"))
+      else {
+        val qres = qcells.join(broadcast(cellCents(cents)), Seq("cell"))
+          .withColumn(qvecCol, residualOf(col(qvecCol), col("cv")))
+          .select(col(qidCol), col("cell"), col(qvecCol))
+        val l = PqOps.subvectors(qres, qidCol, qvecCol, m, carry = Seq("cell"))
+          .join(broadcast(cb), Seq("sub_id"))
+          .select(col(qidCol), col("cell"), col("sub_id"), col("code_id"),
+            PqOps.dist2(col("sv"), col("cw")).as("d"))
+        (l, Seq(qidCol, "cell", "sub_id", "code_id"))
+      }
     val cand = candCodes
-      .join(broadcast(lut), Seq(qidCol, "sub_id", "code_id"))
+      .join(broadcast(lut), lutKeys)
       .filter(if (excludeSelf) col(idCol) =!= col(qidCol) else lit(true))
     PqOps.adcTail(cand, qidCol, idCol, k, carry = Seq("cell"))
   }

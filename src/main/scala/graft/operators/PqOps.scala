@@ -46,16 +46,19 @@ object PqOps {
       lit(0.0), (acc, v) => acc + v)
 
   /** Split each vector into `m` contiguous subvectors:
-    * (idCol, sub_id, sv: array<double>). Row-local (no shuffle, no driver
-    * knowledge of the dimension — sub length is size/m per row); at scale
-    * this is a generate inside the scan stage.
+    * (idCol, carry…, sub_id, sv: array<double>). Row-local (no shuffle, no
+    * driver knowledge of the dimension — sub length is size/m per row); at
+    * scale this is a generate inside the scan stage. `carry` columns ride
+    * along untouched (e.g. the cell a residual was taken against).
     */
-  def subvectors(df: DataFrame, idCol: String, vecCol: String, m: Int): DataFrame = {
+  def subvectors(df: DataFrame, idCol: String, vecCol: String, m: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     val subLen = (size(col(vecCol)) / m).cast("int")
-    df.select(col(idCol), col(vecCol))
+    df.select(col(idCol) +: carry.map(col) :+ col(vecCol): _*)
       .withColumn("sub_id", explode(array((0 until m).map(lit): _*)))
-      .select(col(idCol), col("sub_id"),
-        asDouble(slice(col(vecCol), col("sub_id") * subLen + 1, subLen)).as("sv"))
+      .select(col(idCol) +: carry.map(col) :+ col("sub_id") :+
+        asDouble(slice(col(vecCol), col("sub_id") * subLen + 1, subLen))
+          .as("sv"): _*)
   }
 
   /** Train per-subspace codebooks: k codewords per subspace via Lloyd's
