@@ -189,4 +189,35 @@ object TextOps {
   /** Match count for one PII pattern (pre-redaction audit metric). */
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Sliding-window document chunks: windows of `width` characters every
+    * `stride` characters (overlap = width − stride), the standard
+    * context-window prep before tokenize-and-pack. One row per chunk:
+    * (…, chunk_id, chunk_start, chunk) — chunk_id dense from 0 in
+    * offset order, the last window clamped by the string end, and every
+    * document yields at least one chunk (an empty text → one empty
+    * chunk, so no document silently disappears from the corpus).
+    *
+    * Row-local: the window count is exact integer arithmetic
+    * (1 + ceil(max(len−width, 0) / stride), the pmod form — no float
+    * division near a boundary), the expansion is one generate inside the
+    * scan stage, and nothing shuffles. At 100 TB this is a map-side
+    * fan-out whose output feeds [[PackingOps.chunkPack]] / the dedup
+    * surface keyed by (doc, chunk_id).
+    */
+  def slidingChunks(df: org.apache.spark.sql.DataFrame, textCol: String,
+      width: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(width > 0 && stride > 0 && stride <= width,
+      s"need 0 < stride <= width, got width=$width stride=$stride")
+    val len = length(col(textCol))
+    val over = greatest(len - width, lit(0)).cast("long")
+    // exact ceil(over / stride) in integer math (divisible numerator, so
+    // the double division is integer-valued and exact)
+    val a = over + (stride - 1)
+    val nWin = ((a - pmod(a, lit(stride))) / stride + 1).cast("long")
+    df.withColumn("chunk_id", explode(sequence(lit(0L), nWin - 1)))
+      .withColumn("chunk_start", col("chunk_id") * stride)
+      .withColumn("chunk",
+        col(textCol).substr((col("chunk_start") + 1).cast("int"), lit(width)))
+  }
 }

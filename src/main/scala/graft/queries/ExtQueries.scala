@@ -836,6 +836,19 @@ object ExtQueries {
     // rebuild, the x48 discipline on the similarity surface).
     "x54_ann_index_probe" -> ((s, d) => x54Probe(s, d, x54Build(s, d))),
 
+    // sliding context windows: width-120 chunks every 90 chars (30-char
+    // overlap) — the standard prep before tokenize-and-pack; row-local
+    // integer window math, one generate, no shuffle. Every doc yields at
+    // least one chunk so nothing silently disappears.
+    "x55_chunk_windows" -> ((s, d) => {
+      graft.operators.TextOps.slidingChunks(
+          Tables.documents(s, d).select("doc_id", "text"), "text",
+          width = 120, stride = 90)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_start"),
+          col("chunk"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // the RESIDUAL twin — full IVFADC: the codebook quantizes
     // v − centroid(cell) (residuals concentrate around the origin, so
     // the same m·k budget loses far less — measured full-probe recall@5
@@ -2640,6 +2653,17 @@ object ExtQueries {
               FROM adc)
             WHERE rn <= 5
             ORDER BY qid, vec_id""",
+
+      "x55_chunk_windows" ->
+        """WITH d AS (
+             SELECT doc_id, text,
+                    greatest(length(text) - 120, 0) AS ov FROM documents),
+           n AS (SELECT doc_id, text, (ov + 89) // 90 + 1 AS n_win FROM d)
+           SELECT doc_id, chunk_id, chunk_id * 90 AS chunk_start,
+                  substr(text, CAST(chunk_id * 90 + 1 AS INT), 120) AS chunk
+           FROM (SELECT doc_id, text, unnest(range(n_win)) AS chunk_id
+                 FROM n)
+           ORDER BY doc_id, chunk_id""",
 
       // the residual (IVFADC) twin: identical replay except every encode
       // and every LUT runs on v − centroid(cell) — assignment keeps cv,

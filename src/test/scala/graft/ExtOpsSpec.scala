@@ -419,4 +419,41 @@ class ExtOpsSpec extends AnyFunSuite {
       TextOps.tokens(col("text"))).as("q")).collect().map(_.getDouble(0))
     assert(qs.forall(q => q >= 0.0 && q <= 1.0))
   }
+
+  test("sliding chunks: full coverage, exact overlap, nothing dropped") {
+    val docs = Seq((1L, "abcdefghij"), (2L, "abc"), (3L, ""))
+      .toDF("doc_id", "text")
+    val ch = TextOps.slidingChunks(docs, "text", width = 4, stride = 3)
+      .select("doc_id", "chunk_id", "chunk_start", "chunk")
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // len 10, w 4, s 3 → 1 + ceil(6/3) = 3 windows; last clamped
+    assert(ch.filter(_._1 == 1L).map(c => (c._3, c._4)).toSeq ===
+      Seq((0L, "abcd"), (3L, "defg"), (6L, "ghij")))
+    // shorter than width → exactly one (clamped) window
+    assert(ch.filter(_._1 == 2L).map(_._4).toSeq === Seq("abc"))
+    // empty text still yields one (empty) chunk — no silent doc drop
+    assert(ch.filter(_._1 == 3L).map(_._4).toSeq === Seq(""))
+    // reconstruction: stride-aligned prefixes of the chunks concatenate
+    // back to the original text (no gap, no repetition)
+    val rebuilt = ch.filter(_._1 == 1L).map(_._4).toSeq match {
+      case init :+ last => init.map(_.take(3)).mkString + last
+    }
+    assert(rebuilt === "abcdefghij")
+  }
+
+  test("sliding chunks on the fixture: every doc covered, count exact") {
+    val docs = Tables.documents(spark, SparkTestSession.sf0001)
+      .select("doc_id", "text")
+    val ch = TextOps.slidingChunks(docs, "text", width = 120, stride = 90)
+    val n = docs.count()
+    assert(ch.select("doc_id").distinct().count() === n)
+    // window-count formula cross-check in independent driver-side math
+    val got = ch.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = docs.select(col("doc_id"), length(col("text")).as("l")).collect()
+      .map(r => r.getLong(0) ->
+        (1L + math.ceil(math.max(r.getInt(1) - 120, 0) / 90.0).toLong)).toMap
+    assert(got === want)
+  }
 }
