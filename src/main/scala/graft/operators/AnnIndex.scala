@@ -98,17 +98,20 @@ object AnnIndex {
 
   /** Nearest-centroid cell by exact squared L2, tie → lower cent_id.
     * `cents` is (cent_id, cv), broadcast-sized. Returns the input plus a
-    * `cell` column (one broadcast pass, map-side-combined argmin).
+    * `cell` column (one broadcast pass, map-side-combined argmin); `carry`
+    * columns ride through the argmin untouched.
     */
   def assignCells(emb: DataFrame, idCol: String, vecCol: String,
-      cents: DataFrame): DataFrame =
-    emb.select(col(idCol), col(vecCol))
+      cents: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    emb.select(col(idCol) +: col(vecCol) +: carry.map(col): _*)
       .crossJoin(broadcast(cents))
       .withColumn("_d", PqOps.dist2(col(vecCol), col("cv")))
       .groupBy(col(idCol))
-      .agg(min(struct(col("_d"), col("cent_id"), col(vecCol))).as("_m"))
-      .select(col(idCol), col("_m").getField(vecCol).as(vecCol),
-        col("_m.cent_id").cast("int").as("cell"))
+      .agg(min(struct(col("_d") +: col("cent_id") +: col(vecCol) +:
+        carry.map(col): _*)).as("_m"))
+      .select(col(idCol) +: col("_m").getField(vecCol).as(vecCol) +:
+        col("_m.cent_id").cast("int").as("cell") +:
+        carry.map(c => col("_m").getField(c).as(c)): _*)
 
   /** Build the index: train both quantizers on `seed` (and only on it),
     * reset the postings, and ingest the seed as the first batch. KMeans
@@ -127,7 +130,7 @@ object AnnIndex {
   def init(spark: SparkSession, seedEmb: DataFrame, idCol: String,
       vecCol: String, base: String, kCells: Int, m: Int, kCodewords: Int,
       kmSeed: Long = 42L, pqIters: Int = 2,
-      residual: Boolean = false): Unit = {
+      residual: Boolean = false, attrs: Seq[String] = Nil): Unit = {
     val cents = SimilarityOps.trainCentroids(seedEmb, vecCol, kCells, kmSeed)
     cents.coalesce(1).write.mode("overwrite").parquet(centroidsDir(base))
     val trainInput =
@@ -144,7 +147,8 @@ object AnnIndex {
     // postings accrue batch dirs from here on — a stale dir from a prior
     // build would double every vector, so the reset is part of init
     deleteDir(spark, postingsDir(base))
-    appendBatch(spark, seedEmb, idCol, vecCol, base, batchId = 0L)
+    appendBatch(spark, seedEmb, idCol, vecCol, base, batchId = 0L,
+      attrs = attrs)
   }
 
   /** One ingest tick: assign arrivals to their (frozen) cells, encode to
@@ -153,12 +157,19 @@ object AnnIndex {
     * other batches' files are untouched, and re-running the same batchId
     * overwrites only itself (idempotent replay).
     */
+  /** `attrs` columns from `emb` are copied into the postings rows —
+    * filterable METADATA living next to the codes (label, language,
+    * source, license…), which is what lets [[probe]] run a
+    * filter-then-rank search without ever touching the raw vectors.
+    * Every batch of one index must ship the same attrs.
+    */
   def appendBatch(spark: SparkSession, emb: DataFrame, idCol: String,
-      vecCol: String, base: String, batchId: Long): Unit = {
+      vecCol: String, base: String, batchId: Long,
+      attrs: Seq[String] = Nil): Unit = {
     val cents = spark.read.parquet(centroidsDir(base))
     val cb = spark.read.parquet(codebookDir(base))
     val m = readM(spark, base, cb)
-    val assigned = assignCells(emb, idCol, vecCol, cents)
+    val assigned = assignCells(emb, idCol, vecCol, cents, carry = attrs)
     val toEncode =
       if (!isResidual(spark, base)) assigned
       else assigned.join(broadcast(cellCents(cents)), Seq("cell"))
@@ -168,7 +179,8 @@ object AnnIndex {
     // encode half stays a pure projection (the residual join is against
     // the broadcast centroid table), no shuffle
     val codes = PqOps.pqEncodePacked(toEncode, idCol, vecCol, cb, m)
-    assigned.select(col(idCol), col("cell")).join(codes, Seq(idCol))
+    assigned.select(col(idCol) +: col("cell") +: attrs.map(col): _*)
+      .join(codes, Seq(idCol))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"${postingsDir(base)}/batch=$batchId")
   }
@@ -212,9 +224,17 @@ object AnnIndex {
     * itself (≤ queries·nprobe cell ids), the same bounded-collect
     * discipline as the bloom filter's bit array.
     */
+  /** `predicate` (over postings columns — the id, `cell`, and any attrs
+    * the batches carried) makes this a FILTER-THEN-RANK search: rows
+    * failing it never become ADC candidates, so top-k is over the
+    * matching subset, not a post-filtered global top-k (which can
+    * starve). It composes with the cell pruning — the predicate lands in
+    * the pruned scan as a pushed data filter, still no raw-vector reads.
+    */
   def probe(spark: SparkSession, queries: DataFrame, qidCol: String,
       qvecCol: String, base: String, idCol: String, k: Int, nprobe: Int,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false,
+      predicate: Option[Column] = None): DataFrame = {
     val cents = spark.read.parquet(centroidsDir(base))
     val cb = spark.read.parquet(codebookDir(base))
     val m = readM(spark, base, cb)
@@ -228,8 +248,9 @@ object AnnIndex {
       .select(col(qidCol), col(qvecCol), col("cent_id").cast("int").as("cell"))
     val probed: Array[Int] = qcells.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
-    val postings = spark.read.parquet(postingsDir(base))
+    val postings0 = spark.read.parquet(postingsDir(base))
       .filter(col("cell").isin(probed.map(Int.box): _*))
+    val postings = predicate.fold(postings0)(postings0.filter)
     val candCodes = postings
       .join(broadcast(qcells.select(col(qidCol), col("cell"))), Seq("cell"))
       .select(col(qidCol), col("cell"), col(idCol), posexplode(col("codes")))

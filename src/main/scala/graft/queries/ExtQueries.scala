@@ -849,6 +849,35 @@ object ExtQueries {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // FILTERED ANN — the production "vector search with a metadata
+    // predicate": postings carry attribute columns (here label), and the
+    // probe ranks ONLY rows passing the predicate (filter-then-rank, so
+    // the top-k is over the matching subset and cannot starve the way
+    // post-filtering a global top-k does). The predicate rides into the
+    // partition-pruned postings scan as a pushed data filter; raw
+    // vectors are still never read.
+    "x56_ann_filtered" -> ((s, d) => {
+      import graft.operators.AnnIndex
+      val emb = Tables.embeddings(s, d)
+      val base = s"${graft.operators.StageIO.artifactRoot(s)}" +
+        s"/ann_index_attr/${new java.io.File(d).getName}"
+      AnnIndex.init(s, emb.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", base, kCells = 8, m = 16, kCodewords = 64,
+        attrs = Seq("label"))
+      AnnIndex.appendBatch(s, emb.filter(col("vec_id") % 3 === 1),
+        "vec_id", "embedding", base, batchId = 1L, attrs = Seq("label"))
+      AnnIndex.appendBatch(s, emb.filter(col("vec_id") % 3 === 2),
+        "vec_id", "embedding", base, batchId = 2L, attrs = Seq("label"))
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      AnnIndex.probe(s, queries, "qid", "qv", base, "vec_id", 5,
+          nprobe = 2, excludeSelf = true,
+          predicate = Some(col("label").isin(1, 3)))
+        .select(col("qid"), col("vec_id"), col("cell"),
+          round(col("adist"), 4).as("adist"))
+        .orderBy("qid", "vec_id")
+    }),
+
     // the RESIDUAL twin — full IVFADC: the codebook quantizes
     // v − centroid(cell) (residuals concentrate around the origin, so
     // the same m·k budget loses far less — measured full-probe recall@5
@@ -2664,6 +2693,75 @@ object ExtQueries {
            FROM (SELECT doc_id, text, unnest(range(n_win)) AS chunk_id
                  FROM n)
            ORDER BY doc_id, chunk_id""",
+
+      // the filtered-ANN replay: x54's pipeline from the attr-index
+      // artifacts, with candidates restricted to label ∈ (1, 3) BEFORE
+      // ranking — the filter-then-rank contract
+      "x56_ann_filtered" ->
+        s"""WITH cents AS (
+              SELECT CAST(cent_id AS INT) AS cell, cv
+              FROM read_parquet('__GRAFT_ART__/ann_index_attr/__GRAFT_SF__/centroids/*.parquet')),
+            cb AS (
+              SELECT sub_id, code_id, cw
+              FROM read_parquet('__GRAFT_ART__/ann_index_attr/__GRAFT_SF__/pq_codebook/*.parquet')),
+            q AS (
+              SELECT vec_id AS qid, embedding AS qv FROM embeddings
+              WHERE vec_id < 10),
+            assigned AS (
+              SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY ${ddbDist2("e.embedding", "c.cv")} ASC,
+                           c.cell) AS rn
+                FROM embeddings e CROSS JOIN cents c)
+              WHERE rn = 1),
+            subs AS (
+              SELECT vec_id, s.sub_id,
+                     embedding[s.sub_id*$pqSub+1 : s.sub_id*$pqSub+$pqSub] AS sv
+              FROM embeddings, (SELECT unnest(range($pqM)) AS sub_id) s),
+            codes AS (
+              SELECT vec_id, sub_id, code_id FROM (
+                SELECT t.vec_id, t.sub_id, c.code_id,
+                       row_number() OVER (PARTITION BY t.vec_id, t.sub_id
+                         ORDER BY ${ddbDist2("t.sv", "c.cw")} ASC,
+                           c.code_id) AS rn
+                FROM subs t JOIN cb c ON t.sub_id = c.sub_id)
+              WHERE rn = 1),
+            qsubs AS (
+              SELECT qid, s.sub_id,
+                     qv[s.sub_id*$pqSub+1 : s.sub_id*$pqSub+$pqSub] AS sv
+              FROM q, (SELECT unnest(range($pqM)) AS sub_id) s),
+            lut AS (
+              SELECT t.qid, t.sub_id, c.code_id,
+                     ${ddbDist2("t.sv", "c.cw")} AS d
+              FROM qsubs t JOIN cb c ON t.sub_id = c.sub_id),
+            qcells AS (
+              SELECT qid, cell FROM (
+                SELECT q.qid, c.cell,
+                       row_number() OVER (PARTITION BY q.qid
+                         ORDER BY ${ddbDist2("q.qv", "c.cv")} ASC,
+                           c.cell) AS rn
+                FROM q CROSS JOIN cents c)
+              WHERE rn <= 2),
+            adc AS (
+              SELECT l.qid, cd.vec_id, a.cell,
+                     list_reduce(list(l.d ORDER BY l.sub_id),
+                       (x,y) -> x+y) AS adist
+              FROM codes cd
+              JOIN assigned a ON cd.vec_id = a.vec_id
+              JOIN embeddings lb ON cd.vec_id = lb.vec_id
+              JOIN qcells p ON a.cell = p.cell
+              JOIN lut l ON cd.sub_id = l.sub_id
+                AND cd.code_id = l.code_id AND l.qid = p.qid
+              WHERE cd.vec_id <> p.qid AND lb.label IN (1, 3)
+              GROUP BY l.qid, cd.vec_id, a.cell)
+            SELECT qid, vec_id, cell, round(adist, 4) AS adist FROM (
+              SELECT qid, vec_id, cell, adist,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY adist ASC, vec_id) AS rn
+              FROM adc)
+            WHERE rn <= 5
+            ORDER BY qid, vec_id""",
 
       // the residual (IVFADC) twin: identical replay except every encode
       // and every LUT runs on v − centroid(cell) — assignment keeps cv,

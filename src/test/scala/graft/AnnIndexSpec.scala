@@ -144,6 +144,32 @@ class AnnIndexSpec extends AnyFunSuite {
     // being told (a mixed-mode read would collapse recall toward noise)
   }
 
+  test("filtered probe is filter-THEN-rank over postings attributes") {
+    val dir = graft.operators.StageIO.resolve(spark, None, "annixf")
+    AnnIndex.init(spark, emb, "vec_id", "embedding", dir, kCells, m, kcw,
+      attrs = Seq("label"))
+    val pred = col("label").isin(1, 3)
+    val got = AnnIndex.probe(spark, queries, "qid", "qv", dir, "vec_id",
+      5, nprobe = kCells, excludeSelf = true, predicate = Some(pred))
+    // every result is from the predicate set
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = got.select("qid", "vec_id", "adist").orderBy("qid", "vec_id")
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => Set(1, 3)(labels(r.getLong(1)))))
+    // filter-then-rank contract at full probe: identical to the flat ADC
+    // scan over the label-filtered corpus codes
+    val cb = spark.read.parquet(AnnIndex.codebookDir(dir))
+    val filteredCodes = PqOps.unpack(
+      spark.read.parquet(AnnIndex.postingsDir(dir))
+        .filter(pred).select("vec_id", "codes"), "vec_id")
+    val want = PqOps.adcTopKBatch(filteredCodes, "vec_id", queries,
+      "qid", "qv", cb, m, 5, excludeSelf = true)
+      .orderBy("qid", "vec_id").collect()
+    assert(rows.toSeq === want.toSeq)
+  }
+
   test("streaming maintenance fills the index; probe matches batch build") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
