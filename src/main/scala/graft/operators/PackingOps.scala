@@ -421,4 +421,39 @@ object PackingOps {
       .filter(md5Mod(col(idCol), 10000) < col("_rate_bps"))
       .drop("_rate_bps")
   }
+
+  /** Leakage-safe train/val/test split: hash the near-dup CLUSTER, not
+    * the document. Per-doc hash splitting (the x16 idiom) lets a training
+    * document be a near-duplicate of an eval document — exactly the
+    * contamination that inflates benchmark scores; bucketing the
+    * [[graft.operators.DedupOps.clusterLabels]] id instead puts every
+    * member of a duplicate cluster in the same split by construction.
+    *
+    * `labels` is a (doc_id, cluster_id) frame — typically clusterLabels
+    * over near-dup pairs, which only names docs that APPEAR in a pair;
+    * absent docs are their own singleton cluster (coalesce to own id).
+    * The split decision is the same engine-portable md5 bucket as every
+    * other gate here: no RNG, stable under re-runs, re-partitioning, and
+    * corpus growth (a new arrival can join an existing cluster and lands
+    * in that cluster's split — it can never MOVE a settled cluster).
+    *
+    * Scale: one equi-join of the corpus against the (smaller) label frame,
+    * then a pure filter-free projection; no window, no shuffle beyond the
+    * join's.
+    */
+  def clusterSplit(df: DataFrame, idCol: String, labels: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct < 100, "train+val must leave room for test")
+    val lab = labels.select(col("doc_id").as(idCol),
+      col("cluster_id").as("_lab_cluster"))
+    val cluster = coalesce(col("_lab_cluster"), col(idCol).cast("long"))
+    val b = md5Mod(cluster, 100)
+    df.join(lab, Seq(idCol), "left")
+      .withColumn("cluster_id", cluster)
+      .withColumn("split",
+        when(b < trainPct, "train")
+          .when(b < trainPct + valPct, "val")
+          .otherwise("test"))
+      .drop("_lab_cluster")
+  }
 }

@@ -1359,6 +1359,43 @@ object ExtQueries {
           df.withColumn(c, when(col("media_type") =!= "png_gray", col(c)))
         }
         .orderBy("asset_id")
+    }),
+
+    // ---- BPE tokenizer: train on the corpus, persist the merge table
+    // (the model artifact the oracle replays — the x53/x14b pattern),
+    // re-tokenize the corpus under it. Output = every token TYPE with its
+    // weighted occurrence count: bounded by |alphabet| + numMerges rows
+    // regardless of corpus size, so the result is collectable at 100 TB.
+    // Training replay (the iterated argmax) is not SQL-expressible;
+    // BpeSpec pins it against a hand-computed fixture + determinism and
+    // conservation properties. The APPLICATION path — symbolize, the
+    // 16-step merge chain, token counting — is what crosses the hash gate.
+    "x57_bpe_tokens" -> ((s, d) => {
+      import graft.operators.BpeOps
+      val docs = Tables.documents(s, d)
+      val mDir = s"${graft.operators.StageIO.artifactRoot(s)}" +
+        s"/bpe_merges/${new java.io.File(d).getName}"
+      BpeOps.train(docs, "text", numMerges = 16)
+        .coalesce(1).write.mode("overwrite").parquet(mDir)
+      BpeOps.tokenCounts(docs, "text", s.read.parquet(mDir))
+        .orderBy("token")
+    }),
+
+    // ---- leakage-safe split: hash the near-dup CLUSTER, not the doc.
+    // x16's per-doc split lets a train doc be a near-dup of a test doc;
+    // this one can't, by construction (PackingOps.clusterSplit). The
+    // hashed output is the per-split doc/cluster census; BpeSpec's
+    // sibling ClusterSplitSpec-style assertions live in PackingOpsSpec
+    // (no cluster straddles two splits; singletons split like x16).
+    "x58_cluster_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = DedupOps.jaccardNearDups(docs, "text", "doc_id", 0.5)
+      val labels = DedupOps.clusterLabels(pairs)
+      graft.operators.PackingOps.clusterSplit(docs, "doc_id", labels)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+        .orderBy("split")
     }))
 
   // DuckDB oracle SQL. Shared shapes: t = tokens, sh = distinct 3-shingles.
@@ -3475,10 +3512,88 @@ object ExtQueries {
            FROM d ORDER BY asset_id"""
       })
 
+    // x57: replay BPE APPLICATION from the persisted merge table — one
+    // leftmost replace-all pass per merge row, in rank order, exactly
+    // BpeOps.applyMerge's semantics (both engines' replace() is leftmost
+    // non-overlapping, so the passes agree byte-for-byte). Training (the
+    // iterated argmax) is not SQL-expressible; BpeSpec owns it.
+    val bpeOracle = Map("x57_bpe_tokens" ->
+      """WITH RECURSIVE m AS (
+           SELECT "rank" AS mrank, lhs, rhs
+           FROM read_parquet('__GRAFT_ART__/bpe_merges/__GRAFT_SF__/*.parquet')),
+         nm AS (SELECT COUNT(*) AS n FROM m),
+         words AS (
+           SELECT word, COUNT(*) AS wcount FROM (
+             SELECT unnest(list_filter(
+                      string_split_regex(lower(text), '[^a-z0-9]+'),
+                      x -> len(x) > 0)) AS word
+             FROM documents)
+           GROUP BY word),
+         apply(wcount, s, i) AS (
+           SELECT wcount,
+                  array_to_string(string_split(word, ''), ' ') || ' </w>', 0
+           FROM words
+           UNION ALL
+           SELECT a.wcount,
+                  trim(replace(' '||a.s||' ',
+                               ' '||m.lhs||' '||m.rhs||' ',
+                               ' '||m.lhs||m.rhs||' ')),
+                  a.i + 1
+           FROM apply a JOIN m ON m.mrank = a.i)
+         SELECT token, CAST(SUM(wcount) AS BIGINT) AS n FROM (
+           SELECT unnest(string_split(s, ' ')) AS token, wcount
+           FROM apply, nm WHERE i = nm.n)
+         GROUP BY token ORDER BY token""")
+
+    // x58: x25's connected-components replay feeds the same md5 split
+    // bucket as x16, keyed on the cluster label (docs outside every
+    // near-dup pair are their own singleton cluster)
+    val clusterSplitOracle = Map("x58_cluster_split" ->
+      s"""WITH RECURSIVE sh AS (
+            SELECT doc_id, unnest(sh) AS s FROM (
+              SELECT doc_id, $mdShingles AS sh
+              FROM (SELECT doc_id, $mdToks AS t FROM documents))),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          j AS (
+            SELECT doc_a, doc_b FROM pairs
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+          edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM j
+            UNION ALL SELECT doc_b, doc_a FROM j),
+          walk(id, lab) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id),
+          labels AS (
+            SELECT id AS doc_id, min(lab) AS cluster_id
+            FROM walk GROUP BY id),
+          assigned AS (
+            SELECT d.doc_id,
+                   coalesce(l.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+          bucketed AS (
+            SELECT cluster_id,
+                   CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 100 AS b
+            FROM assigned)
+          SELECT CASE WHEN b < 80 THEN 'train'
+                      WHEN b < 90 THEN 'val'
+                      ELSE 'test' END AS split,
+                 COUNT(*) AS n_docs,
+                 COUNT(DISTINCT cluster_id) AS n_clusters
+          FROM bucketed GROUP BY 1 ORDER BY 1""")
+
     // x48's oracle IS x24's full five-stage rebuild over the whole
     // corpus: the incremental path must reproduce it from persisted
     // state (prior ∪ delta == full rebuild, the DeltaManifest contract)
     // without ever rescanning the prior corpus
-    m + ("x48_manifest_delta" -> m("x24_training_manifest"))
+    m ++ bpeOracle ++ clusterSplitOracle +
+      ("x48_manifest_delta" -> m("x24_training_manifest"))
   }
 }

@@ -263,4 +263,33 @@ class PackingOpsSpec extends AnyFunSuite {
       3, 10, bucketBits = 4)
     assert(sk.exceptAll(rank).isEmpty && rank.exceptAll(sk).isEmpty)
   }
+
+  test("clusterSplit: no near-dup cluster straddles two splits; singletons split like x16") {
+    import graft.operators.DedupOps
+    val pairs = DedupOps.jaccardNearDups(docs, "text", "doc_id", 0.5)
+    val labels = DedupOps.clusterLabels(pairs)
+    val split = PackingOps.clusterSplit(docs, "doc_id", labels)
+    // the leakage guard itself: every cluster maps to exactly one split
+    val straddlers = split.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+    assert(straddlers.isEmpty, "a cluster landed in two splits")
+    // multi-doc clusters exist in the fixture, or the guard proves nothing
+    assert(split.groupBy("cluster_id").count().filter(col("count") > 1)
+      .count() > 0, "fixture has no near-dup clusters")
+    // a doc in no pair is its own cluster → its bucket is the x16 per-doc
+    // bucket, so the two splits agree on singletons
+    val x16Bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+      16, 10).cast("long") % 100
+    val singletonMismatch = split
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .withColumn("x16_split",
+        when(x16Bucket < 80, "train").when(x16Bucket < 90, "val")
+          .otherwise("test"))
+      .filter(col("split") =!= col("x16_split"))
+    assert(singletonMismatch.isEmpty,
+      "singleton docs must split exactly like the per-doc hash")
+    // total census: every doc appears exactly once
+    assert(split.count() == docs.count())
+  }
 }
