@@ -1396,6 +1396,36 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("cluster_id")).as("n_clusters"))
         .orderBy("split")
+    }),
+
+    // ---- JL random projection (embedding compression): sketch 64-d
+    // vectors to 16/32-d via the md5-derived ±1 matrix — no model state,
+    // both engines regenerate the same matrix — and measure what cosine
+    // top-5 recall survives at each width. The projection itself (the
+    // operator under test) feeds the SAME brute-force top-k as the truth
+    // side, so the recall numbers isolate exactly the sketch's damage.
+    "x59_random_projection" -> ((s, d) => {
+      import graft.queries.Det.round4Rat
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val truth = SimilarityOps.topKBatch(emb, "vec_id", "embedding",
+        queries, "qid", "qv", 5, excludeSelf = true)
+      def score(name: String, outDim: Int) = {
+        val proj = SimilarityOps.randomProjection(emb, "embedding", "pv",
+          outDim, 64).select("vec_id", "pv")
+        val qProj = SimilarityOps.randomProjection(queries, "qv", "qvp",
+          outDim, 64).select("qid", "qvp")
+        val approx = SimilarityOps.topKBatch(proj, "vec_id", "pv",
+          qProj, "qid", "qvp", 5, excludeSelf = true)
+        SimilarityOps.recallAtK(truth, approx, "qid", "vec_id")
+          .agg(sum("hits").as("h"), sum("n_truth").as("n"))
+          .select(lit(name).as("method"),
+            col("h").cast("long").as("hits"),
+            col("n").cast("long").as("n_truth"),
+            round4Rat(col("h"), col("n")).as("recall"))
+      }
+      score("jl16", 16).unionAll(score("jl32", 32)).orderBy("method")
     }))
 
   // DuckDB oracle SQL. Shared shapes: t = tokens, sh = distinct 3-shingles.
@@ -3589,11 +3619,74 @@ object ExtQueries {
                  COUNT(DISTINCT cluster_id) AS n_clusters
           FROM bucketed GROUP BY 1 ORDER BY 1""")
 
+    // x59: rebuild the SAME md5-derived ±1 matrix in SQL (no artifact —
+    // the matrix is a portable constant), project with the identical
+    // left-to-right fold as SimilarityOps.dot, and replay both brute-
+    // force top-5 passes + the recall census
+    val jlOracle = Map("x59_random_projection" -> {
+      def jlArm(tag: String, outDim: Int) =
+        s"""sg$tag AS (
+              SELECT k, list(sgn ORDER BY j) AS sv FROM (
+                SELECT kk.k AS k, jj.j AS j,
+                       CAST(1 - 2*(CAST('0x' ||
+                           substr(md5('rp:'||kk.k||':'||jj.j), 1, 15)
+                         AS BIGINT) % 2) AS DOUBLE) AS sgn
+                FROM (SELECT unnest(range($outDim)) AS k) kk,
+                     (SELECT unnest(range(64)) AS j) jj)
+              GROUP BY k),
+            proj$tag AS (
+              SELECT e.vec_id,
+                     list(${ddbDot("e.embedding", "g.sv")} ORDER BY g.k) AS pv
+              FROM embeddings e CROSS JOIN sg$tag g GROUP BY e.vec_id),
+            approx$tag AS (
+              SELECT qid, vec_id FROM (
+                SELECT q.vec_id AS qid, e.vec_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY ${ddbCos("e.pv", "q.pv")} DESC,
+                           e.vec_id) AS rn
+                FROM proj$tag e CROSS JOIN
+                     (SELECT vec_id, pv FROM proj$tag WHERE vec_id < 50) q
+                WHERE e.vec_id <> q.vec_id)
+              WHERE rn <= 5)"""
+      s"""WITH q AS (
+            SELECT vec_id AS qid, embedding AS qv FROM embeddings
+            WHERE vec_id < 50),
+          truth AS (
+            SELECT qid, vec_id FROM (
+              SELECT q.qid, e.vec_id,
+                     row_number() OVER (PARTITION BY q.qid
+                       ORDER BY ${ddbCos("e.embedding", "q.qv")} DESC,
+                         e.vec_id) AS rn
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+            WHERE rn <= 5),
+          ${jlArm("16", 16)},
+          ${jlArm("32", 32)},
+          nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+          SELECT method, hits, n_truth,
+                 ((hits * 20000 + n_truth) // (2 * NULLIF(n_truth, 0)))
+                   / 10000.0 AS recall
+          FROM (
+            SELECT 'jl16' AS method,
+                   CAST((SELECT COUNT(*) FROM truth t
+                         JOIN approx16 x ON t.qid = x.qid
+                          AND t.vec_id = x.vec_id) AS BIGINT) AS hits,
+                   n_truth
+            FROM nt
+            UNION ALL
+            SELECT 'jl32',
+                   CAST((SELECT COUNT(*) FROM truth t
+                         JOIN approx32 x ON t.qid = x.qid
+                          AND t.vec_id = x.vec_id) AS BIGINT),
+                   n_truth
+            FROM nt)
+          ORDER BY method"""
+    })
+
     // x48's oracle IS x24's full five-stage rebuild over the whole
     // corpus: the incremental path must reproduce it from persisted
     // state (prior ∪ delta == full rebuild, the DeltaManifest contract)
     // without ever rescanning the prior corpus
-    m ++ bpeOracle ++ clusterSplitOracle +
+    m ++ bpeOracle ++ clusterSplitOracle ++ jlOracle +
       ("x48_manifest_delta" -> m("x24_training_manifest"))
   }
 }

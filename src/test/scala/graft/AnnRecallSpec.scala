@@ -126,4 +126,46 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r2 >= 0.65, s"nprobe=2 measured ~0.75, got $r2")
     assert(r1 >= 0.35, s"nprobe=1 measured ~0.5, got $r1")
   }
+
+  test("JL projection: ±1 matrix, deterministic, width buys recall, dups survive") {
+    val signs = SimilarityOps.rademacherSigns(16, 64)
+    assert(signs.length == 16 && signs.forall(_.length == 64))
+    assert(signs.flatten.forall(s => s == 1.0 || s == -1.0))
+    // both signs occur (an all-ones matrix would be a constant, not a JL map)
+    assert(signs.flatten.distinct.toSet == Set(1.0, -1.0))
+    assert(signs.map(_.toSeq).toSeq ==
+      SimilarityOps.rademacherSigns(16, 64).map(_.toSeq).toSeq,
+      "sign matrix must be a reproducible constant")
+
+    def jlRecall(outDim: Int): Double = {
+      val proj = SimilarityOps.randomProjection(emb, "embedding", "pv",
+        outDim, 64).select("vec_id", "pv")
+      val qProj = SimilarityOps.randomProjection(queries, "qv", "qvp",
+        outDim, 64).select("qid", "qvp")
+      val approx = SimilarityOps.topKBatch(proj, "vec_id", "pv",
+        qProj, "qid", "qvp", 5, excludeSelf = true)
+      SimilarityOps.recallAtK(truth, approx, "qid", "vec_id")
+        .agg(sum("hits").cast("double") / sum("n_truth")).head().getDouble(0)
+    }
+    val r16 = jlRecall(16)
+    val r32 = jlRecall(32)
+    // width is the JL dial: more dims, less distortion (worst-case
+    // unclustered fixture, so absolute recall is low — see class doc)
+    assert(r16 < r32, s"projection width must buy recall: $r16 / $r32")
+
+    // a projected EXACT duplicate is still cosine-1: plant a copy of
+    // vec 7 and assert it tops vec 7's projected neighbor list
+    val dup = emb.filter(col("vec_id") === 7)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val base = emb.select("vec_id", "embedding")
+    val proj = SimilarityOps.randomProjection(base.unionByName(dup),
+      "embedding", "pv", 16, 64).select("vec_id", "pv")
+    val q7 = SimilarityOps.randomProjection(
+      emb.filter(col("vec_id") === 7)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+      "qv", "qvp", 16, 64).select("qid", "qvp")
+    val top1 = SimilarityOps.topKBatch(proj, "vec_id", "pv", q7, "qid",
+      "qvp", 1, excludeSelf = true).select("vec_id").head().getLong(0)
+    assert(top1 == 100007L, s"planted duplicate must rank first, got $top1")
+  }
 }
