@@ -145,4 +145,29 @@ object BpeOps {
     tokenizeWords(docs, textCol, mergesDf)
       .select(explode(col("tokens")).as("token"), col("wcount"))
       .groupBy("token").agg(sum("wcount").as("n"))
+
+  /** Doc-level tokenization: (idCol, tokens) with every document's FULL
+    * ordered token sequence — the hand-off to sequence packing. Encoding
+    * runs once per DISTINCT word ([[tokenizeWords]]) and occurrences
+    * equi-join against it — the Heaps'-law split that keeps corpus-wide
+    * tokenization proportional to the vocab, not the corpus, on the
+    * encode side. Order is carried by posexplode →
+    * array_sort(struct(pos, tokens)) → flatten, all codegen'd; an empty
+    * document keeps an empty sequence (posexplode_outer + null-skipping
+    * collect_list), so nothing silently disappears from the corpus.
+    */
+  def tokenizeDocs(docs: DataFrame, idCol: String, textCol: String,
+      mergesDf: DataFrame): DataFrame = {
+    val wtoks = tokenizeWords(docs, textCol, mergesDf)
+      .select(col("word"), col("tokens"))
+    docs.select(col(idCol),
+        posexplode_outer(TextOps.tokensRegex(col(textCol)))
+          .as(Seq("pos", "word")))
+      .join(wtoks, Seq("word"), "left")
+      .groupBy(idCol)
+      .agg(flatten(transform(
+        array_sort(collect_list(when(col("word").isNotNull,
+          struct(col("pos"), col("tokens"))))),
+        x => x.getField("tokens"))).as("tokens"))
+  }
 }

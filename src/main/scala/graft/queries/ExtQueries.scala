@@ -1398,6 +1398,50 @@ object ExtQueries {
         .orderBy("split")
     }),
 
+    // ---- doc-level BPE: every document's full ORDERED token sequence
+    // (the hand-off to sequence packing), hashed per doc so the row stays
+    // small while the oracle still pins every token and its position.
+    // Independent of x57 (trains its own merge table into its own
+    // artifact dir — Verify runs queries in arbitrary order).
+    "x57b_bpe_doc_tokens" -> ((s, d) => {
+      import graft.operators.BpeOps
+      val docs = Tables.documents(s, d)
+      val mDir = s"${graft.operators.StageIO.artifactRoot(s)}" +
+        s"/bpe_merges_doc/${new java.io.File(d).getName}"
+      BpeOps.train(docs, "text", numMerges = 16)
+        .coalesce(1).write.mode("overwrite").parquet(mDir)
+      BpeOps.tokenizeDocs(docs, "doc_id", "text", s.read.parquet(mDir))
+        .select(col("doc_id"),
+          size(col("tokens")).as("n_tokens"),
+          md5(concat_ws(" ", col("tokens"))).as("tok_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- the STREAMING twin of x58: split assignment from the
+    // persisted cluster store. Near-dup pairs arrive in three waves
+    // through ClusterStream.applyBatch (the incremental CC maintainer);
+    // the final store labeling == batch CC over the union of all pairs
+    // (CC is monotone and min-labels are component-global — the
+    // ClusterStream identity), so the split census from STATE hash-
+    // matches x58's batch oracle exactly. This is the ingest-time shape:
+    // an arrival is assigned its leakage-safe split from the store
+    // without ever recomputing the corpus clustering.
+    "x58b_cluster_split_from_state" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = DedupOps.jaccardNearDups(docs, "text", "doc_id", 0.5)
+      val store = s"${graft.operators.StageIO.resolve(s, None, "x58b-cc")}/labels"
+      (0 until 3).foreach { k =>
+        graft.streaming.ClusterStream.applyBatch(
+          pairs.filter(pmod(col("doc_a"), lit(3)) === k), store)
+      }
+      val labels = graft.streaming.ClusterStream.readLabels(s, store)
+      graft.operators.PackingOps.clusterSplit(docs, "doc_id", labels)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+        .orderBy("split")
+    }),
+
     // ---- JL random projection (embedding compression): sketch 64-d
     // vectors to 16/32-d via the md5-derived ±1 matrix — no model state,
     // both engines regenerate the same matrix — and measure what cosine
@@ -3573,7 +3617,50 @@ object ExtQueries {
          SELECT token, CAST(SUM(wcount) AS BIGINT) AS n FROM (
            SELECT unnest(string_split(s, ' ')) AS token, wcount
            FROM apply, nm WHERE i = nm.n)
-         GROUP BY token ORDER BY token""")
+         GROUP BY token ORDER BY token""",
+
+      // x57b: same application replay, but per-word tokenizations are
+      // re-zipped into each document's ORDERED sequence (unnest +
+      // generate_subscripts carry the position; flatten(list ORDER BY
+      // pos) rebuilds the sequence) — the per-doc md5 pins every token
+      // and its position while rows stay narrow
+      "x57b_bpe_doc_tokens" ->
+      """WITH RECURSIVE m AS (
+           SELECT "rank" AS mrank, lhs, rhs
+           FROM read_parquet('__GRAFT_ART__/bpe_merges_doc/__GRAFT_SF__/*.parquet')),
+         nm AS (SELECT COUNT(*) AS n FROM m),
+         docs AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> len(x) > 0) AS words
+           FROM documents),
+         occ AS (
+           SELECT doc_id, unnest(words) AS word,
+                  generate_subscripts(words, 1) AS pos
+           FROM docs),
+         dw AS (SELECT DISTINCT word FROM occ),
+         apply(word, s, i) AS (
+           SELECT word,
+                  array_to_string(string_split(word, ''), ' ') || ' </w>', 0
+           FROM dw
+           UNION ALL
+           SELECT a.word,
+                  trim(replace(' '||a.s||' ',
+                               ' '||m.lhs||' '||m.rhs||' ',
+                               ' '||m.lhs||m.rhs||' ')),
+                  a.i + 1
+           FROM apply a JOIN m ON m.mrank = a.i),
+         wtoks AS (
+           SELECT word, string_split(s, ' ') AS toks
+           FROM apply, nm WHERE i = nm.n),
+         seq AS (
+           SELECT o.doc_id, flatten(list(w.toks ORDER BY o.pos)) AS tokens
+           FROM occ o JOIN wtoks w USING (word) GROUP BY o.doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(len(s.tokens), 0) AS INT) AS n_tokens,
+                md5(coalesce(array_to_string(s.tokens, ' '), '')) AS tok_hash
+         FROM documents d LEFT JOIN seq s USING (doc_id)
+         ORDER BY doc_id""")
 
     // x58: x25's connected-components replay feeds the same md5 split
     // bucket as x16, keyed on the cluster label (docs outside every
@@ -3686,7 +3773,11 @@ object ExtQueries {
     // corpus: the incremental path must reproduce it from persisted
     // state (prior ∪ delta == full rebuild, the DeltaManifest contract)
     // without ever rescanning the prior corpus
+    // x58b's oracle IS x58's: the state-maintained labeling must
+    // reproduce the batch CC split census exactly (CC monotonicity)
     m ++ bpeOracle ++ clusterSplitOracle ++ jlOracle +
-      ("x48_manifest_delta" -> m("x24_training_manifest"))
+      ("x48_manifest_delta" -> m("x24_training_manifest")) +
+      ("x58b_cluster_split_from_state" ->
+        clusterSplitOracle("x58_cluster_split"))
   }
 }

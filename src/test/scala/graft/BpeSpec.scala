@@ -72,6 +72,26 @@ class BpeSpec extends AnyFunSuite {
     assert(a.size == 2, s"expected early stop at 2 merges: $a")
   }
 
+  test("doc-level tokenization preserves order, rebuilds text, keeps empty docs") {
+    import spark.implicits._
+    val train = corpus("low" -> 5, "lower" -> 2, "newest" -> 6, "widest" -> 3)
+    val merges = BpeOps.train(train, "text", numMerges = 6)
+    val docs = Seq((1L, "low lower"), (2L, ""), (3L, "newest"))
+      .toDF("doc_id", "text")
+    val out = BpeOps.tokenizeDocs(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+    // exact sequences under the hand-verified merge table
+    assert(out(0) == ((1L, Seq("low", "</w>", "low", "e", "r", "</w>"))),
+      s"doc 1: ${out(0)}")
+    assert(out(1) == ((2L, Seq())), s"empty doc must keep an empty row: ${out(1)}")
+    assert(out(2) == ((3L, Seq("n", "ew", "est</w>"))), s"doc 3: ${out(2)}")
+    // reconstruction: strip markers → the original word sequence
+    def rebuild(toks: Seq[String]) =
+      toks.mkString("").replace("</w>", " ").trim
+    assert(rebuild(out(0)._2) == "low lower")
+  }
+
   test("application conserves words and reconstructs them (sf0.001)") {
     val docs = Tables.documents(spark, sf)
     val merges = BpeOps.train(docs, "text", numMerges = 8)
