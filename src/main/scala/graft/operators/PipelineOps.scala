@@ -156,4 +156,26 @@ object PipelineOps {
     }
     PackingOps.chunkPackCounted(sampled, "doc_id", "n_tok", capacity, shards)
   }
+
+  /** Snapshot diff — the dataset-version audit between two corpus
+    * states: per id, `added` (only in `current`), `removed` (only in
+    * `prior`), `changed` (content hash differs), `unchanged`. The
+    * content comparison is md5 computed INSIDE each side's scan stage,
+    * so the join carries (id, 32-byte hash), never the documents
+    * themselves — at 100 TB the full-outer join shuffles a few GB of
+    * hashes, or nothing at all when both snapshots are bucketed by id.
+    * Deterministic by construction; feeds incremental rebuilds ("process
+    * exactly the added ∪ changed set") and release notes alike.
+    */
+  def snapshotDiff(prior: DataFrame, current: DataFrame, idCol: String,
+      contentCol: String): DataFrame = {
+    val a = prior.select(col(idCol), md5(col(contentCol)).as("_h_prior"))
+    val b = current.select(col(idCol), md5(col(contentCol)).as("_h_cur"))
+    a.join(b, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_h_prior").isNull, "added")
+          .when(col("_h_cur").isNull, "removed")
+          .when(col("_h_prior") === col("_h_cur"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

@@ -1442,6 +1442,27 @@ object ExtQueries {
         .orderBy("split")
     }),
 
+    // ---- snapshot diff (dataset-version audit): v2 is a deterministic
+    // mutation of the corpus — every id%7 dropped, every surviving id%5
+    // edited, every id%11 re-added under a shifted id — and the diff
+    // census must recover exactly the added/removed/changed/unchanged
+    // partition of the id space. The join carries (id, md5) only; the
+    // documents never shuffle.
+    "x60_snapshot_diff" -> ((s, d) => {
+      import graft.operators.PipelineOps
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val v2 = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .withColumn("text", when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      PipelineOps.snapshotDiff(docs, v2, "doc_id", "text")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("status")
+    }),
+
     // ---- JL random projection (embedding compression): sketch 64-d
     // vectors to 16/32-d via the md5-derived ±1 matrix — no model state,
     // both engines regenerate the same matrix — and measure what cosine
@@ -3773,9 +3794,29 @@ object ExtQueries {
     // corpus: the incremental path must reproduce it from persisted
     // state (prior ∪ delta == full rebuild, the DeltaManifest contract)
     // without ever rescanning the prior corpus
+    val diffOracle = Map("x60_snapshot_diff" ->
+      """WITH v2 AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+                    AS text
+           FROM documents WHERE doc_id % 7 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents
+           WHERE doc_id % 11 = 0),
+         d AS (
+           SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                  CASE WHEN a.doc_id IS NULL THEN 'added'
+                       WHEN b.doc_id IS NULL THEN 'removed'
+                       WHEN md5(a.text) = md5(b.text) THEN 'unchanged'
+                       ELSE 'changed' END AS status
+           FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+         SELECT status, COUNT(*) AS n_docs,
+                min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM d GROUP BY status ORDER BY status""")
+
     // x58b's oracle IS x58's: the state-maintained labeling must
     // reproduce the batch CC split census exactly (CC monotonicity)
-    m ++ bpeOracle ++ clusterSplitOracle ++ jlOracle +
+    m ++ bpeOracle ++ clusterSplitOracle ++ jlOracle ++ diffOracle +
       ("x48_manifest_delta" -> m("x24_training_manifest")) +
       ("x58b_cluster_split_from_state" ->
         clusterSplitOracle("x58_cluster_split"))

@@ -456,4 +456,24 @@ class ExtOpsSpec extends AnyFunSuite {
         (1L + math.ceil(math.max(r.getInt(1) - 120, 0) / 90.0).toLong)).toMap
     assert(got === want)
   }
+
+  test("snapshotDiff statuses partition both snapshots' id spaces") {
+    import graft.operators.PipelineOps
+    val docs = Tables.documents(spark, SparkTestSession.sf0001)
+      .select("doc_id", "text")
+    val v2 = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .withColumn("text", when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(col("text"), lit("!"))).otherwise(col("text")))
+    val diff = PipelineOps.snapshotDiff(docs, v2, "doc_id", "text")
+    val by = diff.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+    // current = added + changed + unchanged; prior = removed + changed + unchanged
+    assert(by("added") + by("changed") + by("unchanged") == v2.count())
+    assert(by("removed") + by("changed") + by("unchanged") == docs.count())
+    // every id appears exactly once in the diff
+    assert(diff.count() == diff.select("doc_id").distinct().count())
+    // identical snapshots diff to all-unchanged
+    val same = PipelineOps.snapshotDiff(docs, docs, "doc_id", "text")
+    assert(same.filter(col("status") =!= "unchanged").isEmpty)
+  }
 }
