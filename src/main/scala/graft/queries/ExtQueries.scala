@@ -1417,6 +1417,27 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- the tokenizer's last mile: BPE token counts drive sequence
+    // packing — x21's layout, but budgeted in REAL trained-tokenizer
+    // tokens instead of whitespace tokens, which is what a training run
+    // actually consumes. Pure composition: train → tokenizeDocs →
+    // chunkPackCounted; the packing shuffle is unchanged (one shard
+    // exchange), the token counts ride the tokenization join.
+    "x57c_bpe_pack" -> ((s, d) => {
+      import graft.operators.{BpeOps, PackingOps}
+      val docs = Tables.documents(s, d)
+      val mDir = s"${graft.operators.StageIO.artifactRoot(s)}" +
+        s"/bpe_merges_pack/${new java.io.File(d).getName}"
+      BpeOps.train(docs, "text", numMerges = 16)
+        .coalesce(1).write.mode("overwrite").parquet(mDir)
+      val counted = BpeOps.tokenizeDocs(docs, "doc_id", "text",
+          s.read.parquet(mDir))
+        .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tok"))
+      PackingOps.chunkPackCounted(counted, "doc_id", "n_tok",
+          capacity = 512, shards = 8)
+        .orderBy("shard", "chunk_id", "doc_id")
+    }),
+
     // ---- the STREAMING twin of x58: split assignment from the
     // persisted cluster store. Near-dup pairs arrive in three waves
     // through ClusterStream.applyBatch (the incremental CC maintainer);
@@ -3681,7 +3702,60 @@ object ExtQueries {
                 CAST(coalesce(len(s.tokens), 0) AS INT) AS n_tokens,
                 md5(coalesce(array_to_string(s.tokens, ' '), '')) AS tok_hash
          FROM documents d LEFT JOIN seq s USING (doc_id)
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+
+      // x57c: the x57b per-word replay summed into per-doc BPE token
+      // counts, feeding x21's packing SQL verbatim (empty docs carry no
+      // occurrence rows — the same exclusion as x21's n_tok > 0 filter)
+      "x57c_bpe_pack" ->
+      """WITH RECURSIVE m AS (
+           SELECT "rank" AS mrank, lhs, rhs
+           FROM read_parquet('__GRAFT_ART__/bpe_merges_pack/__GRAFT_SF__/*.parquet')),
+         nm AS (SELECT COUNT(*) AS n FROM m),
+         d0 AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> len(x) > 0) AS words
+           FROM documents),
+         occ AS (
+           SELECT doc_id, unnest(words) AS word FROM d0),
+         dw AS (SELECT DISTINCT word FROM occ),
+         apply(word, s, i) AS (
+           SELECT word,
+                  array_to_string(string_split(word, ''), ' ') || ' </w>', 0
+           FROM dw
+           UNION ALL
+           SELECT a.word,
+                  trim(replace(' '||a.s||' ',
+                               ' '||m.lhs||' '||m.rhs||' ',
+                               ' '||m.lhs||m.rhs||' ')),
+                  a.i + 1
+           FROM apply a JOIN m ON m.mrank = a.i),
+         wtoks AS (
+           SELECT word, len(string_split(s, ' ')) AS w_tok
+           FROM apply, nm WHERE i = nm.n),
+         t AS (
+           SELECT o.doc_id,
+                  CAST(CAST('0x' || substr(md5(CAST(o.doc_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 8 AS INT) AS shard,
+                  CAST(SUM(w.w_tok) AS BIGINT) AS n_tok
+           FROM occ o JOIN wtoks w USING (word) GROUP BY o.doc_id),
+         c AS (
+           SELECT doc_id, shard, n_tok,
+                  CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_end
+           FROM t WHERE n_tok > 0),
+         e AS (
+           SELECT shard, doc_id, n_tok, cum_end,
+                  unnest(generate_series((cum_end - n_tok) // 512,
+                                         (cum_end - 1) // 512)) AS chunk_id
+           FROM c)
+         SELECT shard, CAST(chunk_id AS INT) AS chunk_id, doc_id,
+                CAST(least(cum_end, (chunk_id + 1) * 512)
+                     - greatest(cum_end - n_tok, chunk_id * 512) AS INT)
+                  AS tok_in_chunk
+         FROM e ORDER BY shard, chunk_id, doc_id""")
 
     // x58: x25's connected-components replay feeds the same md5 split
     // bucket as x16, keyed on the cluster label (docs outside every

@@ -368,6 +368,47 @@ class PlanSpec extends AnyFunSuite {
     assert(!readSchema.contains("o_orderstatus"), readSchema)
   }
 
+  test("x60: the diff join carries (id, hash) only — documents never shuffle") {
+    val df = SparkEntry.queries("x60_snapshot_diff")(spark, sf)
+    // Catalyst pushes the md5 projection below the join, so the join's
+    // inputs (== what the exchanges carry) are hash columns, not text;
+    // at 100 TB this is the difference between shuffling GBs and TBs
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      assert(!j.left.output.map(_.name).contains("text"),
+        s"join left carries text:\n${j.left}")
+      assert(!j.right.output.map(_.name).contains("text"),
+        s"join right carries text:\n${j.right}")
+    }
+  }
+
+  test("x59: the JL projection is one shuffle-free pass inside the scan stage") {
+    val proj = graft.operators.SimilarityOps.randomProjection(
+      Tables.embeddings(spark, sf), "embedding", "pv", 16, 64)
+      .select("vec_id", "pv")
+    val p = proj.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"projection must not shuffle:\n$p")
+    // and it reads only the two columns it needs
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("label"), readSchema)
+  }
+
+  test("x57: BPE pair counts and token counts partial-aggregate map-side") {
+    import graft.operators.BpeOps
+    val docs = Tables.documents(spark, sf)
+    val pc = BpeOps.pairCounts(BpeOps.vocab(docs, "text"))
+    assert(pc.queryExecution.executedPlan.toString.contains("partial"),
+      pc.queryExecution.executedPlan.toString)
+    // the word-count shuffle carries (word, count) pairs, not documents
+    val joins = pc.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(joins.forall(!_.output.map(_.name).contains("text")))
+  }
+
   test("x52: canonical dedup prunes to (doc_id, text), aggregates two-phase, codegen'd nfc") {
     val df = SparkEntry.queries("x52_canonical_dedup")(spark, sf)
     df.collect() // finalize the adaptive plan so codegen stages render
