@@ -1463,6 +1463,35 @@ object ExtQueries {
         .orderBy("split")
     }),
 
+    // ---- the dedup twin of the ANN recall gate (x34): MinHash-LSH's
+    // recall is a MEASURED property, banded by true Jaccard — the
+    // 12-hash/3-band S-curve must lose pairs just above threshold and
+    // keep the near-certain ones; a band-geometry regression fails here
+    // while every exactness test still passes. Precision is 1.0 by
+    // construction (candidates are exact-verified), so recall is the
+    // whole story. The fixture's pair-similarity distribution is bimodal
+    // (near-exact dups vs 0.05-0.15 stragglers), so the threshold sits
+    // at 0.05 and the two bands pin both ends of the S-curve: the
+    // 12-hash/3-band geometry must keep ~all of the high band and may
+    // keep ~none of the low. Bands cut by COMPARING the (identical)
+    // rounded jaccard against literals — no cross-engine rounding math.
+    "x61_lsh_recall" -> ((s, d) => {
+      import graft.queries.Det.round4Rat
+      val docs = Tables.documents(s, d)
+      val truth = DedupOps.jaccardNearDups(docs, "text", "doc_id", 0.05)
+      val lsh = DedupOps.minhashNearDups(docs, "text", "doc_id", 0.05)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+      truth.join(lsh, Seq("doc_a", "doc_b"), "left")
+        .withColumn("band",
+          when(col("jaccard") >= 0.8, "high_0.8+")
+            .otherwise("low_0.05+"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_hits"))
+        .select(col("band"), col("n_truth"), col("n_hits"),
+          round4Rat(col("n_hits"), col("n_truth")).as("recall"))
+        .orderBy("band")
+    }),
+
     // ---- snapshot diff (dataset-version audit): v2 is a deterministic
     // mutation of the corpus — every id%7 dropped, every surviving id%5
     // edited, every id%11 re-added under a shifted id — and the diff
@@ -3868,6 +3897,44 @@ object ExtQueries {
     // corpus: the incremental path must reproduce it from persisted
     // state (prior ∪ delta == full rebuild, the DeltaManifest contract)
     // without ever rescanning the prior corpus
+    // x61: exact-Jaccard truth (x4's formula) left-joined against the
+    // x2 LSH candidate set; verified-LSH ⊆ truth, so candidate
+    // membership IS the hit test. Recall in round4Rat integer form.
+    val lshRecallOracle = Map("x61_lsh_recall" ->
+      s"""WITH base AS (
+            SELECT doc_id, $mdShingles AS sh
+            FROM (SELECT doc_id, $mdToks AS t FROM documents)),
+          truthj AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / (len(a.sh) + len(b.sh)
+                        - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+            FROM base a JOIN base b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / (len(a.sh) + len(b.sh)
+                       - len(list_intersect(a.sh, b.sh))) >= 0.05),
+          sig AS (SELECT doc_id, sh, $sigCols FROM base),
+          banded AS (SELECT doc_id, $bandCols FROM sig),
+          exploded AS (
+            SELECT doc_id, unnest([0,1,2]) AS band_idx,
+                   unnest([band0,band1,band2]) AS band_key FROM banded),
+          cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM exploded a JOIN exploded b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id),
+          j AS (
+            SELECT CASE WHEN t.jaccard >= 0.8 THEN 'high_0.8+'
+                        ELSE 'low_0.05+' END AS band,
+                   CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+            FROM truthj t LEFT JOIN cand c
+              ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+          SELECT band, CAST(COUNT(*) AS BIGINT) AS n_truth,
+                 CAST(SUM(hit) AS BIGINT) AS n_hits,
+                 ((SUM(hit) * 20000 + COUNT(*)) // (2 * COUNT(*)))
+                   / 10000.0 AS recall
+          FROM j GROUP BY band ORDER BY band""")
+
     val diffOracle = Map("x60_snapshot_diff" ->
       """WITH v2 AS (
            SELECT doc_id,
@@ -3890,7 +3957,8 @@ object ExtQueries {
 
     // x58b's oracle IS x58's: the state-maintained labeling must
     // reproduce the batch CC split census exactly (CC monotonicity)
-    m ++ bpeOracle ++ clusterSplitOracle ++ jlOracle ++ diffOracle +
+    m ++ bpeOracle ++ clusterSplitOracle ++ jlOracle ++ diffOracle ++
+      lshRecallOracle +
       ("x48_manifest_delta" -> m("x24_training_manifest")) +
       ("x58b_cluster_split_from_state" ->
         clusterSplitOracle("x58_cluster_split"))
