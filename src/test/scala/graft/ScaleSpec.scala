@@ -19,7 +19,9 @@ class ScaleSpec extends AnyFunSuite {
     // dirs persist — clear both
     for (t <- Seq("orders_b", "lineitem_b")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
-      val dir = new java.io.File(s"spark-warehouse/$t")
+      val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+      val dir = new java.io.File(
+        new java.io.File(Option(wh.getPath).getOrElse(wh.toString)), t)
       if (dir.exists()) {
         import scala.reflect.io.Directory
         new Directory(dir).deleteRecursively()

@@ -8,6 +8,14 @@ import org.apache.spark.sql.SparkSession
 object SparkTestSession {
   lazy val spark: SparkSession = {
     sys.props.put("SPARK_GRAFT_CPUS_OVERRIDE", "8")
+    // JVM-private warehouse: StageIO scratch/artifact roots derive from
+    // warehouse.dir, so sharing the repo-default `spark-warehouse` with a
+    // concurrently running Verify/Bench process lets that process's
+    // cleanScratch delete THIS JVM's in-flight stage handoffs (observed:
+    // 7 spurious suite failures during a parallel Verify run). A
+    // pid-unique dir makes the test JVM immune to any concurrent driver.
+    val wh = s"${sys.props("java.io.tmpdir")}/graft-test-warehouse-" +
+      ProcessHandle.current().pid()
     SparkSession.builder()
       .master("local[8]")
       .appName("graft-test")
@@ -16,6 +24,7 @@ object SparkTestSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", wh)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }
