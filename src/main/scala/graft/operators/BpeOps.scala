@@ -126,15 +126,23 @@ object BpeOps {
       // always-collect discipline as the PQ codebook broadcast
 
   /** Distinct-word tokenization under a trained merge table:
-    * (word, wcount, tokens array). The merge chain is one expression; the
-    * corpus is never rescanned beyond the word-count shuffle.
+    * (word, wcount, tokens array). The merge chain is one expression.
+    * Building the vocab is one corpus scan + word-count shuffle; a
+    * pipeline that already HAS the vocab frame (e.g. it just ran
+    * [[train]], or staged the vocab to parquet) should pass it through
+    * [[tokenizeVocab]] instead and pay zero rescans.
     */
   def tokenizeWords(docs: DataFrame, textCol: String,
-                    mergesDf: DataFrame): DataFrame = {
+                    mergesDf: DataFrame): DataFrame =
+    tokenizeVocab(vocab(docs, textCol), mergesDf)
+
+  /** [[tokenizeWords]] over a precomputed (word, wcount, sym) vocab frame
+    * — the no-corpus-rescan form for train-then-apply pipelines.
+    */
+  def tokenizeVocab(vocabDf: DataFrame, mergesDf: DataFrame): DataFrame = {
     val merges = collectMerges(mergesDf)
-    vocab(docs, textCol)
-      .select(col("word"), col("wcount"),
-        split(applyMerges(col("sym"), merges), " ").as("tokens"))
+    vocabDf.select(col("word"), col("wcount"),
+      split(applyMerges(col("sym"), merges), " ").as("tokens"))
   }
 
   /** Corpus token-type counts under a trained merge table: (token, n),
@@ -169,5 +177,25 @@ object BpeOps {
         array_sort(collect_list(when(col("word").isNotNull,
           struct(col("pos"), col("tokens"))))),
         x => x.getField("tokens"))).as("tokens"))
+  }
+
+  /** Per-doc BPE token COUNTS without materializing sequences:
+    * (idCol, n_tok). Consumers that only budget tokens — sequence
+    * packing, mixture math — must not pay [[tokenizeDocs]]'s
+    * collect/sort/flatten of every full sequence: here occurrences
+    * equi-join the per-word token COUNT and sum per doc — one corpus
+    * explode, one vocab-sized join, one aggregate. Empty documents
+    * carry no occurrence rows and are absent (the packing convention:
+    * zero tokens packs nothing).
+    */
+  def tokenCountsPerDoc(docs: DataFrame, idCol: String, textCol: String,
+      mergesDf: DataFrame): DataFrame = {
+    val wtoks = tokenizeWords(docs, textCol, mergesDf)
+      .select(col("word"), size(col("tokens")).cast("long").as("_w_tok"))
+    docs.select(col(idCol),
+        explode(TextOps.tokensRegex(col(textCol))).as("word"))
+      .join(wtoks, Seq("word"))
+      .groupBy(idCol)
+      .agg(sum("_w_tok").as("n_tok"))
   }
 }

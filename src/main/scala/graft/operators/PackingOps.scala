@@ -433,9 +433,17 @@ object PackingOps {
     * over near-dup pairs, which only names docs that APPEAR in a pair;
     * absent docs are their own singleton cluster (coalesce to own id).
     * The split decision is the same engine-portable md5 bucket as every
-    * other gate here: no RNG, stable under re-runs, re-partitioning, and
-    * corpus growth (a new arrival can join an existing cluster and lands
-    * in that cluster's split — it can never MOVE a settled cluster).
+    * other gate here: no RNG, stable under re-runs and re-partitioning.
+    * Growth semantics, stated precisely: an arrival that joins ONE
+    * existing cluster inherits that cluster's split; an arrival that
+    * BRIDGES two clusters merges them (CC is monotone), the merged
+    * component keeps the smaller min-label, and the other cluster's
+    * members re-bucket under it — their split CAN change. That is the
+    * correct leakage-safe behavior (the merged set must co-locate; a
+    * frozen per-cluster assignment would leave provable near-dups
+    * straddling train/test), but it means split assignments are stable
+    * only as long as the clustering is — a deployment that needs
+    * immutable assignments must freeze the LABELS, not this operator.
     *
     * Scale: one equi-join of the corpus against the (smaller) label frame,
     * then a pure filter-free projection; no window, no shuffle beyond the
@@ -444,6 +452,18 @@ object PackingOps {
   def clusterSplit(df: DataFrame, idCol: String, labels: DataFrame,
       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     require(trainPct + valPct < 100, "train+val must leave room for test")
+    // fail fast on a non-integral id: cluster labels are min-id LONGS, so
+    // a string id would cast to NULL, bucket to NULL, and silently send
+    // every singleton to the .otherwise branch
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"clusterSplit requires an integral id column; '$idCol' is $other " +
+          "(cluster labels are min-id longs)")
+    }
     val lab = labels.select(col("doc_id").as(idCol),
       col("cluster_id").as("_lab_cluster"))
     val cluster = coalesce(col("_lab_cluster"), col(idCol).cast("long"))

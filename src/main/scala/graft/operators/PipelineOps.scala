@@ -169,13 +169,21 @@ object PipelineOps {
     */
   def snapshotDiff(prior: DataFrame, current: DataFrame, idCol: String,
       contentCol: String): DataFrame = {
-    val a = prior.select(col(idCol), md5(col(contentCol)).as("_h_prior"))
-    val b = current.select(col(idCol), md5(col(contentCol)).as("_h_cur"))
+    // presence rides its own flag, NOT hash nullness: md5(NULL) is NULL,
+    // so a row whose content is NULL would otherwise masquerade as
+    // absent and misreport added/removed for a doc present in both
+    // snapshots. The hash comparison is null-safe (<=>) for the same
+    // reason: NULL content on both sides is unchanged, on one side is
+    // changed.
+    val a = prior.select(col(idCol), md5(col(contentCol)).as("_h_prior"),
+      lit(true).as("_in_prior"))
+    val b = current.select(col(idCol), md5(col(contentCol)).as("_h_cur"),
+      lit(true).as("_in_cur"))
     a.join(b, Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("_h_prior").isNull, "added")
-          .when(col("_h_cur").isNull, "removed")
-          .when(col("_h_prior") === col("_h_cur"), "unchanged")
+        when(col("_in_prior").isNull, "added")
+          .when(col("_in_cur").isNull, "removed")
+          .when(col("_h_prior") <=> col("_h_cur"), "unchanged")
           .otherwise("changed").as("status"))
   }
 }

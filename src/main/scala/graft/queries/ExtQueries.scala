@@ -31,6 +31,22 @@ object ExtQueries {
     * that scales with query traffic at 100 TB) separately from the
     * quantizer training + three index builds the composite entry re-runs.
     */
+  /** Train a 16-merge BPE table on the corpus and persist it under the
+    * given artifact tag — the shared front half of every x57-family
+    * query (each trains its OWN table so queries stay order-independent
+    * under Verify; the redundancy is a fixture cost, not an operator
+    * cost).
+    */
+  private def bpeTrainTo(s: org.apache.spark.sql.SparkSession, d: String,
+      tag: String): org.apache.spark.sql.DataFrame = {
+    val dir = s"${graft.operators.StageIO.artifactRoot(s)}" +
+      s"/$tag/${new java.io.File(d).getName}"
+    graft.operators.BpeOps.train(Tables.documents(s, d), "text",
+        numMerges = 16)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+  }
+
   def x54Build(s: org.apache.spark.sql.SparkSession, d: String,
       residual: Boolean = false): String = {
     import graft.operators.AnnIndex
@@ -1373,11 +1389,7 @@ object ExtQueries {
     "x57_bpe_tokens" -> ((s, d) => {
       import graft.operators.BpeOps
       val docs = Tables.documents(s, d)
-      val mDir = s"${graft.operators.StageIO.artifactRoot(s)}" +
-        s"/bpe_merges/${new java.io.File(d).getName}"
-      BpeOps.train(docs, "text", numMerges = 16)
-        .coalesce(1).write.mode("overwrite").parquet(mDir)
-      BpeOps.tokenCounts(docs, "text", s.read.parquet(mDir))
+      BpeOps.tokenCounts(docs, "text", bpeTrainTo(s, d, "bpe_merges"))
         .orderBy("token")
     }),
 
@@ -1406,11 +1418,8 @@ object ExtQueries {
     "x57b_bpe_doc_tokens" -> ((s, d) => {
       import graft.operators.BpeOps
       val docs = Tables.documents(s, d)
-      val mDir = s"${graft.operators.StageIO.artifactRoot(s)}" +
-        s"/bpe_merges_doc/${new java.io.File(d).getName}"
-      BpeOps.train(docs, "text", numMerges = 16)
-        .coalesce(1).write.mode("overwrite").parquet(mDir)
-      BpeOps.tokenizeDocs(docs, "doc_id", "text", s.read.parquet(mDir))
+      BpeOps.tokenizeDocs(docs, "doc_id", "text",
+          bpeTrainTo(s, d, "bpe_merges_doc"))
         .select(col("doc_id"),
           size(col("tokens")).as("n_tokens"),
           md5(concat_ws(" ", col("tokens"))).as("tok_hash"))
@@ -1426,13 +1435,10 @@ object ExtQueries {
     "x57c_bpe_pack" -> ((s, d) => {
       import graft.operators.{BpeOps, PackingOps}
       val docs = Tables.documents(s, d)
-      val mDir = s"${graft.operators.StageIO.artifactRoot(s)}" +
-        s"/bpe_merges_pack/${new java.io.File(d).getName}"
-      BpeOps.train(docs, "text", numMerges = 16)
-        .coalesce(1).write.mode("overwrite").parquet(mDir)
-      val counted = BpeOps.tokenizeDocs(docs, "doc_id", "text",
-          s.read.parquet(mDir))
-        .select(col("doc_id"), size(col("tokens")).cast("long").as("n_tok"))
+      // counts via the sequence-free path: packing budgets tokens, it
+      // must not pay tokenizeDocs' collect/sort/flatten of full sequences
+      val counted = BpeOps.tokenCountsPerDoc(docs, "doc_id", "text",
+        bpeTrainTo(s, d, "bpe_merges_pack"))
       PackingOps.chunkPackCounted(counted, "doc_id", "n_tok",
           capacity = 512, shards = 8)
         .orderBy("shard", "chunk_id", "doc_id")
@@ -3657,134 +3663,103 @@ object ExtQueries {
            FROM d ORDER BY asset_id"""
       })
 
-    // x57: replay BPE APPLICATION from the persisted merge table — one
-    // leftmost replace-all pass per merge row, in rank order, exactly
+    // Shared BPE oracle plumbing: every x57-family oracle replays
+    // APPLICATION from its persisted merge table — one leftmost
+    // replace-all pass per merge row, in rank order, exactly
     // BpeOps.applyMerge's semantics (both engines' replace() is leftmost
     // non-overlapping, so the passes agree byte-for-byte). Training (the
-    // iterated argmax) is not SQL-expressible; BpeSpec owns it.
-    val bpeOracle = Map("x57_bpe_tokens" ->
-      """WITH RECURSIVE m AS (
+    // iterated argmax) is not SQL-expressible; BpeSpec/BpeProps own it.
+    // Each caller defines its own `dw` (distinct words) CTE and appends
+    // this block; `wdone` is the fully-merged symbol string per word.
+    val ddbWords =
+      "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+    def bpeReplay(tag: String) =
+      s"""m AS (
            SELECT "rank" AS mrank, lhs, rhs
-           FROM read_parquet('__GRAFT_ART__/bpe_merges/__GRAFT_SF__/*.parquet')),
+           FROM read_parquet('__GRAFT_ART__/$tag/__GRAFT_SF__/*.parquet')),
          nm AS (SELECT COUNT(*) AS n FROM m),
-         words AS (
-           SELECT word, COUNT(*) AS wcount FROM (
-             SELECT unnest(list_filter(
-                      string_split_regex(lower(text), '[^a-z0-9]+'),
-                      x -> len(x) > 0)) AS word
-             FROM documents)
-           GROUP BY word),
-         apply(wcount, s, i) AS (
-           SELECT wcount,
+         apply(word, s, i) AS (
+           SELECT word,
                   array_to_string(string_split(word, ''), ' ') || ' </w>', 0
-           FROM words
+           FROM dw
            UNION ALL
-           SELECT a.wcount,
+           SELECT a.word,
                   trim(replace(' '||a.s||' ',
                                ' '||m.lhs||' '||m.rhs||' ',
                                ' '||m.lhs||m.rhs||' ')),
                   a.i + 1
-           FROM apply a JOIN m ON m.mrank = a.i)
-         SELECT token, CAST(SUM(wcount) AS BIGINT) AS n FROM (
-           SELECT unnest(string_split(s, ' ')) AS token, wcount
-           FROM apply, nm WHERE i = nm.n)
-         GROUP BY token ORDER BY token""",
+           FROM apply a JOIN m ON m.mrank = a.i),
+         wdone AS (SELECT word, s FROM apply, nm WHERE i = nm.n)"""
 
-      // x57b: same application replay, but per-word tokenizations are
-      // re-zipped into each document's ORDERED sequence (unnest +
-      // generate_subscripts carry the position; flatten(list ORDER BY
-      // pos) rebuilds the sequence) — the per-doc md5 pins every token
+    val bpeOracle = Map(
+      "x57_bpe_tokens" ->
+        s"""WITH RECURSIVE words AS (
+              SELECT word, COUNT(*) AS wcount FROM (
+                SELECT unnest($ddbWords) AS word FROM documents)
+              GROUP BY word),
+            dw AS (SELECT word FROM words),
+            ${bpeReplay("bpe_merges")}
+            SELECT token, CAST(SUM(wcount) AS BIGINT) AS n FROM (
+              SELECT unnest(string_split(d.s, ' ')) AS token, w.wcount
+              FROM wdone d JOIN words w USING (word))
+            GROUP BY token ORDER BY token""",
+
+      // per-word replays re-zipped into each document's ORDERED sequence
+      // (unnest + generate_subscripts carry the position; flatten(list
+      // ORDER BY pos) rebuilds it) — the per-doc md5 pins every token
       // and its position while rows stay narrow
       "x57b_bpe_doc_tokens" ->
-      """WITH RECURSIVE m AS (
-           SELECT "rank" AS mrank, lhs, rhs
-           FROM read_parquet('__GRAFT_ART__/bpe_merges_doc/__GRAFT_SF__/*.parquet')),
-         nm AS (SELECT COUNT(*) AS n FROM m),
-         docs AS (
-           SELECT doc_id,
-                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                              x -> len(x) > 0) AS words
-           FROM documents),
-         occ AS (
-           SELECT doc_id, unnest(words) AS word,
-                  generate_subscripts(words, 1) AS pos
-           FROM docs),
-         dw AS (SELECT DISTINCT word FROM occ),
-         apply(word, s, i) AS (
-           SELECT word,
-                  array_to_string(string_split(word, ''), ' ') || ' </w>', 0
-           FROM dw
-           UNION ALL
-           SELECT a.word,
-                  trim(replace(' '||a.s||' ',
-                               ' '||m.lhs||' '||m.rhs||' ',
-                               ' '||m.lhs||m.rhs||' ')),
-                  a.i + 1
-           FROM apply a JOIN m ON m.mrank = a.i),
-         wtoks AS (
-           SELECT word, string_split(s, ' ') AS toks
-           FROM apply, nm WHERE i = nm.n),
-         seq AS (
-           SELECT o.doc_id, flatten(list(w.toks ORDER BY o.pos)) AS tokens
-           FROM occ o JOIN wtoks w USING (word) GROUP BY o.doc_id)
-         SELECT d.doc_id,
-                CAST(coalesce(len(s.tokens), 0) AS INT) AS n_tokens,
-                md5(coalesce(array_to_string(s.tokens, ' '), '')) AS tok_hash
-         FROM documents d LEFT JOIN seq s USING (doc_id)
-         ORDER BY doc_id""",
+        s"""WITH RECURSIVE docs AS (
+              SELECT doc_id, $ddbWords AS words FROM documents),
+            occ AS (
+              SELECT doc_id, unnest(words) AS word,
+                     generate_subscripts(words, 1) AS pos
+              FROM docs),
+            dw AS (SELECT DISTINCT word FROM occ),
+            ${bpeReplay("bpe_merges_doc")},
+            wtoks AS (SELECT word, string_split(s, ' ') AS toks FROM wdone),
+            seq AS (
+              SELECT o.doc_id, flatten(list(w.toks ORDER BY o.pos)) AS tokens
+              FROM occ o JOIN wtoks w USING (word) GROUP BY o.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(len(s.tokens), 0) AS INT) AS n_tokens,
+                   md5(coalesce(array_to_string(s.tokens, ' '), '')) AS tok_hash
+            FROM documents d LEFT JOIN seq s USING (doc_id)
+            ORDER BY doc_id""",
 
-      // x57c: the x57b per-word replay summed into per-doc BPE token
-      // counts, feeding x21's packing SQL verbatim (empty docs carry no
-      // occurrence rows — the same exclusion as x21's n_tok > 0 filter)
+      // per-word token counts summed per doc, feeding x21's packing SQL
+      // verbatim (empty docs carry no occurrence rows — the same
+      // exclusion as x21's n_tok > 0 filter)
       "x57c_bpe_pack" ->
-      """WITH RECURSIVE m AS (
-           SELECT "rank" AS mrank, lhs, rhs
-           FROM read_parquet('__GRAFT_ART__/bpe_merges_pack/__GRAFT_SF__/*.parquet')),
-         nm AS (SELECT COUNT(*) AS n FROM m),
-         d0 AS (
-           SELECT doc_id,
-                  list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                              x -> len(x) > 0) AS words
-           FROM documents),
-         occ AS (
-           SELECT doc_id, unnest(words) AS word FROM d0),
-         dw AS (SELECT DISTINCT word FROM occ),
-         apply(word, s, i) AS (
-           SELECT word,
-                  array_to_string(string_split(word, ''), ' ') || ' </w>', 0
-           FROM dw
-           UNION ALL
-           SELECT a.word,
-                  trim(replace(' '||a.s||' ',
-                               ' '||m.lhs||' '||m.rhs||' ',
-                               ' '||m.lhs||m.rhs||' ')),
-                  a.i + 1
-           FROM apply a JOIN m ON m.mrank = a.i),
-         wtoks AS (
-           SELECT word, len(string_split(s, ' ')) AS w_tok
-           FROM apply, nm WHERE i = nm.n),
-         t AS (
-           SELECT o.doc_id,
-                  CAST(CAST('0x' || substr(md5(CAST(o.doc_id AS VARCHAR)), 1, 15)
-                       AS BIGINT) % 8 AS INT) AS shard,
-                  CAST(SUM(w.w_tok) AS BIGINT) AS n_tok
-           FROM occ o JOIN wtoks w USING (word) GROUP BY o.doc_id),
-         c AS (
-           SELECT doc_id, shard, n_tok,
-                  CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS cum_end
-           FROM t WHERE n_tok > 0),
-         e AS (
-           SELECT shard, doc_id, n_tok, cum_end,
-                  unnest(generate_series((cum_end - n_tok) // 512,
-                                         (cum_end - 1) // 512)) AS chunk_id
-           FROM c)
-         SELECT shard, CAST(chunk_id AS INT) AS chunk_id, doc_id,
-                CAST(least(cum_end, (chunk_id + 1) * 512)
-                     - greatest(cum_end - n_tok, chunk_id * 512) AS INT)
-                  AS tok_in_chunk
-         FROM e ORDER BY shard, chunk_id, doc_id""")
+        s"""WITH RECURSIVE docs AS (
+              SELECT doc_id, $ddbWords AS words FROM documents),
+            occ AS (SELECT doc_id, unnest(words) AS word FROM docs),
+            dw AS (SELECT DISTINCT word FROM occ),
+            ${bpeReplay("bpe_merges_pack")},
+            wtoks AS (
+              SELECT word, len(string_split(s, ' ')) AS w_tok FROM wdone),
+            t AS (
+              SELECT o.doc_id,
+                     CAST(CAST('0x' || substr(md5(CAST(o.doc_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) % 8 AS INT) AS shard,
+                     CAST(SUM(w.w_tok) AS BIGINT) AS n_tok
+              FROM occ o JOIN wtoks w USING (word) GROUP BY o.doc_id),
+            c AS (
+              SELECT doc_id, shard, n_tok,
+                     CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_end
+              FROM t WHERE n_tok > 0),
+            e AS (
+              SELECT shard, doc_id, n_tok, cum_end,
+                     unnest(generate_series((cum_end - n_tok) // 512,
+                                            (cum_end - 1) // 512)) AS chunk_id
+              FROM c)
+            SELECT shard, CAST(chunk_id AS INT) AS chunk_id, doc_id,
+                   CAST(least(cum_end, (chunk_id + 1) * 512)
+                        - greatest(cum_end - n_tok, chunk_id * 512) AS INT)
+                     AS tok_in_chunk
+            FROM e ORDER BY shard, chunk_id, doc_id""")
 
     // x58: x25's connected-components replay feeds the same md5 split
     // bucket as x16, keyed on the cluster label (docs outside every

@@ -476,4 +476,19 @@ class ExtOpsSpec extends AnyFunSuite {
     val same = PipelineOps.snapshotDiff(docs, docs, "doc_id", "text")
     assert(same.filter(col("status") =!= "unchanged").isEmpty)
   }
+
+  test("snapshotDiff classifies NULL content by presence, not hash nullness") {
+    import graft.operators.PipelineOps
+    import spark.implicits._
+    // md5(NULL) = NULL — presence must ride its own flag or a live doc
+    // with NULL content masquerades as added/removed
+    val prior = Seq((1L, null: String), (2L, "x"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val cur = Seq((1L, "x"), (2L, null: String), (3L, null: String))
+      .toDF("doc_id", "text")
+    val by = PipelineOps.snapshotDiff(prior, cur, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(by == Map(1L -> "changed", 2L -> "changed", 3L -> "unchanged"),
+      by.toString)
+  }
 }

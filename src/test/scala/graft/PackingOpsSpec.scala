@@ -292,4 +292,14 @@ class PackingOpsSpec extends AnyFunSuite {
     // total census: every doc appears exactly once
     assert(split.count() == docs.count())
   }
+
+  test("clusterSplit fails fast on a non-integral id column") {
+    import spark.implicits._
+    val stringKeyed = Seq(("ab", "t")).toDF("doc_id", "text")
+    val labels = Seq((1L, 1L)).toDF("doc_id", "cluster_id")
+    val err = intercept[IllegalArgumentException] {
+      PackingOps.clusterSplit(stringKeyed, "doc_id", labels)
+    }
+    assert(err.getMessage.contains("integral id column"), err.getMessage)
+  }
 }

@@ -16,6 +16,13 @@ object SparkTestSession {
     // pid-unique dir makes the test JVM immune to any concurrent driver.
     val wh = s"${sys.props("java.io.tmpdir")}/graft-test-warehouse-" +
       ProcessHandle.current().pid()
+    // reclaim it when the forked test JVM exits — pid-unique dirs would
+    // otherwise accumulate in tmpdir, one per `sbt test` run (artifacts
+    // deliberately survive cleanScratch, so nothing else deletes them)
+    sys.addShutdownHook {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(wh)).deleteRecursively()
+    }
     SparkSession.builder()
       .master("local[8]")
       .appName("graft-test")
