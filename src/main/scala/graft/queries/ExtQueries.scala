@@ -1498,6 +1498,22 @@ object ExtQueries {
         .orderBy("band")
     }),
 
+    // ---- diversity-aware retrieval (MMR): greedy λ·relevance −
+    // (1−λ)·max-sim-to-selected over each query's top-20 shortlist.
+    // Output is FLOAT-FREE — (qid, step, vec_id) in selection order —
+    // so the hash gate pins the entire greedy trajectory: one wrong
+    // argmax at any step changes the rows. Both similarity inputs are
+    // the rounded 4-decimal cosines already proven engine-identical.
+    "x62_mmr_select" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 30)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      SimilarityOps.mmrSelectBatch(emb, "vec_id", "embedding",
+          queries, "qid", "qv", k = 5, shortlist = 20, lambda = 0.7,
+          excludeSelf = true)
+        .orderBy("qid", "step")
+    }),
+
     // ---- snapshot diff (dataset-version audit): v2 is a deterministic
     // mutation of the corpus — every id%7 dropped, every surviving id%5
     // edited, every id%11 re-added under a shifted id — and the diff
@@ -3910,6 +3926,70 @@ object ExtQueries {
                    / 10000.0 AS recall
           FROM j GROUP BY band ORDER BY band""")
 
+    // x62: the greedy MMR trajectory unrolled to k CTE steps (generated
+    // — no recursive list-state gymnastics); λ and 1−λ are interpolated
+    // from the SAME Scala doubles the operator uses, so the literals
+    // parse to bit-identical values on both engines
+    val mmrOracle = Map("x62_mmr_select" -> {
+      val lam = "0.7"
+      val oneMinus = (1.0 - 0.7).toString
+      def mmrStep(i: Int) =
+        s"""pen$i AS (
+              SELECT c.qid, c.vec_id, MAX(p.psim) AS pen
+              FROM cands c
+              JOIN all${i - 1} s ON s.qid = c.qid
+              JOIN pair p ON p.qid = c.qid AND p.ca = c.vec_id
+               AND p.cb = s.vec_id
+              GROUP BY c.qid, c.vec_id),
+            sel$i AS (
+              SELECT qid, vec_id, $i AS step FROM (
+                SELECT c.qid, c.vec_id,
+                       row_number() OVER (PARTITION BY c.qid
+                         ORDER BY $lam * c.qsim
+                           - $oneMinus * coalesce(pn.pen, 0.0) DESC,
+                           c.vec_id) AS rn
+                FROM cands c
+                LEFT JOIN pen$i pn ON pn.qid = c.qid
+                 AND pn.vec_id = c.vec_id
+                WHERE NOT EXISTS (SELECT 1 FROM all${i - 1} s
+                                  WHERE s.qid = c.qid
+                                    AND s.vec_id = c.vec_id))
+              WHERE rn = 1),
+            all$i AS (SELECT * FROM all${i - 1}
+                      UNION ALL SELECT * FROM sel$i)"""
+      val steps = (2 to 5).map(mmrStep).mkString(",\n          ")
+      s"""WITH q AS (
+            SELECT vec_id AS qid, embedding AS qv FROM embeddings
+            WHERE vec_id < 30),
+          cands AS (
+            SELECT qid, vec_id, round(cos, 4) AS qsim FROM (
+              SELECT q.qid, e.vec_id,
+                     ${ddbCos("e.embedding", "q.qv")} AS cos,
+                     row_number() OVER (PARTITION BY q.qid
+                       ORDER BY ${ddbCos("e.embedding", "q.qv")} DESC,
+                         e.vec_id) AS rn
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+            WHERE rn <= 20),
+          pair AS (
+            SELECT a.qid, a.vec_id AS ca, b.vec_id AS cb,
+                   round(${ddbCos("ea.embedding", "eb.embedding")}, 4)
+                     AS psim
+            FROM cands a
+            JOIN cands b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            JOIN embeddings eb ON eb.vec_id = b.vec_id),
+          sel1 AS (
+            SELECT qid, vec_id, 1 AS step FROM (
+              SELECT qid, vec_id,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY $lam * qsim DESC, vec_id) AS rn
+              FROM cands)
+            WHERE rn = 1),
+          all1 AS (SELECT * FROM sel1),
+          $steps
+          SELECT qid, step, vec_id FROM all5 ORDER BY qid, step"""
+    })
+
     val diffOracle = Map("x60_snapshot_diff" ->
       """WITH v2 AS (
            SELECT doc_id,
@@ -3933,7 +4013,7 @@ object ExtQueries {
     // x58b's oracle IS x58's: the state-maintained labeling must
     // reproduce the batch CC split census exactly (CC monotonicity)
     m ++ bpeOracle ++ clusterSplitOracle ++ jlOracle ++ diffOracle ++
-      lshRecallOracle +
+      lshRecallOracle ++ mmrOracle +
       ("x48_manifest_delta" -> m("x24_training_manifest")) +
       ("x58b_cluster_split_from_state" ->
         clusterSplitOracle("x58_cluster_split"))

@@ -127,6 +127,50 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r1 >= 0.35, s"nprobe=1 measured ~0.5, got $r1")
   }
 
+  test("MMR: first pick is the nearest neighbor; selection is diverse, distinct, in-shortlist") {
+    val sel = SimilarityOps.mmrSelectBatch(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5, shortlist = 20, lambda = 0.7,
+      excludeSelf = true)
+    // five distinct picks per query, steps 1..5
+    val perQ = sel.groupBy("qid").agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("vec_id")).as("nd"),
+      min("step").as("lo"), max("step").as("hi"))
+    assert(perQ.filter(col("n") =!= 5 || col("nd") =!= 5 ||
+      col("lo") =!= 1 || col("hi") =!= 5).isEmpty)
+    // step 1 == the plain nearest neighbor (λ-scaling cannot reorder)
+    val top1 = SimilarityOps.topKBatch(emb, "vec_id", "embedding",
+      queries, "qid", "qv", 1, excludeSelf = true)
+      .select(col("qid"), col("vec_id").as("nn"))
+    assert(sel.filter(col("step") === 1).join(top1, "qid")
+      .filter(col("vec_id") =!= col("nn")).isEmpty)
+    // every pick is inside the top-20 shortlist
+    val short = SimilarityOps.topKBatch(emb, "vec_id", "embedding",
+      queries, "qid", "qv", 20, excludeSelf = true)
+      .select("qid", "vec_id")
+    assert(sel.select("qid", "vec_id").exceptAll(short).isEmpty)
+    // diversity actually bought: summed max intra-set pairwise cosine of
+    // the MMR sets is strictly below the plain top-5 sets'
+    def intraMax(df: org.apache.spark.sql.DataFrame): Double = {
+      val v = emb.select(col("vec_id"), col("embedding"))
+      df.alias("a").join(df.alias("b"),
+          col("a.qid") === col("b.qid") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .join(v.select(col("vec_id").as("ia"), col("embedding").as("va")),
+          col("a.vec_id") === col("ia"))
+        .join(v.select(col("vec_id").as("ib"), col("embedding").as("vb")),
+          col("b.vec_id") === col("ib"))
+        .select(col("a.qid").as("qid"),
+          SimilarityOps.cosine(col("va"), col("vb")).as("c"))
+        .groupBy("qid").agg(max("c").as("m"))
+        .agg(sum("m")).head().getDouble(0)
+    }
+    val plain5 = SimilarityOps.topKBatch(emb, "vec_id", "embedding",
+      queries, "qid", "qv", 5, excludeSelf = true).select("qid", "vec_id")
+    assert(intraMax(sel.select("qid", "vec_id")) < intraMax(plain5),
+      "MMR sets must be less self-similar than plain top-5 sets")
+  }
+
   test("JL projection: ±1 matrix, deterministic, width buys recall, dups survive") {
     val signs = SimilarityOps.rademacherSigns(16, 64)
     assert(signs.length == 16 && signs.forall(_.length == 64))
