@@ -157,15 +157,48 @@ object PackingOps {
   private def mixtureRatesOf(df: DataFrame, classCol: String,
       tok: org.apache.spark.sql.Column,
       targetBps: Map[String, Long], defaultBps: Long): DataFrame = {
-    // decimal-width rounding: s_bps·T products overflow Long past ~4.6e10
-    // tokens in the binding class — corpus scale is orders beyond that
-    import graft.queries.Det.round4RatBig
     val sBps = targetBps.foldLeft(lit(defaultBps)) { case (acc, (cls, s)) =>
       when(col(classCol) === cls, lit(s)).otherwise(acc)
     }
     val agg = df.groupBy(col(classCol))
       .agg(count(lit(1)).as("n_docs"), sum(tok).as("n_tokens"))
       .withColumn("s_bps", sBps)
+    ratesFromShares(agg, classCol)
+  }
+
+  /** Temperature mixture rates (α = 0.5, the multilingual "flattening"
+    * step): target shares are DERIVED from the corpus as s_c = ⌊√T_c⌋
+    * instead of hand-fixed, so keep-rates come out rate_c ≈ √(T_m/T_c) —
+    * the smallest class keeps everything and every larger class
+    * downsamples by the square root of its size advantage (the p^α
+    * sampling family at α = 0.5). √ is the one power the oracle gate
+    * allows: IEEE sqrt is correctly rounded — identical in any engine —
+    * while pow(x, α) is not, so the temperature is fixed at 0.5 by
+    * design rather than parameterized into nondeterminism. ⌊·⌋ keeps the
+    * share integral (exact decimal arithmetic downstream) and the
+    * greatest(1, ·) guard keeps an all-empty class from a 0-share
+    * division. Everything after the share derivation is the
+    * [[mixtureRates]] binding-class machinery, shared verbatim.
+    */
+  def temperatureRates(df: DataFrame, classCol: String,
+      textCol: String): DataFrame =
+    ratesFromShares(
+      df.groupBy(col(classCol))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextOps.tokens(col(textCol))).cast("long")).as("n_tokens"))
+        .withColumn("s_bps",
+          greatest(lit(1L), floor(sqrt(col("n_tokens"))))),
+      classCol)
+
+  /** The shared back half of every rate derivation: binding-class window
+    * over a (classCol, n_docs, n_tokens, s_bps) frame + the exact-decimal
+    * rate. Kept private so the s_bps contract (integral, ≥ 1) stays with
+    * its two derivations.
+    */
+  private def ratesFromShares(agg: DataFrame, classCol: String): DataFrame = {
+    // decimal-width rounding: s_bps·T products overflow Long past ~4.6e10
+    // tokens in the binding class — corpus scale is orders beyond that
+    import graft.queries.Det.round4RatBig
     // the binding class (fewest tokens per unit of target share) comes
     // from a first_value WINDOW over the aggregated frame, not a
     // limit(1)-and-cross-join branch: a second branch of the same agg is

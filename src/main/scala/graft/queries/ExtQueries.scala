@@ -1498,6 +1498,24 @@ object ExtQueries {
         .orderBy("band")
     }),
 
+    // ---- temperature-0.5 mixture: target shares DERIVED from the
+    // corpus (s_c = ⌊√T_c⌋) instead of hand-fixed — the multilingual
+    // "flattening" sampler: the smallest class keeps rate 1.0, larger
+    // classes downsample by the square root of their size advantage.
+    // Output = the rate table + the realized per-class keep census
+    // through the md5 sampler, so the gate pins derivation AND effect.
+    "x63_temperature_mix" -> ((s, d) => {
+      import graft.operators.PackingOps
+      val docs = Tables.documents(s, d)
+      val rates = PackingOps.temperatureRates(docs, "lang", "text")
+      val kept = PackingOps
+        .stratifiedSampleByRates(docs, "lang", "doc_id", rates)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      rates.join(kept, Seq("lang"), "left")
+        .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+        .orderBy("lang")
+    }),
+
     // ---- diversity-aware retrieval (MMR): greedy λ·relevance −
     // (1−λ)·max-sim-to-selected over each query's top-20 shortlist.
     // Output is FLOAT-FREE — (qid, step, vec_id) in selection order —
@@ -3926,6 +3944,44 @@ object ExtQueries {
                    / 10000.0 AS recall
           FROM j GROUP BY band ORDER BY band""")
 
+    // x63: x28's binding-class replay with DERIVED shares
+    // s = greatest(floor(sqrt(T)), 1) — IEEE sqrt is correctly rounded,
+    // so the share integers agree across engines — plus the md5-sampler
+    // replay of the realized keep census
+    val temperatureOracle = Map("x63_temperature_mix" ->
+      s"""WITH agg AS (
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(len($mdToks)) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY lang),
+          sh AS (
+            SELECT lang, n_docs, n_tokens,
+                   greatest(CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)))
+                     AS BIGINT), 1) AS s_bps
+            FROM agg),
+          w AS (
+            SELECT lang, n_docs, n_tokens, s_bps,
+                   first_value(n_tokens) OVER bind AS t_m,
+                   first_value(s_bps) OVER bind AS s_m
+            FROM sh
+            WINDOW bind AS (ORDER BY CAST(n_tokens AS DOUBLE) / s_bps, lang)),
+          r AS (
+            SELECT lang, n_docs, n_tokens,
+                   ((CAST(s_bps AS HUGEINT) * t_m * 20000
+                       + CAST(s_m AS HUGEINT) * n_tokens)
+                     // (2 * NULLIF(CAST(s_m AS HUGEINT) * n_tokens, 0)))
+                     AS rate_bps
+            FROM w),
+          kept AS (
+            SELECT d.lang, COUNT(*) AS n_kept
+            FROM documents d JOIN r ON d.lang = r.lang
+            WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 10000 < rate_bps
+            GROUP BY d.lang)
+          SELECT r.lang, n_docs, n_tokens, rate_bps / 10000.0 AS rate,
+                 CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+          FROM r LEFT JOIN kept k ON r.lang = k.lang
+          ORDER BY r.lang""")
+
     // x62: the greedy MMR trajectory unrolled to k CTE steps (generated
     // — no recursive list-state gymnastics); λ and 1−λ are interpolated
     // from the SAME Scala doubles the operator uses, so the literals
@@ -4013,7 +4069,7 @@ object ExtQueries {
     // x58b's oracle IS x58's: the state-maintained labeling must
     // reproduce the batch CC split census exactly (CC monotonicity)
     m ++ bpeOracle ++ clusterSplitOracle ++ jlOracle ++ diffOracle ++
-      lshRecallOracle ++ mmrOracle +
+      lshRecallOracle ++ mmrOracle ++ temperatureOracle +
       ("x48_manifest_delta" -> m("x24_training_manifest")) +
       ("x58b_cluster_split_from_state" ->
         clusterSplitOracle("x58_cluster_split"))

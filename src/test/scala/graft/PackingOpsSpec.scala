@@ -293,6 +293,23 @@ class PackingOpsSpec extends AnyFunSuite {
     assert(split.count() == docs.count())
   }
 
+  test("temperatureRates: smallest class keeps 1.0; rates fall with size; ~sqrt law") {
+    val rates = PackingOps.temperatureRates(docs, "lang", "text")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    val byTok = rates.sortBy(_._2)
+    // the binding (fewest-token) class keeps everything
+    assert(byTok.head._3 == 1.0, byTok.mkString(", "))
+    // monotone: more tokens can never mean a higher keep rate
+    assert(byTok.sliding(2).forall { case Array(a, b) => a._3 >= b._3 },
+      byTok.mkString(", "))
+    // alpha = 0.5: rate_c tracks sqrt(T_min/T_c) within share quantization
+    val tMin = byTok.head._2.toDouble
+    byTok.foreach { case (lang, t, rate) =>
+      val want = math.sqrt(tMin / t)
+      assert(math.abs(rate - want) < 0.02, s"$lang: $rate vs sqrt-law $want")
+    }
+  }
+
   test("clusterSplit fails fast on a non-integral id column") {
     import spark.implicits._
     val stringKeyed = Seq(("ab", "t")).toDF("doc_id", "text")
