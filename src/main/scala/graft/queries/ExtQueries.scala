@@ -1498,6 +1498,23 @@ object ExtQueries {
         .orderBy("band")
     }),
 
+    // ---- chunk→doc embedding pooling: element-wise mean per group,
+    // folded in id order so the doubles are bit-identical across
+    // engines (a plain SUM is order-dependent in the last ulps); the
+    // floor-quantized output adds belt-and-braces against any residual
+    // representation drift. grp = vec_id % 40 stands in for the
+    // chunk→doc mapping the chunking op produces.
+    "x64_embed_pool" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+        .withColumn("grp", pmod(col("vec_id"), lit(40)))
+      SimilarityOps.meanPool(emb, "grp", "vec_id", "embedding")
+        .select(col("grp"), col("n_vecs"),
+          posexplode(col("pooled")).as(Seq("pos", "v")))
+        .select(col("grp"), (col("pos") + 1).as("pos"),
+          (floor(col("v") * 10000) / 10000.0).as("val"))
+        .orderBy("grp", "pos")
+    }),
+
     // ---- temperature-0.5 mixture: target shares DERIVED from the
     // corpus (s_c = ⌊√T_c⌋) instead of hand-fixed — the multilingual
     // "flattening" sampler: the smallest class keeps rate 1.0, larger
@@ -3944,6 +3961,27 @@ object ExtQueries {
                    / 10000.0 AS recall
           FROM j GROUP BY band ORDER BY band""")
 
+    // x64: the ordered-fold pool replayed per (grp, pos):
+    // list_reduce(list(v ORDER BY vec_id), +) is the identical left
+    // fold, then the same /n, floor-quantize arithmetic
+    val poolOracle = Map("x64_embed_pool" ->
+      """WITH g AS (
+           SELECT vec_id, vec_id % 40 AS grp, embedding FROM embeddings),
+         occ AS (
+           SELECT grp, vec_id,
+                  generate_subscripts(embedding, 1) AS pos,
+                  unnest(embedding) AS v
+           FROM g),
+         s AS (
+           SELECT grp, pos,
+                  list_reduce(list(CAST(v AS DOUBLE) ORDER BY vec_id),
+                              (x, y) -> x + y) AS sv,
+                  COUNT(*) AS n
+           FROM occ GROUP BY grp, pos)
+         SELECT grp, CAST(pos AS INT) AS pos,
+                floor(sv / n * 10000) / 10000.0 AS val
+         FROM s ORDER BY grp, pos""")
+
     // x63: x28's binding-class replay with DERIVED shares
     // s = greatest(floor(sqrt(T)), 1) — IEEE sqrt is correctly rounded,
     // so the share integers agree across engines — plus the md5-sampler
@@ -4069,7 +4107,7 @@ object ExtQueries {
     // x58b's oracle IS x58's: the state-maintained labeling must
     // reproduce the batch CC split census exactly (CC monotonicity)
     m ++ bpeOracle ++ clusterSplitOracle ++ jlOracle ++ diffOracle ++
-      lshRecallOracle ++ mmrOracle ++ temperatureOracle +
+      lshRecallOracle ++ mmrOracle ++ temperatureOracle ++ poolOracle +
       ("x48_manifest_delta" -> m("x24_training_manifest")) +
       ("x58b_cluster_split_from_state" ->
         clusterSplitOracle("x58_cluster_split"))

@@ -477,6 +477,19 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(same.filter(col("status") =!= "unchanged").isEmpty)
   }
 
+  test("meanPool: singleton identity, exact means, group counts") {
+    import graft.operators.SimilarityOps
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, Seq(1.0f, 2.0f)), (2L, 10L, Seq(3.0f, 4.0f)),
+      (3L, 20L, Seq(5.0f, 6.0f))).toDF("vec_id", "grp", "embedding")
+    val out = SimilarityOps.meanPool(df, "grp", "vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Double](1), r.getLong(2)))).toMap
+    assert(out(10L) == ((Seq(2.0, 3.0), 2L)), out.toString)
+    assert(out(20L) == ((Seq(5.0, 6.0), 1L)), out.toString)
+  }
+
   test("snapshotDiff classifies NULL content by presence, not hash nullness") {
     import graft.operators.PipelineOps
     import spark.implicits._
