@@ -167,6 +167,42 @@ object PipelineOps {
     * Deterministic by construction; feeds incremental rebuilds ("process
     * exactly the added ∪ changed set") and release notes alike.
     */
+  /** Distribution drift between two corpus snapshots over a categorical
+    * key (token, language, source): TOTAL-VARIATION distance
+    * ½·Σ|p_k − q_k|, computed in exact integer arithmetic —
+    * Σ|c1_k·N2 − c2_k·N1| / (2·N1·N2) — so the drift number is a
+    * rational both engines agree on bit-for-bit (KL would need log,
+    * which no two libm implementations are obliged to round alike; TV
+    * sidesteps transcendentals entirely). The monitoring step of a
+    * dataset release: "how different is v2's token mix, exactly?"
+    *
+    * Scale: one aggregate per side (map-side combined over the key), a
+    * key-keyed full-outer join of the two count tables, and two 1-row
+    * totals broadcast into the final ratio. Products go through
+    * decimal(38) — long·long wraps first at corpus scale.
+    */
+  def distributionDrift(prior: DataFrame, current: DataFrame,
+      keyCol: String): DataFrame = {
+    import graft.queries.Det.round4RatBig
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    def counts(df: DataFrame, cnt: String) =
+      df.groupBy(col(keyCol)).agg(count(lit(1)).as(cnt))
+    val joined = counts(prior, "c1").join(counts(current, "c2"),
+        Seq(keyCol), "full_outer")
+      .select(col(keyCol), coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+    val totals = joined.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    joined.crossJoin(broadcast(totals))
+      .select(abs(d38(col("c1")) * d38(col("n2"))
+        - d38(col("c2")) * d38(col("n1"))).as("term"),
+        col("n1"), col("n2"))
+      .groupBy("n1", "n2")
+      .agg(sum("term").as("num"), count(lit(1)).as("n_keys"))
+      .select(col("n1"), col("n2"), col("n_keys"),
+        round4RatBig(col("num"), lit(2L) * d38(col("n1")) * d38(col("n2")))
+          .as("tv_distance"))
+  }
+
   def snapshotDiff(prior: DataFrame, current: DataFrame, idCol: String,
       contentCol: String): DataFrame = {
     // presence rides its own flag, NOT hash nullness: md5(NULL) is NULL,

@@ -1498,6 +1498,33 @@ object ExtQueries {
         .orderBy("band")
     }),
 
+    // ---- release monitoring: total-variation drift between the corpus
+    // and x60's mutated v2, over the language mix AND the token mix —
+    // exact integer rationals end to end (KL needs log, which no two
+    // libm implementations must round alike; TV has no transcendentals),
+    // so the drift NUMBERS cross the hash gate, not just their buckets.
+    "x65_dist_drift" -> ((s, d) => {
+      import graft.operators.PipelineOps
+      val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
+      val v2 = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .withColumn("text", when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text"),
+            col("lang")))
+      def toks(df: org.apache.spark.sql.DataFrame) =
+        df.select(explode(TextOps.tokensRegex(col("text"))).as("token"))
+      PipelineOps.distributionDrift(docs.select("lang"),
+          v2.select("lang"), "lang")
+        .select(lit("lang").as("dim"), col("n1"), col("n2"),
+          col("n_keys"), col("tv_distance"))
+        .unionAll(
+          PipelineOps.distributionDrift(toks(docs), toks(v2), "token")
+            .select(lit("token").as("dim"), col("n1"), col("n2"),
+              col("n_keys"), col("tv_distance")))
+        .orderBy("dim")
+    }),
+
     // ---- chunk→doc embedding pooling: element-wise mean per group,
     // folded in id order so the doubles are bit-identical across
     // engines (a plain SUM is order-dependent in the last ulps); the
@@ -3961,6 +3988,52 @@ object ExtQueries {
                    / 10000.0 AS recall
           FROM j GROUP BY band ORDER BY band""")
 
+    // x65: both TV drifts replayed in HUGEINT — same v2 mutation as
+    // x60, same round4RatBig integer form; tokensRegex twin for the
+    // token dimension
+    val driftOracle = Map("x65_dist_drift" -> {
+      def tvArm(dim: String, keySel1: String, keySel2: String) =
+        s"""SELECT '$dim' AS dim, n1, n2, n_keys,
+                   ((num * 20000 + 2 * n1h * n2h)
+                     // (2 * NULLIF(2 * n1h * n2h, 0))) / 10000.0
+                     AS tv_distance
+            FROM (
+              SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                     CAST(SUM(c2) AS BIGINT) AS n2,
+                     CAST(SUM(c1) AS HUGEINT) AS n1h,
+                     CAST(SUM(c2) AS HUGEINT) AS n2h,
+                     COUNT(*) AS n_keys,
+                     SUM(abs(CAST(c1 AS HUGEINT) * (SELECT COUNT(*) FROM ($keySel2))
+                       - CAST(c2 AS HUGEINT) * (SELECT COUNT(*) FROM ($keySel1))))
+                       AS num
+              FROM (
+                SELECT coalesce(a.c1, 0) AS c1, coalesce(b.c2, 0) AS c2
+                FROM (SELECT k, COUNT(*) AS c1 FROM ($keySel1) GROUP BY k) a
+                FULL OUTER JOIN
+                     (SELECT k, COUNT(*) AS c2 FROM ($keySel2) GROUP BY k) b
+                ON a.k = b.k))"""
+      val v2 = """SELECT doc_id,
+                         CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                              ELSE text END AS text,
+                         lang
+                  FROM documents WHERE doc_id % 7 <> 0
+                  UNION ALL
+                  SELECT doc_id + 1000000, text, lang FROM documents
+                  WHERE doc_id % 11 = 0"""
+      val tokOf = (src: String) =>
+        s"""SELECT unnest(list_filter(
+              string_split_regex(lower(text), '[^a-z0-9]+'),
+              x -> len(x) > 0)) AS k FROM ($src)"""
+      val langOf = (src: String) => s"SELECT lang AS k FROM ($src)"
+      s"""WITH v2 AS ($v2)
+          ${tvArm("lang", langOf("SELECT * FROM documents"),
+            langOf("SELECT * FROM v2"))}
+          UNION ALL
+          ${tvArm("token", tokOf("SELECT * FROM documents"),
+            tokOf("SELECT * FROM v2"))}
+          ORDER BY dim"""
+    })
+
     // x64: the ordered-fold pool replayed per (grp, pos):
     // list_reduce(list(v ORDER BY vec_id), +) is the identical left
     // fold, then the same /n, floor-quantize arithmetic
@@ -4107,7 +4180,8 @@ object ExtQueries {
     // x58b's oracle IS x58's: the state-maintained labeling must
     // reproduce the batch CC split census exactly (CC monotonicity)
     m ++ bpeOracle ++ clusterSplitOracle ++ jlOracle ++ diffOracle ++
-      lshRecallOracle ++ mmrOracle ++ temperatureOracle ++ poolOracle +
+      lshRecallOracle ++ mmrOracle ++ temperatureOracle ++ poolOracle ++
+      driftOracle +
       ("x48_manifest_delta" -> m("x24_training_manifest")) +
       ("x58b_cluster_split_from_state" ->
         clusterSplitOracle("x58_cluster_split"))

@@ -477,6 +477,18 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(same.filter(col("status") =!= "unchanged").isEmpty)
   }
 
+  test("distributionDrift: zero on self, one on disjoint, exact on a hand case") {
+    import graft.operators.PipelineOps
+    import spark.implicits._
+    def tv(a: Seq[String], b: Seq[String]): Double =
+      PipelineOps.distributionDrift(a.toDF("k"), b.toDF("k"), "k")
+        .head().getAs[Double]("tv_distance")
+    assert(tv(Seq("a", "b", "a"), Seq("a", "b", "a")) == 0.0)
+    assert(tv(Seq("a", "a"), Seq("b")) == 1.0)
+    // p = (3/4, 1/4), q = (1/4, 3/4) → TV = 1/2
+    assert(tv(Seq("a", "a", "a", "b"), Seq("a", "b", "b", "b")) == 0.5)
+  }
+
   test("meanPool: singleton identity, exact means, group counts") {
     import graft.operators.SimilarityOps
     import spark.implicits._
