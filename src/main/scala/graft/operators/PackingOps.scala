@@ -174,8 +174,14 @@ object PackingOps {
     * sampling family at α = 0.5). √ is the one power the oracle gate
     * allows: IEEE sqrt is correctly rounded — identical in any engine —
     * while pow(x, α) is not, so the temperature is fixed at 0.5 by
-    * design rather than parameterized into nondeterminism. ⌊·⌋ keeps the
-    * share integral (exact decimal arithmetic downstream) and the
+    * design rather than parameterized into nondeterminism. Shares are
+    * ⌊√T·10⁴⌋ — integral for the exact decimal arithmetic downstream,
+    * and scaled so floor quantization is ≤ 10⁻⁴ relative: a bare ⌊√T⌋
+    * can INVERT the binding class next to a perfect square (T=15 → s=3
+    * vs T=16 → s=4 makes the larger class bind), which breaks the
+    * smallest-class-keeps-1.0 contract; at 10⁴ scaling an inversion
+    * needs two classes within ~2·10⁻⁴ relative tokens of each other, at
+    * which point their rates agree to the same precision anyway. The
     * greatest(1, ·) guard keeps an all-empty class from a 0-share
     * division. Everything after the share derivation is the
     * [[mixtureRates]] binding-class machinery, shared verbatim.
@@ -187,7 +193,7 @@ object PackingOps {
         .agg(count(lit(1)).as("n_docs"),
           sum(size(TextOps.tokens(col(textCol))).cast("long")).as("n_tokens"))
         .withColumn("s_bps",
-          greatest(lit(1L), floor(sqrt(col("n_tokens"))))),
+          greatest(lit(1L), floor(sqrt(col("n_tokens")) * lit(10000.0)))),
       classCol)
 
   /** The shared back half of every rate derivation: binding-class window

@@ -157,16 +157,6 @@ object PipelineOps {
     PackingOps.chunkPackCounted(sampled, "doc_id", "n_tok", capacity, shards)
   }
 
-  /** Snapshot diff — the dataset-version audit between two corpus
-    * states: per id, `added` (only in `current`), `removed` (only in
-    * `prior`), `changed` (content hash differs), `unchanged`. The
-    * content comparison is md5 computed INSIDE each side's scan stage,
-    * so the join carries (id, 32-byte hash), never the documents
-    * themselves — at 100 TB the full-outer join shuffles a few GB of
-    * hashes, or nothing at all when both snapshots are bucketed by id.
-    * Deterministic by construction; feeds incremental rebuilds ("process
-    * exactly the added ∪ changed set") and release notes alike.
-    */
   /** Distribution drift between two corpus snapshots over a categorical
     * key (token, language, source): TOTAL-VARIATION distance
     * ½·Σ|p_k − q_k|, computed in exact integer arithmetic —
@@ -176,21 +166,34 @@ object PipelineOps {
     * sidesteps transcendentals entirely). The monitoring step of a
     * dataset release: "how different is v2's token mix, exactly?"
     *
-    * Scale: one aggregate per side (map-side combined over the key), a
-    * key-keyed full-outer join of the two count tables, and two 1-row
-    * totals broadcast into the final ratio. Products go through
-    * decimal(38) — long·long wraps first at corpus scale.
+    * NULL keys are one category, not a key-per-row: a bare equi-join
+    * would split the NULL group across the full-outer join (NULL never
+    * equals NULL) and report drift between identical snapshots, so both
+    * count tables go through a null-safe join condition.
+    *
+    * Scale: one aggregate per side (map-side combined over the key),
+    * then the joined count table is STAGED to parquet — its totals
+    * branch and its per-key term branch are two consumers, and two lazy
+    * instances of the counts subtree would re-aggregate both corpora
+    * (the ratesFromShares lesson) — and the 1-row totals broadcast into
+    * the final ratio. Products go through decimal(38) — long·long wraps
+    * first at corpus scale.
     */
   def distributionDrift(prior: DataFrame, current: DataFrame,
-      keyCol: String): DataFrame = {
+      keyCol: String, stageDir: Option[String] = None): DataFrame = {
     import graft.queries.Det.round4RatBig
+    val spark = prior.sparkSession
     val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-    def counts(df: DataFrame, cnt: String) =
-      df.groupBy(col(keyCol)).agg(count(lit(1)).as(cnt))
-    val joined = counts(prior, "c1").join(counts(current, "c2"),
-        Seq(keyCol), "full_outer")
-      .select(col(keyCol), coalesce(col("c1"), lit(0L)).as("c1"),
+    def counts(df: DataFrame, k: String, cnt: String) =
+      df.groupBy(col(keyCol).as(k)).agg(count(lit(1)).as(cnt))
+    val stage = StageIO.resolve(spark, stageDir, "drift")
+    counts(prior, "_k1", "c1")
+      .join(counts(current, "_k2", "c2"), col("_k1") <=> col("_k2"),
+        "full_outer")
+      .select(coalesce(col("c1"), lit(0L)).as("c1"),
         coalesce(col("c2"), lit(0L)).as("c2"))
+      .write.mode("overwrite").parquet(s"$stage/counts")
+    val joined = spark.read.parquet(s"$stage/counts")
     val totals = joined.agg(sum("c1").as("n1"), sum("c2").as("n2"))
     joined.crossJoin(broadcast(totals))
       .select(abs(d38(col("c1")) * d38(col("n2"))
@@ -203,6 +206,16 @@ object PipelineOps {
           .as("tv_distance"))
   }
 
+  /** Snapshot diff — the dataset-version audit between two corpus
+    * states: per id, `added` (only in `current`), `removed` (only in
+    * `prior`), `changed` (content hash differs), `unchanged`. The
+    * content comparison is md5 computed INSIDE each side's scan stage,
+    * so the join carries (id, 32-byte hash), never the documents
+    * themselves — at 100 TB the full-outer join shuffles a few GB of
+    * hashes, or nothing at all when both snapshots are bucketed by id.
+    * Deterministic by construction; feeds incremental rebuilds ("process
+    * exactly the added ∪ changed set") and release notes alike.
+    */
   def snapshotDiff(prior: DataFrame, current: DataFrame, idCol: String,
       contentCol: String): DataFrame = {
     // presence rides its own flag, NOT hash nullness: md5(NULL) is NULL,

@@ -31,6 +31,19 @@ object ExtQueries {
     * that scales with query traffic at 100 TB) separately from the
     * quantizer training + three index builds the composite entry re-runs.
     */
+  /** x60/x65's deterministic corpus mutation — ONE definition so the
+    * two fixtures can never desynchronize: drop every id%7, edit every
+    * surviving id%5, re-add every id%11 under a shifted id. Keeps
+    * whatever columns `docs` carries.
+    */
+  private def v2Mutation(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .withColumn("text", when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000))
+
   /** Train a 16-merge BPE table on the corpus and persist it under the
     * given artifact tag — the shared front half of every x57-family
     * query (each trains its OWN table so queries stay order-independent
@@ -1506,12 +1519,7 @@ object ExtQueries {
     "x65_dist_drift" -> ((s, d) => {
       import graft.operators.PipelineOps
       val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
-      val v2 = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
-        .withColumn("text", when(pmod(col("doc_id"), lit(5)) === 0,
-          concat(col("text"), lit(" v2"))).otherwise(col("text")))
-        .unionByName(docs.filter(pmod(col("doc_id"), lit(11)) === 0)
-          .select((col("doc_id") + 1000000).as("doc_id"), col("text"),
-            col("lang")))
+      val v2 = v2Mutation(docs)
       def toks(df: org.apache.spark.sql.DataFrame) =
         df.select(explode(TextOps.tokensRegex(col("text"))).as("token"))
       PipelineOps.distributionDrift(docs.select("lang"),
@@ -1585,12 +1593,7 @@ object ExtQueries {
     "x60_snapshot_diff" -> ((s, d) => {
       import graft.operators.PipelineOps
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      val v2 = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
-        .withColumn("text", when(pmod(col("doc_id"), lit(5)) === 0,
-          concat(col("text"), lit(" v2"))).otherwise(col("text")))
-        .unionByName(docs.filter(pmod(col("doc_id"), lit(11)) === 0)
-          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
-      PipelineOps.snapshotDiff(docs, v2, "doc_id", "text")
+      PipelineOps.snapshotDiff(docs, v2Mutation(docs), "doc_id", "text")
         .groupBy("status")
         .agg(count(lit(1)).as("n_docs"),
           min("doc_id").as("min_id"), max("doc_id").as("max_id"))
@@ -3988,6 +3991,16 @@ object ExtQueries {
                    / 10000.0 AS recall
           FROM j GROUP BY band ORDER BY band""")
 
+    // the single SQL twin of v2Mutation, shared by x60 and x65
+    def ddbV2(extraCols: String) =
+      s"""SELECT doc_id,
+                 CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                      ELSE text END AS text$extraCols
+          FROM documents WHERE doc_id % 7 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000, text$extraCols FROM documents
+          WHERE doc_id % 11 = 0"""
+
     // x65: both TV drifts replayed in HUGEINT — same v2 mutation as
     // x60, same round4RatBig integer form; tokensRegex twin for the
     // token dimension
@@ -4011,15 +4024,8 @@ object ExtQueries {
                 FROM (SELECT k, COUNT(*) AS c1 FROM ($keySel1) GROUP BY k) a
                 FULL OUTER JOIN
                      (SELECT k, COUNT(*) AS c2 FROM ($keySel2) GROUP BY k) b
-                ON a.k = b.k))"""
-      val v2 = """SELECT doc_id,
-                         CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
-                              ELSE text END AS text,
-                         lang
-                  FROM documents WHERE doc_id % 7 <> 0
-                  UNION ALL
-                  SELECT doc_id + 1000000, text, lang FROM documents
-                  WHERE doc_id % 11 = 0"""
+                ON a.k IS NOT DISTINCT FROM b.k))"""
+      val v2 = ddbV2(", lang")
       val tokOf = (src: String) =>
         s"""SELECT unnest(list_filter(
               string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -4066,8 +4072,8 @@ object ExtQueries {
             FROM documents GROUP BY lang),
           sh AS (
             SELECT lang, n_docs, n_tokens,
-                   greatest(CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)))
-                     AS BIGINT), 1) AS s_bps
+                   greatest(CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))
+                     * 10000.0) AS BIGINT), 1) AS s_bps
             FROM agg),
           w AS (
             SELECT lang, n_docs, n_tokens, s_bps,
@@ -4158,19 +4164,13 @@ object ExtQueries {
     })
 
     val diffOracle = Map("x60_snapshot_diff" ->
-      """WITH v2 AS (
-           SELECT doc_id,
-                  CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
-                    AS text
-           FROM documents WHERE doc_id % 7 <> 0
-           UNION ALL
-           SELECT doc_id + 1000000, text FROM documents
-           WHERE doc_id % 11 = 0),
+      s"""WITH v2 AS (${ddbV2("")}),
          d AS (
            SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
                   CASE WHEN a.doc_id IS NULL THEN 'added'
                        WHEN b.doc_id IS NULL THEN 'removed'
-                       WHEN md5(a.text) = md5(b.text) THEN 'unchanged'
+                       WHEN md5(a.text) IS NOT DISTINCT FROM md5(b.text)
+                            THEN 'unchanged'
                        ELSE 'changed' END AS status
            FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
          SELECT status, COUNT(*) AS n_docs,
