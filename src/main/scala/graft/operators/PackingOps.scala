@@ -21,6 +21,60 @@ object PackingOps {
   private def md5Mod(id: org.apache.spark.sql.Column, m: Int) =
     conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long") % m
 
+  /** Target-distribution data selection (the DSIR family: importance
+    * resampling over hashed n-gram features), reduced to EXACT integer
+    * arithmetic so selection is engine-portable and auditable. Canonical
+    * DSIR scores a raw document by a sum of log-probability ratios
+    * between a target-corpus and raw-corpus hashed-n-gram LM; logs are
+    * transcendental (not correctly-rounded across libms), so this
+    * variant replaces each bucket's log-ratio with its SIGN — a vote:
+    * +1 where the bucket is over-represented in the target
+    * (tc·Nr > rc·Nt, exact decimal(38) cross-multiply), −1 where
+    * under-represented, 0 on ties. A document's score is the sum of its
+    * bigram-occurrence votes; `keep = score > 0` selects documents whose
+    * n-gram mass leans toward the target distribution — the
+    * "more target-like than not" majority decision.
+    *
+    * Scale: the feature space is `buckets` hashed cells, so both count
+    * tables aggregate to ≤ `buckets` rows (map-side partials make each
+    * task emit ≤ `buckets` rows regardless of corpus size) and the
+    * finished vote table BROADCASTS to the scoring pass; per-doc scoring
+    * is explode → broadcast-join → one partial-aggregated groupBy(id).
+    * Two scans of the raw text total (counting, scoring) — staging the
+    * exploded grams would write more than it saves. No floats anywhere.
+    *
+    * Returns one row per raw document: (idCol, n_grams, score, keep) —
+    * zero-gram documents (< 2 tokens) survive with score 0, not kept.
+    */
+  def importanceVotes(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 256): DataFrame = {
+    require(buckets > 0, s"need buckets > 0, got $buckets")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    def grams(df: DataFrame) = df
+      .select(col(idCol),
+        explode(TextOps.bigrams(TextOps.tokens(col(textCol)))).as("_g"))
+      .select(col(idCol), md5Mod(col("_g"), buckets).as("_b"))
+    val tCounts = grams(target).groupBy("_b").agg(count(lit(1)).as("tc"))
+    val rCounts = grams(raw).groupBy("_b").agg(count(lit(1)).as("rc"))
+    val joined = tCounts.join(rCounts, Seq("_b"), "full_outer")
+      .select(col("_b"), coalesce(col("tc"), lit(0L)).as("tc"),
+        coalesce(col("rc"), lit(0L)).as("rc"))
+    val totals = joined.agg(sum("tc").as("nt"), sum("rc").as("nr"))
+    val votes = joined.crossJoin(broadcast(totals))
+      .select(col("_b"),
+        when(d38(col("tc")) * d38(col("nr")) > d38(col("rc")) * d38(col("nt")), 1L)
+          .when(d38(col("tc")) * d38(col("nr")) < d38(col("rc")) * d38(col("nt")), -1L)
+          .otherwise(0L).as("_vote"))
+    val perDoc = grams(raw).join(broadcast(votes), Seq("_b"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"), sum("_vote").as("score"))
+    raw.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("score"), lit(0L)).as("score"))
+      .withColumn("keep", col("score") > 0)
+  }
+
   /** GPT-style sequence packing (concatenate-then-chunk): lay every
     * document's tokens end to end and cut fixed-`capacity` training
     * sequences, letting documents span chunk boundaries. Emits one row per

@@ -181,9 +181,7 @@ object PipelineOps {
     */
   def distributionDrift(prior: DataFrame, current: DataFrame,
       keyCol: String, stageDir: Option[String] = None): DataFrame = {
-    import graft.queries.Det.round4RatBig
     val spark = prior.sparkSession
-    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     def counts(df: DataFrame, k: String, cnt: String) =
       df.groupBy(col(keyCol).as(k)).agg(count(lit(1)).as(cnt))
     val stage = StageIO.resolve(spark, stageDir, "drift")
@@ -193,7 +191,19 @@ object PipelineOps {
       .select(coalesce(col("c1"), lit(0L)).as("c1"),
         coalesce(col("c2"), lit(0L)).as("c2"))
       .write.mode("overwrite").parquet(s"$stage/counts")
-    val joined = spark.read.parquet(s"$stage/counts")
+    driftOverCountPairs(spark.read.parquet(s"$stage/counts"))
+  }
+
+  /** The TV core of [[distributionDrift]], over an ALREADY-JOINED
+    * count-pair frame (`c1`, `c2` — one row per key, absent keys
+    * already coalesced to 0). Public so count tables maintained
+    * elsewhere (the [[graft.streaming.DriftStream]] counter log) feed
+    * the exact same integer arithmetic as the batch snapshot path —
+    * parity is by construction, not by parallel implementations.
+    */
+  def driftOverCountPairs(joined: DataFrame): DataFrame = {
+    import graft.queries.Det.round4RatBig
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     val totals = joined.agg(sum("c1").as("n1"), sum("c2").as("n2"))
     joined.crossJoin(broadcast(totals))
       .select(abs(d38(col("c1")) * d38(col("n2"))

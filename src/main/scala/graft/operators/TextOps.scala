@@ -190,6 +190,58 @@ object TextOps {
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
 
+  // ---- markup extraction (HTML/XML-ish → text). The text-extraction
+  // pass a web-scraped corpus runs before any quality/dedup stage:
+  // script/style/comment blocks go first (their CONTENT is not prose),
+  // then remaining tags become single spaces (so `a<br>b` keeps its word
+  // boundary), then the five standard named entities + decimal apostrophe
+  // unescape in ONE left-to-right pass each with `&amp;` last (so
+  // `&amp;lt;` correctly yields the literal text `&lt;`, never `<`),
+  // then whitespace collapses. Every pattern stays inside the
+  // Java-regex / RE2 COMMON subset (inline `(?is)` flags, `\b`,
+  // non-greedy `.*?` — no lookaround, no backreferences) so the exact
+  // same strings drive Spark and the DuckDB oracle (x66 hash-checks the
+  // extracted text end to end). Known tradeoffs of the regex extractor,
+  // shared with every non-parsing pipeline scrubber: a literal `>`
+  // inside a quoted attribute value ends the tag early, and an unclosed
+  // `<script>` block leaks its body as text (the lone tag is still
+  // stripped). Scale: pure codegen'd per-row string work — no shuffle,
+  // no UDF, composes into any gate.
+
+  /** `<script …>…</script>` blocks, case-insensitive, spanning newlines. */
+  val scriptBlockPattern = "(?is)<script\\b[^>]*>.*?</script\\s*>"
+
+  /** `<style …>…</style>` blocks, same flags. */
+  val styleBlockPattern = "(?is)<style\\b[^>]*>.*?</style\\s*>"
+
+  /** `<!-- … -->` comments, spanning newlines. */
+  val commentPattern = "(?s)<!--.*?-->"
+
+  /** Tag-shaped runs only: `</p>`, `<a href=…>`, `<!DOCTYPE …>` — the
+    * char after `<`/`</` must be a letter or `!`, so free-text math like
+    * `1 < 2 && 3 > 1` survives extraction untouched.
+    */
+  val tagPattern = "</?[A-Za-z!][^>]*>"
+
+  /** HTML/XML markup → text: block strip → tag strip → entity unescape →
+    * whitespace collapse. See the block comment above for the contract.
+    */
+  def stripMarkup(html: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(
+        regexp_replace(html, scriptBlockPattern, " "),
+        styleBlockPattern, " "),
+      commentPattern, " ")
+    val noTags = regexp_replace(noBlocks, tagPattern, " ")
+    // &amp; LAST: each replace is one non-recursive left-to-right pass
+    // on both engines, so already-escaped text cannot double-unescape.
+    val unescaped = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   /** Sliding-window document chunks: windows of `width` characters every
     * `stride` characters (overlap = width − stride), the standard
     * context-window prep before tokenize-and-pack. One row per chunk:

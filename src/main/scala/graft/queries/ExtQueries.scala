@@ -1628,6 +1628,53 @@ object ExtQueries {
             round4Rat(col("h"), col("n")).as("recall"))
       }
       score("jl16", 16).unionAll(score("jl32", 32)).orderBy("method")
+    }),
+
+    // ---- markup extraction (HTML → text): the fixture corpus is plain
+    // text, so the query PLANTS a deterministic page around every
+    // document — doctype, title, style block, heading, the doc text,
+    // a script block whose body contains both free `<`/`>` math and a
+    // decoy `"</p>"` literal, a comment, and an entity-encoded trailer —
+    // then extracts. The hash gate pins the whole contract: blocks
+    // vanish wholesale, tags become word boundaries, free-text math
+    // (`1 < 2 && 2 > 1`) survives only inside removed blocks, entities
+    // decode ONCE (`&amp;amp;` → the literal text `&amp;`), and
+    // `&lt;b&gt;` renders as text `<b>` because tags strip BEFORE
+    // entities decode — the standard extractor ordering.
+    "x66_markup_extract" -> ((s, d) => {
+      val idStr = col("doc_id").cast("string")
+      val html = concat(
+        lit("<!DOCTYPE html>\n<html><head><title>Doc "), idStr,
+        lit("</title><style type=\"text/css\"> p { color: #333; } " +
+          "</style></head><body><h1 class=\"hd\">"),
+        col("source"),
+        lit("</h1>\n<p>"), col("text"),
+        lit("</p><script>if (1 < 2 && 2 > 1) { var s = \"</p>\"; }" +
+          "</script><!-- trail "), idStr,
+        lit(" --><p>&amp;amp; &lt;b&gt; &quot;q&quot; &#39;s&#39;" +
+          "&nbsp;end</p></body></html>"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.stripMarkup(html).as("extracted"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- target-distribution data selection (the DSIR family) in
+    // exact integer arithmetic: hashed-bigram occurrence counts for a
+    // target corpus (the 'en' slice stands in for the curated seed set)
+    // vs the full raw corpus; each of the 256 buckets votes ±1 by an
+    // exact decimal(38) cross-multiply of its two shares, and a doc is
+    // kept when its bigram-occurrence votes sum positive. The hash gate
+    // pins every doc's (n_grams, score, keep) — no floats, no logs
+    // (canonical DSIR's log-ratio sum is transcendental; the sign
+    // reduction is the engine-portable variant, documented on the
+    // operator).
+    "x67_importance_select" -> ((s, d) => {
+      import graft.operators.PackingOps
+      val docs = Tables.documents(s, d)
+      PackingOps.importanceVotes(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text", buckets = 256)
+        .withColumn("keep", col("keep").cast("long"))
+        .orderBy("doc_id")
     }))
 
   // DuckDB oracle SQL. Shared shapes: t = tokens, sh = distinct 3-shingles.
@@ -4177,11 +4224,94 @@ object ExtQueries {
                 min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM d GROUP BY status ORDER BY status""")
 
+    // x66: the identical planted page, the identical RE2/Java-common
+    // patterns ('g' is explicit here; Spark's regexp_replace is always
+    // global), the identical six-entity replace chain with &amp; last.
+    // Edited in lockstep with TextOps.stripMarkup.
+    val markupOracle = Map("x66_markup_extract" ->
+      s"""WITH h AS (
+            SELECT doc_id,
+                   '<!DOCTYPE html>' || chr(10) || '<html><head><title>Doc '
+                   || CAST(doc_id AS VARCHAR)
+                   || '</title><style type="text/css"> p { color: #333; } </style></head><body><h1 class="hd">'
+                   || source || '</h1>' || chr(10) || '<p>' || text
+                   || '</p><script>if (1 < 2 && 2 > 1) { var s = "</p>"; }</script><!-- trail '
+                   || CAST(doc_id AS VARCHAR)
+                   || ' --><p>&amp;amp; &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p></body></html>'
+                     AS html
+            FROM documents),
+          s1 AS (
+            SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+                     '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g'),
+                     '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g'),
+                     '(?s)<!--.*?-->', ' ', 'g') AS t
+            FROM h),
+          s2 AS (
+            SELECT doc_id, regexp_replace(t, '</?[A-Za-z!][^>]*>', ' ', 'g') AS t
+            FROM s1),
+          s3 AS (
+            SELECT doc_id,
+                   replace(replace(replace(replace(replace(replace(t,
+                     '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                     '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS t
+            FROM s2)
+          SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS extracted
+          FROM s3 ORDER BY doc_id""")
+
+    // x67: the identical hashed-bigram buckets (x42's md5-key shape,
+    // mod 256), HUGEINT cross-multiply votes, per-doc vote sums. Edited
+    // in lockstep with PackingOps.importanceVotes.
+    val importanceOracle = Map("x67_importance_select" ->
+      s"""WITH base AS (
+            SELECT doc_id, lang, $mdToks AS t FROM documents),
+          gr AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)), i ->
+                     CAST('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15)
+                       AS BIGINT) % 256)) AS b
+            FROM base),
+          gt AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)), i ->
+                     CAST('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15)
+                       AS BIGINT) % 256)) AS b
+            FROM base WHERE lang = 'en'),
+          tcnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tc
+                   FROM gt GROUP BY b),
+          rcnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rc
+                   FROM gr GROUP BY b),
+          j AS (
+            SELECT coalesce(tcnt.b, rcnt.b) AS b,
+                   coalesce(tcnt.tc, 0) AS tc, coalesce(rcnt.rc, 0) AS rc
+            FROM tcnt FULL OUTER JOIN rcnt ON tcnt.b = rcnt.b),
+          tot AS (
+            SELECT CAST(SUM(tc) AS HUGEINT) AS nt,
+                   CAST(SUM(rc) AS HUGEINT) AS nr
+            FROM j),
+          v AS (
+            SELECT b, CASE WHEN CAST(tc AS HUGEINT) * nr
+                                > CAST(rc AS HUGEINT) * nt THEN 1
+                           WHEN CAST(tc AS HUGEINT) * nr
+                                < CAST(rc AS HUGEINT) * nt THEN -1
+                           ELSE 0 END AS vote
+            FROM j, tot),
+          pd AS (
+            SELECT gr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(SUM(vote) AS BIGINT) AS score
+            FROM gr JOIN v USING (b) GROUP BY gr.doc_id)
+          SELECT d.doc_id,
+                 CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+                 CAST(coalesce(pd.score, 0) AS BIGINT) AS score,
+                 CAST(CASE WHEN coalesce(pd.score, 0) > 0 THEN 1 ELSE 0 END
+                   AS BIGINT) AS keep
+          FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+          ORDER BY d.doc_id""")
+
     // x58b's oracle IS x58's: the state-maintained labeling must
     // reproduce the batch CC split census exactly (CC monotonicity)
     m ++ bpeOracle ++ clusterSplitOracle ++ jlOracle ++ diffOracle ++
       lshRecallOracle ++ mmrOracle ++ temperatureOracle ++ poolOracle ++
-      driftOracle +
+      driftOracle ++ markupOracle ++ importanceOracle +
       ("x48_manifest_delta" -> m("x24_training_manifest")) +
       ("x58b_cluster_split_from_state" ->
         clusterSplitOracle("x58_cluster_split"))

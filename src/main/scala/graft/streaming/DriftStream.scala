@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.PipelineOps
+
+/** Streaming DISTRIBUTION-DRIFT monitoring — the incremental twin of the
+  * batch snapshot drift ([[PipelineOps.distributionDrift]], x65): keep a
+  * durable per-key count table current while documents stream in, so a
+  * release gate can ask "how far has the live corpus mix drifted from
+  * the pinned reference?" at any moment without rescanning history.
+  *
+  * Store layout is the house COUNTER LOG: each micro-batch writes its own
+  * (k, cnt) count table under `storeDir/batch_id=<id>/` and readers merge
+  * by addition — exactly the [[SketchStream]] discipline, and
+  * replay-idempotent for the same reason (counter addition is not
+  * idempotent, but a replayed batch OVERWRITES its own partition instead
+  * of re-adding into a running total).
+  *
+  * The drift number itself is computed by the SAME code as the batch
+  * path — the merged log feeds [[PipelineOps.driftOverCountPairs]], the
+  * exact-integer total-variation core — so streamed-vs-batch parity is by
+  * construction: DriftStreamSpec asserts bit-equality of `tv_distance`
+  * against [[PipelineOps.distributionDrift]] over the union of all
+  * streamed data, not approximate agreement.
+  *
+  * Scale shape: the key must be a bounded-cardinality categorical dim
+  * (language, source, hashed token bucket — the dims drift is measured
+  * over); each batch partition holds ≤ #keys rows regardless of batch
+  * size (map-side partial aggregation), the log grows one tiny partition
+  * per micro-batch, and [[compact]] folds closed ranges offline under the
+  * crash-safe `.next` swap.
+  */
+object DriftStream {
+
+  /** Count one micro-batch's keys into its own batch_id partition
+    * (overwrite — replay-idempotent). Empty batches write nothing. NULL
+    * keys count as one category, matching the batch op's null-safe join.
+    */
+  def applyBatch(batch: DataFrame, keyCol: String, storeDir: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    CounterLog.rollForward(spark, storeDir)
+    if (!batch.isEmpty) {
+      batch.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+    }
+  }
+
+  /** The merged (k, cnt) table over every batch in the log — the same
+    * counts one aggregate over all data ever streamed would produce
+    * (counter addition is exact). Fails loudly on an empty log: a drift
+    * reading against zero observations is a monitoring bug, not a 0.
+    */
+  def readCounts(spark: SparkSession, storeDir: String): DataFrame = {
+    CounterLog.rollForward(spark, storeDir)
+    require(CounterLog.hasData(spark, storeDir),
+      s"drift log $storeDir has no committed batches — nothing to read")
+    spark.read.parquet(storeDir).groupBy("k")
+      .agg(sum("cnt").as("cnt"))
+  }
+
+  /** Total-variation drift between the pinned `reference` frame's key
+    * distribution and everything streamed into the log so far. Output
+    * schema matches [[PipelineOps.distributionDrift]] exactly
+    * ((n1, n2, n_keys, tv_distance) — reference is side 1), and the
+    * number IS the batch number: both paths share
+    * [[PipelineOps.driftOverCountPairs]].
+    */
+  def driftAgainst(spark: SparkSession, storeDir: String,
+      reference: DataFrame, keyCol: String): DataFrame = {
+    val ref = reference.groupBy(col(keyCol).as("_k1"))
+      .agg(count(lit(1)).as("c1"))
+    val cur = readCounts(spark, storeDir)
+      .select(col("k").as("_k2"), col("cnt").as("c2"))
+    val joined = ref.join(cur, col("_k1") <=> col("_k2"), "full_outer")
+      .select(coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+    PipelineOps.driftOverCountPairs(joined)
+  }
+
+  /** Fold the whole log into a single batch partition keyed by the max
+    * folded id. OFFLINE maintenance — only safe when no stream is
+    * writing and no folded batch id can replay (the [[SketchStream]]
+    * contract; a replayed folded id would double-count after its
+    * partition was merged away).
+    */
+  def compact(spark: SparkSession, storeDir: String): Unit = {
+    CounterLog.rollForward(spark, storeDir)
+    val store = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
+    if (CounterLog.hasData(spark, storeDir)) {
+      val all = spark.read.parquet(storeDir)
+      val maxId = all.agg(max(col("batch_id").cast("long"))).head().getLong(0)
+      val next = new org.apache.hadoop.fs.Path(storeDir + ".next")
+      // a stranded .next beside a live store = a crash between a prior
+      // compact's .next commit and its store delete; scope-delete it or
+      // its stale merge would survive the rename (the SketchStream fix)
+      if (fs.exists(next)) fs.delete(next, true)
+      all.groupBy("k").agg(sum("cnt").as("cnt"))
+        .write.mode("overwrite").parquet(s"$next/batch_id=$maxId")
+      fs.delete(store, true)
+      fs.rename(next, store)
+      ()
+    }
+  }
+
+  /** Maintain `storeDir` continuously from a streaming frame. Readers
+    * see plain parquet; [[driftAgainst]] works mid-stream.
+    */
+  def startDriftMaintenance(values: DataFrame, keyCol: String,
+      storeDir: String, checkpointDir: String): StreamingQuery =
+    values.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyBatch(batch.toDF(), keyCol, storeDir, batchId)
+      }
+      .start()
+}

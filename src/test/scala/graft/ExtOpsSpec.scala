@@ -516,4 +516,35 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(by == Map(1L -> "changed", 2L -> "changed", 3L -> "unchanged"),
       by.toString)
   }
+
+  test("stripMarkup: blocks vanish, tags become boundaries, entities decode once") {
+    val html =
+      """<!DOCTYPE html><html><head><title>T</title>
+        |<style> p { color: red } </style></head>
+        |<body><h1>Head</h1><p>alpha<br>beta</p>
+        |<script>if (1 < 2 && 2 > 1) { var s = "</p>"; }</script>
+        |<!-- note --><p>&amp;amp; &lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;end</p></body></html>"""
+        .stripMargin
+    val out = Seq(html).toDF("h")
+      .select(TextOps.stripMarkup(col("h"))).head.getString(0)
+    // script/style/comment content gone (including the decoy "</p>" and
+    // the free < > math inside the script); <br> kept the word boundary;
+    // &amp;amp; decoded exactly once; &lt;b&gt; rendered as text <b>
+    assert(out == "T Head alpha beta &amp; <b> \"q\" 's' end", out)
+  }
+
+  test("stripMarkup: free-text comparisons outside blocks survive") {
+    val out = Seq("x <p>1 < 2 and 3 > 1</p> y").toDF("h")
+      .select(TextOps.stripMarkup(col("h"))).head.getString(0)
+    assert(out == "x 1 < 2 and 3 > 1 y", out)
+  }
+
+  test("stripMarkup: case-insensitive multi-line blocks; null propagates") {
+    val out = Seq("a<SCRIPT type=x>\nline1\nline2\n</SCRIPT >b")
+      .toDF("h").select(TextOps.stripMarkup(col("h"))).head.getString(0)
+    assert(out == "a b", out)
+    val n = Seq((1, null: String)).toDF("i", "h")
+      .select(TextOps.stripMarkup(col("h"))).head
+    assert(n.isNullAt(0))
+  }
 }

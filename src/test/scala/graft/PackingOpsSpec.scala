@@ -319,4 +319,33 @@ class PackingOpsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("integral id column"), err.getMessage)
   }
+
+  test("importanceVotes: hand-computed votes, scores, and keep set") {
+    import spark.implicits._
+    // target = {"a b a b"}: occurrences {a b: 2, b a: 1}, Nt = 3
+    // raw: doc1 target-like, doc2 disjoint, doc3 too short; Nr = 6
+    // votes (exact cross-multiply): a b → 2·6 > 2·3 → +1; b a → +1;
+    // c d / d c → 0·6 < rc·3 → −1. Fixture buckets verified disjoint
+    // at mod 256 (19, 142, 49, 118).
+    val raw = Seq((1L, "a b a b"), (2L, "c d c d"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val target = Seq((10L, "a b a b")).toDF("doc_id", "text")
+    val out = PackingOps.importanceVotes(raw, target, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((3L, 3L, true)), out.toString)
+    assert(out(2L) == ((3L, -3L, false)), out.toString)
+    assert(out(3L) == ((0L, 0L, false)), out.toString)
+  }
+
+  test("importanceVotes: raw == target scores every doc non-negative") {
+    import spark.implicits._
+    // when the two corpora coincide every bucket ties (tc·Nr == rc·Nt),
+    // so all votes are 0 and nothing is kept — selection has no signal
+    val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val out = PackingOps.importanceVotes(docs, docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(2), r.getBoolean(3)))
+    assert(out.forall { case (s, k) => s == 0L && !k }, out.mkString(","))
+  }
 }
