@@ -242,6 +242,51 @@ object TextOps {
     trim(regexp_replace(unescaped, "\\s+", " "))
   }
 
+  // ---- canonical URL normalization. Web-scraped corpora dedup by URL
+  // before any content pass (the same page is fetched under dozens of
+  // surface forms); the canonical form fixes the variance that never
+  // changes the resource: scheme and host case, a `www.` prefix, the
+  // scheme's default port, a trailing path slash, tracking query
+  // params, query-param order, and the fragment. Path case and param
+  // VALUE case are preserved — those are resource-significant. One
+  // URL-shaped regex in the Java/RE2 common subset splits the five
+  // parts; non-URLs canonicalize to NULL (both engines return '' for a
+  // failed regexp_extract, which the scheme/host guard turns into
+  // NULL). Pure per-row codegen'd string work — no shuffle, no UDF.
+
+  /** scheme://host[:port]/path[?query][#fragment] splitter (groups
+    * 1–5); `[^/?#]+` host / `[^?#]*` path keep each group from crossing
+    * its delimiter.
+    */
+  val urlPattern =
+    "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(\\?[^#]*)?(#.*)?$"
+
+  /** Tracking params dropped from canonical query strings. */
+  val trackingParamPattern = "^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="
+
+  /** Canonical URL: lowercase scheme + host, strip `www.` and the
+    * scheme's default port, drop one trailing path-slash run, drop
+    * fragment and tracking/empty params, sort surviving params. NULL
+    * for strings that don't parse as scheme://host URLs.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val u = trim(url)
+    val scheme = lower(regexp_extract(u, urlPattern, 1))
+    val hostPort = lower(regexp_extract(u, urlPattern, 2))
+    val unWww = regexp_replace(hostPort, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(unWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(unWww, ":443$", ""))
+      .otherwise(unWww)
+    val path = regexp_replace(regexp_extract(u, urlPattern, 3), "/+$", "")
+    val rawQ = regexp_replace(regexp_extract(u, urlPattern, 4), "^\\?", "")
+    val params = filter(split(rawQ, "&"),
+      x => length(x) > 0 && !x.rlike(trackingParamPattern))
+    val q = array_join(array_sort(params), "&")
+    val base = concat(scheme, lit("://"), host, path)
+    when(scheme === "" || hostPort === "", lit(null).cast("string"))
+      .otherwise(when(q === "", base).otherwise(concat(base, lit("?"), q)))
+  }
+
   /** Sliding-window document chunks: windows of `width` characters every
     * `stride` characters (overlap = width − stride), the standard
     * context-window prep before tokenize-and-pack. One row per chunk:

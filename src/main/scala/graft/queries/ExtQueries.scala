@@ -1675,6 +1675,34 @@ object ExtQueries {
           "doc_id", "text", buckets = 256)
         .withColumn("keep", col("keep").cast("long"))
         .orderBy("doc_id")
+    }),
+
+    // ---- canonical URL dedup key: the fixture has no URL column, so
+    // the query PLANTS the surface-form variance a crawler actually
+    // sees — scheme/host case, www., default ports on both schemes, a
+    // trailing slash, a tracking param + unsorted params + a trailing
+    // '&' (an empty param), a fragment — keyed off doc_id, then
+    // canonicalizes and counts docs per canonical URL. The hash gate
+    // pins both the canonical string and the dedup census: one wrong
+    // normalization rule changes group sizes.
+    "x68_url_canonical" -> ((s, d) => {
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 2 === 0, lit("HTTP://WWW.")).otherwise(lit("https://")),
+        lit("Example"), (id % 5).cast("string"), lit(".COM"),
+        when(id % 2 === 0, lit(":80")).otherwise(lit(":443")),
+        lit("/Path/"), (id % 3).cast("string"),
+        when(id % 4 === 0, lit("/")).otherwise(lit("")),
+        when(id % 3 === 0, lit("?utm_source=feed&b=2&a=1&"))
+          .otherwise(lit("")),
+        when(id % 6 === 0, lit("#sec")).otherwise(lit("")))
+      val canon = Tables.documents(s, d)
+        .select(id, TextOps.canonicalUrl(url).as("url_canonical"))
+      val census = canon.groupBy("url_canonical")
+        .agg(count(lit(1)).as("n_docs"))
+      canon.join(census, Seq("url_canonical"))
+        .select(col("doc_id"), col("url_canonical"), col("n_docs"))
+        .orderBy("doc_id")
     }))
 
   // DuckDB oracle SQL. Shared shapes: t = tokens, sh = distinct 3-shingles.
@@ -4307,11 +4335,70 @@ object ExtQueries {
           FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
           ORDER BY d.doc_id""")
 
+    // x68: the identical planted surface forms and the identical
+    // normalization rules; the split regex is injected from
+    // TextOps.urlPattern so the two engines can never diverge on the
+    // parse. $$ = literal $ (regex anchors) in this interpolated block.
+    val urlOracle = Map("x68_url_canonical" -> {
+      val p = graft.operators.TextOps.urlPattern
+      val track = graft.operators.TextOps.trackingParamPattern
+      s"""WITH u0 AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.'
+                         ELSE 'https://' END ||
+                    'Example' || CAST(doc_id % 5 AS VARCHAR) || '.COM' ||
+                    CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END ||
+                    '/Path/' || CAST(doc_id % 3 AS VARCHAR) ||
+                    CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+                    CASE WHEN doc_id % 3 = 0
+                         THEN '?utm_source=feed&b=2&a=1&' ELSE '' END ||
+                    CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS u
+            FROM documents),
+          parts AS (
+            SELECT doc_id,
+                   lower(regexp_extract(u, '$p', 1)) AS scheme,
+                   lower(regexp_extract(u, '$p', 2)) AS hostport,
+                   regexp_replace(regexp_extract(u, '$p', 3),
+                     '/+$$', '') AS path,
+                   regexp_replace(regexp_extract(u, '$p', 4),
+                     '^\\?', '') AS rawq
+            FROM u0),
+          withq AS (
+            SELECT doc_id, scheme, hostport, path,
+                   -- coalesce: DuckDB array_to_string([]) is NULL where
+                   -- Spark array_join(empty) is ''
+                   coalesce(array_to_string(list_sort(list_filter(
+                     string_split(rawq, '&'),
+                     x -> len(x) > 0 AND NOT regexp_matches(x, '$track'))),
+                     '&'), '') AS q,
+                   regexp_replace(hostport, '^www\\.', '') AS unwww
+            FROM parts),
+          canon AS (
+            SELECT doc_id,
+                   CASE WHEN scheme = '' OR hostport = '' THEN NULL
+                        ELSE scheme || '://' ||
+                          CASE WHEN scheme = 'http'
+                               THEN regexp_replace(unwww, ':80$$', '')
+                               WHEN scheme = 'https'
+                               THEN regexp_replace(unwww, ':443$$', '')
+                               ELSE unwww END ||
+                          path ||
+                          CASE WHEN q = '' THEN '' ELSE '?' || q END
+                   END AS url_canonical
+            FROM withq)
+          SELECT c.doc_id, c.url_canonical, n.n_docs
+          FROM canon c
+          JOIN (SELECT url_canonical, CAST(COUNT(*) AS BIGINT) AS n_docs
+                FROM canon GROUP BY url_canonical) n
+            USING (url_canonical)
+          ORDER BY c.doc_id"""
+    })
+
     // x58b's oracle IS x58's: the state-maintained labeling must
     // reproduce the batch CC split census exactly (CC monotonicity)
     m ++ bpeOracle ++ clusterSplitOracle ++ jlOracle ++ diffOracle ++
       lshRecallOracle ++ mmrOracle ++ temperatureOracle ++ poolOracle ++
-      driftOracle ++ markupOracle ++ importanceOracle +
+      driftOracle ++ markupOracle ++ importanceOracle ++ urlOracle +
       ("x48_manifest_delta" -> m("x24_training_manifest")) +
       ("x58b_cluster_split_from_state" ->
         clusterSplitOracle("x58_cluster_split"))

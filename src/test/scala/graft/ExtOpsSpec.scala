@@ -539,6 +539,30 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(out == "x 1 < 2 and 3 > 1 y", out)
   }
 
+  test("canonicalUrl: case, www, default port, slash, tracking, order, fragment") {
+    def canon(u: String) = Seq(u).toDF("u")
+      .select(TextOps.canonicalUrl(col("u"))).head
+    assert(canon("HTTP://WWW.Example.COM:80/Path/1/?utm_source=x&b=2&a=1&#frag")
+      .getString(0) == "http://example.com/Path/1?a=1&b=2")
+    // https default port; param value case preserved; path case preserved
+    assert(canon("https://Api.Example.com:443/V1?q=Hello").getString(0)
+      == "https://api.example.com/V1?q=Hello")
+    // non-default and non-http(s) ports survive
+    assert(canon("http://h:8080/x").getString(0) == "http://h:8080/x")
+    assert(canon("ftp://Host:80/x").getString(0) == "ftp://host:80/x")
+    // bare host: root path normalizes away entirely
+    assert(canon("http://example.com/").getString(0) == "http://example.com")
+  }
+
+  test("canonicalUrl: non-URLs and null canonicalize to NULL") {
+    val out = Seq("not a url", "relative/path", "http//missing.colon")
+      .toDF("u").select(TextOps.canonicalUrl(col("u"))).collect()
+    assert(out.forall(_.isNullAt(0)), out.mkString(","))
+    val n = Seq((1, null: String)).toDF("i", "u")
+      .select(TextOps.canonicalUrl(col("u"))).head
+    assert(n.isNullAt(0))
+  }
+
   test("stripMarkup: case-insensitive multi-line blocks; null propagates") {
     val out = Seq("a<SCRIPT type=x>\nline1\nline2\n</SCRIPT >b")
       .toDF("h").select(TextOps.stripMarkup(col("h"))).head.getString(0)
