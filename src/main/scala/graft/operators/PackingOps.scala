@@ -47,16 +47,31 @@ object PackingOps {
     * zero-gram documents (< 2 tokens) survive with score 0, not kept.
     */
   def importanceVotes(raw: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, buckets: Int = 256): DataFrame = {
+      textCol: String, buckets: Int = 256): DataFrame =
+    importanceVotesFrom(raw, idCol, textCol,
+      gramBucketCounts(target, idCol, textCol, buckets),
+      gramBucketCounts(raw, idCol, textCol, buckets), buckets)
+
+  /** [[importanceVotes]] with PRE-COMPUTED count tables — the
+    * ingest-time shape: the raw-corpus bucket counts accumulate in a
+    * [[graft.streaming.DriftStream]] counter log as batches arrive (one
+    * `applyBatch` over [[gramBuckets]] per micro-batch) and the target
+    * counts are a static artifact, so an arrival is scored against the
+    * corpus-so-far without any rescan. Both count frames carry
+    * (`k`, `cnt`) — the DriftStream log schema, which
+    * [[gramBucketCounts]] also emits. Counter addition being exact, the
+    * maintained counts equal a batch recount and the selection decision
+    * at ingest time equals the batch decision (x69 hash-matches x67's
+    * oracle).
+    */
+  def importanceVotesFrom(raw: DataFrame, idCol: String, textCol: String,
+      targetCounts: DataFrame, rawCounts: DataFrame,
+      buckets: Int = 256): DataFrame = {
     require(buckets > 0, s"need buckets > 0, got $buckets")
     val d38 = (c: Column) => c.cast("decimal(38,0)")
-    def grams(df: DataFrame) = df
-      .select(col(idCol),
-        explode(TextOps.bigrams(TextOps.tokens(col(textCol)))).as("_g"))
-      .select(col(idCol), md5Mod(col("_g"), buckets).as("_b"))
-    val tCounts = grams(target).groupBy("_b").agg(count(lit(1)).as("tc"))
-    val rCounts = grams(raw).groupBy("_b").agg(count(lit(1)).as("rc"))
-    val joined = tCounts.join(rCounts, Seq("_b"), "full_outer")
+    val joined = targetCounts.select(col("k").as("_b"), col("cnt").as("tc"))
+      .join(rawCounts.select(col("k").as("_b"), col("cnt").as("rc")),
+        Seq("_b"), "full_outer")
       .select(col("_b"), coalesce(col("tc"), lit(0L)).as("tc"),
         coalesce(col("rc"), lit(0L)).as("rc"))
     val totals = joined.agg(sum("tc").as("nt"), sum("rc").as("nr"))
@@ -65,7 +80,8 @@ object PackingOps {
         when(d38(col("tc")) * d38(col("nr")) > d38(col("rc")) * d38(col("nt")), 1L)
           .when(d38(col("tc")) * d38(col("nr")) < d38(col("rc")) * d38(col("nt")), -1L)
           .otherwise(0L).as("_vote"))
-    val perDoc = grams(raw).join(broadcast(votes), Seq("_b"))
+    val perDoc = gramBuckets(raw, idCol, textCol, buckets)
+      .join(broadcast(votes), Seq("_b"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_grams"), sum("_vote").as("score"))
     raw.select(col(idCol)).join(perDoc, Seq(idCol), "left")
@@ -74,6 +90,25 @@ object PackingOps {
         coalesce(col("score"), lit(0L)).as("score"))
       .withColumn("keep", col("score") > 0)
   }
+
+  /** One row per bigram OCCURRENCE: (idCol, `_b`) with `_b` the md5
+    * bucket in [0, buckets). Public so an ingest pipeline can maintain
+    * the raw-side count table incrementally (feed `_b` to
+    * [[graft.streaming.DriftStream.applyBatch]] per micro-batch).
+    */
+  def gramBuckets(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame = df
+    .select(col(idCol),
+      explode(TextOps.bigrams(TextOps.tokens(col(textCol)))).as("_g"))
+    .select(col(idCol), md5Mod(col("_g"), buckets).as("_b"))
+
+  /** [[gramBuckets]] aggregated to the (`k`, `cnt`) count-table shape
+    * [[importanceVotesFrom]] consumes (the DriftStream log schema).
+    */
+  def gramBucketCounts(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int): DataFrame =
+    gramBuckets(df, idCol, textCol, buckets)
+      .groupBy(col("_b").as("k")).agg(count(lit(1)).as("cnt"))
 
   /** GPT-style sequence packing (concatenate-then-chunk): lay every
     * document's tokens end to end and cut fixed-`capacity` training

@@ -1703,6 +1703,34 @@ object ExtQueries {
       canon.join(census, Seq("url_canonical"))
         .select(col("doc_id"), col("url_canonical"), col("n_docs"))
         .orderBy("doc_id")
+    }),
+
+    // ---- importance selection FROM STATE (the x58b/x47b discipline on
+    // the x67 surface): the raw-corpus bigram-bucket counts arrive in
+    // three waves through a DriftStream counter log — the ingest-time
+    // shape, where an arrival is scored against the corpus-so-far
+    // without a rescan — and the selection must hash-match x67's batch
+    // oracle EXACTLY, because counter addition is exact and the vote
+    // arithmetic is shared (importanceVotesFrom is the one code path
+    // both run through).
+    "x69_importance_from_state" -> ((s, d) => {
+      import graft.operators.PackingOps
+      import graft.streaming.DriftStream
+      val docs = Tables.documents(s, d)
+      val store = graft.operators.StageIO.resolve(s, None, "x69-grams")
+      (0L to 2L).foreach { w =>
+        DriftStream.applyBatch(
+          PackingOps.gramBuckets(
+            docs.filter(pmod(col("doc_id"), lit(3)) === w),
+            "doc_id", "text", 256),
+          "_b", store, w)
+      }
+      PackingOps.importanceVotesFrom(docs, "doc_id", "text",
+          PackingOps.gramBucketCounts(docs.filter(col("lang") === "en"),
+            "doc_id", "text", 256),
+          DriftStream.readCounts(s, store), 256)
+        .withColumn("keep", col("keep").cast("long"))
+        .orderBy("doc_id")
     }))
 
   // DuckDB oracle SQL. Shared shapes: t = tokens, sh = distinct 3-shingles.
@@ -4401,6 +4429,10 @@ object ExtQueries {
       driftOracle ++ markupOracle ++ importanceOracle ++ urlOracle +
       ("x48_manifest_delta" -> m("x24_training_manifest")) +
       ("x58b_cluster_split_from_state" ->
-        clusterSplitOracle("x58_cluster_split"))
+        clusterSplitOracle("x58_cluster_split")) +
+      // x69's oracle IS x67's: the log-maintained counts must reproduce
+      // the batch selection exactly (counter addition is exact)
+      ("x69_importance_from_state" ->
+        importanceOracle("x67_importance_select"))
   }
 }
