@@ -257,6 +257,93 @@ object MultimodalOps {
       "sum_b", "sum_g", "sum_r")
   }
 
+  /** Perceptual difference-hash (dHash) over the DECODED raster — the
+    * image-side near-dup key: re-encodes, recompressions, and global
+    * tone shifts of the same picture land on the same (or near) hash,
+    * which a byte hash can never do. 128 bits: the classic row-gradient
+    * half (brightness increases left→right at each of 8×8 sample pairs
+    * on a 9×8 grid) plus the column-gradient half (top→bottom on 8×9) —
+    * rows alone are blind to horizontally-striped content. Brightness
+    * s(x, y) = B+G+R (no division — exact integers); sample points are
+    * the integer grid `(i·w)/9, (j·h)/8` (floor), so the hash is a pure
+    * function of the decoded pixels, engine-replayable in closed form
+    * wherever the pixels are (the x70 oracle replays the synthesized
+    * patterns; the constant-gray class hashes all-zero REGARDLESS of the
+    * JVM's gray→sRGB tone curve — gradient comparisons cancel any
+    * monotone per-pixel mapping of a constant image, which is exactly
+    * why the one non-closed-form decode path still crosses the gate).
+    * Packed as four BIGINT words of 32 bits (bit k of half-hash h goes
+    * to word h_lo bit k for k<32, else h_hi bit k−32): two engines'
+    * 64-bit shifts never meet a sign bit, and Hamming distance is
+    * bit_count(xor) over the four words. Per-row decode work, no
+    * shuffle.
+    */
+  def imageDHash(assets: DataFrame): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.as[MediaAsset].mapPartitions(_.map { a =>
+      val img = decodeImageIO(a.payload)
+      val w = img.width; val h = img.height
+      def s(x: Int, y: Int): Int = {
+        val o = (y * w + x) * 3
+        (img.pixels(o) & 0xFF) + (img.pixels(o + 1) & 0xFF) +
+          (img.pixels(o + 2) & 0xFF)
+      }
+      var rLo = 0L; var rHi = 0L; var cLo = 0L; var cHi = 0L
+      var j = 0
+      while (j < 8) {
+        var i = 0
+        while (i < 8) {
+          val k = j * 8 + i
+          val y = j * h / 8
+          if (s((i + 1) * w / 9, y) > s(i * w / 9, y)) {
+            if (k < 32) rLo |= 1L << k else rHi |= 1L << (k - 32)
+          }
+          val x = j * w / 8
+          if (s(x, (i + 1) * h / 9) > s(x, i * h / 9)) {
+            if (k < 32) cLo |= 1L << k else cHi |= 1L << (k - 32)
+          }
+          i += 1
+        }
+        j += 1
+      }
+      (a.asset_id, a.media_type, rLo, rHi, cLo, cHi)
+    }).toDF("asset_id", "media_type",
+      "dh_r_lo", "dh_r_hi", "dh_c_lo", "dh_c_hi")
+  }
+
+  /** Near-dup pairs by dHash Hamming distance ≤ `maxDist`, via the LSH
+    * band discipline on the four 32-bit hash words: candidates meet on
+    * an EQUALITY join per band (bounded buckets, never all-pairs), then
+    * exact bit_count(xor) verification. For maxDist ≤ 3 the band join is
+    * pigeonhole-COMPLETE — ≤ 3 differing bits cannot touch all 4 words,
+    * so every qualifying pair shares at least one identical word — which
+    * makes this exact near-dup search, not approximate (the spec asserts
+    * equality with brute force). Same scale shape as the MinHash band
+    * join (x2): shuffle on (band, word), skew bounded by bucket sizes.
+    */
+  def dhashNearDupPairs(hashes: DataFrame, idCol: String,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"band join over 4 words is only pigeonhole-complete for " +
+        s"maxDist <= 3, got $maxDist")
+    val words = Seq("dh_r_lo", "dh_r_hi", "dh_c_lo", "dh_c_hi")
+    val slim = hashes.select(col(idCol).as("_id") +: words.map(col): _*)
+    val bands = words.zipWithIndex.map { case (wc, b) =>
+      slim.select(col("_id"), lit(b).as("_band"), col(wc).as("_word"),
+        col("dh_r_lo"), col("dh_r_hi"), col("dh_c_lo"), col("dh_c_hi"))
+    }.reduce(_ unionAll _)
+    val l = bands.as("l"); val r = bands.as("r")
+    val dist = words.map(wc =>
+        bit_count(col(s"l.$wc").bitwiseXOR(col(s"r.$wc"))))
+      .reduce(_ + _)
+    l.join(r, col("l._band") === col("r._band") &&
+        col("l._word") === col("r._word") && col("l._id") < col("r._id"))
+      .select(col("l._id").as("id_a"), col("r._id").as("id_b"),
+        dist.cast("long").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Real resize: decode → nearest-neighbour downscale to maxDim → re-encode.
     * Images and video frames are re-encoded byte-real; audio passes through.
     */

@@ -1731,6 +1731,35 @@ object ExtQueries {
           DriftStream.readCounts(s, store), 256)
         .withColumn("keep", col("keep").cast("long"))
         .orderBy("doc_id")
+    }),
+
+    // ---- perceptual image hash (dHash) over the x12d raster fixture:
+    // the image-side near-dup key. The hash is computed from the DECODED
+    // pixels on the JVM; the oracle replays the synthesized gradient/
+    // palette/stripe patterns in closed form — and the constant-gray
+    // class hashes all-zero regardless of the JVM's gray→sRGB tone
+    // curve (gradient comparisons cancel any monotone mapping of a
+    // constant image), so even the one non-closed-form decode path
+    // crosses the hash gate. All 128 bits of every asset's hash are
+    // pinned.
+    "x70_image_dhash" -> ((s, d) => {
+      MultimodalOps.imageDHash(MultimodalOps.toRasterAssets(
+          Tables.documents(s, d), "doc_id", "text"))
+        .orderBy("asset_id")
+    }),
+
+    // ---- perceptual dedup census: group by the full 128-bit hash,
+    // min-id survivor + copy count (x1's dedup shape on the perceptual
+    // key). Unlike pair enumeration this stays linear when a hash
+    // cluster is large (every constant-brightness image shares the
+    // all-zero hash by design — brightness-invariance is the point of a
+    // gradient hash, and the census form is how dedup consumes it).
+    "x70b_dhash_dedup" -> ((s, d) => {
+      MultimodalOps.imageDHash(MultimodalOps.toRasterAssets(
+          Tables.documents(s, d), "doc_id", "text"))
+        .groupBy("dh_r_lo", "dh_r_hi", "dh_c_lo", "dh_c_hi")
+        .agg(min("asset_id").as("survivor"), count(lit(1)).as("n_copies"))
+        .orderBy("survivor")
     }))
 
   // DuckDB oracle SQL. Shared shapes: t = tokens, sh = distinct 3-shingles.
@@ -4422,11 +4451,77 @@ object ExtQueries {
           ORDER BY c.doc_id"""
     })
 
+    // x70/x70b: closed-form replay of the dHash over the x12d synthetic
+    // raster patterns. Brightness s(x,y) = B+G+R per class: grad = x +
+    // len%256 + id%256; palette/gif = the three palette sums at index
+    // x%4 / y%4; gray = constant (any constant — only comparisons
+    // matter, so the JVM gray→sRGB tone curve cancels). Bit t of each
+    // 64-bit half: i = t%8, j = t//8, sample grid (i·w)//9 × (j·h)//8
+    // (rows) and (j·w)//8 × (i·h)//9 (cols); packed 32 bits per BIGINT
+    // word with shift t%32. Edited in lockstep with
+    // MultimodalOps.imageDHash and MultimodalOps.synthesizeRaster.
+    val dhashOracle = {
+      def sAt(x: String, y: String) =
+        s"""(CASE k
+              WHEN 0 THEN (($x) % 256) + (len % 256) + (doc_id % 256)
+              WHEN 1 THEN ((doc_id + 53*(($x) % 4)) % 256)
+                          + ((len + 37*(($x) % 4)) % 256)
+                          + ((11*doc_id + 19*(($x) % 4)) % 256)
+              WHEN 2 THEN ((doc_id + 53*(($y) % 4)) % 256)
+                          + ((len + 37*(($y) % 4)) % 256)
+                          + ((11*doc_id + 19*(($y) % 4)) % 256)
+              ELSE 0 END)"""
+      def word(range: String, s1: (String, String), s0: (String, String)) =
+        s"""CAST(list_sum(list_transform($range, t ->
+              CASE WHEN ${sAt(s1._1, s1._2)} > ${sAt(s0._1, s0._2)}
+                   THEN (CAST(1 AS BIGINT) << (t % 32)) ELSE 0 END))
+            AS BIGINT)"""
+      val rowY = "((t // 8) * h) // 8"
+      val row1 = ("(((t % 8) + 1) * w) // 9", rowY)
+      val row0 = ("((t % 8) * w) // 9", rowY)
+      val colX = "((t // 8) * w) // 8"
+      val col1 = (colX, "(((t % 8) + 1) * h) // 9")
+      val col0 = (colX, "((t % 8) * h) // 9")
+      val hashCte =
+        s"""WITH d AS (
+              SELECT doc_id, doc_id % 4 AS k,
+                     16 + (doc_id % 48) AS w,
+                     16 + (octet_length(encode(text)) % 48) AS h,
+                     octet_length(encode(text)) AS len
+              FROM documents),
+            hs AS (
+              SELECT doc_id AS asset_id,
+                     CASE k WHEN 0 THEN 'png_grad'
+                            WHEN 1 THEN 'png_palette'
+                            WHEN 2 THEN 'gif' ELSE 'png_gray'
+                     END AS media_type,
+                     ${word("range(0,32)", row1, row0)} AS dh_r_lo,
+                     ${word("range(32,64)", row1, row0)} AS dh_r_hi,
+                     ${word("range(0,32)", col1, col0)} AS dh_c_lo,
+                     ${word("range(32,64)", col1, col0)} AS dh_c_hi
+              FROM d)"""
+      Map(
+        "x70_image_dhash" ->
+          s"""$hashCte
+              SELECT asset_id, media_type, dh_r_lo, dh_r_hi, dh_c_lo,
+                     dh_c_hi
+              FROM hs ORDER BY asset_id""",
+        "x70b_dhash_dedup" ->
+          s"""$hashCte
+              SELECT dh_r_lo, dh_r_hi, dh_c_lo, dh_c_hi,
+                     CAST(min(asset_id) AS BIGINT) AS survivor,
+                     CAST(COUNT(*) AS BIGINT) AS n_copies
+              FROM hs
+              GROUP BY dh_r_lo, dh_r_hi, dh_c_lo, dh_c_hi
+              ORDER BY survivor""")
+    }
+
     // x58b's oracle IS x58's: the state-maintained labeling must
     // reproduce the batch CC split census exactly (CC monotonicity)
     m ++ bpeOracle ++ clusterSplitOracle ++ jlOracle ++ diffOracle ++
       lshRecallOracle ++ mmrOracle ++ temperatureOracle ++ poolOracle ++
-      driftOracle ++ markupOracle ++ importanceOracle ++ urlOracle +
+      driftOracle ++ markupOracle ++ importanceOracle ++ urlOracle ++
+      dhashOracle +
       ("x48_manifest_delta" -> m("x24_training_manifest")) +
       ("x58b_cluster_split_from_state" ->
         clusterSplitOracle("x58_cluster_split")) +

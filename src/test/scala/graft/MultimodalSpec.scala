@@ -278,4 +278,66 @@ class MultimodalSpec extends AnyFunSuite {
       }
     }
   }
+
+  private def pngAsset(id: Long, w: Int, h: Int,
+      px: (Int, Int) => Int): graft.operators.MediaAsset = {
+    val pixels = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      pixels((y * w + x) * 3 + c) = px(x, y).toByte
+    val bytes = MediaCodec.encodeImageIO(BmpImage(w, h, pixels), "png")
+    graft.operators.MediaAsset(id, "png", bytes, bytes.length)
+  }
+
+  private def dhash(assets: Seq[graft.operators.MediaAsset])
+      : Map[Long, (Long, Long, Long, Long)] = {
+    import spark.implicits._
+    MultimodalOps.imageDHash(assets.toDS().toDF()).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+  }
+
+  test("imageDHash: gradient rows all-ones, constants all-zero, shift-invariant") {
+    val all32 = 0xFFFFFFFFL
+    val out = dhash(Seq(
+      // brightness rises with x → every row bit 1, every column bit 0
+      pngAsset(1L, 36, 20, (x, _) => x),
+      // constant image → all 128 bits 0 (the gray-class identity the
+      // x70 oracle leans on)
+      pngAsset(2L, 36, 20, (_, _) => 77),
+      // brightness rises with y → rows 0, columns all 1
+      pngAsset(3L, 36, 20, (_, y) => y),
+      // global brightness shift of asset 1 (no clipping): same hash —
+      // the invariance that makes dHash a NEAR-dup key
+      pngAsset(4L, 36, 20, (x, _) => x + 100)))
+    assert(out(1L) == ((all32, all32, 0L, 0L)), out(1L).toString)
+    assert(out(2L) == ((0L, 0L, 0L, 0L)), out(2L).toString)
+    assert(out(3L) == ((0L, 0L, all32, all32)), out(3L).toString)
+    assert(out(4L) == out(1L), s"${out(4L)} vs ${out(1L)}")
+  }
+
+  test("dhashNearDupPairs equals brute-force Hamming pairs (pigeonhole)") {
+    import spark.implicits._
+    // 40 assets with planted structure: variants of a base gradient with
+    // 0–2 flipped sample comparisons plus unrelated patterns
+    val assets = (0L until 40L).map { id =>
+      pngAsset(id, 27, 19, (x, y) =>
+        (x * 3 + (id % 7).toInt * y + (if (x == id % 9) 50 else 0)) % 200)
+    }
+    val hs = MultimodalOps.imageDHash(assets.toDS().toDF())
+    hs.cache()
+    val got = MultimodalOps.dhashNearDupPairs(hs, "asset_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over all pairs from the collected hash table
+    val table = hs.collect().map(r => r.getLong(0) ->
+      Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val want = (for {
+      a <- table.keys; b <- table.keys if a < b
+      d = table(a).zip(table(b))
+        .map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    hs.unpersist()
+    assert(want.nonEmpty, "fixture must produce at least one close pair")
+    assert(got == want, s"band join ${got.size} vs brute ${want.size}")
+  }
 }
