@@ -344,6 +344,43 @@ object MultimodalOps {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Perceptual AUDIO fingerprint — the dHash idea on the PCM axis: the
+    * decoded sample stream (all channels, interleaved — channel mix is
+    * part of the key) folds into 64 amplitude-energy windows (sample i →
+    * window (i·64)/n, so no window is empty once n ≥ 64), and bit k of
+    * the fingerprint is `energy(k+1) > energy(k)` — 63 bits packed as
+    * two BIGINT words (32 + 31, shifts never meet a sign bit). Energy is
+    * Σ|sample| in exact integers; adjacent-window comparison makes the
+    * key invariant to any positive GAIN (a re-encode at different volume
+    * lands on the same fingerprint — the x71 oracle exploits exactly
+    * this: it replays the synthesized samples WITHOUT the ×128 scale and
+    * still matches). Per-row decode work, no shuffle; non-audio assets
+    * are ignored.
+    */
+  def audioFingerprint(assets: DataFrame): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.as[MediaAsset].filter(_.media_type == "audio")
+      .mapPartitions(_.map { a =>
+        val wav = decodeWav(a.payload)
+        val n = wav.samples.length
+        val energy = new Array[Long](64)
+        var i = 0
+        while (i < n) {
+          energy((i.toLong * 64 / n).toInt) += math.abs(wav.samples(i).toLong)
+          i += 1
+        }
+        var lo = 0L; var hi = 0L
+        var k = 0
+        while (k < 63) {
+          if (energy(k + 1) > energy(k)) {
+            if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+          }
+          k += 1
+        }
+        (a.asset_id, n.toLong, lo, hi)
+      }).toDF("asset_id", "n_samples", "af_lo", "af_hi")
+  }
+
   /** Real resize: decode → nearest-neighbour downscale to maxDim → re-encode.
     * Images and video frames are re-encoded byte-real; audio passes through.
     */

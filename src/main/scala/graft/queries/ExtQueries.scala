@@ -1760,6 +1760,20 @@ object ExtQueries {
         .groupBy("dh_r_lo", "dh_r_hi", "dh_c_lo", "dh_c_hi")
         .agg(min("asset_id").as("survivor"), count(lit(1)).as("n_copies"))
         .orderBy("survivor")
+    }),
+
+    // ---- perceptual AUDIO fingerprint over the x12b WAV fixture: the
+    // decoded PCM stream folds into 64 energy windows, bit k =
+    // energy(k+1) > energy(k). The oracle replays the synthesized
+    // samples from the document's utf-8 bytes WITHOUT the codec's ×128
+    // amplitude scale and still hash-matches — adjacent-window
+    // comparison makes the fingerprint gain-invariant by construction,
+    // and that invariance IS the oracle strategy (the x70 gray-class
+    // trick on the audio axis).
+    "x71_audio_fingerprint" -> ((s, d) => {
+      MultimodalOps.audioFingerprint(MultimodalOps.toAssets(
+          Tables.documents(s, d), "doc_id", "text"))
+        .orderBy("asset_id")
     }))
 
   // DuckDB oracle SQL. Shared shapes: t = tokens, sh = distinct 3-shingles.
@@ -4516,12 +4530,55 @@ object ExtQueries {
               ORDER BY survivor""")
     }
 
+    // x71: closed-form replay of the audio fingerprint. Sample i of the
+    // synthesized WAV is ((byte[i % len]) − 128)·128 (all channels share
+    // the formula, so the interleaved mix needs no channel split); the
+    // replay uses |byte − 128| UNSCALED — gain invariance is the
+    // contract. ascii(substr(text, …)) = utf-8 byte only because the
+    // fixture is ASCII-only (verified at every SF); a non-ASCII regen
+    // fails this row loudly rather than silently. Window k = (i·64)//n,
+    // bit k = lead(e) > e, 63 bits in 32+31-bit BIGINT words.
+    val audioOracle = Map("x71_audio_fingerprint" ->
+      s"""WITH d AS (
+            SELECT doc_id, text, octet_length(encode(text)) AS len,
+                   (100 + (octet_length(encode(text)) % 400))
+                     * (1 + doc_id % 2) AS n
+            FROM documents WHERE doc_id % 3 = 1),
+          samp AS (
+            SELECT doc_id, n, text, len, unnest(range(0, n)) AS i
+            FROM d),
+          win AS (
+            SELECT doc_id, (i * 64) // n AS k,
+                   abs(ascii(substr(text,
+                     CAST((i % len) + 1 AS INT), 1)) - 128) AS a
+            FROM samp),
+          eng AS (
+            SELECT doc_id, k, SUM(a) AS e FROM win GROUP BY doc_id, k),
+          bits AS (
+            SELECT doc_id, k,
+                   CASE WHEN lead(e) OVER (PARTITION BY doc_id ORDER BY k)
+                             > e THEN 1 ELSE 0 END AS b
+            FROM eng),
+          fp AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN k < 32 AND b = 1
+                     THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)
+                     AS BIGINT) AS af_lo,
+                   CAST(SUM(CASE WHEN k >= 32 AND k < 63 AND b = 1
+                     THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END)
+                     AS BIGINT) AS af_hi
+            FROM bits GROUP BY doc_id)
+          SELECT d.doc_id AS asset_id, CAST(d.n AS BIGINT) AS n_samples,
+                 fp.af_lo, fp.af_hi
+          FROM d JOIN fp ON fp.doc_id = d.doc_id
+          ORDER BY asset_id""")
+
     // x58b's oracle IS x58's: the state-maintained labeling must
     // reproduce the batch CC split census exactly (CC monotonicity)
     m ++ bpeOracle ++ clusterSplitOracle ++ jlOracle ++ diffOracle ++
       lshRecallOracle ++ mmrOracle ++ temperatureOracle ++ poolOracle ++
       driftOracle ++ markupOracle ++ importanceOracle ++ urlOracle ++
-      dhashOracle +
+      dhashOracle ++ audioOracle +
       ("x48_manifest_delta" -> m("x24_training_manifest")) +
       ("x58b_cluster_split_from_state" ->
         clusterSplitOracle("x58_cluster_split")) +

@@ -340,4 +340,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(want.nonEmpty, "fixture must produce at least one close pair")
     assert(got == want, s"band join ${got.size} vs brute ${want.size}")
   }
+
+  private def wavAsset(id: Long, samples: Array[Short])
+      : graft.operators.MediaAsset = {
+    val bytes = MediaCodec.encodeWav(WavAudio(8000, 1, samples))
+    graft.operators.MediaAsset(id, "audio", bytes, bytes.length)
+  }
+
+  test("audioFingerprint: monotone energy all-ones, constant zero, gain-invariant") {
+    import spark.implicits._
+    val n = 256
+    val rising = Array.tabulate(n)(i => i.toShort)
+    val out = MultimodalOps.audioFingerprint(Seq(
+        wavAsset(1L, rising),
+        wavAsset(2L, Array.fill(n)(500.toShort)),
+        // 3x gain of asset 1: adjacent-window comparison cancels it
+        wavAsset(3L, rising.map(s => (s * 3).toShort)),
+        // non-audio rows are ignored entirely
+        pngAsset(9L, 16, 16, (x, _) => x)).toDS().toDF())
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L), out.keySet.toString)
+    assert(out(1L) == ((n.toLong, 0xFFFFFFFFL, 0x7FFFFFFFL)),
+      out(1L).toString)
+    assert(out(2L) == ((n.toLong, 0L, 0L)), out(2L).toString)
+    assert(out(3L)._2 == out(1L)._2 && out(3L)._3 == out(1L)._3,
+      s"${out(3L)} vs ${out(1L)}")
+  }
 }
