@@ -282,33 +282,65 @@ object MultimodalOps {
     import assets.sparkSession.implicits._
     assets.as[MediaAsset].mapPartitions(_.map { a =>
       val img = decodeImageIO(a.payload)
-      val w = img.width; val h = img.height
-      def s(x: Int, y: Int): Int = {
-        val o = (y * w + x) * 3
-        (img.pixels(o) & 0xFF) + (img.pixels(o + 1) & 0xFF) +
-          (img.pixels(o + 2) & 0xFF)
-      }
-      var rLo = 0L; var rHi = 0L; var cLo = 0L; var cHi = 0L
-      var j = 0
-      while (j < 8) {
-        var i = 0
-        while (i < 8) {
-          val k = j * 8 + i
-          val y = j * h / 8
-          if (s((i + 1) * w / 9, y) > s(i * w / 9, y)) {
-            if (k < 32) rLo |= 1L << k else rHi |= 1L << (k - 32)
-          }
-          val x = j * w / 8
-          if (s(x, (i + 1) * h / 9) > s(x, i * h / 9)) {
-            if (k < 32) cLo |= 1L << k else cHi |= 1L << (k - 32)
-          }
-          i += 1
-        }
-        j += 1
-      }
+      val (rLo, rHi, cLo, cHi) = dhashWords(img)
       (a.asset_id, a.media_type, rLo, rHi, cLo, cHi)
     }).toDF("asset_id", "media_type",
       "dh_r_lo", "dh_r_hi", "dh_c_lo", "dh_c_hi")
+  }
+
+  /** The dHash bit kernel over one decoded BGR raster (shared by
+    * [[imageDHash]] and [[videoFrameDHash]]): brightness = B+G+R,
+    * row-gradient bits on the 9×8 grid, column-gradient on 8×9, packed
+    * as four 32-bit words (bit k of a half goes to lo bit k for k<32,
+    * else hi bit k−32).
+    */
+  private def dhashWords(img: MediaCodec.BmpImage)
+      : (Long, Long, Long, Long) = {
+    val w = img.width; val h = img.height
+    def s(x: Int, y: Int): Int = {
+      val o = (y * w + x) * 3
+      (img.pixels(o) & 0xFF) + (img.pixels(o + 1) & 0xFF) +
+        (img.pixels(o + 2) & 0xFF)
+    }
+    var rLo = 0L; var rHi = 0L; var cLo = 0L; var cHi = 0L
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        val k = j * 8 + i
+        val y = j * h / 8
+        if (s((i + 1) * w / 9, y) > s(i * w / 9, y)) {
+          if (k < 32) rLo |= 1L << k else rHi |= 1L << (k - 32)
+        }
+        val x = j * w / 8
+        if (s(x, (i + 1) * h / 9) > s(x, i * h / 9)) {
+          if (k < 32) cLo |= 1L << k else cHi |= 1L << (k - 32)
+        }
+        i += 1
+      }
+      j += 1
+    }
+    (rLo, rHi, cLo, cHi)
+  }
+
+  /** Per-frame dHash of video assets — the temporal fingerprint: one row
+    * per (asset, frame_idx) with the frame's 128-bit hash, the key a
+    * video near-dup pass joins on (same frames in the same order ⇒ same
+    * sequence of rows; a re-encode or gain shift of every frame lands on
+    * the same hashes by the [[imageDHash]] invariances). Frame fan-out
+    * is bounded by the container's frame count; per-row decode work, no
+    * shuffle; non-video assets are ignored.
+    */
+  def videoFrameDHash(assets: DataFrame): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.as[MediaAsset].filter(_.media_type == "video")
+      .flatMap { a =>
+        decodeVideo(a.payload).zipWithIndex.map { case (img, f) =>
+          val (rLo, rHi, cLo, cHi) = dhashWords(img)
+          (a.asset_id, f.toLong, rLo, rHi, cLo, cHi)
+        }
+      }.toDF("asset_id", "frame_idx",
+        "dh_r_lo", "dh_r_hi", "dh_c_lo", "dh_c_hi")
   }
 
   /** Near-dup pairs by dHash Hamming distance ≤ `maxDist`, via the LSH

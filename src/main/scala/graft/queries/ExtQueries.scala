@@ -1774,6 +1774,19 @@ object ExtQueries {
       MultimodalOps.audioFingerprint(MultimodalOps.toAssets(
           Tables.documents(s, d), "doc_id", "text"))
         .orderBy("asset_id")
+    }),
+
+    // ---- per-frame video dHash over the x12b video fixture: the
+    // temporal fingerprint — one row per (asset, frame) with the
+    // frame's 128-bit hash. The oracle replays every sampled pixel from
+    // the document's utf-8 bytes in closed form (frame f's byte i is
+    // text-byte (f+i) mod len), through the same BMP round-trip the
+    // codec spec proves byte-exact — so the gate pins the container
+    // walk, the per-frame decode, and all hash bits of every frame.
+    "x72_video_frame_dhash" -> ((s, d) => {
+      MultimodalOps.videoFrameDHash(MultimodalOps.toAssets(
+          Tables.documents(s, d), "doc_id", "text"))
+        .orderBy("asset_id", "frame_idx")
     }))
 
   // DuckDB oracle SQL. Shared shapes: t = tokens, sh = distinct 3-shingles.
@@ -4573,12 +4586,53 @@ object ExtQueries {
           FROM d JOIN fp ON fp.doc_id = d.doc_id
           ORDER BY asset_id""")
 
+    // x72: closed-form replay of the per-frame video dHash. Frame f's
+    // BGR byte i is text-byte (f + i) mod len (MultimodalOps.synthesize
+    // pixels(off=f)), so brightness at (x, y) is the sum of the three
+    // bytes at f + 3(y·w + x) + {0,1,2} — indexed via ascii(substr),
+    // ASCII-only fixture as in x71. Same word packing and sample grids
+    // as the x70 oracle.
+    val videoOracle = Map("x72_video_frame_dhash" -> {
+      def byteAt(pos: String) =
+        s"ascii(substr(text, CAST((($pos) % len) + 1 AS INT), 1))"
+      def sAt(x: String, y: String) =
+        s"""(${byteAt(s"f + 3*(($y)*w + ($x))")}
+             + ${byteAt(s"f + 3*(($y)*w + ($x)) + 1")}
+             + ${byteAt(s"f + 3*(($y)*w + ($x)) + 2")})"""
+      def word(range: String, s1: (String, String), s0: (String, String)) =
+        s"""CAST(list_sum(list_transform($range, t ->
+              CASE WHEN ${sAt(s1._1, s1._2)} > ${sAt(s0._1, s0._2)}
+                   THEN (CAST(1 AS BIGINT) << (t % 32)) ELSE 0 END))
+            AS BIGINT)"""
+      val rowY = "((t // 8) * h) // 8"
+      val row1 = ("(((t % 8) + 1) * w) // 9", rowY)
+      val row0 = ("((t % 8) * w) // 9", rowY)
+      val colX = "((t // 8) * w) // 8"
+      val col1 = (colX, "(((t % 8) + 1) * h) // 9")
+      val col0 = (colX, "((t % 8) * h) // 9")
+      s"""WITH d AS (
+            SELECT doc_id, text, octet_length(encode(text)) AS len,
+                   16 + (doc_id % 48) AS w,
+                   16 + (octet_length(encode(text)) % 48) AS h,
+                   1 + (doc_id % 8) AS nf
+            FROM documents WHERE doc_id % 3 = 2),
+          fr AS (
+            SELECT doc_id, text, len, w, h, unnest(range(0, nf)) AS f
+            FROM d)
+          SELECT doc_id AS asset_id, CAST(f AS BIGINT) AS frame_idx,
+                 ${word("range(0,32)", row1, row0)} AS dh_r_lo,
+                 ${word("range(32,64)", row1, row0)} AS dh_r_hi,
+                 ${word("range(0,32)", col1, col0)} AS dh_c_lo,
+                 ${word("range(32,64)", col1, col0)} AS dh_c_hi
+          FROM fr ORDER BY asset_id, frame_idx"""
+    })
+
     // x58b's oracle IS x58's: the state-maintained labeling must
     // reproduce the batch CC split census exactly (CC monotonicity)
     m ++ bpeOracle ++ clusterSplitOracle ++ jlOracle ++ diffOracle ++
       lshRecallOracle ++ mmrOracle ++ temperatureOracle ++ poolOracle ++
       driftOracle ++ markupOracle ++ importanceOracle ++ urlOracle ++
-      dhashOracle ++ audioOracle +
+      dhashOracle ++ audioOracle ++ videoOracle +
       ("x48_manifest_delta" -> m("x24_training_manifest")) +
       ("x58b_cluster_split_from_state" ->
         clusterSplitOracle("x58_cluster_split")) +

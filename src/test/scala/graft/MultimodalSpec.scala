@@ -368,4 +368,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3L)._2 == out(1L)._2 && out(3L)._3 == out(1L)._3,
       s"${out(3L)} vs ${out(1L)}")
   }
+
+  test("videoFrameDHash: one row per frame; repeated frames hash alike") {
+    import spark.implicits._
+    def grad(shift: Int) = {
+      val px = new Array[Byte](24 * 16 * 3)
+      for (y <- 0 until 16; x <- 0 until 24; c <- 0 until 3)
+        px((y * 24 + x) * 3 + c) = (x + shift).toByte
+      BmpImage(24, 16, px)
+    }
+    // frames 0 and 2 identical; frame 1 is a pure brightness shift (same
+    // hash by invariance); frame 3 reversed gradient (different hash)
+    val rev = {
+      val px = new Array[Byte](24 * 16 * 3)
+      for (y <- 0 until 16; x <- 0 until 24; c <- 0 until 3)
+        px((y * 24 + x) * 3 + c) = (23 - x).toByte
+      BmpImage(24, 16, px)
+    }
+    val bytes = MediaCodec.encodeVideo(Seq(grad(0), grad(40), grad(0), rev))
+    val asset = graft.operators.MediaAsset(7L, "video", bytes, bytes.length)
+    val rows = MultimodalOps.videoFrameDHash(Seq(asset).toDS().toDF())
+      .orderBy("frame_idx").collect()
+      .map(r => (r.getLong(1), (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(rows(0)._2 == rows(2)._2, "identical frames must hash alike")
+    assert(rows(0)._2 == rows(1)._2, "brightness shift must not change it")
+    assert(rows(0)._2 != rows(3)._2, "reversed gradient must differ")
+    val all32 = 0xFFFFFFFFL
+    assert(rows(0)._2 == ((all32, all32, 0L, 0L)), rows(0)._2.toString)
+  }
 }
