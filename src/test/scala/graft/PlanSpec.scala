@@ -428,4 +428,47 @@ class PlanSpec extends AnyFunSuite {
     assert(nfcLine.exists(_.contains("*(")),
       s"nfc_normalize not codegen'd:\n$p")
   }
+
+  test("x66/x68: markup strip + URL canonicalization are shuffle-free per-row passes") {
+    // both are pure string pipelines over the scan — any Exchange before
+    // the final sort means per-row work grew a shuffle it never needs
+    val p66 = SparkEntry.queries("x66_markup_extract")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val beforeSort66 = p66.split("Sort ").last
+    assert(!beforeSort66.contains("Exchange hashpartitioning"),
+      s"x66 per-row pass shuffles:\n$p66")
+    // x68 joins the census back on the canonical key — ONE hash exchange
+    // family on url_canonical is the whole shuffle story
+    val p68 = SparkEntry.queries("x68_url_canonical")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = p68.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.forall(_.contains("url_canonical")),
+      s"x68 shuffles on a non-canonical key:\n$exchanges")
+  }
+
+  test("x67: the vote table broadcasts into scoring (never a shuffle join)") {
+    val df = SparkEntry.queries("x67_importance_select")(spark, sf)
+    df.collect() // finalize adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    // the ≤256-row vote table and the totals row must broadcast; the
+    // only sort-merge-sized join allowed is the per-doc left join back
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    // per-doc scoring aggregates two-phase (map-side partials bound the
+    // shuffle to one row per doc per task)
+    assert(p.contains("partial"), p)
+  }
+
+  test("x70: dhash pair search is an equi-join on (band, word), never a cross join") {
+    import org.apache.spark.sql.functions._
+    val hashes = graft.operators.MultimodalOps.imageDHash(
+      graft.operators.MultimodalOps.toRasterAssets(
+        graft.Tables.documents(spark, sf), "doc_id", "text"))
+    val p = graft.operators.MultimodalOps
+      .dhashNearDupPairs(hashes, "asset_id", maxDist = 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("_band") && p.contains("_word"), p)
+  }
 }
