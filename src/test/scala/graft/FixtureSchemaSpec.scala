@@ -105,4 +105,20 @@ class FixtureSchemaSpec extends AnyFunSuite {
   test("the normalized events surface is microsecond TimestampType") {
     assert(Tables.events(spark, sf).schema("ts").dataType == TimestampType)
   }
+
+  test("documents text is ASCII-only and non-empty (x71/x72 oracle contract)") {
+    // the audio/video fingerprint oracles index utf-8 bytes via
+    // ascii(substr(text, …)), which equals the byte ONLY for ASCII; a
+    // regen that introduces multi-byte text must fail here by name, not
+    // as a cryptic hash mismatch in the driver compare
+    import org.apache.spark.sql.functions._
+    val bad = Tables.documents(spark, sf)
+      .filter(col("text").isNull || length(col("text")) === 0 ||
+        octet_length(col("text")) =!= length(col("text")))
+      .count()
+    assert(bad == 0L,
+      s"$bad documents are empty/non-ASCII — the x71/x72 oracle byte " +
+        "indexing (ascii(substr)) is no longer valid; rework the replay " +
+        "before trusting those rows")
+  }
 }
