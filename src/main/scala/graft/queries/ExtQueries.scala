@@ -1787,6 +1787,23 @@ object ExtQueries {
       MultimodalOps.videoFrameDHash(MultimodalOps.toAssets(
           Tables.documents(s, d), "doc_id", "text"))
         .orderBy("asset_id", "frame_idx")
+    }),
+
+    // ---- hard-negative mining (contrastive data prep): per labeled
+    // query, the 5 most-similar items of a DIFFERENT label —
+    // filter-then-rank (the x56 discipline), so a query whose
+    // neighborhood is its own class still yields k true negatives
+    // instead of a starved post-filtered list. Tie order is
+    // TopKByScore's score-desc/id-asc, replayed by the oracle's rank
+    // form on the raw cosine.
+    "x73_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      SimilarityOps.hardNegatives(emb, "vec_id", "embedding", "label",
+          queries, "qid", "qv", "qlabel", k = 5)
+        .orderBy("qid", "vec_id")
     }))
 
   // DuckDB oracle SQL. Shared shapes: t = tokens, sh = distinct 3-shingles.
@@ -4627,12 +4644,32 @@ object ExtQueries {
           FROM fr ORDER BY asset_id, frame_idx"""
     })
 
+    // x73: brute-force replay with the label filter BEFORE ranking and
+    // TopKByScore's score-desc/id-asc tie order
+    val hardNegOracle = Map("x73_hard_negatives" ->
+      s"""WITH q AS (
+            SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+            FROM embeddings WHERE vec_id < 20),
+          scored AS (
+            SELECT q.qid, e.vec_id,
+                   ${ddbCos("e.embedding", "q.qv")} AS raw_cos
+            FROM embeddings e, q
+            WHERE e.label <> q.qlabel),
+          ranked AS (
+            SELECT qid, vec_id, raw_cos,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY raw_cos DESC, vec_id) AS rn
+            FROM scored)
+          SELECT qid, vec_id, round(raw_cos, 4) AS cos
+          FROM ranked WHERE rn <= 5
+          ORDER BY qid, vec_id""")
+
     // x58b's oracle IS x58's: the state-maintained labeling must
     // reproduce the batch CC split census exactly (CC monotonicity)
     m ++ bpeOracle ++ clusterSplitOracle ++ jlOracle ++ diffOracle ++
       lshRecallOracle ++ mmrOracle ++ temperatureOracle ++ poolOracle ++
       driftOracle ++ markupOracle ++ importanceOracle ++ urlOracle ++
-      dhashOracle ++ audioOracle ++ videoOracle +
+      dhashOracle ++ audioOracle ++ videoOracle ++ hardNegOracle +
       ("x48_manifest_delta" -> m("x24_training_manifest")) +
       ("x58b_cluster_split_from_state" ->
         clusterSplitOracle("x58_cluster_split")) +

@@ -212,4 +212,38 @@ class AnnRecallSpec extends AnyFunSuite {
       "qvp", 1, excludeSelf = true).select("vec_id").head().getLong(0)
     assert(top1 == 100007L, s"planted duplicate must rank first, got $top1")
   }
+
+  test("hardNegatives: all cross-label, and never starved by an own-class neighborhood") {
+    import spark.implicits._
+    // the query's 6 nearest neighbors are its OWN class: post-filtering
+    // a global top-5 would return ZERO negatives; filter-then-rank must
+    // still return the full 5 label-1 items
+    def v(parts: Double*) = parts.map(_.toFloat)
+    val corpus = (
+      (1L to 6L).map(i => (i, v(1.0, 0.001 * i, 0, 0), 0)) ++
+      (11L to 15L).map(i => (i, v(0.1 * (i - 10), 1.0, 0, 0), 1))
+    ).toDF("vec_id", "embedding", "label")
+    val q = Seq((100L, v(1.0, 0, 0, 0), 0)).toDF("qid", "qv", "qlabel")
+    val neg = SimilarityOps.hardNegatives(corpus, "vec_id", "embedding",
+        "label", q, "qid", "qv", "qlabel", k = 5).collect()
+    assert(neg.map(_.getLong(1)).toSet == Set(11L, 12L, 13L, 14L, 15L),
+      neg.mkString(","))
+    // the contrast: a global top-5 is entirely label 0 here, so the
+    // post-filter route would starve to zero
+    val global = SimilarityOps.topKBatch(corpus, "vec_id", "embedding",
+        q.select("qid", "qv"), "qid", "qv", 5).collect()
+      .map(_.getLong(1)).toSet
+    assert(global == Set(1L, 2L, 3L, 4L, 5L), global.toString)
+    // against the fixture corpus: every mined negative's label differs
+    val embL = emb.select(col("vec_id"), col("embedding"), col("label"))
+    val qs = embL.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val mined = SimilarityOps.hardNegatives(embL, "vec_id", "embedding",
+        "label", qs, "qid", "qv", "qlabel", k = 5)
+      .join(embL.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .join(qs.select(col("qid"), col("qlabel")), Seq("qid"))
+    assert(mined.filter(col("label") === col("qlabel")).count() == 0)
+    assert(mined.groupBy("qid").count().collect().forall(_.getLong(1) == 5L))
+  }
 }
