@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.MultimodalOps
+
+/** Streaming PERCEPTUAL image dedup gate — the ingest-time consumer of
+  * the x70 dHash key: an arriving image whose 128-bit perceptual hash
+  * was already admitted (in any earlier batch, or by a lower-id arrival
+  * in the same batch) is diverted before it lands in the corpus. A
+  * re-encode, recompression, or global tone shift of an
+  * already-ingested picture is caught HERE, which a byte-hash dedup
+  * stream can never do.
+  *
+  * State is a persisted HASH STORE, not document payloads: each batch
+  * writes its ADMITTED hashes (five BIGINTs a row) under
+  * `storeDir/batch_id=<id>/pfx=<p>/`, and a probe reads strictly below
+  * its own batch id — the [[SpanStream]] replay discipline, so
+  * at-least-once redelivery re-derives exactly the same gate decisions
+  * and overwrites its own partitions. The `pfx` subpartitioning
+  * (low 8 bits of the first hash word) is the [[graft.operators.DeltaManifest]]
+  * state-read discipline: a probe prunes the store scan to the
+  * arrivals' own ≤ 256 prefix buckets at file-listing time, so probe
+  * cost tracks the BATCH, not the corpus history.
+  *
+  * Scale shape: per batch, one decode pass (the dHash), one bounded
+  * collect (the ≤ 256-entry pfx set — the filter itself, the
+  * [[graft.operators.BloomOps]] precedent), one anti-join of batch
+  * hashes against the pruned store slice, and the keyed sink writes.
+  * No watermark horizon: the store is append-only and tiny (40 bytes
+  * per admitted image), so "months-old duplicate" is the same case as
+  * "yesterday's".
+  */
+object MediaDedupStream {
+
+  private val words = Seq("dh_r_lo", "dh_r_hi", "dh_c_lo", "dh_c_hi")
+
+  /** Gate one micro-batch of assets (the [[MultimodalOps]] asset
+    * schema). Kept rows append to `cleanDir/batch=<id>`, diverted
+    * perceptual duplicates to `droppedDir/batch=<id>` (kept for audit,
+    * the [[DecontaminationStream]] convention), and the batch's
+    * admitted hashes commit to the store — all OVERWRITE-keyed, so
+    * replay is a no-op.
+    */
+  def applyBatch(assets: DataFrame, batchId: Long, storeDir: String,
+      cleanDir: String, droppedDir: String): Unit = {
+    val spark = assets.sparkSession
+    if (assets.isEmpty) return
+    val a = assets.persist()
+    val hashes = MultimodalOps.imageDHash(a)
+      .withColumn("pfx", pmod(col("dh_r_lo"), lit(256))).persist()
+    try {
+      // bounded collect: ≤ 256 prefix buckets — the store-scan filter
+      val pfxes = hashes.select("pfx").distinct().collect()
+        .map(_.getLong(0))
+      // within-batch collapse first: lowest asset_id owns a hash
+      val winners = hashes.groupBy(words.map(col) :+ col("pfx"): _*)
+        .agg(min("asset_id").as("asset_id"))
+      val admitted = readStore(spark, storeDir) match {
+        case Some(store) =>
+          val prior = store.filter(col("batch_id") < batchId &&
+              col("pfx").isin(pfxes: _*))
+            .select(words.map(col): _*).distinct()
+          winners.join(prior, words, "left_anti")
+        case None => winners
+      }
+      admitted.persist()
+      try {
+        val keptIds = admitted.select("asset_id")
+        a.join(keptIds, Seq("asset_id"), "left_semi")
+          .write.mode("overwrite").parquet(s"$cleanDir/batch=$batchId")
+        a.join(keptIds, Seq("asset_id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$droppedDir/batch=$batchId")
+        admitted.select(col("pfx") +: words.map(col) :+ col("asset_id"): _*)
+          .write.mode("overwrite").partitionBy("pfx")
+          .parquet(s"$storeDir/batch_id=$batchId")
+      } finally admitted.unpersist()
+    } finally {
+      hashes.unpersist()
+      a.unpersist()
+      ()
+    }
+  }
+
+  /** The admitted-hash store as a frame (batch_id, pfx partitions
+    * included), or None before the first commit.
+    */
+  def readStore(spark: SparkSession, storeDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p) && fs.listStatus(p)
+        .exists(_.getPath.getName.startsWith("batch_id=")))
+      Some(spark.read.parquet(storeDir))
+    else None
+  }
+
+  /** Run the gate continuously over a streaming asset frame. */
+  def startGate(assets: DataFrame, storeDir: String, cleanDir: String,
+      droppedDir: String, checkpointDir: String): StreamingQuery =
+    assets.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyBatch(batch.toDF(), batchId, storeDir, cleanDir, droppedDir)
+      }
+      .start()
+}
