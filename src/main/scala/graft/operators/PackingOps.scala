@@ -68,22 +68,36 @@ object PackingOps {
       targetCounts: DataFrame, rawCounts: DataFrame,
       buckets: Int = 256): DataFrame = {
     require(buckets > 0, s"need buckets > 0, got $buckets")
+    val spark = raw.sparkSession
     val d38 = (c: Column) => c.cast("decimal(38,0)")
-    val joined = targetCounts.select(col("k").as("_b"), col("cnt").as("tc"))
+    // STAGE the joined count table: its totals branch and its votes
+    // branch are two consumers, and two lazy instances of the subtree
+    // would re-aggregate both corpora (the distributionDrift /
+    // ratesFromShares lesson). The staged frame is ≤ buckets rows.
+    val stage = StageIO.resolve(spark, None, "imp-votes")
+    targetCounts.select(col("k").as("_b"), col("cnt").as("tc"))
       .join(rawCounts.select(col("k").as("_b"), col("cnt").as("rc")),
         Seq("_b"), "full_outer")
       .select(col("_b"), coalesce(col("tc"), lit(0L)).as("tc"),
         coalesce(col("rc"), lit(0L)).as("rc"))
+      .write.mode("overwrite").parquet(s"$stage/counts")
+    val joined = spark.read.parquet(s"$stage/counts")
     val totals = joined.agg(sum("tc").as("nt"), sum("rc").as("nr"))
     val votes = joined.crossJoin(broadcast(totals))
       .select(col("_b"),
         when(d38(col("tc")) * d38(col("nr")) > d38(col("rc")) * d38(col("nt")), 1L)
           .when(d38(col("tc")) * d38(col("nr")) < d38(col("rc")) * d38(col("nt")), -1L)
           .otherwise(0L).as("_vote"))
+    // LEFT join + 0 default: an occurrence whose bucket appears in
+    // NEITHER count table (possible only in the from-state path — a new
+    // arrival's bucket unseen by both the target artifact and the
+    // corpus-so-far log) is a 0-count tie on both sides, which IS vote
+    // 0; an inner join would silently drop it from n_grams instead.
     val perDoc = gramBuckets(raw, idCol, textCol, buckets)
-      .join(broadcast(votes), Seq("_b"))
+      .join(broadcast(votes), Seq("_b"), "left")
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_grams"), sum("_vote").as("score"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("_vote"), lit(0L))).as("score"))
     raw.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),

@@ -261,8 +261,13 @@ object TextOps {
   val urlPattern =
     "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)(\\?[^#]*)?(#.*)?$"
 
-  /** Tracking params dropped from canonical query strings. */
-  val trackingParamPattern = "^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="
+  /** Tracking params dropped from canonical query strings. Deliberately
+    * conservative: `utm_*`/`fbclid`/`gclid` are tracking-only by
+    * definition, while a bare `ref` is often resource-significant (VCS
+    * refs, API refs) and so is KEPT — dropping it would conflate
+    * genuinely different documents under one canonical URL.
+    */
+  val trackingParamPattern = "^(utm_[A-Za-z0-9_]*|fbclid|gclid)="
 
   /** Canonical URL: lowercase scheme + host, strip `www.` and the
     * scheme's default port, drop one trailing path-slash run, drop

@@ -75,10 +75,16 @@ object DriftStream {
       .agg(count(lit(1)).as("c1"))
     val cur = readCounts(spark, storeDir)
       .select(col("k").as("_k2"), col("cnt").as("c2"))
-    val joined = ref.join(cur, col("_k1") <=> col("_k2"), "full_outer")
+    // stage before the TV core: its totals and per-key-term branches are
+    // two consumers, and two lazy instances of this subtree would
+    // re-aggregate the reference corpus and re-merge the log twice (the
+    // distributionDrift discipline — it stages for the same reason)
+    val stage = graft.operators.StageIO.resolve(spark, None, "drift-live")
+    ref.join(cur, col("_k1") <=> col("_k2"), "full_outer")
       .select(coalesce(col("c1"), lit(0L)).as("c1"),
         coalesce(col("c2"), lit(0L)).as("c2"))
-    PipelineOps.driftOverCountPairs(joined)
+      .write.mode("overwrite").parquet(s"$stage/counts")
+    PipelineOps.driftOverCountPairs(spark.read.parquet(s"$stage/counts"))
   }
 
   /** Fold the whole log into a single batch partition keyed by the max

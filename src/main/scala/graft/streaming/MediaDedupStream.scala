@@ -37,18 +37,37 @@ object MediaDedupStream {
 
   private val words = Seq("dh_r_lo", "dh_r_hi", "dh_c_lo", "dh_c_hi")
 
+  /** media_type values the gate hashes: everything ImageIO can decode in
+    * this codebase's asset vocabulary. Audio/video and anything else
+    * PASS THROUGH to the clean sink un-gated (their perceptual keys are
+    * [[MultimodalOps.audioFingerprint]]/[[MultimodalOps.videoFrameDHash]]
+    * — a different store, not a crash): one stray non-image asset must
+    * not kill the stream with an ImageIO decode failure.
+    */
+  val imageTypes: Set[String] = Set("image", "png", "jpg", "jpeg",
+    "png_grad", "png_palette", "png_gray", "gif")
+
   /** Gate one micro-batch of assets (the [[MultimodalOps]] asset
-    * schema). Kept rows append to `cleanDir/batch=<id>`, diverted
-    * perceptual duplicates to `droppedDir/batch=<id>` (kept for audit,
-    * the [[DecontaminationStream]] convention), and the batch's
-    * admitted hashes commit to the store — all OVERWRITE-keyed, so
-    * replay is a no-op.
+    * schema). Image-typed rows ([[imageTypes]]) are hashed and gated:
+    * kept rows append to `cleanDir/batch=<id>`, diverted perceptual
+    * duplicates to `droppedDir/batch=<id>` (kept for audit, the
+    * [[DecontaminationStream]] convention), and the batch's admitted
+    * hashes commit to the store — all OVERWRITE-keyed, so replay is a
+    * no-op. Non-image rows ride to the clean sink untouched.
     */
   def applyBatch(assets: DataFrame, batchId: Long, storeDir: String,
       cleanDir: String, droppedDir: String): Unit = {
     val spark = assets.sparkSession
     if (assets.isEmpty) return
-    val a = assets.persist()
+    val a = assets.filter(col("media_type").isin(imageTypes.toSeq: _*))
+      .persist()
+    val passThrough = assets
+      .filter(!col("media_type").isin(imageTypes.toSeq: _*))
+    if (a.isEmpty) {
+      passThrough.write.mode("overwrite").parquet(s"$cleanDir/batch=$batchId")
+      a.unpersist()
+      return
+    }
     val hashes = MultimodalOps.imageDHash(a)
       .withColumn("pfx", pmod(col("dh_r_lo"), lit(256))).persist()
     try {
@@ -70,6 +89,7 @@ object MediaDedupStream {
       try {
         val keptIds = admitted.select("asset_id")
         a.join(keptIds, Seq("asset_id"), "left_semi")
+          .unionByName(passThrough)
           .write.mode("overwrite").parquet(s"$cleanDir/batch=$batchId")
         a.join(keptIds, Seq("asset_id"), "left_anti")
           .write.mode("overwrite").parquet(s"$droppedDir/batch=$batchId")

@@ -64,6 +64,33 @@ class MediaDedupStreamSpec extends AnyFunSuite {
     assert(st.columns.contains("pfx") && st.columns.contains("batch_id"))
   }
 
+  test("non-image assets pass through un-gated instead of killing the batch") {
+    import graft.operators.MediaCodec.WavAudio
+    val base = java.nio.file.Files.createTempDirectory("media-mixed").toString
+    val wavBytes = MediaCodec.encodeWav(
+      WavAudio(8000, 1, Array.tabulate(120)(_.toShort)))
+    val mixed = Seq(
+      png(1L, gradA),
+      graft.operators.MediaAsset(2L, "audio", wavBytes, wavBytes.length),
+      png(3L, gradA)).toDS().toDF()
+    MediaDedupStream.applyBatch(mixed, 0L, s"$base/store",
+      s"$base/clean", s"$base/dropped")
+    // the audio row rode through; image 3 deduped against image 1
+    assert(ids(s"$base/clean") == Set(1L, 2L), ids(s"$base/clean").toString)
+    assert(ids(s"$base/dropped") == Set(3L))
+    // the store holds only image hashes
+    assert(MediaDedupStream.readStore(spark, s"$base/store").get
+      .select("asset_id").collect().map(_.getLong(0)).toSet == Set(1L))
+    // an all-non-image batch still lands in clean without a store write
+    val base2 = java.nio.file.Files.createTempDirectory("media-audio").toString
+    MediaDedupStream.applyBatch(
+      Seq(graft.operators.MediaAsset(9L, "audio", wavBytes,
+        wavBytes.length)).toDS().toDF(),
+      0L, s"$base2/store", s"$base2/clean", s"$base2/dropped")
+    assert(ids(s"$base2/clean") == Set(9L))
+    assert(MediaDedupStream.readStore(spark, s"$base2/store").isEmpty)
+  }
+
   test("empty store and empty batch are clean no-ops") {
     val base = java.nio.file.Files.createTempDirectory("media-empty").toString
     assert(MediaDedupStream.readStore(spark, s"$base/none").isEmpty)

@@ -339,6 +339,20 @@ class PackingOpsSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, 0L, false)), out.toString)
   }
 
+  test("importanceVotesFrom: buckets unseen by BOTH count tables tie to 0, not dropped") {
+    import spark.implicits._
+    // in the from-state path an arrival can carry a bigram whose bucket
+    // neither the target artifact nor the corpus-so-far log has seen; a
+    // 0/0 bucket is a tie (vote 0) and must still count in n_grams
+    val raw = Seq((1L, "a b c")).toDF("doc_id", "text") // 2 bigrams
+    val tCounts = Seq((300L, 5L)).toDF("k", "cnt") // keys outside any
+    val rCounts = Seq((301L, 3L)).toDF("k", "cnt") // bucket of the doc
+    val out = PackingOps.importanceVotesFrom(raw, "doc_id", "text",
+        tCounts, rCounts).head()
+    assert((out.getLong(1), out.getLong(2), out.getBoolean(3))
+      == ((2L, 0L, false)), out.toString)
+  }
+
   test("importanceVotes: raw == target scores every doc non-negative") {
     import spark.implicits._
     // when the two corpora coincide every bucket ties (tc·Nr == rc·Nt),
