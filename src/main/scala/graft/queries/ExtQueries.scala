@@ -1804,6 +1804,34 @@ object ExtQueries {
       SimilarityOps.hardNegatives(emb, "vec_id", "embedding", "label",
           queries, "qid", "qv", "qlabel", k = 5)
         .orderBy("qid", "vec_id")
+    }),
+
+    // ---- scalar quantization (int4/int8 embedding compression): the
+    // x59 recall-census shape on the third compression path — per-dim
+    // min/max codes, floor (never round — tie behavior is not
+    // engine-portable), asymmetric search (full-precision queries vs
+    // dequantized corpus). The DIAL is the property on the worst-case
+    // unclustered fixture: sq8 ≥ sq4, both pinned exactly by the gate.
+    "x74_scalar_quantize" -> ((s, d) => {
+      import graft.queries.Det.round4Rat
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val truth = SimilarityOps.topKBatch(emb, "vec_id", "embedding",
+        queries, "qid", "qv", 5, excludeSelf = true)
+      def score(name: String, bits: Int) = {
+        val sq = SimilarityOps.scalarQuantize(emb, "vec_id", "embedding",
+          "sv", bits)
+        val approx = SimilarityOps.topKBatch(sq, "vec_id", "sv",
+          queries, "qid", "qv", 5, excludeSelf = true)
+        SimilarityOps.recallAtK(truth, approx, "qid", "vec_id")
+          .agg(sum("hits").as("h"), sum("n_truth").as("n"))
+          .select(lit(name).as("method"),
+            col("h").cast("long").as("hits"),
+            col("n").cast("long").as("n_truth"),
+            round4Rat(col("h"), col("n")).as("recall"))
+      }
+      score("sq4", 4).unionAll(score("sq8", 8)).orderBy("method")
     }))
 
   // DuckDB oracle SQL. Shared shapes: t = tokens, sh = distinct 3-shingles.
@@ -4664,12 +4692,79 @@ object ExtQueries {
           FROM ranked WHERE rn <= 5
           ORDER BY qid, vec_id""")
 
+    // x74: the jlOracle shape on the scalar-quantization path — shared
+    // per-dim bounds, floor codes, (code+0.5) dequantization, exactly
+    // the operator's arithmetic in the operator's evaluation order.
+    val sqOracle = Map("x74_scalar_quantize" -> {
+      def sqArm(tag: String, bits: Int) = {
+        val levels = 1 << bits
+        s"""deq$tag AS (
+              SELECT vec_id, list(dv ORDER BY pos) AS sv FROM (
+                SELECT e.vec_id, e.pos,
+                       b.mn + ((CASE WHEN b.mx = b.mn THEN 0
+                                ELSE least($levels - 1,
+                                  floor((e.v - b.mn) / (b.mx - b.mn)
+                                    * $levels)) END) + 0.5)
+                         * (b.mx - b.mn) / $levels AS dv
+                FROM ex e JOIN bounds b USING (pos))
+              GROUP BY vec_id),
+            approx$tag AS (
+              SELECT qid, vec_id FROM (
+                SELECT q.qid, e.vec_id,
+                       row_number() OVER (PARTITION BY q.qid
+                         ORDER BY ${ddbCos("e.sv", "q.qv")} DESC,
+                           e.vec_id) AS rn
+                FROM deq$tag e CROSS JOIN q WHERE e.vec_id <> q.qid)
+              WHERE rn <= 5)"""
+      }
+      s"""WITH q AS (
+            SELECT vec_id AS qid, embedding AS qv FROM embeddings
+            WHERE vec_id < 50),
+          ex AS (
+            SELECT vec_id, ord AS pos, CAST(v AS DOUBLE) AS v FROM (
+              SELECT vec_id, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS ord
+              FROM embeddings)),
+          bounds AS (
+            SELECT pos, min(v) AS mn, max(v) AS mx FROM ex GROUP BY pos),
+          truth AS (
+            SELECT qid, vec_id FROM (
+              SELECT q.qid, e.vec_id,
+                     row_number() OVER (PARTITION BY q.qid
+                       ORDER BY ${ddbCos("e.embedding", "q.qv")} DESC,
+                         e.vec_id) AS rn
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+            WHERE rn <= 5),
+          ${sqArm("4", 4)},
+          ${sqArm("8", 8)},
+          nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+          SELECT method, hits, n_truth,
+                 ((hits * 20000 + n_truth) // (2 * NULLIF(n_truth, 0)))
+                   / 10000.0 AS recall
+          FROM (
+            SELECT 'sq4' AS method,
+                   CAST((SELECT COUNT(*) FROM truth t
+                         JOIN approx4 x ON t.qid = x.qid
+                          AND t.vec_id = x.vec_id) AS BIGINT) AS hits,
+                   n_truth
+            FROM nt
+            UNION ALL
+            SELECT 'sq8',
+                   CAST((SELECT COUNT(*) FROM truth t
+                         JOIN approx8 x ON t.qid = x.qid
+                          AND t.vec_id = x.vec_id) AS BIGINT),
+                   n_truth
+            FROM nt)
+          ORDER BY method"""
+    })
+
     // x58b's oracle IS x58's: the state-maintained labeling must
     // reproduce the batch CC split census exactly (CC monotonicity)
     m ++ bpeOracle ++ clusterSplitOracle ++ jlOracle ++ diffOracle ++
       lshRecallOracle ++ mmrOracle ++ temperatureOracle ++ poolOracle ++
       driftOracle ++ markupOracle ++ importanceOracle ++ urlOracle ++
-      dhashOracle ++ audioOracle ++ videoOracle ++ hardNegOracle +
+      dhashOracle ++ audioOracle ++ videoOracle ++ hardNegOracle ++
+      sqOracle +
       ("x48_manifest_delta" -> m("x24_training_manifest")) +
       ("x58b_cluster_split_from_state" ->
         clusterSplitOracle("x58_cluster_split")) +

@@ -213,6 +213,37 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(top1 == 100007L, s"planted duplicate must rank first, got $top1")
   }
 
+  test("scalarQuantize: error bounded by half a step; constant dims exact; bits buy recall") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(0.0f, 5.0f, -2.0f)), (2L, Seq(1.0f, 5.0f, 0.0f)),
+      (3L, Seq(0.25f, 5.0f, 2.0f)), (4L, Seq(0.75f, 5.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val deq = SimilarityOps.scalarQuantize(vecs, "vec_id", "embedding",
+        "sv", bits = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val orig = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // per-dim ranges: [0,1], constant 5, [-2,2]; half-step = range/512
+    val halfStep = Seq(1.0 / 512, 0.0, 4.0 / 512)
+    for (id <- orig.keys; d <- 0 until 3) {
+      val err = math.abs(deq(id)(d) - orig(id)(d))
+      assert(err <= halfStep(d) + 1e-12,
+        s"id $id dim $d: err $err > ${halfStep(d)}")
+    }
+    assert(deq.values.forall(_(1) == 5.0), "constant dim must be exact")
+    // the dial on the fixture corpus: more bits, more recall
+    def recall(bits: Int): Double = {
+      val sq = SimilarityOps.scalarQuantize(emb, "vec_id", "embedding",
+        "sv", bits)
+      meanRecall(SimilarityOps.topKBatch(sq, "vec_id", "sv",
+        queries, "qid", "qv", 5, excludeSelf = true))
+    }
+    val (r4, r8) = (recall(4), recall(8))
+    assert(r8 > r4, s"sq8 $r8 must beat sq4 $r4")
+    assert(r8 > 0.9, s"sq8 recall $r8 under the 0.9 floor")
+  }
+
   test("hardNegatives: all cross-label, and never starved by an own-class neighborhood") {
     import spark.implicits._
     // the query's 6 nearest neighbors are its OWN class: post-filtering
