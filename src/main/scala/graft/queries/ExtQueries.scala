@@ -1832,6 +1832,37 @@ object ExtQueries {
             round4Rat(col("h"), col("n")).as("recall"))
       }
       score("sq4", 4).unionAll(score("sq8", 8)).orderBy("method")
+    }),
+
+    // ---- SQ from a PERSISTED bounds artifact (the x14b discipline on
+    // the scalar-quantization path): bounds train on the vec_id%3==0
+    // seed slice and freeze to parquet; the FULL corpus — including
+    // vectors outside the seed's per-dim range, which CLAMP to the edge
+    // cell — quantizes from the read-back artifact, no corpus rescan.
+    // The oracle replays codes + dequantization + search from the same
+    // artifact file.
+    "x74b_sq_from_bounds" -> ((s, d) => {
+      import graft.queries.Det.round4Rat
+      val emb = Tables.embeddings(s, d)
+      val dir = s"${graft.operators.StageIO.artifactRoot(s)}" +
+        s"/sq_bounds/${new java.io.File(d).getName}"
+      SimilarityOps.scalarBounds(
+          emb.filter(col("vec_id") % 3 === 0), "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      val queries = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val truth = SimilarityOps.topKBatch(emb, "vec_id", "embedding",
+        queries, "qid", "qv", 5, excludeSelf = true)
+      val sq = SimilarityOps.scalarQuantizeWith(emb, "vec_id",
+        "embedding", "sv", 8, s.read.parquet(dir))
+      val approx = SimilarityOps.topKBatch(sq, "vec_id", "sv",
+        queries, "qid", "qv", 5, excludeSelf = true)
+      SimilarityOps.recallAtK(truth, approx, "qid", "vec_id")
+        .agg(sum("hits").as("h"), sum("n_truth").as("n"))
+        .select(lit("sq8_seed").as("method"),
+          col("h").cast("long").as("hits"),
+          col("n").cast("long").as("n_truth"),
+          round4Rat(col("h"), col("n")).as("recall"))
     }))
 
   // DuckDB oracle SQL. Shared shapes: t = tokens, sh = distinct 3-shingles.
@@ -4758,13 +4789,69 @@ object ExtQueries {
           ORDER BY method"""
     })
 
+    // x74b: the sqOracle shape with bounds READ FROM THE ARTIFACT the
+    // query persisted (x14b replay pattern) and the operator's clamp —
+    // greatest(0, …) matters here: full-corpus values sit outside the
+    // seed slice's per-dim range
+    val sqFromBoundsOracle = Map("x74b_sq_from_bounds" ->
+      s"""WITH q AS (
+            SELECT vec_id AS qid, embedding AS qv FROM embeddings
+            WHERE vec_id < 50),
+          ex AS (
+            -- ord - 1: the persisted bounds carry Spark's 0-based pos,
+            -- generate_subscripts is 1-based
+            SELECT vec_id, ord - 1 AS pos, CAST(v AS DOUBLE) AS v FROM (
+              SELECT vec_id, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS ord
+              FROM embeddings)),
+          bounds AS (
+            SELECT pos, mn, mx FROM
+            read_parquet('__GRAFT_ART__/sq_bounds/__GRAFT_SF__/*.parquet')),
+          truth AS (
+            SELECT qid, vec_id FROM (
+              SELECT q.qid, e.vec_id,
+                     row_number() OVER (PARTITION BY q.qid
+                       ORDER BY ${ddbCos("e.embedding", "q.qv")} DESC,
+                         e.vec_id) AS rn
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+            WHERE rn <= 5),
+          deq AS (
+            SELECT vec_id, list(dv ORDER BY pos) AS sv FROM (
+              SELECT e.vec_id, e.pos,
+                     b.mn + ((CASE WHEN b.mx = b.mn THEN 0
+                              ELSE greatest(0, least(255,
+                                floor((e.v - b.mn) / (b.mx - b.mn)
+                                  * 256))) END) + 0.5)
+                       * (b.mx - b.mn) / 256 AS dv
+              FROM ex e JOIN bounds b USING (pos))
+            GROUP BY vec_id),
+          approx AS (
+            SELECT qid, vec_id FROM (
+              SELECT q.qid, e.vec_id,
+                     row_number() OVER (PARTITION BY q.qid
+                       ORDER BY ${ddbCos("e.sv", "q.qv")} DESC,
+                         e.vec_id) AS rn
+              FROM deq e CROSS JOIN q WHERE e.vec_id <> q.qid)
+            WHERE rn <= 5),
+          nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+          SELECT 'sq8_seed' AS method,
+                 CAST((SELECT COUNT(*) FROM truth t
+                       JOIN approx x ON t.qid = x.qid
+                        AND t.vec_id = x.vec_id) AS BIGINT) AS hits,
+                 n_truth,
+                 (((SELECT COUNT(*) FROM truth t
+                    JOIN approx x ON t.qid = x.qid
+                     AND t.vec_id = x.vec_id) * 20000 + n_truth)
+                   // (2 * NULLIF(n_truth, 0))) / 10000.0 AS recall
+          FROM nt""")
+
     // x58b's oracle IS x58's: the state-maintained labeling must
     // reproduce the batch CC split census exactly (CC monotonicity)
     m ++ bpeOracle ++ clusterSplitOracle ++ jlOracle ++ diffOracle ++
       lshRecallOracle ++ mmrOracle ++ temperatureOracle ++ poolOracle ++
       driftOracle ++ markupOracle ++ importanceOracle ++ urlOracle ++
       dhashOracle ++ audioOracle ++ videoOracle ++ hardNegOracle ++
-      sqOracle +
+      sqOracle ++ sqFromBoundsOracle +
       ("x48_manifest_delta" -> m("x24_training_manifest")) +
       ("x58b_cluster_split_from_state" ->
         clusterSplitOracle("x58_cluster_split")) +

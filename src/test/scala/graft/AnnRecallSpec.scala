@@ -244,6 +244,21 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r8 > 0.9, s"sq8 recall $r8 under the 0.9 floor")
   }
 
+  test("scalarQuantizeWith clamps out-of-range arrivals to the edge cells") {
+    import spark.implicits._
+    val seed = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val bounds = SimilarityOps.scalarBounds(seed, "embedding")
+    // arrival far outside the seed range in both directions
+    val arrivals = Seq((10L, Seq(5.0f, -9.0f))).toDF("vec_id", "embedding")
+    val sv = SimilarityOps.scalarQuantizeWith(arrivals, "vec_id",
+        "embedding", "sv", 8, bounds).head.getSeq[Double](1)
+    // dim 0 range [0,1]: clamp to top cell center 255.5/256; dim 1
+    // range [0,2]: clamp to bottom cell center 0.5/256*2
+    assert(math.abs(sv(0) - 255.5 / 256) < 1e-12, sv.toString)
+    assert(math.abs(sv(1) - 2.0 * 0.5 / 256) < 1e-12, sv.toString)
+  }
+
   test("hardNegatives: all cross-label, and never starved by an own-class neighborhood") {
     import spark.implicits._
     // the query's 6 nearest neighbors are its OWN class: post-filtering
