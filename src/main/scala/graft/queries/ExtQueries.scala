@@ -1863,6 +1863,39 @@ object ExtQueries {
           col("h").cast("long").as("hits"),
           col("n").cast("long").as("n_truth"),
           round4Rat(col("h"), col("n")).as("recall"))
+    }),
+
+    // ---- live drift FROM STATE (the x69 discipline on the x65
+    // surface): the v2 corpus's language counts arrive in three waves
+    // through a DriftStream counter log, and the live reading against
+    // the pinned reference must equal the batch snapshot drift EXACTLY
+    // — counter addition is exact and driftOverCountPairs is the one TV
+    // core both paths share. Oracle = x65's lang arm, dim column
+    // dropped.
+    "x75_drift_from_state" -> ((s, d) => {
+      import graft.streaming.DriftStream
+      val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
+      val v2 = v2Mutation(docs)
+      val store = graft.operators.StageIO.resolve(s, None, "x75-drift")
+      (0L to 2L).foreach { w =>
+        DriftStream.applyBatch(
+          v2.filter(pmod(col("doc_id"), lit(3)) === w).select("lang"),
+          "lang", store, w)
+      }
+      DriftStream.driftAgainst(s, store, docs.select("lang"), "lang")
+    }),
+
+    // ---- dhash near-dup PAIRS (the x2-style pair consumer of the x70
+    // key): band-bucketed Hamming ≤ 3 search over the palette/gif
+    // classes — pigeonhole-complete at that radius, so the bounded
+    // band join IS exact pair enumeration, and the oracle can state
+    // the all-pairs semantics directly.
+    "x76_dhash_pairs" -> ((s, d) => {
+      val hashes = MultimodalOps.imageDHash(MultimodalOps.toRasterAssets(
+          Tables.documents(s, d), "doc_id", "text"))
+        .filter(col("media_type").isin("png_palette", "gif"))
+      MultimodalOps.dhashNearDupPairs(hashes, "asset_id", maxDist = 3)
+        .orderBy("id_a", "id_b")
     }))
 
   // DuckDB oracle SQL. Shared shapes: t = tokens, sh = distinct 3-shingles.
@@ -4275,6 +4308,33 @@ object ExtQueries {
           ORDER BY dim"""
     })
 
+    // x75: x65's lang arm without the dim column — the state-fed
+    // reading must reproduce the batch snapshot number exactly
+    val driftFromStateOracle = Map("x75_drift_from_state" -> {
+      val keySel1 = "SELECT lang AS k FROM documents"
+      val keySel2 = "SELECT lang AS k FROM v2"
+      s"""WITH v2 AS (${ddbV2(", lang")})
+          SELECT n1, n2, n_keys,
+                 ((num * 20000 + 2 * n1h * n2h)
+                   // (2 * NULLIF(2 * n1h * n2h, 0))) / 10000.0
+                   AS tv_distance
+          FROM (
+            SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                   CAST(SUM(c2) AS BIGINT) AS n2,
+                   CAST(SUM(c1) AS HUGEINT) AS n1h,
+                   CAST(SUM(c2) AS HUGEINT) AS n2h,
+                   COUNT(*) AS n_keys,
+                   SUM(abs(CAST(c1 AS HUGEINT) * (SELECT COUNT(*) FROM ($keySel2))
+                     - CAST(c2 AS HUGEINT) * (SELECT COUNT(*) FROM ($keySel1))))
+                     AS num
+            FROM (
+              SELECT coalesce(a.c1, 0) AS c1, coalesce(b.c2, 0) AS c2
+              FROM (SELECT k, COUNT(*) AS c1 FROM ($keySel1) GROUP BY k) a
+              FULL OUTER JOIN
+                   (SELECT k, COUNT(*) AS c2 FROM ($keySel2) GROUP BY k) b
+              ON a.k IS NOT DISTINCT FROM b.k))"""
+    })
+
     // x64: the ordered-fold pool replayed per (grp, pos):
     // list_reduce(list(v ORDER BY vec_id), +) is the identical left
     // fold, then the same /n, floor-quantize arithmetic
@@ -4563,7 +4623,7 @@ object ExtQueries {
     // (rows) and (j·w)//8 × (i·h)//9 (cols); packed 32 bits per BIGINT
     // word with shift t%32. Edited in lockstep with
     // MultimodalOps.imageDHash and MultimodalOps.synthesizeRaster.
-    val dhashOracle = {
+    val (dhashOracle, dhashHashCte) = {
       def sAt(x: String, y: String) =
         s"""(CASE k
               WHEN 0 THEN (($x) % 256) + (len % 256) + (doc_id % 256)
@@ -4603,7 +4663,7 @@ object ExtQueries {
                      ${word("range(0,32)", col1, col0)} AS dh_c_lo,
                      ${word("range(32,64)", col1, col0)} AS dh_c_hi
               FROM d)"""
-      Map(
+      (Map(
         "x70_image_dhash" ->
           s"""$hashCte
               SELECT asset_id, media_type, dh_r_lo, dh_r_hi, dh_c_lo,
@@ -4616,8 +4676,30 @@ object ExtQueries {
                      CAST(COUNT(*) AS BIGINT) AS n_copies
               FROM hs
               GROUP BY dh_r_lo, dh_r_hi, dh_c_lo, dh_c_hi
-              ORDER BY survivor""")
+              ORDER BY survivor"""), hashCte)
     }
+
+    // x76: the pair-search consumer of the dhash surface. The Spark side
+    // runs the SCALE path (band equi-join, pigeonhole-complete at
+    // Hamming ≤ 3); the oracle states the SEMANTICS directly — all
+    // pairs, exact bit_count(xor) distance — which is exactly what the
+    // completeness property promises they agree on. Restricted to the
+    // palette/gif classes: the constant-brightness classes collapse
+    // onto shared hashes by design and their quadratic pair set is the
+    // census's (x70b) job, not pair enumeration's.
+    val dhashPairsOracle = Map("x76_dhash_pairs" -> {
+      val dist = Seq("dh_r_lo", "dh_r_hi", "dh_c_lo", "dh_c_hi")
+        .map(w => s"bit_count(xor(a.$w, b.$w))").mkString(" + ")
+      s"""$dhashHashCte,
+          pg AS (
+            SELECT * FROM hs
+            WHERE media_type IN ('png_palette', 'gif'))
+          SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+                 CAST($dist AS BIGINT) AS dist
+          FROM pg a JOIN pg b ON a.asset_id < b.asset_id
+          WHERE $dist <= 3
+          ORDER BY id_a, id_b"""
+    })
 
     // x71: closed-form replay of the audio fingerprint. Sample i of the
     // synthesized WAV is ((byte[i % len]) − 128)·128 (all channels share
@@ -4850,8 +4932,9 @@ object ExtQueries {
     m ++ bpeOracle ++ clusterSplitOracle ++ jlOracle ++ diffOracle ++
       lshRecallOracle ++ mmrOracle ++ temperatureOracle ++ poolOracle ++
       driftOracle ++ markupOracle ++ importanceOracle ++ urlOracle ++
-      dhashOracle ++ audioOracle ++ videoOracle ++ hardNegOracle ++
-      sqOracle ++ sqFromBoundsOracle +
+      dhashOracle ++ dhashPairsOracle ++ audioOracle ++ videoOracle ++
+      hardNegOracle ++ sqOracle ++ sqFromBoundsOracle ++
+      driftFromStateOracle +
       ("x48_manifest_delta" -> m("x24_training_manifest")) +
       ("x58b_cluster_split_from_state" ->
         clusterSplitOracle("x58_cluster_split")) +
