@@ -289,12 +289,13 @@ object MultimodalOps {
   }
 
   /** The dHash bit kernel over one decoded BGR raster (shared by
-    * [[imageDHash]] and [[videoFrameDHash]]): brightness = B+G+R,
-    * row-gradient bits on the 9×8 grid, column-gradient on 8×9, packed
-    * as four 32-bit words (bit k of a half goes to lo bit k for k<32,
-    * else hi bit k−32).
+    * [[imageDHash]] and [[videoFrameDHash]]; `private[graft]` so
+    * PerceptualProps can drive it with generated rasters, no Spark
+    * job per case): brightness = B+G+R, row-gradient bits on the 9×8
+    * grid, column-gradient on 8×9, packed as four 32-bit words (bit k
+    * of a half goes to lo bit k for k<32, else hi bit k−32).
     */
-  private def dhashWords(img: MediaCodec.BmpImage)
+  private[graft] def dhashWords(img: MediaCodec.BmpImage)
       : (Long, Long, Long, Long) = {
     val w = img.width; val h = img.height
     def s(x: Int, y: Int): Int = {
@@ -394,23 +395,33 @@ object MultimodalOps {
     assets.as[MediaAsset].filter(_.media_type == "audio")
       .mapPartitions(_.map { a =>
         val wav = decodeWav(a.payload)
-        val n = wav.samples.length
-        val energy = new Array[Long](64)
-        var i = 0
-        while (i < n) {
-          energy((i.toLong * 64 / n).toInt) += math.abs(wav.samples(i).toLong)
-          i += 1
-        }
-        var lo = 0L; var hi = 0L
-        var k = 0
-        while (k < 63) {
-          if (energy(k + 1) > energy(k)) {
-            if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
-          }
-          k += 1
-        }
-        (a.asset_id, n.toLong, lo, hi)
+        val (lo, hi) = audioWords(wav.samples)
+        (a.asset_id, wav.samples.length.toLong, lo, hi)
       }).toDF("asset_id", "n_samples", "af_lo", "af_hi")
+  }
+
+  /** The audio-fingerprint bit kernel over one decoded PCM stream
+    * (`private[graft]` for PerceptualProps): 64 amplitude-energy
+    * windows, bit k = energy(k+1) > energy(k), 63 bits in 32+31-bit
+    * words.
+    */
+  private[graft] def audioWords(samples: Array[Short]): (Long, Long) = {
+    val n = samples.length
+    val energy = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      energy((i.toLong * 64 / n).toInt) += math.abs(samples(i).toLong)
+      i += 1
+    }
+    var lo = 0L; var hi = 0L
+    var k = 0
+    while (k < 63) {
+      if (energy(k + 1) > energy(k)) {
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      }
+      k += 1
+    }
+    (lo, hi)
   }
 
   /** Real resize: decode → nearest-neighbour downscale to maxDim → re-encode.

@@ -554,6 +554,29 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(canon("http://example.com/").getString(0) == "http://example.com")
   }
 
+  test("canonicalUrl is idempotent over generated URL variants") {
+    // the canonical form is itself a URL; re-canonicalizing must be the
+    // identity (lowercase host stays, sorted params stay sorted, no
+    // port/www/fragment left to strip)
+    val rnd = new scala.util.Random(7)
+    val schemes = Seq("http://", "HTTPS://", "ftp://", "http://WWW.")
+    val ports = Seq("", ":80", ":443", ":8080")
+    val paths = Seq("", "/", "/A/b", "/x/")
+    val queries = Seq("", "?b=2&a=1", "?utm_source=x&Z=9&a=1&", "?q=Hello")
+    val frags = Seq("", "#sec")
+    val urls = (1 to 120).map { i =>
+      schemes(rnd.nextInt(4)) + s"Host$i.Example.COM" +
+        ports(rnd.nextInt(4)) + paths(rnd.nextInt(4)) +
+        queries(rnd.nextInt(4)) + frags(rnd.nextInt(2))
+    }
+    val bad = urls.toDF("u")
+      .select(TextOps.canonicalUrl(col("u")).as("c1"))
+      .select(col("c1"), TextOps.canonicalUrl(col("c1")).as("c2"))
+      .filter(!(col("c1") <=> col("c2")))
+      .collect()
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
   test("canonicalUrl: non-URLs and null canonicalize to NULL") {
     val out = Seq("not a url", "relative/path", "http//missing.colon")
       .toDF("u").select(TextOps.canonicalUrl(col("u"))).collect()
