@@ -424,6 +424,33 @@ object MultimodalOps {
     (lo, hi)
   }
 
+  /** Magic-byte media-type sniffing over an opaque binary column —
+    * content-type labels in a crawl are ROUTINELY wrong, so the real
+    * format decision reads the payload's signature, never the label:
+    * PNG (89 50 4E 47), JPEG (FF D8 FF), GIF ("GIF8"), BMP ("BM"),
+    * WAV (RIFF…WAVE), this codebase's video container ("GVID"),
+    * `unknown` otherwise (including NULL-safe: NULL payload →
+    * `unknown`). Pure codegen'd prefix comparisons on the binary
+    * column — bytes 1-12 only, no decode, no shuffle; the x77 oracle
+    * pins it against the planted type cycle, which is exactly the
+    * contract: the sniffer must recover ground truth from bytes alone.
+    */
+  def sniffMediaType(payload: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    def pfx(off: Int, bytes: Array[Byte]) =
+      substring(payload, off, bytes.length) === lit(bytes)
+    def s(off: Int, text: String) = pfx(off, text.getBytes("US-ASCII"))
+    coalesce(
+      when(pfx(1, Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)),
+          "png")
+        .when(pfx(1, Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte)), "jpeg")
+        .when(s(1, "GIF8"), "gif")
+        .when(s(1, "RIFF") && s(9, "WAVE"), "wav")
+        .when(s(1, "GVID"), "gvid")
+        .when(s(1, "BM"), "bmp"),
+      lit("unknown"))
+  }
+
   /** Real resize: decode → nearest-neighbour downscale to maxDim → re-encode.
     * Images and video frames are re-encoded byte-real; audio passes through.
     */

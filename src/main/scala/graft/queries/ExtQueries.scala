@@ -1896,6 +1896,23 @@ object ExtQueries {
         .filter(col("media_type").isin("png_palette", "gif"))
       MultimodalOps.dhashNearDupPairs(hashes, "asset_id", maxDist = 3)
         .orderBy("id_a", "id_b")
+    }),
+
+    // ---- magic-byte media sniffing: content-type labels in a crawl
+    // are routinely wrong, so format decisions read payload signatures.
+    // Both asset families (hand-rolled BMP/WAV/GVID codecs and the
+    // ImageIO PNG/GIF rasters) are sniffed from BYTES ALONE and the
+    // oracle pins the result against the planted type cycle — the
+    // sniffer must recover ground truth the oracle derives from ids.
+    "x77_media_sniff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val codec = MultimodalOps.toAssets(docs, "doc_id", "text")
+        .select(lit("codec").as("family"), col("asset_id"),
+          MultimodalOps.sniffMediaType(col("payload")).as("sniffed"))
+      val raster = MultimodalOps.toRasterAssets(docs, "doc_id", "text")
+        .select(lit("raster").as("family"), col("asset_id"),
+          MultimodalOps.sniffMediaType(col("payload")).as("sniffed"))
+      codec.unionAll(raster).orderBy("family", "asset_id")
     }))
 
   // DuckDB oracle SQL. Shared shapes: t = tokens, sh = distinct 3-shingles.
@@ -4935,6 +4952,19 @@ object ExtQueries {
       dhashOracle ++ dhashPairsOracle ++ audioOracle ++ videoOracle ++
       hardNegOracle ++ sqOracle ++ sqFromBoundsOracle ++
       driftFromStateOracle +
+      // x77: the planted type cycles (toAssets id%3 bmp/wav/gvid;
+      // toRasterAssets id%4 png/png/gif/png) — the sniffer must recover
+      // this from payload bytes alone
+      ("x77_media_sniff" ->
+        """SELECT 'codec' AS family, doc_id AS asset_id,
+                  CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav'
+                       ELSE 'gvid' END AS sniffed
+           FROM documents
+           UNION ALL
+           SELECT 'raster', doc_id,
+                  CASE doc_id % 4 WHEN 2 THEN 'gif' ELSE 'png' END
+           FROM documents
+           ORDER BY family, asset_id""") +
       ("x48_manifest_delta" -> m("x24_training_manifest")) +
       ("x58b_cluster_split_from_state" ->
         clusterSplitOracle("x58_cluster_split")) +

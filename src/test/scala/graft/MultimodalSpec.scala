@@ -369,6 +369,33 @@ class MultimodalSpec extends AnyFunSuite {
       s"${out(3L)} vs ${out(1L)}")
   }
 
+  test("sniffMediaType: real signatures, garbage, truncation, null") {
+    import spark.implicits._
+    val px = Array.fill(16 * 16 * 3)(40.toByte)
+    val cases: Seq[(Long, Array[Byte], String)] = Seq(
+      (1L, MediaCodec.encodeImageIO(BmpImage(16, 16, px), "png"), "png"),
+      (2L, MediaCodec.encodeImageIO(BmpImage(16, 16, px), "jpg"), "jpeg"),
+      (3L, MediaCodec.encodeImageIO(BmpImage(16, 16, px), "gif"), "gif"),
+      (4L, MediaCodec.encodeBmp(BmpImage(16, 16, px)), "bmp"),
+      (5L, MediaCodec.encodeWav(
+        MediaCodec.WavAudio(8000, 1, Array.fill(64)(7.toShort))), "wav"),
+      (6L, MediaCodec.encodeVideo(Seq(BmpImage(16, 16, px))), "gvid"),
+      (7L, "just some text".getBytes("UTF-8"), "unknown"),
+      // RIFF but not WAVE (an AVI-style container) must not read as wav
+      (8L, "RIFF0000AVI LIST".getBytes("US-ASCII"), "unknown"),
+      (9L, Array[Byte](0x89.toByte), "unknown"), // truncated PNG magic
+      (10L, Array.empty[Byte], "unknown"))
+    val got = cases.map { case (id, b, _) => (id, b) }.toDF("id", "payload")
+      .select(col("id"), MultimodalOps.sniffMediaType(col("payload")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (id, _, want) =>
+      assert(got(id) == want, s"id $id: got ${got(id)}, want $want")
+    }
+    val n = Seq((1, null: Array[Byte])).toDF("i", "payload")
+      .select(MultimodalOps.sniffMediaType(col("payload"))).head.getString(0)
+    assert(n == "unknown")
+  }
+
   test("videoFrameDHash: one row per frame; repeated frames hash alike") {
     import spark.implicits._
     def grad(shift: Int) = {
