@@ -1819,9 +1819,12 @@ object ExtQueries {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val truth = SimilarityOps.topKBatch(emb, "vec_id", "embedding",
         queries, "qid", "qv", 5, excludeSelf = true)
+      // ONE bounds pass shared by both arms (bounds are bits-independent;
+      // the oracle shares a single bounds CTE the same way)
+      val bounds = SimilarityOps.scalarBounds(emb, "embedding")
       def score(name: String, bits: Int) = {
-        val sq = SimilarityOps.scalarQuantize(emb, "vec_id", "embedding",
-          "sv", bits)
+        val sq = SimilarityOps.scalarQuantizeWith(emb, "vec_id",
+          "embedding", "sv", bits, bounds)
         val approx = SimilarityOps.topKBatch(sq, "vec_id", "sv",
           queries, "qid", "qv", 5, excludeSelf = true)
         SimilarityOps.recallAtK(truth, approx, "qid", "vec_id")
