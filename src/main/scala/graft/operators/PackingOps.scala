@@ -618,4 +618,42 @@ object PackingOps {
           .otherwise("test"))
       .drop("_lab_cluster")
   }
+
+  /** Cluster-best score propagation — the third consumer of the
+    * near-dup cluster labels beside the leakage-safe split
+    * ([[clusterSplit]]) and best-survivor selection (x30): every member
+    * of a cluster is ANNOTATED with the cluster's best score and the id
+    * achieving it (min id on ties — deterministic), without dropping
+    * anyone. That is the rescue/audit form of cluster-aware curation: a
+    * low-quality near-copy of a high-quality page is kept or priced by
+    * its cluster's best, and "which copy should canonical-ize this
+    * cluster" is a column, not a second pipeline. `scored` carries
+    * (idCol, scoreCol — integer, the house bps discipline); singletons
+    * (docs in no pair) are their own cluster.
+    *
+    * Scale: one left join against the label frame, one per-cluster
+    * aggregate (map-side partials; cluster count ≤ doc count), one
+    * tie-break aggregate over the members ACHIEVING the max, two
+    * broadcast-or-shuffle joins back on cluster_id — no window, no
+    * all-member collect.
+    */
+  def propagateClusterBest(scored: DataFrame, idCol: String,
+      scoreCol: String, labels: DataFrame): DataFrame = {
+    val lab = labels.select(col("doc_id").as(idCol),
+      col("cluster_id").as("_lab_cluster"))
+    val withCluster = scored.join(lab, Seq(idCol), "left")
+      .withColumn("cluster_id",
+        coalesce(col("_lab_cluster"), col(idCol).cast("long")))
+      .drop("_lab_cluster")
+    val best = withCluster.groupBy("cluster_id")
+      .agg(max(col(scoreCol)).as("best_score"),
+        count(lit(1)).as("n_members"))
+    val bestId = withCluster.join(best, Seq("cluster_id"))
+      .filter(col(scoreCol) === col("best_score"))
+      .groupBy("cluster_id").agg(min(col(idCol)).as("best_id"))
+    withCluster.join(best, Seq("cluster_id"))
+      .join(bestId, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col(scoreCol),
+        col("n_members"), col("best_score"), col("best_id"))
+  }
 }

@@ -1916,6 +1916,28 @@ object ExtQueries {
         .select(lit("raster").as("family"), col("asset_id"),
           MultimodalOps.sniffMediaType(col("payload")).as("sniffed"))
       codec.unionAll(raster).orderBy("family", "asset_id")
+    }),
+
+    // ---- cluster-best quality propagation: every doc annotated with
+    // its near-dup cluster's best quality (integer bps, x44's idiom)
+    // and the min-id member achieving it — the rescue/audit form of
+    // cluster-aware curation (a weak near-copy of a strong page is
+    // priced by its cluster's best; the canonical copy is a column).
+    // Same verified-Jaccard clusters as x58; oracle replays CC + the
+    // per-cluster max + min-id tie-break.
+    "x78_cluster_quality" -> ((s, d) => {
+      import graft.queries.Det.round4Rat
+      val docs = Tables.documents(s, d)
+      val pairs = DedupOps.jaccardNearDups(docs, "text", "doc_id", 0.5)
+      val labels = DedupOps.clusterLabels(pairs)
+      val nt = size(TextOps.tokens(col("text"))).cast("long")
+      val (qNum, qDen) = TextOps.qualityRat(col("text"), col("n_chars"))
+      val scored = docs.select(col("doc_id"),
+        when(nt > 0, round(round4Rat(qNum, qDen) * 10000).cast("long"))
+          .otherwise(lit(0L)).as("qbps"))
+      graft.operators.PackingOps.propagateClusterBest(scored, "doc_id",
+          "qbps", labels)
+        .orderBy("doc_id")
     }))
 
   // DuckDB oracle SQL. Shared shapes: t = tokens, sh = distinct 3-shingles.
@@ -4133,7 +4155,10 @@ object ExtQueries {
     // x58: x25's connected-components replay feeds the same md5 split
     // bucket as x16, keyed on the cluster label (docs outside every
     // near-dup pair are their own singleton cluster)
-    val clusterSplitOracle = Map("x58_cluster_split" ->
+    // shared CC replay over verified-Jaccard >= 0.5 pairs — the oracle
+    // twin of jaccardNearDups + clusterLabels, consumed by x58/x58b
+    // (split) and x78 (quality propagation)
+    val ccLabelsPrefix =
       s"""WITH RECURSIVE sh AS (
             SELECT doc_id, unnest(sh) AS s FROM (
               SELECT doc_id, $mdShingles AS sh
@@ -4157,7 +4182,10 @@ object ExtQueries {
             SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id),
           labels AS (
             SELECT id AS doc_id, min(lab) AS cluster_id
-            FROM walk GROUP BY id),
+            FROM walk GROUP BY id)"""
+
+    val clusterSplitOracle = Map("x58_cluster_split" ->
+      s"""$ccLabelsPrefix,
           assigned AS (
             SELECT d.doc_id,
                    coalesce(l.cluster_id, d.doc_id) AS cluster_id
@@ -4173,6 +4201,43 @@ object ExtQueries {
                  COUNT(*) AS n_docs,
                  COUNT(DISTINCT cluster_id) AS n_clusters
           FROM bucketed GROUP BY 1 ORDER BY 1""")
+
+    // x78: the same CC labels + x44's integer qbps, then per-cluster
+    // max and the min-id member achieving it
+    val clusterQualityOracle = Map("x78_cluster_quality" ->
+      s"""$ccLabelsPrefix,
+          scored AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) > 0 THEN
+                     CAST(round(
+                       (((20 * CAST(len(t) AS BIGINT) * least(CAST(len(t) AS BIGINT), 100)
+                          + 1500 * (CAST(len(t) AS BIGINT)
+                            - CAST(len(list_filter(t, x -> list_contains($swList, x))) AS BIGINT))
+                          + 3 * CAST(len(t) AS BIGINT) * least(n_chars, 500)) * 20000
+                         + 5000 * CAST(len(t) AS BIGINT))
+                        // (2 * 5000 * CAST(len(t) AS BIGINT))) / 10000.0
+                       * 10000) AS BIGINT)
+                   ELSE 0 END AS qbps
+            FROM (SELECT doc_id, n_chars, $mdToks AS t FROM documents)),
+          assigned AS (
+            SELECT s.doc_id, coalesce(l.cluster_id, s.doc_id) AS cluster_id,
+                   s.qbps
+            FROM scored s LEFT JOIN labels l ON s.doc_id = l.doc_id),
+          best AS (
+            SELECT cluster_id, max(qbps) AS best_score,
+                   CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM assigned GROUP BY cluster_id),
+          bid AS (
+            SELECT a.cluster_id, min(a.doc_id) AS best_id
+            FROM assigned a JOIN best b
+              ON a.cluster_id = b.cluster_id AND a.qbps = b.best_score
+            GROUP BY a.cluster_id)
+          SELECT a.doc_id, a.cluster_id, a.qbps, b.n_members,
+                 b.best_score, bid.best_id
+          FROM assigned a
+          JOIN best b USING (cluster_id)
+          JOIN bid USING (cluster_id)
+          ORDER BY a.doc_id""")
 
     // x59: rebuild the SAME md5-derived ±1 matrix in SQL (no artifact —
     // the matrix is a portable constant), project with the identical
@@ -4949,7 +5014,8 @@ object ExtQueries {
 
     // x58b's oracle IS x58's: the state-maintained labeling must
     // reproduce the batch CC split census exactly (CC monotonicity)
-    m ++ bpeOracle ++ clusterSplitOracle ++ jlOracle ++ diffOracle ++
+    m ++ bpeOracle ++ clusterSplitOracle ++ clusterQualityOracle ++
+      jlOracle ++ diffOracle ++
       lshRecallOracle ++ mmrOracle ++ temperatureOracle ++ poolOracle ++
       driftOracle ++ markupOracle ++ importanceOracle ++ urlOracle ++
       dhashOracle ++ dhashPairsOracle ++ audioOracle ++ videoOracle ++

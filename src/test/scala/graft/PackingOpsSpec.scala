@@ -353,6 +353,26 @@ class PackingOpsSpec extends AnyFunSuite {
       == ((2L, 0L, false)), out.toString)
   }
 
+  test("propagateClusterBest: best + min-id tie-break reach every member; singletons self") {
+    import spark.implicits._
+    val scored = Seq((1L, 5L), (2L, 9L), (3L, 7L), (4L, 7L), (5L, 3L))
+      .toDF("doc_id", "qbps")
+    // clusters: {1,2} (best 9 via 2), {3,4} (tie 7 — min id 3 wins);
+    // 5 is a singleton (its own cluster, its own best)
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("doc_id", "cluster_id")
+    val out = PackingOps.propagateClusterBest(scored, "doc_id", "qbps",
+        labels)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(out(1L) == ((1L, 2L, 9L, 2L)), out.toString)
+    assert(out(2L) == ((1L, 2L, 9L, 2L)), out.toString)
+    assert(out(3L) == ((3L, 2L, 7L, 3L)), out.toString)
+    assert(out(4L) == ((3L, 2L, 7L, 3L)), out.toString)
+    assert(out(5L) == ((5L, 1L, 3L, 5L)), out.toString)
+  }
+
   test("importanceVotes: raw == target scores every doc non-negative") {
     import spark.implicits._
     // when the two corpora coincide every bucket ties (tc·Nr == rc·Nt),
