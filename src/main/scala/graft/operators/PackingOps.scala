@@ -591,21 +591,27 @@ object PackingOps {
     * then a pure filter-free projection; no window, no shuffle beyond the
     * join's.
     */
-  def clusterSplit(df: DataFrame, idCol: String, labels: DataFrame,
-      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    require(trainPct + valPct < 100, "train+val must leave room for test")
-    // fail fast on a non-integral id: cluster labels are min-id LONGS, so
-    // a string id would cast to NULL, bucket to NULL, and silently send
-    // every singleton to the .otherwise branch
+  /** Fail fast on a non-integral id: cluster labels are min-id LONGS, so
+    * a string id would cast to NULL, bucket to NULL, and silently send
+    * every singleton doc down the default branch — shared by every
+    * consumer of the label frame's coalesce-to-own-id convention.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String,
+      op: String): Unit =
     df.schema(idCol).dataType match {
       case org.apache.spark.sql.types.LongType |
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.ByteType => ()
       case other => throw new IllegalArgumentException(
-        s"clusterSplit requires an integral id column; '$idCol' is $other " +
+        s"$op requires an integral id column; '$idCol' is $other " +
           "(cluster labels are min-id longs)")
     }
+
+  def clusterSplit(df: DataFrame, idCol: String, labels: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct < 100, "train+val must leave room for test")
+    requireIntegralId(df, idCol, "clusterSplit")
     val lab = labels.select(col("doc_id").as(idCol),
       col("cluster_id").as("_lab_cluster"))
     val cluster = coalesce(col("_lab_cluster"), col(idCol).cast("long"))
@@ -639,12 +645,23 @@ object PackingOps {
     */
   def propagateClusterBest(scored: DataFrame, idCol: String,
       scoreCol: String, labels: DataFrame): DataFrame = {
+    requireIntegralId(scored, idCol, "propagateClusterBest")
+    val spark = scored.sparkSession
     val lab = labels.select(col("doc_id").as(idCol),
       col("cluster_id").as("_lab_cluster"))
-    val withCluster = scored.join(lab, Seq(idCol), "left")
+    // STAGE the scored-with-cluster frame once: three lazy branches
+    // consume it (per-cluster best, tie-break min-id, the final join
+    // back), and a caller passing a tokenizing score frame (x78) would
+    // otherwise pay the scoring scan per branch — the x30/x31 staging
+    // discipline capByScoreHist and importanceVotesFrom follow
+    // (advisor r11).
+    val stage = StageIO.resolve(spark, None, "cluster-best")
+    scored.join(lab, Seq(idCol), "left")
       .withColumn("cluster_id",
         coalesce(col("_lab_cluster"), col(idCol).cast("long")))
       .drop("_lab_cluster")
+      .write.mode("overwrite").parquet(stage)
+    val withCluster = spark.read.parquet(stage)
     val best = withCluster.groupBy("cluster_id")
       .agg(max(col(scoreCol)).as("best_score"),
         count(lit(1)).as("n_members"))

@@ -59,10 +59,15 @@ object MediaDedupStream {
       cleanDir: String, droppedDir: String): Unit = {
     val spark = assets.sparkSession
     if (assets.isEmpty) return
-    val a = assets.filter(col("media_type").isin(imageTypes.toSeq: _*))
-      .persist()
-    val passThrough = assets
-      .filter(!col("media_type").isin(imageTypes.toSeq: _*))
+    // NULL-safe split: a NULL media_type makes both `isin` and its
+    // negation NULL, so a plain filter pair would land the row in
+    // NEITHER sink — silent data loss instead of the documented
+    // pass-through (advisor r11). Coalesce the predicate to false once
+    // and negate THAT: every row is in exactly one of the two frames.
+    val isImage = coalesce(
+      col("media_type").isin(imageTypes.toSeq: _*), lit(false))
+    val a = assets.filter(isImage).persist()
+    val passThrough = assets.filter(!isImage)
     if (a.isEmpty) {
       passThrough.write.mode("overwrite").parquet(s"$cleanDir/batch=$batchId")
       a.unpersist()

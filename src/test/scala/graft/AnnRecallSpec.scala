@@ -259,6 +259,24 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(math.abs(sv(1) - 2.0 * 0.5 / 256) < 1e-12, sv.toString)
   }
 
+  test("scalarQuantizeWith fails loudly on an arrival wider than the bounds") {
+    import spark.implicits._
+    // an inner join would silently truncate the extra dimension and
+    // emit a 2-wide dequantized vector; dimensionality drift must abort
+    // with the missing pos named (advisor r11)
+    val seed = Seq((1L, Seq(0.0f, 1.0f)), (2L, Seq(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val bounds = SimilarityOps.scalarBounds(seed, "embedding")
+    val wide = Seq((10L, Seq(0.5f, 1.5f, 9.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      SimilarityOps.scalarQuantizeWith(wide, "vec_id", "embedding",
+        "sv", 8, bounds).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("pos=2")), msgs(e).mkString(" | "))
+  }
+
   test("hardNegatives: all cross-label, and never starved by an own-class neighborhood") {
     import spark.implicits._
     // the query's 6 nearest neighbors are its OWN class: post-filtering

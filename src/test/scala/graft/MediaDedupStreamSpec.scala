@@ -91,6 +91,21 @@ class MediaDedupStreamSpec extends AnyFunSuite {
     assert(MediaDedupStream.readStore(spark, s"$base2/store").isEmpty)
   }
 
+  test("NULL media_type rides through to the clean sink, not into the void") {
+    // a NULL type makes both `isin` and its negation NULL — the
+    // un-coalesced filter pair landed such rows in NEITHER sink
+    // (advisor r11); every input row must reach exactly one sink
+    val base = java.nio.file.Files.createTempDirectory("media-null").toString
+    val mixed = Seq(
+      png(1L, gradA),
+      graft.operators.MediaAsset(2L, null, Array[Byte](1, 2, 3), 3)
+    ).toDS().toDF()
+    MediaDedupStream.applyBatch(mixed, 0L, s"$base/store",
+      s"$base/clean", s"$base/dropped")
+    assert(ids(s"$base/clean") == Set(1L, 2L), ids(s"$base/clean").toString)
+    assert(ids(s"$base/dropped") == Set.empty[Long])
+  }
+
   test("empty store and empty batch are clean no-ops") {
     val base = java.nio.file.Files.createTempDirectory("media-empty").toString
     assert(MediaDedupStream.readStore(spark, s"$base/none").isEmpty)

@@ -373,6 +373,19 @@ class PackingOpsSpec extends AnyFunSuite {
     assert(out(5L) == ((5L, 1L, 3L, 5L)), out.toString)
   }
 
+  test("propagateClusterBest rejects a non-integral id column") {
+    import spark.implicits._
+    // a string id would cast to NULL, collapsing every singleton into
+    // one NULL cluster annotated with the global singleton max — the
+    // clusterSplit guard applies here too (advisor r11)
+    val scored = Seq(("a", 5L), ("b", 9L)).toDF("doc_id", "qbps")
+    val labels = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    val e = intercept[IllegalArgumentException] {
+      PackingOps.propagateClusterBest(scored, "doc_id", "qbps", labels)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
   test("importanceVotes: raw == target scores every doc non-negative") {
     import spark.implicits._
     // when the two corpora coincide every bucket ties (tc·Nr == rc·Nt),
