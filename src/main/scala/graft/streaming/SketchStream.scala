@@ -103,13 +103,19 @@ object SketchStream {
     * maintenance: only safe when no stream is writing and no folded
     * batch id can replay (see the class scaladoc).
     */
-  def compact(spark: SparkSession, storeDir: String): Unit = {
+  def compact(spark: SparkSession, storeDir: String,
+      below: Long = Long.MaxValue): Unit = {
     CounterLog.rollForward(spark, storeDir)
     val store = new org.apache.hadoop.fs.Path(storeDir)
     val fs = store.getFileSystem(spark.sessionState.newHadoopConf())
     if (CounterLog.hasData(spark, storeDir)) {
       val geom = geometry(spark, storeDir)
+      // bounded fold (see IngestPipeline.compactAll): ids >= below are
+      // an in-flight batch's partials — discarded by the swap, rewritten
+      // by the caller's replay
       val all = spark.read.parquet(storeDir)
+        .filter(col("batch_id").cast("long") < below)
+      if (all.isEmpty) return
       val maxId = all.agg(max(col("batch_id").cast("long"))).head().getLong(0)
       val next = new org.apache.hadoop.fs.Path(storeDir + ".next")
       // a stranded .next BESIDE a live store means a previous compact

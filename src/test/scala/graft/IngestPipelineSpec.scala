@@ -112,6 +112,23 @@ class IngestPipelineSpec extends AnyFunSuite {
       "prior ∪ deltas must equal the full near-dedup rebuild row for row")
   }
 
+  test("eval-index snapshot: built by the first tick, reused untouched after") {
+    // the eval split is static (the exactness contract), so its
+    // decontamination index persists once — tick 2 must read, not
+    // rebuild, the snapshot (r12: the per-tick cost that scaled with
+    // the eval corpus instead of the batch)
+    val base = java.nio.file.Files.createTempDirectory("ingest-eidx").toString
+    val state = initState(base)
+    tick(mkDocs(Seq((101L, body(101), "en", "src1"))), state, 1L).count()
+    val ok = new org.apache.hadoop.fs.Path(s"$state/eval_index/_SUCCESS")
+    val fs = ok.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(ok), "first tick must persist the eval index")
+    val t1 = fs.getFileStatus(ok).getModificationTime
+    tick(mkDocs(Seq((102L, body(102), "en", "src1"))), state, 2L).count()
+    assert(fs.getFileStatus(ok).getModificationTime == t1,
+      "second tick must reuse the snapshot, not rewrite it")
+  }
+
   test("signature-log compaction is probe-invisible: identical pairs and deltas after") {
     // two deterministic clones of the same state (init + tick 1); compact
     // one's signature log (batches 0,1 fold into one batch=1 partition,
