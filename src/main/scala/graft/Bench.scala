@@ -27,21 +27,85 @@ object Bench {
     * where /proc is unavailable; deltas then read 0 and the field is
     * ignorable.
     */
-  private def ioReadBytes(): Long =
+  private def procSelfIo(field: String): Long =
     try {
       val src = scala.io.Source.fromFile("/proc/self/io")
       try src.getLines().collectFirst {
-        case l if l.startsWith("read_bytes:") => l.split(":\\s*")(1).trim.toLong
+        case l if l.startsWith(field + ":") => l.split(":\\s*")(1).trim.toLong
       }.getOrElse(-1L)
       finally src.close()
     } catch { case _: Throwable => -1L }
 
+  private def ioReadBytes(): Long = procSelfIo("read_bytes")
+
+  /** Cumulative storage-layer bytes WRITTEN by this process (and bytes
+    * whose writeback was cancelled — truncated scratch that never hit
+    * disk). The r11 verdict's one open anomaly sat exactly on the
+    * queries that write parquet stages/state while every read-side
+    * channel was flat: write_bytes is the channel those queries stress,
+    * and it lives on the same /proc/self/io lines read_bytes already
+    * comes from. With it, "inflated wall + inflated writes" names disk
+    * writeback by data; "inflated wall + flat writes" clears it.
+    */
+  private def ioWriteBytes(): Long = procSelfIo("write_bytes")
+  private def ioCancelledWriteBytes(): Long =
+    procSelfIo("cancelled_write_bytes")
+
+  /** System-wide dirty page-cache KB (`/proc/meminfo` `Dirty:`) — the
+    * writeback backlog OTHER processes (or a just-finished Verify run)
+    * left behind. Sampled at each query's start so a stage-writer whose
+    * wall time inflates under a high ambient Dirty baseline is
+    * attributable to environment writeback, not its own plan. -1 where
+    * /proc/meminfo is unavailable.
+    */
+  private def dirtyKb(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines().collectFirst {
+        case l if l.startsWith("Dirty:") =>
+          l.split("\\s+")(1).toLong
+      }.getOrElse(-1L)
+      finally src.close()
+    } catch { case _: Throwable => -1L }
+
+  /** Pre-run idle gate (judge r11 #2): the r11 final bench started 4 s
+    * after a 14-minute Verify run finished, and the prime suspect for
+    * its stage-writer inflation was page-cache writeback from Verify's
+    * writes draining INTO the timed region. Before the timed loop:
+    * `sync` (flush this JVM's own page-cache footprint — by the time
+    * Bench runs, Verify's writes are another process's history, but the
+    * warmup above wrote scratch too), then poll until system Dirty
+    * drops under `thresholdKb` or `timeoutSec` elapses. Returns
+    * (dirty KB before, dirty KB after, seconds waited, sync exit code)
+    * for the artifact — the gate must be VISIBLE in the JSON, not just
+    * run.
+    */
+  private def idleGate(thresholdKb: Long, timeoutSec: Int): (Long, Long, Double, Int) = {
+    val before = dirtyKb()
+    val syncRc =
+      try new ProcessBuilder("sync").start().waitFor()
+      catch { case _: Throwable => -1 }
+    val t0 = System.nanoTime()
+    var now = dirtyKb()
+    // a -1 (no /proc) must not spin the full timeout
+    while (now > thresholdKb && (System.nanoTime() - t0) / 1e9 < timeoutSec) {
+      Thread.sleep(500)
+      now = dirtyKb()
+    }
+    (before, now, (System.nanoTime() - t0) / 1e9, syncRc)
+  }
+
   /** One timed query: (cold sec, steady sec, gc ms cold, gc ms steady,
-    * heap MB after the steady run, disk MB read per run, wall start ms).
+    * heap MB after the steady run, disk MB read per run, disk MB
+    * written per run, cancelled-writeback MB per run, system dirty KB
+    * at query start, wall start ms).
     */
   private case class Timing(name: String, cold: Double, steady: Double,
     gcCold: Long, gcSteady: Long, heapMb: Double,
-    ioCold: Double, ioSteady: Double, wallStart: Long)
+    ioCold: Double, ioSteady: Double,
+    ioWrCold: Double, ioWrSteady: Double,
+    ioCwCold: Double, ioCwSteady: Double,
+    dirtyStartKb: Long, wallStart: Long)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -59,7 +123,7 @@ object Bench {
     // a typo'd filter would otherwise emit a clean-looking total=0 line
     // (x49_tick_only is a bench-synthesized timing, not a queries entry)
     only.foreach(_.diff(SparkEntry.queries.keySet
-        + "x49_tick_only" + "x54_probe_only").foreach(n =>
+        + "x49_tick_only" + "x54_probe_only" + "x56_probe_only").foreach(n =>
       System.err.println(s"[bench] WARNING: SPARK_GRAFT_ONLY name '$n' matches no query")))
     var failed = List.empty[String]
     // ---- contention telemetry (judge r9): the r9 artifact showed a
@@ -94,9 +158,12 @@ object Bench {
     // (r10's x32) is attributable to collector time by data.
     def timeQuery(name: String, runs: Seq[() => Unit]): Timing = {
       val wallStart = System.currentTimeMillis()
+      val dirty0 = dirtyKb()
       val timed = runs.map { run =>
         val g0 = gcMs()
         val io0 = ioReadBytes()
+        val wr0 = ioWriteBytes()
+        val cw0 = ioCancelledWriteBytes()
         val t0 = System.nanoTime()
         try run() catch {
           case e: Throwable =>
@@ -105,11 +172,32 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
         ((System.nanoTime() - t0) / 1e9, gcMs() - g0,
-          math.max(0L, ioReadBytes() - io0) / 1e6)
+          math.max(0L, ioReadBytes() - io0) / 1e6,
+          math.max(0L, ioWriteBytes() - wr0) / 1e6,
+          math.max(0L, ioCancelledWriteBytes() - cw0) / 1e6)
       }
       Timing(name, timed(0)._1, timed(1)._1, timed(0)._2, timed(1)._2,
-        heapMb(), timed(0)._3, timed(1)._3, wallStart)
+        heapMb(), timed(0)._3, timed(1)._3,
+        timed(0)._4, timed(1)._4, timed(0)._5, timed(1)._5,
+        dirty0, wallStart)
     }
+    // ---- idle gate (judge r11 #2): drain ambient writeback BEFORE the
+    // timed region and record the drain in the artifact. Threshold and
+    // timeout are env-tunable for A/B runs; defaults: 64 MB of dirty
+    // pages (well under one writeback burst) and a 120 s cap so a busy
+    // host degrades to "gate recorded saturated" instead of hanging the
+    // round. The recorded (before, after, waited) triple is what makes
+    // the final artifact self-adjudicating: inflation with after≈0 is
+    // the query's own; inflation with after still high names the
+    // environment.
+    val gateThresholdKb =
+      sys.env.get("SPARK_GRAFT_GATE_DIRTY_KB").map(_.toLong).getOrElse(65536L)
+    val gateTimeoutSec =
+      sys.env.get("SPARK_GRAFT_GATE_TIMEOUT_SEC").map(_.toInt).getOrElse(120)
+    val (gateDirtyBefore, gateDirtyAfter, gateWaitSec, gateSyncRc) =
+      idleGate(gateThresholdKb, gateTimeoutSec)
+    System.err.println(f"[bench] idle gate: dirty $gateDirtyBefore KB -> " +
+      f"$gateDirtyAfter KB in $gateWaitSec%.1f s (sync rc=$gateSyncRc)")
     var sinceSentinel = 0
     val results = scala.collection.mutable.ListBuffer.empty[Timing]
     SparkEntry.queries.toSeq.sortBy(_._1)
@@ -172,6 +260,27 @@ object Bench {
       if (!sys.env.contains("SPARK_GRAFT_KEEP_SCRATCH"))
         graft.operators.StageIO.cleanScratch(spark)
     }
+    // ---- x56 marginal-cost split (judge r11 #8): the filtered-ANN
+    // composite re-trains quantizers + three attribute-carrying index
+    // builds per run; the FILTERED probe against the built index is the
+    // number that scales with query traffic — build once untimed, time
+    // the probe twice (the x54 rationale, predicate included).
+    if (only.forall(_.contains("x56_probe_only"))
+        && SparkEntry.queries.contains("x56_ann_filtered")) {
+      try {
+        val base = graft.queries.ExtQueries.x56Build(spark, sfDir)
+        val run = () => {
+          graft.queries.ExtQueries.x56Probe(spark, sfDir, base).count(); ()
+        }
+        results += timeQuery("x56_probe_only", Seq(run, run))
+      } catch { case e: Throwable =>
+        failed ::= "x56_probe_only"
+        System.err.println(s"[bench] x56_probe_only build FAILED: ${e.getMessage}")
+      }
+      spark.catalog.clearCache()
+      if (!sys.env.contains("SPARK_GRAFT_KEEP_SCRATCH"))
+        graft.operators.StageIO.cleanScratch(spark)
+    }
     def fmt(sel: Timing => String) = results
       .map(r => s"\"" + r.name + "\":" + sel(r)).mkString("{", ",", "}")
     // `queries`/`value` carry the steady-state numbers (what the gate
@@ -179,7 +288,8 @@ object Bench {
     // planning overhead included. The *_only rows are excluded from the
     // totals (each re-times a subset of its composite entry, included).
     val totalRows = results
-      .filterNot(r => r.name == "x49_tick_only" || r.name == "x54_probe_only")
+      .filterNot(r => r.name == "x49_tick_only" || r.name == "x54_probe_only"
+        || r.name == "x56_probe_only")
     val totalSteady = totalRows.map(_.steady).sum
     val totalCold = totalRows.map(_.cold).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -192,8 +302,16 @@ object Bench {
       .map { case (after, w, s) =>
         s"""{"after":"$after","ts_ms":$w,"sec":$s}""" }
       .mkString("[", ",", "]")
+    // io_write_mb / io_cancelled_write_mb / dirty_kb_start: the r11
+    // write-side telemetry — per-run block-IO write deltas and the
+    // system writeback backlog at each query's start, closing the one
+    // channel the stage-writer family stresses that the artifact
+    // couldn't see. idle_gate: the pre-run drain, recorded so the
+    // artifact proves (or disproves) it ran behind a quiet cache.
+    val gateJson =
+      s"""{"threshold_kb":$gateThresholdKb,"dirty_before_kb":$gateDirtyBefore,"dirty_after_kb":$gateDirtyAfter,"wait_sec":$gateWaitSec,"sync_rc":$gateSyncRc}"""
     val json =
-      s"""{"metric":"total","value":$totalSteady,"unit":"sec","queries":${fmt(_.steady.toString)},"queries_cold":${fmt(_.cold.toString)},"total_cold":$totalCold,"gc_ms":${fmt(_.gcSteady.toString)},"gc_ms_cold":${fmt(_.gcCold.toString)},"heap_mb":${fmt(_.heapMb.toString)},"io_read_mb":${fmt(_.ioSteady.toString)},"io_read_mb_cold":${fmt(_.ioCold.toString)},"wall_start_ms":${fmt(_.wallStart.toString)},"sentinel":$sentinelJson,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalSteady,"unit":"sec","queries":${fmt(_.steady.toString)},"queries_cold":${fmt(_.cold.toString)},"total_cold":$totalCold,"gc_ms":${fmt(_.gcSteady.toString)},"gc_ms_cold":${fmt(_.gcCold.toString)},"heap_mb":${fmt(_.heapMb.toString)},"io_read_mb":${fmt(_.ioSteady.toString)},"io_read_mb_cold":${fmt(_.ioCold.toString)},"io_write_mb":${fmt(_.ioWrSteady.toString)},"io_write_mb_cold":${fmt(_.ioWrCold.toString)},"io_cancelled_write_mb":${fmt(_.ioCwSteady.toString)},"dirty_kb_start":${fmt(_.dirtyStartKb.toString)},"idle_gate":$gateJson,"wall_start_ms":${fmt(_.wallStart.toString)},"sentinel":$sentinelJson,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // the driver tail-captures stdout and has truncated the head of this
     // line before (BENCH_r02 lost its totals) — persist the artifact
