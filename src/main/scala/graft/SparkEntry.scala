@@ -36,6 +36,7 @@ object SparkEntry {
     (ScalarQueries.defs, ScalarQueries.oracles),
     (SetPivotQueries.defs, SetPivotQueries.oracles),
     (ExtQueries.defs, ExtQueries.oracles),
+    (Ext2Queries.defs, Ext2Queries.oracles),
     (MiscQueries.defs, MiscQueries.oracles),
     (SubqueryQueries.defs, SubqueryQueries.oracles)
   )

@@ -32,6 +32,78 @@ object DedupOps {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("survivor"), count(lit(1)).as("n_copies"))
 
+  /** Corpus-wide PARAGRAPH dedup — the CCNet/C4 preprocessing step the
+    * reference's record-level pipeline has no analogue for: every
+    * paragraph (a `sep`-delimited text block) that appears anywhere else
+    * in the corpus keeps exactly its first occurrence (lowest
+    * `(doc id, paragraph position)`) and every later copy is removed
+    * IN PLACE, with the surviving paragraphs of each document reassembled
+    * in their original order. This is the right granularity for crawl
+    * boilerplate: a license header or cookie banner repeated across a
+    * domain disappears from every page but one, while the pages
+    * themselves survive — document-level dedup ([[exactDedup]]) cannot
+    * see it, and span-level surgery ([[hotSpanScrub]]) needs a frequency
+    * threshold rather than keep-first semantics.
+    *
+    * Scale shape: one `posexplode` (row-local), one `groupBy(md5)` whose
+    * shuffle carries 16-byte keys with map-side combine (a corpus-hot
+    * paragraph contributes one combiner row per partition, never a
+    * single-task posting list), one hash equi-join back, and a per-doc
+    * reassembly `groupBy` bounded by document size. No window functions,
+    * no driver-side state.
+    *
+    * Output: `(idCol, n_paras, n_kept, text)` — a fully-deduplicated
+    * document survives with `n_kept = 0` and empty text so the caller's
+    * census is complete (drop-empty is a one-filter policy upstream).
+    *
+    * `idCol` must be integral: the keep-first owner key packs
+    * `(id, pos)` into one long (`id * maxParas + pos`), which is exact
+    * only for integer ids (same contract as `PackingOps.clusterSplit`).
+    */
+  def paragraphDedup(docs: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n\n", maxParas: Int = 1000000): DataFrame = {
+    val paras = splitParas(docs, textCol, idCol, sep, maxParas)
+    val owner = paras.groupBy("ph").agg(min(col("_ord")).as("_owner"))
+    reassembleParas(
+      paras.join(owner, Seq("ph"))
+        .withColumn("_keep", col("_ord") === col("_owner")),
+      idCol, sep)
+  }
+
+  /** `(idCol, pos, para, ph, _ord)` — one row per paragraph, with the
+    * md5 dedup key and the packed keep-first owner ordinal.
+    */
+  private[graft] def splitParas(docs: DataFrame, textCol: String,
+      idCol: String, sep: String, maxParas: Int): DataFrame = {
+    val idType = docs.schema(idCol).dataType
+    require(Seq("integer", "long", "short", "byte")
+        .contains(idType.typeName),
+      s"paragraphDedup requires an integral id column; '$idCol' is " +
+        s"${idType.typeName} (the packed owner key id*maxParas+pos is " +
+        "only exact for integer ids)")
+    docs.select(col(idCol), posexplode(
+        split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "para")))
+      .withColumn("ph", md5(col("para")))
+      .withColumn("_ord",
+        col(idCol).cast(LongType) * maxParas + col("pos"))
+  }
+
+  /** Reassemble `(idCol, pos, para, _keep)` rows into per-doc output —
+    * kept paragraphs rejoin in position order; every input doc emits a
+    * row (the all-dropped case keeps an empty text).
+    */
+  private[graft] def reassembleParas(flagged: DataFrame, idCol: String,
+      sep: String): DataFrame =
+    flagged.groupBy(col(idCol))
+      .agg(count(lit(1)).cast(LongType).as("n_paras"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("_keep"), struct(col("pos"), col("para"))))),
+            x => x.getField("para")), sep).as("text"))
+
   /** Spread docs across the cluster before a per-doc kernel + self-join:
     * a single input file would otherwise put the whole kernel AND the join
     * probe on ONE task (join parallelism = streamed-side partitions).

@@ -377,6 +377,37 @@ object MultimodalOps {
       .filter(col("dist") <= maxDist)
   }
 
+  /** SCENE-CUT detection over per-frame perceptual hashes
+    * ([[videoFrameDHash]]'s output): a frame whose dHash sits more than
+    * `threshold` Hamming bits from its predecessor starts a new scene —
+    * the standard keyframe-selection primitive (sample one frame per
+    * scene instead of a fixed stride, the thing a video-curation
+    * pipeline runs between decode and embedding). Frame 0 always opens
+    * scene 0; `scene_id` is the running cut count, so
+    * `(asset_id, scene_id)` groups frames by scene and
+    * `groupBy(scene_id).min(frame_idx)` IS keyframe selection.
+    *
+    * Scale: windows partition by ASSET and frames-per-asset is bounded
+    * by the decoder's sampling budget, so no partition scales with the
+    * corpus; the hash distance is codegen'd integer xor/popcount on the
+    * four words — the raw frames are never revisited.
+    */
+  def sceneCuts(frames: DataFrame, threshold: Int = 12): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("asset_id").orderBy("frame_idx")
+    val words = Seq("dh_r_lo", "dh_r_hi", "dh_c_lo", "dh_c_hi")
+    val dist = words.map(c =>
+        bit_count(col(c).bitwiseXOR(lag(col(c), 1).over(w))))
+      .reduce(_ + _)
+    val flagged = frames
+      .withColumn("hamming", dist.cast("long"))
+      .withColumn("is_cut",
+        coalesce(col("hamming") > threshold, lit(true)))
+    flagged.withColumn("scene_id",
+      (sum(when(col("is_cut"), 1L).otherwise(0L))
+        .over(w.rowsBetween(Long.MinValue, 0)) - 1L).cast("long"))
+  }
+
   /** Perceptual AUDIO fingerprint — the dHash idea on the PCM axis: the
     * decoded sample stream (all channels, interleaved — channel mix is
     * part of the key) folds into 64 amplitude-energy windows (sample i →

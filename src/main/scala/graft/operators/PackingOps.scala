@@ -591,6 +591,95 @@ object PackingOps {
     * then a pure filter-free projection; no window, no shuffle beyond the
     * join's.
     */
+  /** Per-class score CALIBRATION: map every document's score to its
+    * within-class cumulative fraction (ties inclusive), in exact basis
+    * points — `calib_bps = floor(10⁴ · |{score' ≤ score}| / n_class)`.
+    * This is the cross-source fairness step quality gating needs: raw
+    * quality scores are not comparable across sources (a clean-prose
+    * source's median outscores a forum source's p95), so thresholding
+    * the raw score over-prunes some sources and under-prunes others;
+    * thresholding the CALIBRATED percentile takes the same top fraction
+    * of every source ([[topPctByScore]]'s effect, but as a per-doc
+    * score any downstream consumer can reuse).
+    *
+    * Scale shape: deliberately NOT a corpus-wide window — a window
+    * partitioned by class puts a billion-doc source on one task. The
+    * cumulative count is computed on the `(class, distinct score)`
+    * AGGREGATE (map-side-combinable groupBy; the window then runs over
+    * frames bounded by score RESOLUTION, not corpus size — the
+    * capByScoreHist discipline) and equi-joins back to the rows.
+    *
+    * Returns the input plus `(n_le, n_class, calib_bps)` — all exact
+    * integers, engine-portable.
+    */
+  def calibrateByClass(df: DataFrame, classCol: String, scoreCol: String)
+      : DataFrame = {
+    val counts = df.groupBy(col(classCol), col(scoreCol))
+      .agg(count(lit(1)).as("_c"))
+    val wCum = Window.partitionBy(classCol).orderBy(scoreCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(classCol)
+    val cum = counts
+      .withColumn("n_le", sum("_c").over(wCum).cast("long"))
+      .withColumn("n_class", sum("_c").over(wAll).cast("long"))
+      .drop("_c")
+    val f = col("n_le") * 10000L
+    df.join(cum, Seq(classCol, scoreCol))
+      .withColumn("calib_bps",
+        ((f - pmod(f, col("n_class"))) / col("n_class")).cast("long"))
+  }
+
+  /** Weighted-epoch training-order manifest — the mixture-sampling step
+    * the published LLM recipes (LLaMA, The Pile) apply between curation
+    * and tokenization: each class (source / domain / language) carries
+    * an epoch weight in BASIS POINTS of one pass (10000 = exactly one
+    * epoch, 25000 = 2.5 epochs, 3000 = a 30% subsample), and the corpus
+    * is expanded into per-copy rows in a deterministic shuffled order:
+    *
+    *  - whole epochs: `w_bps div 10000` copies of every document;
+    *  - the fractional epoch: one extra copy where
+    *    `md5(seed:rep:id) mod 10000 < w_bps mod 10000` — the exact
+    *    md5-decided membership discipline of [[stratifiedSample]], so
+    *    the realized rate converges to the weight with zero float
+    *    arithmetic;
+    *  - training order: every copy gets the shuffle key
+    *    `md5(seed:ord:id:rep)` — the order IS the key's sort order.
+    *    There is deliberately NO dense global index: a corpus-wide
+    *    `row_number()` would serialize through a single task, while a
+    *    range-partitioned sort on the key is one shuffle and the key is
+    *    reproducible from `(seed, id, rep)` alone, so any consumer (or
+    *    a resumed training run) can re-derive its position without the
+    *    manifest.
+    *
+    * Scale: one broadcast join against the (tiny) weight table, one
+    * row-local explode bounded by `max(w_bps) div 10000 + 1`; the sort
+    * is the consumer's range-partitioned read order, not a shuffle this
+    * operator performs. Different seeds give independent epoch-level
+    * shuffles (curriculum re-rolls).
+    *
+    * Returns one row per emitted copy: (ord_key, idCol, classCol, rep).
+    */
+  def epochOrder(df: DataFrame, idCol: String, classCol: String,
+      weights: DataFrame, seed: String): DataFrame = {
+    val idStr = col(idCol).cast("string")
+    val frac = conv(substring(
+        md5(concat(lit(s"$seed:rep:"), idStr)), 1, 15), 16, 10)
+      .cast("long") % 10000
+    val copies = (col("w_bps").cast("long") -
+        pmod(col("w_bps").cast("long"), lit(10000L))) / 10000 +
+      when(frac < pmod(col("w_bps").cast("long"), lit(10000L)), 1L)
+        .otherwise(0L)
+    df.join(broadcast(weights), Seq(classCol))
+      .withColumn("_copies", copies.cast("int"))
+      .filter(col("_copies") > 0)
+      .select(col(idCol), col(classCol),
+        explode(sequence(lit(0), col("_copies") - 1)).as("_rep"))
+      .select(
+        md5(concat(lit(s"$seed:ord:"), idStr, lit(":"),
+          col("_rep").cast("string"))).as("ord_key"),
+        col(idCol), col(classCol), col("_rep").cast("long").as("rep"))
+  }
+
   /** Fail fast on a non-integral id: cluster labels are min-id LONGS, so
     * a string id would cast to NULL, bucket to NULL, and silently send
     * every singleton doc down the default branch — shared by every

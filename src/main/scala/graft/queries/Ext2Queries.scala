@@ -1,0 +1,315 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.DedupOps
+import org.apache.spark.sql.functions._
+
+/** Round-12 extension inventory — the curation surface past ExtQueries
+  * (which is at capacity as a compilation unit): paragraph-granularity
+  * dedup batch + from-state, weighted-epoch training order, exact
+  * fixed-point PCA, per-source score calibration, scene-cut detection.
+  * Same determinism policy ([[Det]]) and oracle discipline as every
+  * other group.
+  */
+object Ext2Queries {
+
+  /** Plant `sep`-delimited paragraphs into the fixture's single-line
+    * documents (width-`k`-word blocks) — the x68 discipline: the fixture
+    * has no paragraph breaks, so the query synthesizes the structure the
+    * operator exists for, deterministically from the text itself, and
+    * the oracle replays the identical construction.
+    */
+  private def plantParas(docs: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val words = split(col("text"), " ")
+    docs.select(col("doc_id"),
+      array_join(
+        transform(
+          sequence(lit(0), ((size(words) + (k - 1)) / k).cast("int") - 1),
+          i => array_join(slice(words, i * k + lit(1), lit(k)), " ")),
+        "\n\n").as("text"))
+  }
+
+  def defs: Map[String, Q] = Map(
+    // ---- corpus-wide paragraph dedup (CCNet granularity): keep-first
+    // over md5(paragraph) with in-place reassembly. Paragraphs are
+    // planted as width-4-word blocks (~6% corpus-wide duplicate rate at
+    // sf0.01), and the hash gate pins the REWRITTEN TEXT of every doc —
+    // one wrong owner decision or one mis-ordered reassembly changes a
+    // row. Docs deduplicated to nothing survive with empty text, so the
+    // census is complete.
+    "x80_paragraph_dedup" -> ((s, d) => {
+      DedupOps.paragraphDedup(
+          plantParas(Tables.documents(s, d), 4), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // ---- the same gate FROM STATE (the x70c discipline on the
+    // paragraph surface): three id-ordered waves stream through
+    // ParagraphStream's persisted admitted-hash store — each wave's
+    // paragraphs are gated against every earlier wave's admissions
+    // without rescanning them — and the union of the per-batch clean
+    // sinks must hash-match x80's batch semantics EXACTLY (for
+    // id-ordered waves the keep-first owner of a hash lives in the
+    // earliest wave containing it).
+    "x80b_paragraph_dedup_from_state" -> ((s, d) => {
+      import graft.streaming.ParagraphStream
+      val store = graft.operators.StageIO.resolve(s, None, "x80b-store")
+      val clean = graft.operators.StageIO.resolve(s, None, "x80b-clean")
+      val docs = plantParas(Tables.documents(s, d), 4)
+      val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+      (0L to 2L).foreach { w =>
+        ParagraphStream.applyBatch(
+          docs.filter(col("doc_id") >= w * n / 3 &&
+            col("doc_id") < (w + 1) * n / 3),
+          w, store, clean)
+      }
+      s.read.parquet(s"$clean/batch=*").orderBy("doc_id")
+    }),
+
+    // ---- weighted-epoch training order (the LLaMA mixture-sampling
+    // step): per-source epoch weights planted from the source index
+    // (1.0 / 1.5 / 2.0 / 2.5 epochs cycling over src0..src19), whole
+    // epochs replicated, the fractional epoch md5-gated, every copy
+    // shuffled by its md5 order key. The hash gate pins the ENTIRE
+    // training order: membership, copy counts, and the sort keys
+    // themselves — one wrong replication or gate decision moves rows.
+    "x81_epoch_order" -> ((s, d) => {
+      import graft.operators.PackingOps
+      val docs = Tables.documents(s, d)
+      val weights = docs.select("source").distinct()
+        .withColumn("w_bps",
+          lit(10000L) +
+            (substring(col("source"), 4, 10).cast("long") % 4) * 5000L)
+      PackingOps.epochOrder(docs, "doc_id", "source", weights, "s12")
+        .orderBy("ord_key", "doc_id", "rep")
+    }),
+
+    // ---- exact fixed-point Gram matrix (the corpus-sized half of
+    // PCA): floor(x·10⁴) per coordinate, then the upper-triangle sum of
+    // integer products — order-independent, map-side-combinable, and
+    // hash-comparable to the last digit. 2,080 output rows pin all
+    // 4,096 second-moment entries.
+    "x82_pca_gram" -> ((s, d) => {
+      graft.operators.PcaOps.gramUpper(Tables.embeddings(s, d),
+          "embedding")
+        .select(col("i"), col("j"), col("s").cast("long").as("s"))
+        .orderBy("i", "j")
+    }),
+
+    // ---- PCA projection FROM the persisted component artifact: the
+    // full pipeline (exact Gram + mean sums → driver-side Jacobi over
+    // the bounded d×d artifact → top-8 sign-fixed components persisted
+    // → corpus projection by engine-identical dimension-order folds).
+    // The oracle replays the projection from the SAME artifact, so the
+    // gate pins quantization, the eigensolver's output (through the
+    // persisted doubles), fold order, and the floor quantization.
+    "x82b_pca_project" -> ((s, d) => {
+      import graft.operators.{PcaOps, StageIO}
+      val emb = Tables.embeddings(s, d)
+      val comps = PcaOps.principalComponents(
+        PcaOps.gramUpper(emb, "embedding"),
+        PcaOps.dimSums(emb, "embedding"), dim = 64, k = 8)
+      val dir = s"${StageIO.artifactRoot(s)}/pca_comps/" +
+        new java.io.File(d).getName
+      comps.coalesce(1).write.mode("overwrite").parquet(dir)
+      PcaOps.project(emb, "vec_id", "embedding", s.read.parquet(dir))
+        .orderBy("vec_id", "comp")
+    }),
+
+    // ---- per-source score calibration: each doc's quality mapped to
+    // its within-source cumulative percentile (exact basis points), and
+    // a cross-source gate at the calibrated p80 — the same top fraction
+    // of EVERY source, however its raw score distribution sits. The
+    // gate pins n_le/n_class (the full tie structure) plus the derived
+    // keep set.
+    "x83_score_calibrate" -> ((s, d) => {
+      import graft.operators.{PackingOps, TextOps}
+      import graft.queries.Det.round4Rat
+      val (qNum, qDen) = TextOps.qualityRat(col("text"), col("n_chars"))
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          round4Rat(qNum, qDen).as("quality"))
+      PackingOps.calibrateByClass(scored, "source", "quality")
+        .withColumn("keep", (col("calib_bps") >= 8000L).cast("long"))
+        .select("doc_id", "source", "quality", "n_le", "n_class",
+          "calib_bps", "keep")
+        .orderBy("doc_id")
+    }),
+
+    // ---- scene-cut detection over the x72 per-frame perceptual
+    // hashes: consecutive-frame Hamming distance on the four dHash
+    // words, cut where it exceeds the threshold, scene ids as the
+    // running cut count. The oracle composes x72's closed-form frame
+    // replay (the SAME SQL, by reference — the two can never diverge)
+    // with the identical lag/popcount/census arithmetic, so the gate
+    // pins every frame's distance, every cut decision, and the scene
+    // numbering.
+    "x85_scene_cuts" -> ((s, d) => {
+      import graft.operators.MultimodalOps
+      MultimodalOps.sceneCuts(
+          MultimodalOps.videoFrameDHash(MultimodalOps.toAssets(
+            Tables.documents(s, d), "doc_id", "text")),
+          threshold = 12)
+        .select(col("asset_id"), col("frame_idx"), col("hamming"),
+          col("is_cut").cast("long").as("is_cut"), col("scene_id"))
+        .orderBy("asset_id", "frame_idx")
+    })
+  )
+
+  def oracles: Map[String, String] = {
+    // x80/x80b: identical planted width-4 blocks, identical keep-first
+    // owner arithmetic (id*1e6+pos), identical reassembly. string_agg
+    // skips the NULLed dropped paragraphs; coalesce('') matches Spark's
+    // array_join over an empty array for fully-deduplicated docs.
+    val paraSql =
+      """WITH w AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS wd,
+                   generate_subscripts(string_split(text, ' '), 1) AS ord
+            FROM documents),
+          p AS (
+            SELECT doc_id, (ord - 1) // 4 AS pos,
+                   string_agg(wd, ' ' ORDER BY ord) AS para
+            FROM w GROUP BY doc_id, (ord - 1) // 4),
+          ph AS (
+            SELECT doc_id, pos, para, md5(para) AS h,
+                   doc_id * 1000000 + pos AS ordk
+            FROM p),
+          own AS (SELECT h, min(ordk) AS owner FROM ph GROUP BY h),
+          kept AS (
+            SELECT f.doc_id, f.pos, f.para, (f.ordk = o.owner) AS keep
+            FROM ph f JOIN own o ON f.h = o.h)
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+                 CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+                 coalesce(string_agg(CASE WHEN keep THEN para END,
+                   chr(10) || chr(10) ORDER BY pos), '') AS text
+          FROM kept GROUP BY doc_id ORDER BY doc_id"""
+    // x81: identical planted weights, identical md5 gate + order keys.
+    // '0x'-prefixed CAST is DuckDB's conv(_, 16, 10); 15 hex chars stay
+    // inside a signed BIGINT on both engines.
+    val epochSql =
+      """WITH wts AS (
+            SELECT source,
+                   10000 + (CAST(substr(source, 4) AS BIGINT) % 4) * 5000
+                     AS w_bps
+            FROM (SELECT DISTINCT source FROM documents)),
+          g AS (
+            SELECT d.doc_id, d.source,
+                   w.w_bps // 10000 +
+                   CASE WHEN CAST('0x' || substr(md5('s12:rep:' ||
+                            CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                          % 10000 < w.w_bps % 10000
+                        THEN 1 ELSE 0 END AS copies
+            FROM documents d JOIN wts w USING (source)),
+          reps AS (
+            SELECT doc_id, source, unnest(range(copies)) AS rep
+            FROM g WHERE copies > 0)
+          SELECT md5('s12:ord:' || CAST(doc_id AS VARCHAR) || ':' ||
+                   CAST(rep AS VARCHAR)) AS ord_key,
+                 doc_id, source, CAST(rep AS BIGINT) AS rep
+          FROM reps
+          ORDER BY ord_key, doc_id, rep"""
+    // x82: identical floor(x·10⁴) quantization, integer-exact sums
+    // (DuckDB SUM(BIGINT) is HUGEINT — exact like the Spark side's
+    // decimal(38,0)).
+    val gramSql =
+      """WITH q AS (
+            SELECT vec_id, ord - 1 AS pos,
+                   CAST(floor(CAST(v AS DOUBLE) * 10000) AS BIGINT) AS qv
+            FROM (SELECT vec_id, unnest(embedding) AS v,
+                         generate_subscripts(embedding, 1) AS ord
+                  FROM embeddings))
+          SELECT a.pos AS i, b.pos AS j,
+                 CAST(SUM(a.qv * b.qv) AS BIGINT) AS s
+          FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.pos >= a.pos
+          GROUP BY a.pos, b.pos ORDER BY i, j"""
+    // x82b: projection replayed from the persisted component artifact
+    // with the identical left-to-right fold and floor quantization.
+    val pcaProjectSql =
+      """WITH comps AS (
+            SELECT comp, list(v ORDER BY pos) AS cv
+            FROM read_parquet(
+              '__GRAFT_ART__/pca_comps/__GRAFT_SF__/*.parquet')
+            GROUP BY comp),
+          p AS (
+            SELECT e.vec_id, c.comp,
+                   list_reduce(list_transform(
+                     list_zip(e.embedding, c.cv),
+                     z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)),
+                     (x, y) -> x + y) AS pr
+            FROM embeddings e CROSS JOIN comps c)
+          SELECT vec_id, comp, floor(pr * 10000) / 10000.0 AS val
+          FROM p ORDER BY vec_id, comp"""
+    // x83: the x9 quality rational + cumulative tie-inclusive counts
+    // per source + integer-floor basis points.
+    val swList = graft.operators.TextOps.stopwords
+      .map(s => s"'$s'").mkString("[", ",", "]")
+    val calibrateSql =
+      s"""WITH q AS (
+            SELECT doc_id, source,
+                   ((qnum * 20000 + qden) // (2 * NULLIF(qden, 0)))
+                     / 10000.0 AS quality
+            FROM (
+              SELECT doc_id, source,
+                     20 * nt * least(nt, 100) + 1500 * (nt - sw)
+                       + 3 * nt * least(n_chars, 500) AS qnum,
+                     5000 * nt AS qden
+              FROM (
+                SELECT doc_id, source, n_chars, len(t) AS nt,
+                       len(list_filter(t, x -> list_contains($swList, x)))
+                         AS sw
+                FROM (SELECT doc_id, source, n_chars,
+                             string_split(text, ' ') AS t
+                      FROM documents)))),
+          c AS (
+            SELECT doc_id, source, quality,
+                   CAST(COUNT(*) OVER (PARTITION BY source ORDER BY quality
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS n_le,
+                   CAST(COUNT(*) OVER (PARTITION BY source)
+                     AS BIGINT) AS n_class
+            FROM q)
+          SELECT doc_id, source, quality, n_le, n_class,
+                 CAST((n_le * 10000) // n_class AS BIGINT) AS calib_bps,
+                 CAST(CASE WHEN (n_le * 10000) // n_class >= 8000
+                   THEN 1 ELSE 0 END AS BIGINT) AS keep
+          FROM c ORDER BY doc_id"""
+    // x85: x72's frame-hash SQL composed BY REFERENCE, then the same
+    // lag/xor/popcount and running-cut-count arithmetic.
+    val sceneSql = {
+      val frameSql = ExtQueries.oracles("x72_video_frame_dhash")
+      val words = Seq("dh_r_lo", "dh_r_hi", "dh_c_lo", "dh_c_hi")
+      val dist = words.map(w =>
+          s"bit_count(xor($w, lag($w) OVER " +
+            "(PARTITION BY asset_id ORDER BY frame_idx)))")
+        .mkString(" + ")
+      s"""WITH fh AS ($frameSql),
+          hd AS (
+            SELECT asset_id, frame_idx,
+                   CAST($dist AS BIGINT) AS hamming
+            FROM fh),
+          cuts AS (
+            SELECT asset_id, frame_idx, hamming,
+                   CASE WHEN coalesce(hamming > 12, TRUE)
+                     THEN 1 ELSE 0 END AS is_cut
+            FROM hd)
+          SELECT asset_id, frame_idx, hamming,
+                 CAST(is_cut AS BIGINT) AS is_cut,
+                 CAST(SUM(is_cut) OVER (PARTITION BY asset_id
+                   ORDER BY frame_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                   AS BIGINT) AS scene_id
+          FROM cuts ORDER BY asset_id, frame_idx"""
+    }
+    Map(
+      "x80_paragraph_dedup" -> paraSql,
+      "x80b_paragraph_dedup_from_state" -> paraSql,
+      "x81_epoch_order" -> epochSql,
+      "x82_pca_gram" -> gramSql,
+      "x82b_pca_project" -> pcaProjectSql,
+      "x83_score_calibrate" -> calibrateSql,
+      "x85_scene_cuts" -> sceneSql
+    )
+  }
+}

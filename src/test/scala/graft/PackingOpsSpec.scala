@@ -386,6 +386,37 @@ class PackingOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral"), e.getMessage)
   }
 
+  test("epochOrder: whole epochs replicate, fractional epochs gate, order keys are reproducible") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "cls")
+    // a: exactly 2 epochs; b: 1.5 epochs (md5-gated half)
+    val w = Seq(("a", 20000L), ("b", 15000L)).toDF("cls", "w_bps")
+    val out = PackingOps.epochOrder(docs, "doc_id", "cls", w, "seed1")
+      .collect().map(r => (r.getString(2), r.getLong(1), r.getLong(3)))
+    val byDoc = out.groupBy(x => (x._1, x._2)).view.mapValues(_.length)
+    // every even doc appears exactly twice (rep 0 and 1)
+    assert((0L until 200L by 2).forall(i => byDoc(("a", i)) == 2))
+    // odd docs appear once or twice; the fractional rate lands near 50%
+    val bCopies = out.count(_._1 == "b")
+    assert(bCopies > 100 && bCopies < 200, bCopies.toString)
+    assert((1L until 200L by 2).forall(i =>
+      byDoc(("b", i)) == 1 || byDoc(("b", i)) == 2))
+    // reps are dense from 0
+    assert(out.filter(_._2 == 0L).map(_._3).sorted.toSeq == Seq(0L, 1L))
+    // deterministic: the same seed reproduces the same manifest
+    val again = PackingOps.epochOrder(docs, "doc_id", "cls", w, "seed1")
+      .collect().map(r => (r.getString(2), r.getLong(1), r.getLong(3)))
+    assert(out.sortBy(x => (x._2, x._3)).toSeq ==
+      again.sortBy(x => (x._2, x._3)).toSeq)
+    // a sub-epoch weight (no whole copy) keeps only the gated fraction
+    val sub = PackingOps.epochOrder(docs, "doc_id", "cls",
+        Seq(("a", 3000L), ("b", 0L)).toDF("cls", "w_bps"), "seed1")
+      .collect()
+    assert(sub.forall(_.getString(2) == "a"))
+    assert(sub.length > 10 && sub.length < 60, sub.length.toString)
+  }
+
   test("importanceVotes: raw == target scores every doc non-negative") {
     import spark.implicits._
     // when the two corpora coincide every bucket ties (tc·Nr == rc·Nt),
