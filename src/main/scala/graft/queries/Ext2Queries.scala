@@ -150,7 +150,7 @@ object Ext2Queries {
       MultimodalOps.sceneCuts(
           MultimodalOps.videoFrameDHash(MultimodalOps.toAssets(
             Tables.documents(s, d), "doc_id", "text")),
-          threshold = 12)
+          threshold = 48)
         .select(col("asset_id"), col("frame_idx"), col("hamming"),
           col("is_cut").cast("long").as("is_cut"), col("scene_id"))
         .orderBy("asset_id", "frame_idx")
@@ -291,7 +291,7 @@ object Ext2Queries {
             FROM fh),
           cuts AS (
             SELECT asset_id, frame_idx, hamming,
-                   CASE WHEN coalesce(hamming > 12, TRUE)
+                   CASE WHEN coalesce(hamming > 48, TRUE)
                      THEN 1 ELSE 0 END AS is_cut
             FROM hd)
           SELECT asset_id, frame_idx, hamming,
