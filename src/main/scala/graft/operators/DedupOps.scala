@@ -85,8 +85,15 @@ object DedupOps {
         split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "para")))
       .withColumn("ph", md5(col("para")))
+      // the packed key is only injective while pos < maxParas — a
+      // pathological document past the cap would silently collide with
+      // its neighbor's ordinals, so fail loudly instead
       .withColumn("_ord",
-        col(idCol).cast(LongType) * maxParas + col("pos"))
+        when(col("pos") < maxParas,
+          col(idCol).cast(LongType) * maxParas + col("pos"))
+          .otherwise(raise_error(concat(
+            lit("paragraphDedup: document "), col(idCol).cast("string"),
+            lit(s" has >= $maxParas paragraphs — raise maxParas")))))
   }
 
   /** Reassemble `(idCol, pos, para, _keep)` rows into per-doc output —
@@ -114,6 +121,34 @@ object DedupOps {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     if (docs.rdd.getNumPartitions * 2 >= par) docs
     else docs.repartition(par, col(idCol))
+  }
+
+  /** A planned LSH geometry: `bands × rowsPerBand` hash budget and the
+    * similarity where the band s-curve crosses ~50% collision
+    * probability, `(1/bands)^(1/rowsPerBand)`.
+    */
+  final case class LshPlan(bands: Int, rowsPerBand: Int,
+      curveThreshold: Double)
+
+  /** Band/row planning for [[minhashNearDups]]: among all factorizations
+    * `b·r = numHashes`, pick the one whose s-curve 50%-collision point
+    * `(1/b)^(1/r)` sits closest to the target Jaccard threshold (ties
+    * prefer fewer rows per band — the recall-leaning side: a wider band
+    * key misses near-threshold pairs, a narrower one only costs
+    * verification work, and verification is exact). Deterministic pure
+    * arithmetic — call it once at plan time, feed the result to the
+    * operator; no data is touched.
+    */
+  def lshPlan(numHashes: Int, threshold: Double): LshPlan = {
+    require(numHashes > 0, s"need numHashes > 0, got $numHashes")
+    require(threshold > 0 && threshold < 1,
+      s"need 0 < threshold < 1, got $threshold")
+    (1 to numHashes).filter(numHashes % _ == 0)
+      .map { r =>
+        val b = numHashes / r
+        LshPlan(b, r, math.pow(1.0 / b, 1.0 / r))
+      }
+      .minBy(p => (math.abs(p.curveThreshold - threshold), p.rowsPerBand))
   }
 
   /** MinHash signature over a shingle array: element i is

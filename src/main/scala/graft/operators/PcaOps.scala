@@ -177,6 +177,16 @@ object PcaOps {
     * engines and the floor is safe.
     */
   def project(df: DataFrame, idCol: String, vecCol: String,
+      comps: DataFrame): DataFrame =
+    projectVectors(df, idCol, vecCol, comps)
+      .select(col(idCol), posexplode(col("pv")).as(Seq("comp", "val")))
+
+  /** [[project]] in VECTOR form — `(idCol, pv)` with `pv` the length-k
+    * floor-quantized projection array, ready for downstream cosine /
+    * ANN machinery (the compressed-domain search path: rank in k dims
+    * instead of d).
+    */
+  def projectVectors(df: DataFrame, idCol: String, vecCol: String,
       comps: DataFrame): DataFrame = {
     // bounded collect: k×d doubles — the model artifact
     val byComp = comps.select("comp", "pos", "v").collect()
@@ -186,10 +196,9 @@ object PcaOps {
         (cIdx, rows.sortBy(_.getInt(1)).map(_.getDouble(2)))
       }
     val dots = byComp.map { case (_, cv) =>
-      SimilarityOps.dot(col(vecCol), array(cv.map(lit(_)): _*))
+      floor(SimilarityOps.dot(col(vecCol),
+        array(cv.map(lit(_)): _*)) * 10000) / 10000.0
     }
-    df.select(col(idCol), posexplode(array(dots: _*)).as(Seq("comp", "p")))
-      .select(col(idCol), col("comp"),
-        (floor(col("p") * 10000) / 10000.0).as("val"))
+    df.select(col(idCol), array(dots: _*).as("pv"))
   }
 }

@@ -30,6 +30,35 @@ object Ext2Queries {
         "\n\n").as("text"))
   }
 
+  // oracle-side vector folds — kept textually identical to ExtQueries'
+  // private ddbSum/ddbDot/ddbCos (the SimilarityOps.dot twins); edited
+  // in lockstep with those
+  private def ddbSum(l: String) = s"list_reduce($l, (x,y) -> x+y)"
+  private def ddbDot(a: String, b: String) =
+    ddbSum(s"list_transform(list_zip($a,$b), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))")
+  private def ddbNorm2(a: String) =
+    ddbSum(s"list_transform($a, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))")
+  private def ddbCos(a: String, b: String) =
+    s"${ddbDot(a, b)} / (sqrt(${ddbNorm2(a)}) * sqrt(${ddbNorm2(b)}))"
+
+  /** Train top-`k` PCA components on the corpus and persist them under
+    * the given artifact tag — each consumer query trains its OWN
+    * artifact (the bpeTrainTo discipline: queries stay
+    * order-independent under Verify; the redundancy is a fixture cost).
+    */
+  private def pcaCompsTo(s: org.apache.spark.sql.SparkSession, d: String,
+      tag: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import graft.operators.{PcaOps, StageIO}
+    val emb = Tables.embeddings(s, d)
+    val dir = s"${StageIO.artifactRoot(s)}/$tag/" +
+      new java.io.File(d).getName
+    PcaOps.principalComponents(
+        PcaOps.gramUpper(emb, "embedding"),
+        PcaOps.dimSums(emb, "embedding"), dim = 64, k = k)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+  }
+
   def defs: Map[String, Q] = Map(
     // ---- corpus-wide paragraph dedup (CCNet granularity): keep-first
     // over md5(paragraph) with in-place reassembly. Paragraphs are
@@ -105,14 +134,59 @@ object Ext2Queries {
     // gate pins quantization, the eigensolver's output (through the
     // persisted doubles), fold order, and the floor quantization.
     "x82b_pca_project" -> ((s, d) => {
-      import graft.operators.{PcaOps, StageIO}
+      graft.operators.PcaOps.project(Tables.embeddings(s, d), "vec_id",
+          "embedding", pcaCompsTo(s, d, "pca_comps", 8))
+        .orderBy("vec_id", "comp")
+    }),
+
+    // ---- compressed-domain ANN recall through the PCA projection (the
+    // x59 recall-census shape on the data-AWARE compression path):
+    // top-5 neighbors ranked over the 8-dim projections vs the raw
+    // 64-dim brute-force truth. The interesting number is the
+    // comparison against x59's data-OBLIVIOUS jl16/jl32 rows: PCA at
+    // EIGHT dims is the "learn the projection from the data" upgrade.
+    "x82c_pca_recall" -> ((s, d) => {
+      import graft.operators.{PcaOps, SimilarityOps}
+      import graft.queries.Det.round4Rat
       val emb = Tables.embeddings(s, d)
-      val comps = PcaOps.principalComponents(
-        PcaOps.gramUpper(emb, "embedding"),
-        PcaOps.dimSums(emb, "embedding"), dim = 64, k = 8)
-      val dir = s"${StageIO.artifactRoot(s)}/pca_comps/" +
+      val comps = pcaCompsTo(s, d, "pca_comps_recall", 8)
+      val proj = PcaOps.projectVectors(emb, "vec_id", "embedding", comps)
+      val truth = SimilarityOps.topKBatch(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid", "qv", 5, excludeSelf = true)
+      val approx = SimilarityOps.topKBatch(proj, "vec_id", "pv",
+        proj.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("pv").as("qvp")),
+        "qid", "qvp", 5, excludeSelf = true)
+      SimilarityOps.recallAtK(truth, approx, "qid", "vec_id")
+        .agg(sum("hits").as("h"), sum("n_truth").as("n"))
+        .select(lit("pca8").as("method"),
+          col("h").cast("long").as("hits"),
+          col("n").cast("long").as("n_truth"),
+          round4Rat(col("h"), col("n")).as("recall"))
+    }),
+
+    // ---- PCA model refresh FROM STATE (the x48/x82 discipline on the
+    // second-moment surface): three waves of vectors accumulate partial
+    // Gram/sums tables into GramStream's counter log — exact integer
+    // addition, so the merged state EQUALS a full-corpus rebuild and
+    // the refreshed model's projection must hash-match the replayed
+    // artifact exactly, with no tolerance.
+    "x82d_pca_from_state" -> ((s, d) => {
+      import graft.operators.{PcaOps, StageIO}
+      import graft.streaming.GramStream
+      val emb = Tables.embeddings(s, d)
+      val store = StageIO.resolve(s, None, "x82d-gram")
+      (0L to 2L).foreach { w =>
+        GramStream.applyBatch(
+          emb.filter(pmod(col("vec_id"), lit(3)) === w),
+          "embedding", store, w)
+      }
+      val dir = s"${StageIO.artifactRoot(s)}/pca_comps_state/" +
         new java.io.File(d).getName
-      comps.coalesce(1).write.mode("overwrite").parquet(dir)
+      GramStream.componentsFrom(s, store, dim = 64, k = 8)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
       PcaOps.project(emb, "vec_id", "embedding", s.read.parquet(dir))
         .orderBy("vec_id", "comp")
     }),
@@ -154,6 +228,22 @@ object Ext2Queries {
         .select(col("asset_id"), col("frame_idx"), col("hamming"),
           col("is_cut").cast("long").as("is_cut"), col("scene_id"))
         .orderBy("asset_id", "frame_idx")
+    }),
+
+    // ---- keyframe selection: one row per (asset, scene) with the
+    // scene's first frame as its keyframe and the frame census — the
+    // sampling step a video-curation pipeline runs instead of a fixed
+    // stride (one representative per scene, however long the scene).
+    "x85b_keyframes" -> ((s, d) => {
+      import graft.operators.MultimodalOps
+      MultimodalOps.sceneCuts(
+          MultimodalOps.videoFrameDHash(MultimodalOps.toAssets(
+            Tables.documents(s, d), "doc_id", "text")),
+          threshold = 48)
+        .groupBy("asset_id", "scene_id")
+        .agg(min("frame_idx").as("keyframe"),
+          count(lit(1)).as("n_frames"))
+        .orderBy("asset_id", "scene_id")
     })
   )
 
@@ -302,14 +392,76 @@ object Ext2Queries {
                    AS BIGINT) AS scene_id
           FROM cuts ORDER BY asset_id, frame_idx"""
     }
+    // x82c: projection from the query's own persisted artifact, then
+    // the x59 recall-census replay (brute truth on raw vectors, brute
+    // approx on the 8-dim projections, tie order score-desc/id-asc).
+    val pcaRecallSql =
+      s"""WITH comps AS (
+            SELECT comp, list(v ORDER BY pos) AS cv
+            FROM read_parquet(
+              '__GRAFT_ART__/pca_comps_recall/__GRAFT_SF__/*.parquet')
+            GROUP BY comp),
+          proj AS (
+            SELECT e.vec_id,
+                   list(floor(${ddbDot("e.embedding", "c.cv")} * 10000)
+                     / 10000.0 ORDER BY c.comp) AS pv
+            FROM embeddings e CROSS JOIN comps c GROUP BY e.vec_id),
+          q AS (
+            SELECT vec_id AS qid, embedding AS qv FROM embeddings
+            WHERE vec_id < 50),
+          truth AS (
+            SELECT qid, vec_id FROM (
+              SELECT q.qid, e.vec_id,
+                     row_number() OVER (PARTITION BY q.qid
+                       ORDER BY ${ddbCos("e.embedding", "q.qv")} DESC,
+                         e.vec_id) AS rn
+              FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid)
+            WHERE rn <= 5),
+          approx AS (
+            SELECT qid, vec_id FROM (
+              SELECT w.vec_id AS qid, e.vec_id,
+                     row_number() OVER (PARTITION BY w.vec_id
+                       ORDER BY ${ddbCos("e.pv", "w.pv")} DESC,
+                         e.vec_id) AS rn
+              FROM proj e CROSS JOIN
+                   (SELECT vec_id, pv FROM proj WHERE vec_id < 50) w
+              WHERE e.vec_id <> w.vec_id)
+            WHERE rn <= 5),
+          nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+          SELECT 'pca8' AS method,
+                 CAST((SELECT COUNT(*) FROM truth t
+                       JOIN approx x ON t.qid = x.qid
+                        AND t.vec_id = x.vec_id) AS BIGINT) AS hits,
+                 n_truth,
+                 (((SELECT COUNT(*) FROM truth t
+                    JOIN approx x ON t.qid = x.qid
+                     AND t.vec_id = x.vec_id) * 20000 + n_truth)
+                   // (2 * NULLIF(n_truth, 0))) / 10000.0 AS recall
+          FROM nt"""
+    // x82d: the x82b projection replay against the FROM-STATE artifact
+    // — merged counter-log sums being exact, the artifact (and so the
+    // projection) must match a full rebuild's bit for bit.
+    val pcaFromStateSql =
+      pcaProjectSql.replace("/pca_comps/", "/pca_comps_state/")
+    // x85b: the scene frame census over the same composed scene SQL.
+    val keyframeSql =
+      s"""WITH sc AS ($sceneSql)
+          SELECT asset_id, scene_id,
+                 CAST(min(frame_idx) AS BIGINT) AS keyframe,
+                 CAST(COUNT(*) AS BIGINT) AS n_frames
+          FROM sc GROUP BY asset_id, scene_id
+          ORDER BY asset_id, scene_id"""
     Map(
       "x80_paragraph_dedup" -> paraSql,
       "x80b_paragraph_dedup_from_state" -> paraSql,
       "x81_epoch_order" -> epochSql,
       "x82_pca_gram" -> gramSql,
       "x82b_pca_project" -> pcaProjectSql,
+      "x82c_pca_recall" -> pcaRecallSql,
+      "x82d_pca_from_state" -> pcaFromStateSql,
       "x83_score_calibrate" -> calibrateSql,
-      "x85_scene_cuts" -> sceneSql
+      "x85_scene_cuts" -> sceneSql,
+      "x85b_keyframes" -> keyframeSql
     )
   }
 }

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.PcaOps
+
+/** Streaming SECOND-MOMENT maintenance — the incremental twin of the
+  * batch PCA inputs ([[PcaOps.gramUpper]] + [[PcaOps.dimSums]], x82):
+  * keep the corpus Gram matrix and per-dimension sums current while
+  * embeddings stream in, so the PCA model can be refreshed at any
+  * moment from state instead of rescanning every vector ever ingested.
+  *
+  * Both tables are EXACT INTEGER aggregates (fixed-point products in
+  * decimal(38,0)), so they are perfectly additive: the house counter-log
+  * discipline applies verbatim. Each micro-batch writes its own partial
+  * Gram / sums under `storeDir/{gram,sums}/batch_id=<id>/` (overwrite —
+  * replay-idempotent, the [[SketchStream]] argument: addition is not
+  * idempotent, so replay safety lives in the keyed sink), readers merge
+  * by addition, and the merged state equals one batch aggregation over
+  * all data ever streamed EXACTLY — no drift, no approximation, which is
+  * what makes [[componentsFrom]]'s model refresh bit-identical to a
+  * full rebuild (GramStreamSpec asserts exact equality, and x82d's
+  * oracle hash-matches the projection against the replayed artifact).
+  *
+  * Scale shape: a batch partition holds ≤ d(d+1)/2 + d rows regardless
+  * of batch size (map-side partials inside [[PcaOps.gramUpper]]); the
+  * log grows two tiny partitions per micro-batch; the eigensolve reads
+  * the merged d×d artifact on the driver — O(arrivals) work per tick,
+  * O(d²) state, O(d³) per model refresh.
+  */
+object GramStream {
+
+  /** Accumulate one micro-batch of vectors into the log (overwrite-keyed
+    * by batch id — replay is a no-op). Empty batches write nothing.
+    */
+  def applyBatch(batch: DataFrame, vecCol: String, storeDir: String,
+      batchId: Long, scale: Int = 10000): Unit = {
+    val spark = batch.sparkSession
+    CounterLog.rollForward(spark, s"$storeDir/gram")
+    CounterLog.rollForward(spark, s"$storeDir/sums")
+    if (batch.isEmpty) return
+    PcaOps.gramUpper(batch, vecCol, scale)
+      .write.mode("overwrite").parquet(s"$storeDir/gram/batch_id=$batchId")
+    PcaOps.dimSums(batch, vecCol, scale)
+      .write.mode("overwrite").parquet(s"$storeDir/sums/batch_id=$batchId")
+  }
+
+  /** The merged Gram matrix over every batch in the log — equal to one
+    * [[PcaOps.gramUpper]] over all streamed data (integer addition is
+    * exact). Fails loudly on an empty log.
+    */
+  def readGram(spark: SparkSession, storeDir: String): DataFrame = {
+    CounterLog.rollForward(spark, s"$storeDir/gram")
+    require(CounterLog.hasData(spark, s"$storeDir/gram"),
+      s"gram log $storeDir has no committed batches — nothing to read")
+    spark.read.parquet(s"$storeDir/gram").groupBy("i", "j")
+      .agg(sum("s").as("s"))
+  }
+
+  /** The merged per-dimension sums (and row count) over the log. */
+  def readSums(spark: SparkSession, storeDir: String): DataFrame = {
+    CounterLog.rollForward(spark, s"$storeDir/sums")
+    require(CounterLog.hasData(spark, s"$storeDir/sums"),
+      s"sums log $storeDir has no committed batches — nothing to read")
+    spark.read.parquet(s"$storeDir/sums").groupBy("pos")
+      .agg(sum("s").as("s"), sum("n").as("n"))
+  }
+
+  /** Refresh the PCA model from state: [[PcaOps.principalComponents]]
+    * over the merged log — bit-identical to a full-corpus rebuild.
+    */
+  def componentsFrom(spark: SparkSession, storeDir: String, dim: Int,
+      k: Int, scale: Int = 10000): DataFrame =
+    PcaOps.principalComponents(readGram(spark, storeDir),
+      readSums(spark, storeDir), dim, k, scale)
+
+  /** Run the accumulator continuously over a streaming vector frame. */
+  def startMaintenance(vecs: DataFrame, vecCol: String, storeDir: String,
+      checkpointDir: String): StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyBatch(batch.toDF(), vecCol, storeDir, batchId)
+      }
+      .start()
+}
