@@ -85,8 +85,11 @@ object Ext2Queries {
       import graft.streaming.ParagraphStream
       val store = graft.operators.StageIO.resolve(s, None, "x80b-store")
       val clean = graft.operators.StageIO.resolve(s, None, "x80b-clean")
-      val docs = plantParas(Tables.documents(s, d), 4)
-      val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+      // wave bounds from the RAW table (columnar stats scan) — planting
+      // first would run the full string rebuild just for max(doc_id)
+      val raw = Tables.documents(s, d)
+      val n = raw.agg(max("doc_id")).head.getLong(0) + 1
+      val docs = plantParas(raw, 4)
       (0L to 2L).foreach { w =>
         ParagraphStream.applyBatch(
           docs.filter(col("doc_id") >= w * n / 3 &&

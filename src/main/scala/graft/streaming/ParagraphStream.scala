@@ -50,15 +50,19 @@ object ParagraphStream {
     val spark = docs.sparkSession
     if (docs.isEmpty) return
     val paras = DedupOps.splitParas(docs, textCol, idCol, sep, maxParas)
-      .withColumn("pfx", substring(col("ph"), 1, 2))
       .persist()
     try {
-      // bounded collect: ≤ 256 prefix buckets — the store-scan filter
-      val pfxes = paras.select("pfx").distinct().collect()
-        .map(_.getString(0))
-      // within-batch collapse first: lowest (id, pos) owns a hash
-      val winners = paras.groupBy("pfx", "ph")
+      // within-batch collapse first: lowest (id, pos) owns a hash.
+      // Group on ph ALONE (pfx derives from it afterwards): the
+      // anti-join against the store probes on ph too, so the winners'
+      // exchange is reused instead of re-shuffling on a different key.
+      val winners = paras.groupBy("ph")
         .agg(min(col("_ord")).as("_owner"))
+        .withColumn("pfx", substring(col("ph"), 1, 2))
+        .persist()
+      // bounded collect: ≤ 256 prefix buckets — the store-scan filter
+      val pfxes = winners.select("pfx").distinct().collect()
+        .map(_.getString(0))
       val admitted = (readStore(spark, storeDir) match {
         case Some(store) =>
           val prior = store.filter(col("batch_id") < batchId &&
@@ -74,10 +78,17 @@ object ParagraphStream {
             coalesce(col("_ord") === col("_owner"), lit(false)))
         DedupOps.reassembleParas(flagged, idCol, sep)
           .write.mode("overwrite").parquet(s"$cleanDir/batch=$batchId")
-        admitted.select("pfx", "ph")
+        // cluster by pfx before the partitioned write (the DeltaManifest
+        // discipline): without it every shuffle task writes into every
+        // pfx dir — O(tasks × 256) files per batch instead of ≤ 256
+        admitted.select("pfx", "ph").repartition(col("pfx"))
           .write.mode("overwrite").partitionBy("pfx")
           .parquet(s"$storeDir/batch_id=$batchId")
-      } finally admitted.unpersist()
+      } finally {
+        admitted.unpersist()
+        winners.unpersist()
+        ()
+      }
     } finally {
       paras.unpersist()
       ()
