@@ -59,6 +59,20 @@ object Ext2Queries {
     s.read.parquet(dir)
   }
 
+  /** Train the 16-merge BPE table to this query's own artifact tag —
+    * the ExtQueries.bpeTrainTo discipline (each consumer trains its OWN
+    * table so queries stay order-independent under Verify).
+    */
+  private def bpeMergesTo(s: org.apache.spark.sql.SparkSession, d: String,
+      tag: String): org.apache.spark.sql.DataFrame = {
+    val dir = s"${graft.operators.StageIO.artifactRoot(s)}/$tag/" +
+      new java.io.File(d).getName
+    graft.operators.BpeOps.train(Tables.documents(s, d), "text",
+        numMerges = 16)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+  }
+
   def defs: Map[String, Q] = Map(
     // ---- corpus-wide paragraph dedup (CCNet granularity): keep-first
     // over md5(paragraph) with in-place reassembly. Paragraphs are
@@ -231,6 +245,67 @@ object Ext2Queries {
         .select(col("asset_id"), col("frame_idx"), col("hamming"),
           col("is_cut").cast("long").as("is_cut"), col("scene_id"))
         .orderBy("asset_id", "frame_idx")
+    }),
+
+    // ---- within-document repetition by CHAR MASS (the Gopher
+    // duplicate-paragraph-fraction rule, complementing x27's
+    // token-level signals and x80's corpus-wide dedup): fraction of a
+    // document's characters sitting in paragraphs that repeat INSIDE
+    // the same document, gated at 10% (the corpus's discriminating
+    // band: 181/500 docs carry signal, 53 trip the gate at sf0.01).
+    // Width-2 planted paragraphs: within-doc repeats need the finer
+    // granularity (width 4 yields zero within-doc repeats — that
+    // degenerate census is x80's cross-doc regime, not this rule's).
+    "x87_dup_para_chars" -> ((s, d) => {
+      import graft.queries.Det.round4Rat
+      val paras = DedupOps.splitParas(
+        plantParas(Tables.documents(s, d), 2), "text", "doc_id",
+        "\n\n", 1000000)
+      paras.groupBy(col("doc_id"), col("ph"))
+        .agg(count(lit(1)).as("_cnt"),
+          sum(length(col("para"))).cast("long").as("_chars"))
+        .groupBy("doc_id")
+        .agg(sum("_chars").as("n_para_chars"),
+          sum(when(col("_cnt") > 1, col("_chars")).otherwise(0L))
+            .as("dup_chars"))
+        .select(col("doc_id"), col("n_para_chars"), col("dup_chars"),
+          round4Rat(col("dup_chars"), col("n_para_chars"))
+            .as("dup_char_frac"),
+          (col("dup_chars") * 10 <= col("n_para_chars")).cast("long")
+            .as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- tokenizer FERTILITY analysis: tokens-per-word and
+    // bytes-per-token per language under the trained BPE table — the
+    // standard tokenizer-evaluation metric (a language whose fertility
+    // runs high is under-served by the merge vocabulary and pays more
+    // sequence budget per word). Trains its own 16-merge table (the
+    // bpeTrainTo discipline), counts via the sequence-free path, and
+    // aggregates exact integers; the oracle composes x57b's recursive
+    // BPE replay rebased onto this query's own artifact tag.
+    "x86_bpe_fertility" -> ((s, d) => {
+      import graft.operators.{BpeOps, TextOps}
+      import graft.queries.Det.round4Rat
+      val docs = Tables.documents(s, d)
+      val counted = BpeOps.tokenCountsPerDoc(docs, "doc_id", "text",
+        bpeMergesTo(s, d, "bpe_merges_fert"))
+      docs.select(col("doc_id"), col("lang"),
+          size(TextOps.tokensRegex(col("text"))).cast("long")
+            .as("n_words"),
+          length(col("text")).cast("long").as("n_bytes"))
+        .join(counted, Seq("doc_id"), "left")
+        .withColumn("n_tok", coalesce(col("n_tok"), lit(0L)))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("n_words"),
+          sum("n_tok").as("n_tokens"),
+          sum("n_bytes").as("n_bytes"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_tokens"), col("n_bytes"),
+          round4Rat(col("n_tokens"), col("n_words")).as("fertility"),
+          round4Rat(col("n_bytes"), col("n_tokens")).as("bytes_per_tok"))
+        .orderBy("lang")
     }),
 
     // ---- keyframe selection: one row per (asset, scene) with the
@@ -446,6 +521,34 @@ object Ext2Queries {
     // projection) must match a full rebuild's bit for bit.
     val pcaFromStateSql =
       pcaProjectSql.replace("/pca_comps/", "/pca_comps_state/")
+    // x86: x57b's recursive BPE replay composed by reference, rebased
+    // onto this query's own artifact tag, then the per-language
+    // fertility aggregation in exact integers.
+    val fertilitySql = {
+      val bpeDoc = ExtQueries.oracles("x57b_bpe_doc_tokens")
+        .replace("bpe_merges_doc", "bpe_merges_fert")
+      s"""WITH w AS (
+            SELECT doc_id, lang,
+                   CAST(len(list_filter(
+                     string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> len(x) > 0)) AS BIGINT) AS n_words,
+                   CAST(len(text) AS BIGINT) AS n_bytes
+            FROM documents),
+          agg AS (
+            SELECT w.lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(w.n_words) AS BIGINT) AS n_words,
+                   CAST(SUM(bt.n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(SUM(w.n_bytes) AS BIGINT) AS n_bytes
+            FROM w JOIN ($bpeDoc) bt USING (doc_id)
+            GROUP BY w.lang)
+          SELECT lang, n_docs, n_words, n_tokens, n_bytes,
+                 ((n_tokens * 20000 + n_words) // (2 * NULLIF(n_words, 0)))
+                   / 10000.0 AS fertility,
+                 ((n_bytes * 20000 + n_tokens) // (2 * NULLIF(n_tokens, 0)))
+                   / 10000.0 AS bytes_per_tok
+          FROM agg ORDER BY lang"""
+    }
     // x85b: the scene frame census over the same composed scene SQL.
     val keyframeSql =
       s"""WITH sc AS ($sceneSql)
@@ -464,7 +567,35 @@ object Ext2Queries {
       "x82d_pca_from_state" -> pcaFromStateSql,
       "x83_score_calibrate" -> calibrateSql,
       "x85_scene_cuts" -> sceneSql,
-      "x85b_keyframes" -> keyframeSql
+      "x85b_keyframes" -> keyframeSql,
+      "x86_bpe_fertility" -> fertilitySql,
+      "x87_dup_para_chars" ->
+        """WITH w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS wd,
+                     generate_subscripts(string_split(text, ' '), 1) AS ord
+              FROM documents),
+            p AS (
+              SELECT doc_id, (ord - 1) // 2 AS pos,
+                     string_agg(wd, ' ' ORDER BY ord) AS para
+              FROM w GROUP BY doc_id, (ord - 1) // 2),
+            g AS (
+              SELECT doc_id, md5(para) AS h,
+                     CAST(COUNT(*) AS BIGINT) AS cnt,
+                     CAST(SUM(len(para)) AS BIGINT) AS chars
+              FROM p GROUP BY doc_id, md5(para)),
+            a AS (
+              SELECT doc_id,
+                     CAST(SUM(chars) AS BIGINT) AS n_para_chars,
+                     CAST(SUM(CASE WHEN cnt > 1 THEN chars ELSE 0 END)
+                       AS BIGINT) AS dup_chars
+              FROM g GROUP BY doc_id)
+            SELECT doc_id, n_para_chars, dup_chars,
+                   ((dup_chars * 20000 + n_para_chars)
+                     // (2 * NULLIF(n_para_chars, 0))) / 10000.0
+                     AS dup_char_frac,
+                   CAST(CASE WHEN dup_chars * 10 <= n_para_chars
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM a ORDER BY doc_id"""
     )
   }
 }
