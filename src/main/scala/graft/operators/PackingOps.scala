@@ -623,8 +623,18 @@ object PackingOps {
       .withColumn("n_le", sum("_c").over(wCum).cast("long"))
       .withColumn("n_class", sum("_c").over(wAll).cast("long"))
       .drop("_c")
+      .withColumnRenamed(classCol, "_cal_cls")
+      .withColumnRenamed(scoreCol, "_cal_sc")
     val f = col("n_le") * 10000L
-    df.join(cum, Seq(classCol, scoreCol))
+    // NULL-SAFE join back: a plain equi-join would silently DROP every
+    // NULL-scored row (NULL != NULL). Under <=> an unscored doc
+    // survives and ranks LOWEST in its class — the window's
+    // NULLS-FIRST order puts the NULL group at the bottom of the
+    // cumulative count, which is the conservative read of "no score"
+    // for a quality gate.
+    df.join(cum, col(classCol) <=> col("_cal_cls") &&
+        col(scoreCol) <=> col("_cal_sc"))
+      .drop("_cal_cls", "_cal_sc")
       .withColumn("calib_bps",
         ((f - pmod(f, col("n_class"))) / col("n_class")).cast("long"))
   }
@@ -661,6 +671,13 @@ object PackingOps {
     */
   def epochOrder(df: DataFrame, idCol: String, classCol: String,
       weights: DataFrame, seed: String): DataFrame = {
+    // a duplicated class row would silently multiply every document of
+    // that class through the join — fail loudly (the weight table is
+    // model-sized, so the check is one tiny job)
+    require(weights.groupBy(col(classCol)).count()
+        .filter(col("count") > 1).isEmpty,
+      s"epochOrder: weights has duplicate '$classCol' rows — one weight " +
+        "per class")
     val idStr = col(idCol).cast("string")
     val frac = conv(substring(
         md5(concat(lit(s"$seed:rep:"), idStr)), 1, 15), 16, 10)

@@ -50,6 +50,30 @@ class CalibrateSceneSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("calibrateByClass: NULL scores survive the join and rank lowest") {
+    // a plain equi-join would silently drop row 2 (NULL != NULL)
+    val df = Seq((1L, "a", Some(1.0)), (2L, "a", None),
+      (3L, "a", Some(2.0))).toDF("id", "cls", "score")
+    val out = PackingOps.calibrateByClass(df, "cls", "score")
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_le"), r.getAs[Long]("calib_bps"))))
+      .toMap
+    assert(out.size == 3, "the NULL-scored row must not vanish")
+    assert(out(2L) == ((1L, 3333L)), out.toString) // NULL ranks lowest
+    assert(out(1L) == ((2L, 6666L)))
+    assert(out(3L) == ((3L, 10000L)))
+  }
+
+  test("epochOrder rejects duplicate weight rows (silent-multiply guard)") {
+    val docs = Seq((1L, "a")).toDF("doc_id", "cls")
+    val w = Seq(("a", 10000L), ("a", 20000L)).toDF("cls", "w_bps")
+    val e = intercept[IllegalArgumentException] {
+      PackingOps.epochOrder(docs, "doc_id", "cls", w, "s")
+    }
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+  }
+
   private def frame(asset: Long, idx: Long, rLo: Long, rHi: Long,
       cLo: Long, cHi: Long) = (asset, idx, rLo, rHi, cLo, cHi)
 

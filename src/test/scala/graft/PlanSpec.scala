@@ -459,6 +459,52 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial"), p)
   }
 
+  test("x80: paragraph dedup is window-free (owner via two-phase min aggregate)") {
+    val p = plan("x80_paragraph_dedup")
+    assert(!p.contains("Window"), "a window over paragraph hashes would " +
+      s"single-task every hot boilerplate hash:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial"), p)
+  }
+
+  test("x81: the weight table broadcasts; order rides a sort, not a global window") {
+    val p = plan("x81_epoch_order")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), "a row_number() here would serialize " +
+      s"the whole manifest through one task:\n$p")
+  }
+
+  test("x82: the Gram aggregation is two-phase (d² combiner rows per task)") {
+    val p = plan("x82_pca_gram")
+    assert(p.contains("partial_sum") || p.contains("partial"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x83: calibration windows run over the distinct-score aggregate, not the corpus") {
+    val df = SparkEntry.queries("x83_score_calibrate")(spark, sf)
+    df.collect() // finalize adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    val lines = p.linesIterator.toVector
+    val wIdx = lines.indexWhere(_.contains("windowspecdefinition(source"))
+    assert(wIdx >= 0, s"x83 should calibrate through source windows:\n$p")
+    // the windows' input (printed BELOW them) is the (source, quality)
+    // count aggregate — a window directly over the corpus would put a
+    // billion-doc source on one task
+    val aIdx = lines.indexWhere(l => l.contains("HashAggregate") &&
+      l.contains("quality") && l.contains("count"), wIdx)
+    assert(aIdx > wIdx,
+      s"no (source, quality) aggregate under the calibration window:\n$p")
+  }
+
+  test("x85: every scene window partitions on asset_id (no global window)") {
+    val p = plan("x85_scene_cuts")
+    val specs = "windowspecdefinition\\(".r.findAllIn(p).size
+    val byAsset = "windowspecdefinition\\(asset_id".r.findAllIn(p).size
+    assert(specs > 0 && specs == byAsset,
+      s"found $specs window specs, only $byAsset partitioned by asset:\n$p")
+  }
+
   test("x70: dhash pair search is an equi-join on (band, word), never a cross join") {
     import org.apache.spark.sql.functions._
     val hashes = graft.operators.MultimodalOps.imageDHash(
