@@ -123,6 +123,33 @@ object DedupOps {
     else docs.repartition(par, col(idCol))
   }
 
+  /** Exact-duplicate-rate estimation from a HASH-SLICE sample — the
+    * scout pass that decides whether a 100 TB corpus is worth a full
+    * dedup run. The slice samples by `md5(text) mod 10⁴ < sampleBps`,
+    * NOT by document id: all copies of a text co-sample or co-skip, so
+    * the within-slice duplicate structure IS the corpus's restricted to
+    * a uniform slice of hash space, and `1 − distinct/sampled` is an
+    * unbiased read of the corpus dup rate. A uniform DOC sample cannot
+    * be: it splits duplicate groups across the sample boundary and
+    * systematically underestimates (a pair survives an f-rate doc
+    * sample with probability f², not f).
+    *
+    * One filtered scan, one count-distinct on 16-byte keys over the
+    * slice — cost is `sampleBps/10⁴` of one dedup pass. Returns one
+    * row: (n_sampled, n_distinct, dup_frac).
+    */
+  def dupRateSample(docs: DataFrame, textCol: String,
+      sampleBps: Int = 1000): DataFrame = {
+    require(sampleBps > 0 && sampleBps <= 10000,
+      s"need 0 < sampleBps <= 10000, got $sampleBps")
+    val h = md5(col(textCol))
+    docs.filter(
+        conv(substring(h, 1, 15), 16, 10).cast(LongType) % 10000
+          < sampleBps)
+      .agg(count(lit(1)).as("n_sampled"),
+        countDistinct(md5(col(textCol))).as("n_distinct"))
+  }
+
   /** A planned LSH geometry: `bands × rowsPerBand` hash budget and the
     * similarity where the band s-curve crosses ~50% collision
     * probability, `(1/bands)^(1/rowsPerBand)`.

@@ -208,6 +208,36 @@ object Ext2Queries {
         .orderBy("vec_id", "comp")
     }),
 
+    // ---- duplicate-rate estimation from a hash-slice sample: the
+    // scout pass before committing a full dedup run. The fixture has
+    // zero natural exact dups, so the query PLANTS three heavy
+    // template groups (every id%7 doc collapses to one of three
+    // templates) and outputs BOTH the exact corpus rate and the
+    // 20%-hash-slice estimate — co-sampling by md5(text) keeps
+    // duplicate groups intact inside the slice, which is the whole
+    // estimator (a doc-id sample would split groups and undercount).
+    "x84_dup_rate_sample" -> ((s, d) => {
+      import graft.queries.Det.round4Rat
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit("dup template "),
+            pmod(col("doc_id"), lit(3)).cast("string")))
+          .otherwise(col("text")).as("text"))
+      val slice = DedupOps.dupRateSample(planted, "text", 2000)
+        .select(lit("slice20").as("method"), col("n_sampled"),
+          col("n_distinct"))
+      val exact = planted
+        .agg(count(lit(1)).as("n_sampled"),
+          countDistinct(md5(col("text"))).as("n_distinct"))
+        .select(lit("exact").as("method"), col("n_sampled"),
+          col("n_distinct"))
+      exact.unionAll(slice)
+        .select(col("method"), col("n_sampled"), col("n_distinct"),
+          round4Rat(col("n_sampled") - col("n_distinct"),
+            col("n_sampled")).as("dup_frac"))
+        .orderBy("method")
+    }),
+
     // ---- per-source score calibration: each doc's quality mapped to
     // its within-source cumulative percentile (exact basis points), and
     // a cross-source gate at the calibrated p80 — the same top fraction
@@ -566,6 +596,30 @@ object Ext2Queries {
       "x82c_pca_recall" -> pcaRecallSql,
       "x82d_pca_from_state" -> pcaFromStateSql,
       "x83_score_calibrate" -> calibrateSql,
+      "x84_dup_rate_sample" ->
+        """WITH p AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                       THEN 'dup template ' || CAST(doc_id % 3 AS VARCHAR)
+                       ELSE text END AS text
+              FROM documents),
+            u AS (
+              SELECT 'exact' AS method,
+                     CAST(COUNT(*) AS BIGINT) AS n_sampled,
+                     CAST(COUNT(DISTINCT md5(text)) AS BIGINT)
+                       AS n_distinct
+              FROM p
+              UNION ALL
+              SELECT 'slice20',
+                     CAST(COUNT(*) AS BIGINT),
+                     CAST(COUNT(DISTINCT md5(text)) AS BIGINT)
+              FROM p
+              WHERE CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+                      % 10000 < 2000)
+            SELECT method, n_sampled, n_distinct,
+                   (((n_sampled - n_distinct) * 20000 + n_sampled)
+                     // (2 * NULLIF(n_sampled, 0))) / 10000.0 AS dup_frac
+            FROM u ORDER BY method""",
       "x85_scene_cuts" -> sceneSql,
       "x85b_keyframes" -> keyframeSql,
       "x86_bpe_fertility" -> fertilitySql,

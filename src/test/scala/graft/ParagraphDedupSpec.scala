@@ -50,6 +50,27 @@ class ParagraphDedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("dupRateSample: duplicate groups co-sample (all copies in or out together)") {
+    // 10 copies of each of 3 templates + 30 unique docs
+    val rows = (0 until 30).map(i => (i.toLong, s"unique doc number $i")) ++
+      (0 until 30).map(i => (100L + i, s"template ${i % 3}"))
+    val df = rows.toDF("doc_id", "text")
+    val out = DedupOps.dupRateSample(df, "text", sampleBps = 5000)
+      .collect().head
+    val (n, d) = (out.getLong(0), out.getLong(1))
+    // a template group contributes 10 sampled + 1 distinct or nothing:
+    // sampled - distinct must be a sum of 9s from planted groups
+    assert((n - d) % 9 == 0, s"n=$n distinct=$d")
+    // determinism
+    val again = DedupOps.dupRateSample(df, "text", sampleBps = 5000)
+      .collect().head
+    assert((again.getLong(0), again.getLong(1)) == ((n, d)))
+    // full-rate slice == exact census
+    val full = DedupOps.dupRateSample(df, "text", sampleBps = 10000)
+      .collect().head
+    assert(full.getLong(0) == 60L && full.getLong(1) == 33L)
+  }
+
   test("streaming gate over id-ordered waves == one batch dedup; replay is a no-op") {
     val all = docs(
       1L -> "p one\n\np two",
