@@ -150,6 +150,31 @@ object DedupOps {
         countDistinct(md5(col(textCol))).as("n_distinct"))
   }
 
+  /** Duplicate-DISCOUNTED training weights — soft dedup: keep every
+    * copy, but weight each row by 1/|its duplicate group| so a text
+    * duplicated k times contributes one group's worth of training mass
+    * in expectation (the sampling-weight alternative to dropping copies,
+    * used when provenance diversity across copies matters). Weight is
+    * emitted as integer parts-per-million (`1000000 div n` — both
+    * engines floor positive integer division identically), keeping the
+    * result engine-portable and exactly auditable; the consumer divides
+    * by 1e6 at use time.
+    *
+    * Scale: one partial-aggregated groupBy on the 16-byte key plus one
+    * equi-join back — no window over the key (a mega-duplicate key
+    * serializes a sort-window partition; the join path leaves skew to
+    * AQE's skew-join split). Emits `group_n` and `weight_ppm` beside
+    * every input column.
+    */
+  def duplicateDiscount(docs: DataFrame, keyCol: Column): DataFrame = {
+    val keyed = docs.withColumn("_dk", keyCol)
+    val sizes = keyed.groupBy(col("_dk"))
+      .agg(count(lit(1)).as("group_n"))
+    keyed.join(sizes, "_dk")
+      .withColumn("weight_ppm", expr("1000000 div group_n").cast(LongType))
+      .drop("_dk")
+  }
+
   /** A planned LSH geometry: `bands × rowsPerBand` hash budget and the
     * similarity where the band s-curve crosses ~50% collision
     * probability, `(1/bands)^(1/rowsPerBand)`.

@@ -419,6 +419,55 @@ object PackingOps {
     full.unionByName(edge)
   }
 
+  /** Scale-safe per-class TOKEN-BUDGET fill — "spend at most `budget`
+    * tokens per class, best-score-first": order each class by
+    * (score DESC, id ASC) and keep every row whose running token total
+    * (including its own cost) stays ≤ `budget`. This is the exact-budget
+    * curation step ("fill the 1B-token slice for this domain by quality
+    * order") that per-ROW caps ([[topNByScore]]) can't express when
+    * document lengths vary.
+    *
+    * Same decomposition as [[capByScoreHist]], with token MASS in place
+    * of row count: a per-(class, score) histogram carries (rows, mass);
+    * the class-level cumulative-mass scan over score buckets is
+    * #classes × #score-values rows (the quantized-score contract);
+    * whole buckets whose cumulative mass fits pass with no window, and
+    * only the one BOUNDARY bucket per class runs a running-sum window —
+    * confined to that bucket's tie mass, ordered by id, admitting rows
+    * while `bucket_start + running ≤ budget`. Identical row set to the
+    * global window form (the oracle twin), bit for bit; buckets opening
+    * past the budget are dropped before any join. Input staged once
+    * (three lazy consumers — the x30/x31 discipline).
+    */
+  def fillTokenBudget(df: DataFrame, classCol: String, scoreCol: String,
+      costCol: String, idCol: String, budget: Long,
+      stageDir: Option[String] = None): DataFrame = {
+    require(budget >= 0, "a negative budget keeps nothing")
+    val spark = df.sparkSession
+    val stage = StageIO.resolve(spark, stageDir, "budget-fill")
+    df.write.mode("overwrite").parquet(stage)
+    val staged = spark.read.parquet(stage)
+    val hist = staged.groupBy(col(classCol), col(scoreCol))
+      .agg(sum(col(costCol).cast("long")).as("_mass"))
+    val byScore = Window.partitionBy(classCol).orderBy(col(scoreCol).desc)
+    val marked = hist
+      .withColumn("_cum", sum("_mass").over(byScore))
+      .withColumn("_start", col("_cum") - col("_mass"))
+      .filter(col("_start") <= budget)
+      .withColumn("_full", col("_cum") <= budget)
+      .select(col(classCol), col(scoreCol), col("_start"), col("_full"))
+    val joined = staged.join(marked, Seq(classCol, scoreCol))
+    val full = joined.filter(col("_full")).drop("_start", "_full")
+    val byTie = Window.partitionBy(col(classCol), col(scoreCol))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val edge = joined.filter(!col("_full"))
+      .withColumn("_run", sum(col(costCol).cast("long")).over(byTie))
+      .filter(col("_start") + col("_run") <= budget)
+      .drop("_start", "_full", "_run")
+    full.unionByName(edge)
+  }
+
   /** [[topPctByScore]] for UNQUANTIZED scores (a model margin, a
     * continuous loss — any double): same kept set as the rank form, but
     * the threshold comes from a [[SketchOps.quantileSketch]] bucket table

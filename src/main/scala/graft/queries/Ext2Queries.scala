@@ -352,6 +352,57 @@ object Ext2Queries {
         .agg(min("frame_idx").as("keyframe"),
           count(lit(1)).as("n_frames"))
         .orderBy("asset_id", "scene_id")
+    }),
+
+    // ---- per-class TOKEN-BUDGET fill: spend at most 600 whitespace
+    // tokens per source, best-score-first (score = token count capped
+    // at 100 — quantized), prefix rule: a row is kept iff its running
+    // token total in (score DESC, doc_id) order stays within the
+    // budget. The scale path is the x26b histogram-threshold
+    // decomposition with token MASS in place of row count (whole
+    // buckets pass windowless; one boundary bucket per class runs a
+    // running sum over its tie mass); the oracle twin IS the global
+    // window form — identical row set bit for bit.
+    "x88_budget_fill" -> ((s, d) => {
+      import graft.operators.{PackingOps, TextOps}
+      val nt = size(TextOps.tokens(col("text"))).cast("long")
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        col("source"), nt.as("toks"), least(nt, lit(100L)).as("score"))
+      PackingOps.fillTokenBudget(docs, "source", "score", "toks",
+          "doc_id", budget = 600L)
+        .select("source", "doc_id", "score", "toks")
+        .orderBy("source", "doc_id")
+    }),
+
+    // ---- duplicate-DISCOUNTED training weights (soft dedup): every
+    // copy kept, each weighted 1/group-size in integer ppm — the
+    // sampling-weight alternative to dropping copies when provenance
+    // diversity across copies matters. Same planted template groups as
+    // x84 (the fixture has zero natural duplicates); the oracle
+    // replays the plant and the grouped census.
+    "x89_dup_discount" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit("dup template "),
+            pmod(col("doc_id"), lit(3)).cast("string")))
+          .otherwise(col("text")).as("text"))
+      DedupOps.duplicateDiscount(planted, md5(col("text")))
+        .select(col("doc_id"), col("group_n"), col("weight_ppm"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- calibration reliability table for the x9 quality score
+    // against a deterministic binary label (is the document long?):
+    // ten bins, per-bin mean confidence vs empirical positive rate vs
+    // gap, all exact basis-point integers (ECE in bps = Σ gap·n / Σ n,
+    // a consumer fold over this table). The audit a model-based gate
+    // (x46) runs before trusting its scores as probabilities.
+    "x90_reliability" -> ((s, d) => {
+      import graft.operators.TextOps
+      val (qNum, qDen) = TextOps.qualityRat(col("text"), col("n_chars"))
+      graft.ml.Calibration.reliabilityBins(Tables.documents(s, d),
+          qNum, qDen, (col("n_chars") > 300).cast("long"), bins = 10)
+        .orderBy("bin")
     })
   )
 
@@ -649,7 +700,70 @@ object Ext2Queries {
                      AS dup_char_frac,
                    CAST(CASE WHEN dup_chars * 10 <= n_para_chars
                      THEN 1 ELSE 0 END AS BIGINT) AS keep
-            FROM a ORDER BY doc_id"""
+            FROM a ORDER BY doc_id""",
+      // x88: the global window form — the prefix-cut definition the
+      // histogram decomposition must reproduce bit for bit.
+      "x88_budget_fill" ->
+        """WITH t AS (
+              SELECT source, doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+                     CAST(least(len(string_split(text, ' ')), 100)
+                       AS BIGINT) AS score
+              FROM documents),
+            c AS (
+              SELECT source, doc_id, score, toks,
+                     SUM(toks) OVER (PARTITION BY source
+                       ORDER BY score DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+              FROM t)
+            SELECT source, doc_id, score, toks FROM c
+            WHERE cum <= 600 ORDER BY source, doc_id""",
+      // x89: the x84 plant + grouped census + integer-ppm division.
+      "x89_dup_discount" ->
+        """WITH p AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                       THEN 'dup template ' || CAST(doc_id % 3 AS VARCHAR)
+                       ELSE text END AS text
+              FROM documents),
+            g AS (
+              SELECT md5(text) AS k, CAST(COUNT(*) AS BIGINT) AS group_n
+              FROM p GROUP BY md5(text))
+            SELECT p.doc_id, g.group_n,
+                   CAST(1000000 // g.group_n AS BIGINT) AS weight_ppm
+            FROM p JOIN g ON md5(p.text) = g.k
+            ORDER BY p.doc_id""",
+      // x90: the x9 quality rational rounded half-up to basis points,
+      // binned and averaged in exact integers.
+      "x90_reliability" ->
+        s"""WITH q AS (
+              SELECT doc_id, n_chars,
+                     20 * nt * least(nt, 100) + 1500 * (nt - sw)
+                       + 3 * nt * least(n_chars, 500) AS qnum,
+                     5000 * nt AS qden
+              FROM (
+                SELECT doc_id, n_chars, len(t) AS nt,
+                       len(list_filter(t, x -> list_contains($swList, x)))
+                         AS sw
+                FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS t
+                      FROM documents))),
+            b AS (
+              SELECT (qnum * 20000 + qden) // (2 * NULLIF(qden, 0)) AS bp,
+                     CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS lab
+              FROM q),
+            r AS (
+              SELECT CAST(least((bp * 10) // 10000, 9) AS BIGINT) AS bin,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(lab) AS BIGINT) AS n_pos,
+                     CAST(SUM(bp) AS BIGINT) AS sum_bp
+              FROM b WHERE bp IS NOT NULL GROUP BY 1)
+            SELECT bin, n, n_pos,
+                   CAST((sum_bp * 2 + n) // (2 * n) AS BIGINT) AS conf_bp,
+                   CAST((n_pos * 20000 + n) // (2 * n) AS BIGINT) AS acc_bp,
+                   CAST(abs((sum_bp * 2 + n) // (2 * n)
+                     - (n_pos * 20000 + n) // (2 * n)) AS BIGINT) AS gap_bp
+            FROM r ORDER BY bin"""
     )
   }
 }

@@ -65,6 +65,49 @@ class CalibrateSceneSpec extends AnyFunSuite {
     assert(out(3L) == ((3L, 10000L)))
   }
 
+  test("reliabilityBins: hand-computed bins, half-up rounding, NULL-den drop") {
+    import graft.ml.Calibration
+    // scores as rationals: 1/10 -> 1000bp bin 1; 25/100 -> 2500bp bin 2
+    // (two rows, labels 0 and 1 -> acc 5000); 999/1000 -> 9990bp bin 9;
+    // 10000bp exactly -> clamped into bin 9; zero denominator dropped
+    val df = Seq((1L, 10L, 0L), (25L, 100L, 0L), (25L, 100L, 1L),
+      (999L, 1000L, 1L), (1L, 1L, 1L), (7L, 0L, 1L))
+      .toDF("num", "den", "lab")
+    val out = Calibration.reliabilityBins(df, col("num"), col("den"),
+        col("lab"), bins = 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_pos"), r.getAs[Long]("conf_bp"),
+        r.getAs[Long]("acc_bp"), r.getAs[Long]("gap_bp")))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 0L, 1000L, 0L, 1000L),
+      (2L, 2L, 1L, 2500L, 5000L, 2500L),
+      (9L, 2L, 2L, 9995L, 10000L, 5L)))
+  }
+
+  test("reliabilityBins: bins partition the defined-score rows; ECE folds exactly") {
+    import graft.ml.Calibration
+    import graft.operators.TextOps
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val (qNum, qDen) = TextOps.qualityRat(col("text"), col("n_chars"))
+    val bins = Calibration.reliabilityBins(docs, qNum, qDen,
+      (col("n_chars") > 300).cast("long"), bins = 10).collect()
+    assert(bins.map(_.getAs[Long]("n")).sum == docs.count())
+    bins.foreach { r =>
+      val (c, a, g) = (r.getAs[Long]("conf_bp"), r.getAs[Long]("acc_bp"),
+        r.getAs[Long]("gap_bp"))
+      assert(c >= 0 && c <= 10000 && a >= 0 && a <= 10000)
+      assert(g == math.abs(c - a))
+      assert(r.getAs[Long]("n_pos") <= r.getAs[Long]("n"))
+    }
+    // a perfectly calibrated score (score == label) folds to ECE 0
+    val perfect = Seq((1L, 1L, 1L), (0L, 1L, 0L), (1L, 1L, 1L))
+      .toDF("num", "den", "lab")
+    val p = Calibration.reliabilityBins(perfect, col("num"), col("den"),
+      col("lab"), bins = 10).collect()
+    assert(p.map(r => r.getAs[Long]("gap_bp") * r.getAs[Long]("n")).sum == 0L)
+  }
+
   test("epochOrder rejects duplicate weight rows (silent-multiply guard)") {
     val docs = Seq((1L, "a")).toDF("doc_id", "cls")
     val w = Seq(("a", 10000L), ("a", 20000L)).toDF("cls", "w_bps")

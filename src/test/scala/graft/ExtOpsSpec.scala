@@ -37,6 +37,19 @@ class ExtOpsSpec extends AnyFunSuite {
       == Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("duplicateDiscount: every copy kept, weight floors 1e6/group, singletons full") {
+    val docs = Seq((1L, "same"), (2L, "same"), (3L, "same"),
+      (4L, "other")).toDF("doc_id", "text")
+    val out = DedupOps.duplicateDiscount(docs, md5(col("text")))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("group_n"),
+        r.getAs[Long]("weight_ppm")))
+    // 1000000 div 3 = 333333 (both engines floor); the three copies'
+    // discounted mass sums to one group's worth minus the floor dust
+    assert(out.toSeq == Seq((1L, 3L, 333333L), (2L, 3L, 333333L),
+      (3L, 3L, 333333L), (4L, 1L, 1000000L)))
+  }
+
   test("minhash LSH finds an exact duplicate pair with jaccard 1.0") {
     val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
     val docs = Seq((1L, base), (2L, base), (3L, "z1 z2 z3 z4 z5 z6 z7 z8"))

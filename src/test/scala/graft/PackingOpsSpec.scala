@@ -123,6 +123,41 @@ class PackingOpsSpec extends AnyFunSuite {
     assert(hist.exceptAll(rank).isEmpty && rank.exceptAll(hist).isEmpty)
   }
 
+  test("fillTokenBudget: whole buckets pass, boundary cuts by id, zero-cost edge") {
+    import spark.implicits._
+    // class a, budget 600: score-9 bucket (mass 300) fits whole; score-8
+    // bucket (three docs, 200 each) opens at 300 — id order keeps id 2
+    // (cum 500) and drops 3, 4; the score-7 doc's bucket opens past the
+    // budget and is excluded before any join.
+    val a = Seq((1L, "a", 9L, 300L), (2L, "a", 8L, 200L),
+      (3L, "a", 8L, 200L), (4L, "a", 8L, 200L), (5L, "a", 7L, 100L))
+    // class b: total mass 550 under budget — all pass windowless
+    val b = Seq((11L, "b", 5L, 250L), (12L, "b", 4L, 300L))
+    // class d: the boundary bucket OPENS exactly at the budget — only
+    // its zero-cost row still fits (prefix rule: cum 600 <= 600)
+    val d = Seq((30L, "d", 9L, 600L), (31L, "d", 8L, 0L), (32L, "d", 8L, 50L))
+    val kept = PackingOps.fillTokenBudget(
+        (a ++ b ++ d).toDF("doc_id", "cls", "score", "toks"),
+        "cls", "score", "toks", "doc_id", budget = 600L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 11L, 12L, 30L, 31L), kept)
+  }
+
+  test("fillTokenBudget equals the global window form on the fixture") {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(col("doc_id"), col("source"),
+      size(TextOps.tokens(col("text"))).cast("long").as("toks"),
+      (length(col("text")) % 7).cast("long").as("score")) // coarse ties
+    val hist = PackingOps.fillTokenBudget(scored, "source", "score",
+      "toks", "doc_id", budget = 400L).select("doc_id")
+    val w = Window.partitionBy("source")
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val win = scored.withColumn("cum", sum("toks").over(w))
+      .filter(col("cum") <= 400L).select("doc_id")
+    assert(hist.exceptAll(win).isEmpty && win.exceptAll(hist).isEmpty)
+  }
+
   test("topNByScore: absolute cap with min-id boundary ties; small classes whole") {
     import spark.implicits._
     // class a: 1 at 0.9, three tied at 0.8 — cap 2 keeps the 0.9 and the

@@ -505,6 +505,39 @@ class PlanSpec extends AnyFunSuite {
       s"found $specs window specs, only $byAsset partitioned by asset:\n$p")
   }
 
+  test("x88: budget fill reads only the stage; every window is score-confined") {
+    // the x26b shape with token mass: the corpus never re-tokenizes
+    // (three lazy branches consume the staged frame), and no window
+    // partitions by class alone — the cumulative-mass scan rides the
+    // (class, score) histogram and the boundary running sum partitions
+    // by (class, score), so window size is bounded by score resolution
+    // and boundary-tie mass, never by class size
+    val df = SparkEntry.queries("x88_budget_fill")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toList
+    assert(scans.nonEmpty && scans.forall(l => !l.contains("documents")),
+      s"returned plan must read only the stage:\n$p")
+    val specs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("score")),
+      s"every window must be score-confined:\n$specs")
+  }
+
+  test("x89: duplicate discount is a two-phase census + equi-join (no window, no cross)") {
+    val p = plan("x89_dup_discount")
+    assert(!p.contains("Window"), "a count-over-key window would " +
+      s"single-task a mega-duplicate key:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+  }
+
+  test("x90: reliability bins partial-aggregate map-side; no window, one scan") {
+    val p = plan("x90_reliability")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+  }
+
   test("x70: dhash pair search is an equi-join on (band, word), never a cross join") {
     import org.apache.spark.sql.functions._
     val hashes = graft.operators.MultimodalOps.imageDHash(
