@@ -37,7 +37,10 @@ object Calibration {
     * [0, 1]; `label` must evaluate to 0/1. Rows with a zero denominator
     * carry a NULL basis-point score and are dropped (they have no
     * defined bin; the caller's score design owns its degenerate cases —
-    * the [[graft.queries.Det.round4Rat]] NULL contract).
+    * the [[graft.queries.Det.round4Rat]] NULL contract). `label` must be
+    * non-null for counted rows: a NULL label would be skipped by the
+    * positive-count sum while still counting toward `n` (both engines),
+    * deflating the bin's accuracy — resolve labels upstream.
     */
   def reliabilityBins(df: DataFrame, scoreNum: Column, scoreDen: Column,
       label: Column, bins: Int): DataFrame = {

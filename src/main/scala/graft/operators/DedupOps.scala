@@ -167,7 +167,10 @@ object DedupOps {
     * every input column.
     */
   def duplicateDiscount(docs: DataFrame, keyCol: Column): DataFrame = {
-    val keyed = docs.withColumn("_dk", keyCol)
+    // NULL keys (md5 of a NULL text) form their own group instead of
+    // silently vanishing: an equi-join never matches NULL = NULL, so the
+    // key is coalesced to a sentinel no 32-hex md5 can collide with
+    val keyed = docs.withColumn("_dk", coalesce(keyCol, lit("_null_key_")))
     val sizes = keyed.groupBy(col("_dk"))
       .agg(count(lit(1)).as("group_n"))
     keyed.join(sizes, "_dk")

@@ -438,6 +438,13 @@ object PackingOps {
     * global window form (the oracle twin), bit for bit; buckets opening
     * past the budget are dropped before any join. Input staged once
     * (three lazy consumers — the x30/x31 discipline).
+    *
+    * Contracts: costs must be ≥ 0 — the bucket-exclusion step relies on
+    * the cumulative mass being monotone, so a negative cost fails loudly
+    * (inline raise_error, no extra pass) instead of silently diverging
+    * from the window form. A NULL cost rides as 0 (both the histogram
+    * sum and the window form skip it identically); a NULL score sorts
+    * as the worst bucket (Spark's desc = nulls last).
     */
   def fillTokenBudget(df: DataFrame, classCol: String, scoreCol: String,
       costCol: String, idCol: String, budget: Long,
@@ -447,8 +454,12 @@ object PackingOps {
     val stage = StageIO.resolve(spark, stageDir, "budget-fill")
     df.write.mode("overwrite").parquet(stage)
     val staged = spark.read.parquet(stage)
+    val checkedCost = when(col(costCol) < 0, raise_error(concat(
+      lit(s"fillTokenBudget: negative cost in '$costCol' breaks the " +
+        "monotone-mass prefix rule: "), col(costCol).cast("string"))))
+      .otherwise(col(costCol).cast("long"))
     val hist = staged.groupBy(col(classCol), col(scoreCol))
-      .agg(sum(col(costCol).cast("long")).as("_mass"))
+      .agg(sum(checkedCost).as("_mass"))
     val byScore = Window.partitionBy(classCol).orderBy(col(scoreCol).desc)
     val marked = hist
       .withColumn("_cum", sum("_mass").over(byScore))

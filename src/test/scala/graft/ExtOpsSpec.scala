@@ -50,6 +50,16 @@ class ExtOpsSpec extends AnyFunSuite {
       (3L, 3L, 333333L), (4L, 1L, 1000000L)))
   }
 
+  test("duplicateDiscount: NULL-keyed rows group together instead of vanishing") {
+    val docs = Seq((1L, null: String), (2L, null: String), (3L, "t"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.duplicateDiscount(docs, md5(col("text")))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("group_n")))
+    assert(out.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 1L)),
+      "an equi-join on a NULL key must not drop the rows")
+  }
+
   test("minhash LSH finds an exact duplicate pair with jaccard 1.0") {
     val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
     val docs = Seq((1L, base), (2L, base), (3L, "z1 z2 z3 z4 z5 z6 z7 z8"))

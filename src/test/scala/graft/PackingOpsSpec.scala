@@ -143,6 +143,19 @@ class PackingOpsSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L, 11L, 12L, 30L, 31L), kept)
   }
 
+  test("fillTokenBudget: a negative cost fails loudly (monotone-mass contract)") {
+    import spark.implicits._
+    val bad = Seq((1L, "a", 9L, 300L), (2L, "a", 8L, -5L))
+      .toDF("doc_id", "cls", "score", "toks")
+    val ex = intercept[Exception] {
+      PackingOps.fillTokenBudget(bad, "cls", "score", "toks", "doc_id", 600L)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("negative cost")), ex.getMessage)
+  }
+
   test("fillTokenBudget equals the global window form on the fixture") {
     import org.apache.spark.sql.expressions.Window
     val scored = docs.select(col("doc_id"), col("source"),
