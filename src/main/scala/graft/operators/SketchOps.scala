@@ -201,4 +201,60 @@ object SketchOps {
       .select((groupCols.map(col) :+ col("qb") :+
         (col("_cum") - col("cnt")).as("n_above") :+ col("n")): _*)
   }
+
+  // ---- KMV (bottom-k / k-minimum-values) set signatures ----
+  //
+  // The corpus-PAIR question ("how much of this crawl is already in the
+  // corpus?") answered from two tiny artifacts: a corpus's signature is
+  // its k smallest distinct md5 hashes (Bar-Yossef et al.'s KMV;
+  // MinHash-bottom-k à la Mash). Signatures are mergeable — the union's
+  // signature is the bottom-k of the concatenated signatures — so
+  // corpus-level Jaccard never re-touches either corpus: at 100 TB each
+  // side pays one distinct + TakeOrdered pass ONCE, then every pairwise
+  // comparison is k-row arithmetic. md5 keeps the signature
+  // engine-portable (the x3b discipline), so the estimate itself sits
+  // under the oracle gate.
+
+  /** The k smallest DISTINCT md5 hashes of `keyCol`, as a one-column
+    * (`h`) frame — persist it as the corpus's set signature. NULL keys
+    * are not set members and are excluded. Plan shape: two-phase
+    * distinct aggregate, then TakeOrderedAndProject (k is small — the
+    * sort never materializes globally).
+    */
+  def kmvSignature(df: DataFrame, keyCol: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    df.select(md5(keyCol).as("h")).filter(col("h").isNotNull)
+      .distinct().orderBy("h").limit(k)
+  }
+
+  /** Merge [[kmvSignature]]s (any number, unioned into one `h` frame)
+    * into the signature of the underlying UNION: the k smallest hashes
+    * of A ∪ B all live in sigA ∪ sigB, so bottom-k of the raw signature
+    * hashes — never re-hashed — IS the union's signature. This is what
+    * a resident process persists per batch and folds on read.
+    */
+  def kmvMerge(sigs: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    sigs.select("h").distinct().orderBy("h").limit(k)
+  }
+
+  /** Jaccard estimate from two [[kmvSignature]]s built at the same `k`:
+    * over the UNION's bottom-k hashes (a uniform sample of the union,
+    * since md5 order is independent of the data), the fraction present
+    * in BOTH signatures estimates |A∩B| / |A∪B|. Returns one row
+    * (`k_used`, `inter_n`): `k_used` = min(k, |sigA ∪ sigB|) — when the
+    * union is smaller than k the "estimate" is exact. No joins: the
+    * membership merge is a tag-and-max aggregate over ≤ 2k rows.
+    */
+  def kmvOverlap(sigA: DataFrame, sigB: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val tagged = sigA.select(col("h"), lit(1L).as("_a"), lit(0L).as("_b"))
+      .unionAll(sigB.select(col("h"), lit(0L).as("_a"), lit(1L).as("_b")))
+    tagged.groupBy("h").agg(max("_a").as("_a"), max("_b").as("_b"))
+      .orderBy("h").limit(k)
+      .agg(count(lit(1)).as("k_used"),
+        sum(when(col("_a") === 1 && col("_b") === 1, 1L).otherwise(0L))
+          .as("inter_n"))
+  }
 }

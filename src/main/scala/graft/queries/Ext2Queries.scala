@@ -391,6 +391,41 @@ object Ext2Queries {
         .orderBy("doc_id")
     }),
 
+    // ---- corpus-pair overlap from KMV signatures: split the fixture
+    // into two corpora by doc-id parity, plant shared texts across both
+    // (odd modulus 45 so every planted value lands in BOTH parities),
+    // and estimate corpus Jaccard from two 64-hash bottom-k signatures
+    // beside the exact distinct-set census — the "how much of this
+    // crawl is already in the corpus?" scout, priced at k-row
+    // arithmetic per pair instead of a corpus join. md5 order is shared
+    // with the oracle, so even the sampling error is deterministic and
+    // hash-gated.
+    "x91_corpus_overlap_kmv" -> ((s, d) => {
+      import graft.operators.SketchOps
+      import graft.queries.Det.round4Rat
+      val p = Tables.documents(s, d).select(
+        when(pmod(col("doc_id"), lit(3)) < 2,
+          concat(lit("shared "), pmod(col("doc_id"), lit(45)).cast("string")))
+          .otherwise(col("text")).as("text"),
+        pmod(col("doc_id"), lit(2)).as("corp"))
+      val a = p.filter(col("corp") === 0)
+      val b = p.filter(col("corp") === 1)
+      val est = SketchOps.kmvOverlap(
+        SketchOps.kmvSignature(a, col("text"), 64),
+        SketchOps.kmvSignature(b, col("text"), 64), 64)
+      val exact = a.select(md5(col("text")).as("h")).distinct()
+        .unionAll(b.select(md5(col("text")).as("h")).distinct())
+        .groupBy("h").agg(count(lit(1)).as("_n"))
+        .agg(count(lit(1)).as("exact_union"),
+          sum(when(col("_n") === 2, 1L).otherwise(0L)).as("exact_inter"))
+      est.crossJoin(exact)
+        .select(col("k_used"), col("inter_n"),
+          round4Rat(col("inter_n"), col("k_used")).as("est_jaccard"),
+          col("exact_inter"), col("exact_union"),
+          round4Rat(col("exact_inter"), col("exact_union"))
+            .as("exact_jaccard"))
+    }),
+
     // ---- calibration reliability table for the x9 quality score
     // against a deterministic binary label (is the document long?):
     // ten bins, per-bin mean confidence vs empirical positive rate vs
@@ -734,6 +769,47 @@ object Ext2Queries {
                    CAST(1000000 // g.group_n AS BIGINT) AS weight_ppm
             FROM p JOIN g ON md5(p.text) = g.k
             ORDER BY p.doc_id""",
+      // x91: identical plant, identical bottom-64 signatures and
+      // tag-and-max union membership, identical exact census.
+      "x91_corpus_overlap_kmv" ->
+        """WITH p AS (
+              SELECT CASE WHEN doc_id % 3 < 2
+                       THEN 'shared ' || CAST(doc_id % 45 AS VARCHAR)
+                       ELSE text END AS text,
+                     doc_id % 2 AS corp
+              FROM documents),
+            a AS (SELECT DISTINCT md5(text) AS h FROM p WHERE corp = 0),
+            b AS (SELECT DISTINCT md5(text) AS h FROM p WHERE corp = 1),
+            sa AS (SELECT h FROM a ORDER BY h LIMIT 64),
+            sb AS (SELECT h FROM b ORDER BY h LIMIT 64),
+            t AS (
+              SELECT h, max(ina) AS ina, max(inb) AS inb
+              FROM (SELECT h, 1 AS ina, 0 AS inb FROM sa
+                    UNION ALL
+                    SELECT h, 0 AS ina, 1 AS inb FROM sb)
+              GROUP BY h),
+            u AS (SELECT * FROM t ORDER BY h LIMIT 64),
+            e AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+                     CAST(SUM(CASE WHEN ina = 1 AND inb = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS inter_n
+              FROM u),
+            x AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+                     CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS exact_inter
+              FROM (SELECT h, COUNT(*) AS n
+                    FROM (SELECT h FROM a UNION ALL SELECT h FROM b)
+                    GROUP BY h))
+            SELECT e.k_used, e.inter_n,
+                   ((e.inter_n * 20000 + e.k_used)
+                     // (2 * NULLIF(e.k_used, 0))) / 10000.0
+                     AS est_jaccard,
+                   x.exact_inter, x.exact_union,
+                   ((x.exact_inter * 20000 + x.exact_union)
+                     // (2 * NULLIF(x.exact_union, 0))) / 10000.0
+                     AS exact_jaccard
+            FROM e CROSS JOIN x""",
       // x90: the x9 quality rational rounded half-up to basis points,
       // binned and averaged in exact integers.
       "x90_reliability" ->

@@ -154,4 +154,46 @@ class SketchOpsSpec extends AnyFunSuite {
       .filter(col("qb2") === qb).count()
     assert(nAbove + inBucket >= k)
   }
+
+  test("kmvSignature is the k smallest distinct hashes; NULLs excluded") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = (1 to 50).map(i => s"doc ${i % 20}") :+ (null: String)
+    val df = docs.toDF("text")
+    val sig = SketchOps.kmvSignature(df, col("text"), 8)
+      .collect().map(_.getString(0)).toSeq
+    val full = df.select(md5(col("text")).as("h")).filter(col("h").isNotNull)
+      .distinct().collect().map(_.getString(0)).sorted
+    assert(sig == full.take(8).toSeq)
+    assert(sig == sig.sorted && sig.distinct.size == sig.size)
+  }
+
+  test("kmv signatures merge: bottom-k of two signatures = signature of the union") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val a = (1 to 40).map(i => s"a$i").toDF("text")
+    val b = (1 to 40).map(i => s"b$i").toDF("text")
+    val k = 16
+    // the k smallest hashes of A ∪ B all live in sigA ∪ sigB, so the
+    // raw-hash merge of the two signatures IS the union's signature
+    val fromSigs = SketchOps.kmvMerge(
+      SketchOps.kmvSignature(a, col("text"), k)
+        .unionAll(SketchOps.kmvSignature(b, col("text"), k)), k)
+      .collect().map(_.getString(0)).toSeq
+    val fromUnion = SketchOps.kmvSignature(a.unionAll(b), col("text"), k)
+      .collect().map(_.getString(0)).toSeq
+    assert(fromSigs == fromUnion)
+  }
+
+  test("kmvOverlap is exact when k covers the union") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val a = Seq("x", "y", "z", "only-a").toDF("text")
+    val b = Seq("x", "y", "only-b").toDF("text")
+    val row = SketchOps.kmvOverlap(
+      SketchOps.kmvSignature(a, col("text"), 64),
+      SketchOps.kmvSignature(b, col("text"), 64), 64).collect().head
+    assert(row.getAs[Long]("k_used") == 5L) // |A ∪ B|
+    assert(row.getAs[Long]("inter_n") == 2L) // {x, y}
+  }
 }
