@@ -239,6 +239,28 @@ object SketchOps {
     sigs.select("h").distinct().orderBy("h").limit(k)
   }
 
+  /** Containment estimate from two [[kmvSignature]]s built at the same
+    * `k`: over the union's bottom-k (the tag-and-max merge), `inter_n`
+    * counts members in BOTH and `new_n` counts members of `sigNew` —
+    * inter_n / new_n estimates |New ∩ Hist| / |New|, the "fraction of
+    * this batch already seen" a resident ingest process reads off its
+    * persisted signature log before deciding whether a full dedup pass
+    * is worth scheduling (the corpus-level complement of
+    * [[graft.operators.DedupOps.dupRateSample]]'s within-corpus scout).
+    */
+  def kmvContainment(sigNew: DataFrame, sigHist: DataFrame,
+      k: Int): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val tagged = sigNew.select(col("h"), lit(1L).as("_n"), lit(0L).as("_h"))
+      .unionAll(sigHist.select(col("h"), lit(0L).as("_n"), lit(1L).as("_h")))
+    tagged.groupBy("h").agg(max("_n").as("_n"), max("_h").as("_h"))
+      .orderBy("h").limit(k)
+      .agg(count(lit(1)).as("k_used"),
+        sum(when(col("_n") === 1 && col("_h") === 1, 1L).otherwise(0L))
+          .as("inter_n"),
+        sum("_n").as("new_n"))
+  }
+
   /** Jaccard estimate from two [[kmvSignature]]s built at the same `k`:
     * over the UNION's bottom-k hashes (a uniform sample of the union,
     * since md5 order is independent of the data), the fraction present

@@ -426,6 +426,51 @@ object Ext2Queries {
             .as("exact_jaccard"))
     }),
 
+    // ---- per-batch novelty from a PERSISTED KMV signature log (the
+    // x69/x47b from-state discipline): three id-ordered waves each
+    // persist their 64-hash signature; at each later wave the gate
+    // reads the log, folds history by raw-hash bottom-k (kmvMerge ==
+    // the union's signature, spec-pinned), and estimates the fraction
+    // of the arriving wave already seen — beside the exact census. The
+    // "schedule a dedup pass?" decision from k-row artifacts, never a
+    // history re-scan.
+    "x91b_kmv_novelty_from_state" -> ((s, d) => {
+      import graft.operators.SketchOps
+      import graft.queries.Det.round4Rat
+      val k = 64
+      val p = Tables.documents(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) < 3,
+          concat(lit("shared "), pmod(col("doc_id"), lit(40)).cast("string")))
+          .otherwise(col("text")).as("text"),
+        pmod(col("doc_id"), lit(3)).as("b"))
+      val store = graft.operators.StageIO.resolve(s, None, "x91b-kmv")
+      (0 to 2).foreach { b =>
+        SketchOps.kmvSignature(p.filter(col("b") === b), col("text"), k)
+          .write.mode("overwrite").parquet(s"$store/b=$b")
+      }
+      val est = (1 to 2).map { b =>
+        val hist = SketchOps.kmvMerge(
+          (0 until b).map(w => s.read.parquet(s"$store/b=$w"))
+            .reduce(_ unionAll _), k)
+        SketchOps.kmvContainment(s.read.parquet(s"$store/b=$b"), hist, k)
+          .withColumn("batch", lit(b.toLong))
+      }.reduce(_ unionAll _)
+      val hb = p.select(md5(col("text")).as("h"), col("b")).distinct()
+      val firstB = hb.groupBy("h").agg(min("b").as("_fb"))
+      val exact = hb.join(firstB, "h").filter(col("b") >= 1)
+        .groupBy(col("b").as("batch"))
+        .agg(count(lit(1)).as("exact_batch_n"),
+          sum(when(col("_fb") < col("b"), 1L).otherwise(0L))
+            .as("exact_inter"))
+      est.join(exact, "batch")
+        .select(col("batch"), col("k_used"), col("inter_n"), col("new_n"),
+          round4Rat(col("inter_n"), col("new_n")).as("est_contained"),
+          col("exact_inter"), col("exact_batch_n"),
+          round4Rat(col("exact_inter"), col("exact_batch_n"))
+            .as("exact_contained"))
+        .orderBy("batch")
+    }),
+
     // ---- calibration reliability table for the x9 quality score
     // against a deterministic binary label (is the document long?):
     // ten bins, per-bin mean confidence vs empirical positive rate vs
@@ -810,6 +855,56 @@ object Ext2Queries {
                      // (2 * NULLIF(x.exact_union, 0))) / 10000.0
                      AS exact_jaccard
             FROM e CROSS JOIN x""",
+      // x91b: per-wave novelty — history signature computed directly as
+      // bottom-64 of the earlier waves' distinct hashes (== the
+      // raw-hash merge of their persisted signatures, the spec-pinned
+      // kmvMerge property), then the same tag-and-max containment and
+      // first-wave exact census.
+      "x91b_kmv_novelty_from_state" -> {
+        def est(b: Int) =
+          s"""SELECT CAST($b AS BIGINT) AS batch,
+                     CAST(COUNT(*) AS BIGINT) AS k_used,
+                     CAST(SUM(CASE WHEN nn = 1 AND hh = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS inter_n,
+                     CAST(SUM(nn) AS BIGINT) AS new_n
+              FROM (
+                SELECT h, max(nn) AS nn, max(hh) AS hh FROM (
+                  SELECT h, 1 AS nn, 0 AS hh FROM (
+                    SELECT h FROM (SELECT DISTINCT md5(text) AS h
+                                   FROM p WHERE b = $b)
+                    ORDER BY h LIMIT 64)
+                  UNION ALL
+                  SELECT h, 0 AS nn, 1 AS hh FROM (
+                    SELECT h FROM (SELECT DISTINCT md5(text) AS h
+                                   FROM p WHERE b < $b)
+                    ORDER BY h LIMIT 64))
+                GROUP BY h ORDER BY h LIMIT 64)"""
+        s"""WITH p AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 < 3
+                       THEN 'shared ' || CAST(doc_id % 40 AS VARCHAR)
+                       ELSE text END AS text,
+                     doc_id % 3 AS b
+              FROM documents),
+            hb AS (SELECT DISTINCT md5(text) AS h, b FROM p),
+            fb AS (SELECT h, min(b) AS fbb FROM hb GROUP BY h),
+            x AS (
+              SELECT b AS batch,
+                     CAST(COUNT(*) AS BIGINT) AS exact_batch_n,
+                     CAST(SUM(CASE WHEN fbb < b THEN 1 ELSE 0 END)
+                       AS BIGINT) AS exact_inter
+              FROM hb JOIN fb USING (h) WHERE b >= 1 GROUP BY b),
+            e AS (${est(1)} UNION ALL ${est(2)})
+            SELECT e.batch, e.k_used, e.inter_n, e.new_n,
+                   ((e.inter_n * 20000 + e.new_n)
+                     // (2 * NULLIF(e.new_n, 0))) / 10000.0
+                     AS est_contained,
+                   x.exact_inter, x.exact_batch_n,
+                   ((x.exact_inter * 20000 + x.exact_batch_n)
+                     // (2 * NULLIF(x.exact_batch_n, 0))) / 10000.0
+                     AS exact_contained
+            FROM e JOIN x USING (batch) ORDER BY batch"""
+      },
       // x90: the x9 quality rational rounded half-up to basis points,
       // binned and averaged in exact integers.
       "x90_reliability" ->

@@ -185,6 +185,19 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(fromSigs == fromUnion)
   }
 
+  test("kmvContainment is exact when k covers the union") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val batch = Seq("x", "y", "new1", "new2").toDF("text")
+    val hist = Seq("x", "y", "z").toDF("text")
+    val row = SketchOps.kmvContainment(
+      SketchOps.kmvSignature(batch, col("text"), 64),
+      SketchOps.kmvSignature(hist, col("text"), 64), 64).collect().head
+    assert(row.getAs[Long]("k_used") == 5L) // |batch ∪ hist|
+    assert(row.getAs[Long]("new_n") == 4L) // batch members
+    assert(row.getAs[Long]("inter_n") == 2L) // {x, y} already seen
+  }
+
   test("kmvOverlap is exact when k covers the union") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
