@@ -150,6 +150,53 @@ object DedupOps {
         countDistinct(md5(col(textCol))).as("n_distinct"))
   }
 
+  /** Truncation duplicates: pairs where the SHORTER document is a whole
+    * token-prefix of the longer one — the same page crawled to
+    * different depths, a feed item vs its full article. Exact dedup
+    * can't see these (different bytes), and MinHash misses them once
+    * the truncation is deep (Jaccard ≈ len_short/len_long falls under
+    * any practical threshold) — so the prefix relation gets its own
+    * blocked join.
+    *
+    * Blocking: equi-join on md5 of the first `blockTokens` tokens
+    * (docs shorter than the block use their full token list — a pair
+    * whose SHORT side is under `blockTokens` tokens still blocks
+    * correctly, because the comparison key is always min(blockTokens,
+    * shorter-len) tokens of BOTH sides... which only holds when the
+    * short side fills the block; sub-block shorts are therefore only
+    * found against longs sharing their exact full-prefix key, i.e.
+    * this operator's resolution floor IS `blockTokens` — size it to
+    * the shortest truncation worth catching). Within a block the
+    * verification is an exact codegen'd prefix check on a token
+    * boundary (`long = short + " …"`), so false block collisions cost
+    * one string compare. Hot prefixes (a boilerplate opener shared by
+    * millions of docs) are the skew hazard: blocks above `maxBlock`
+    * docs are dropped from pairing, the x4b/x29b DF-cap discipline —
+    * a prefix shared that widely is boilerplate for [[hotSpanScrub]],
+    * not a truncation pair.
+    */
+  def prefixDups(docs: DataFrame, textCol: String, idCol: String,
+      blockTokens: Int, maxBlock: Long = 10000L): DataFrame = {
+    require(blockTokens > 0, s"need blockTokens > 0, got $blockTokens")
+    require(maxBlock > 1, s"a maxBlock under 2 pairs nothing: $maxBlock")
+    val toks = split(col(textCol), " ")
+    val keyed = docs.select(col(idCol), col(textCol),
+      md5(array_join(slice(toks, 1, blockTokens), " ")).as("_bk"),
+      length(col(textCol)).cast("long").as("_len"))
+    val sizes = keyed.groupBy("_bk").agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") <= maxBlock)
+    val inBlock = keyed.join(sizes, "_bk")
+    val a = inBlock.select(col("_bk"), col(idCol).as("short_id"),
+      col(textCol).as("_st"), col("_len").as("short_len"))
+    val b = inBlock.select(col("_bk"), col(idCol).as("long_id"),
+      col(textCol).as("_lt"), col("_len").as("long_len"))
+    a.join(b, "_bk")
+      .filter(col("short_len") < col("long_len") &&
+        col("_lt").substr(lit(1), (col("short_len") + 1).cast("int")) ===
+          concat(col("_st"), lit(" ")))
+      .select("short_id", "long_id", "short_len", "long_len")
+  }
+
   /** Duplicate-DISCOUNTED training weights — soft dedup: keep every
     * copy, but weight each row by 1/|its duplicate group| so a text
     * duplicated k times contributes one group's worth of training mass

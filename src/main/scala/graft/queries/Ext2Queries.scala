@@ -471,6 +471,27 @@ object Ext2Queries {
         .orderBy("batch")
     }),
 
+    // ---- truncation duplicates: the shorter doc is a whole
+    // token-prefix of the longer (the same page crawled to different
+    // depths) — invisible to exact dedup (different bytes) and to
+    // MinHash once the truncation is deep (Jaccard ≈ len ratio). The
+    // plant repeats a 4-word phrase 2/3/4 times keyed by doc_id (a
+    // plant modulus coprime to 3, so the rep count actually varies), so
+    // every shorter planted doc prefixes every longer one; blocking at
+    // 8 tokens makes the 2-rep (8-token) docs block with the rest.
+    // The oracle replays plant, blocking, and the boundary-exact
+    // prefix check.
+    "x92_prefix_dups" -> ((s, d) => {
+      val phrase = "alpha beta gamma delta"
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          array_join(array_repeat(lit(phrase),
+            (pmod(col("doc_id"), lit(3)) + 2).cast("int")), " "))
+          .otherwise(col("text")).as("text"))
+      DedupOps.prefixDups(planted, "text", "doc_id", blockTokens = 8)
+        .orderBy("short_id", "long_id")
+    }),
+
     // ---- calibration reliability table for the x9 quality score
     // against a deterministic binary label (is the document long?):
     // ten bins, per-bin mean confidence vs empirical positive rate vs
@@ -855,6 +876,31 @@ object Ext2Queries {
                      // (2 * NULLIF(x.exact_union, 0))) / 10000.0
                      AS exact_jaccard
             FROM e CROSS JOIN x""",
+      // x92: identical plant, 8-token blocking key, boundary-exact
+      // prefix verification.
+      "x92_prefix_dups" ->
+        """WITH p AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                       THEN array_to_string(list_transform(
+                              range(CAST(doc_id % 3 AS BIGINT) + 2),
+                              i -> 'alpha beta gamma delta'), ' ')
+                       ELSE text END AS text
+              FROM documents),
+            k AS (
+              SELECT doc_id, text,
+                     md5(array_to_string(
+                       string_split(text, ' ')[1:8], ' ')) AS bk,
+                     CAST(len(text) AS BIGINT) AS ln
+              FROM p),
+            ok AS (
+              SELECT bk FROM k GROUP BY bk HAVING COUNT(*) <= 10000)
+            SELECT a.doc_id AS short_id, b.doc_id AS long_id,
+                   a.ln AS short_len, b.ln AS long_len
+            FROM k a JOIN ok USING (bk) JOIN k b ON a.bk = b.bk
+            WHERE a.ln < b.ln
+              AND substr(b.text, 1, CAST(a.ln + 1 AS INT)) = a.text || ' '
+            ORDER BY short_id, long_id""",
       // x91b: per-wave novelty — history signature computed directly as
       // bottom-64 of the earlier waves' distinct hashes (== the
       // raw-hash merge of their persisted signatures, the spec-pinned

@@ -50,6 +50,32 @@ class ExtOpsSpec extends AnyFunSuite {
       (3L, 3L, 333333L), (4L, 1L, 1000000L)))
   }
 
+  test("prefixDups: token-boundary prefixes pair; mid-token and equal text don't") {
+    val docs = Seq(
+      (1L, "a b c d"),            // prefix of 2 and 3
+      (2L, "a b c d e f"),        // prefix of 3
+      (3L, "a b c d e f g h"),
+      (4L, "a b c x"),            // same 3-token opening, diverges in-block
+      (5L, "a b c d"),            // equal text to 1 — exact dedup's regime
+      (6L, "a b c de")            // 'a b c d' is a CHAR prefix, not a token one
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.prefixDups(docs, "text", "doc_id", blockTokens = 3)
+      .collect().map(r => (r.getAs[Long]("short_id"), r.getAs[Long]("long_id")))
+      .toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (5L, 2L), (5L, 3L)),
+      pairs)
+  }
+
+  test("prefixDups: a block over maxBlock is dropped from pairing (DF-cap)") {
+    val hot = (1L to 5L).map(i => (i, s"same opener words here tail$i x"))
+    val cold = Seq((10L, "cold start b"), (11L, "cold start b c d"))
+    val pairs = DedupOps.prefixDups((hot ++ cold).toDF("doc_id", "text"),
+        "text", "doc_id", blockTokens = 3, maxBlock = 4L)
+      .collect().map(r => (r.getAs[Long]("short_id"), r.getAs[Long]("long_id")))
+      .toSet
+    assert(pairs == Set((10L, 11L)), pairs)
+  }
+
   test("duplicateDiscount: NULL-keyed rows group together instead of vanishing") {
     val docs = Seq((1L, null: String), (2L, null: String), (3L, "t"))
       .toDF("doc_id", "text")

@@ -538,6 +538,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial"), p)
   }
 
+  test("x92: prefix-dup pairing is an equi-join on the block key, never a cross join") {
+    val p = plan("x92_prefix_dups")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"pairing must stay blocked on the prefix key:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
   test("x70: dhash pair search is an equi-join on (band, word), never a cross join") {
     import org.apache.spark.sql.functions._
     val hashes = graft.operators.MultimodalOps.imageDHash(
