@@ -460,14 +460,25 @@ object PackingOps {
       .otherwise(col(costCol).cast("long"))
     val hist = staged.groupBy(col(classCol), col(scoreCol))
       .agg(sum(checkedCost).as("_mass"))
-    val byScore = Window.partitionBy(classCol).orderBy(col(scoreCol).desc)
+    // desc_nulls_last pinned explicitly (Spark's desc default, DuckDB's
+    // default_null_order — but the docstring's "NULL sorts as the worst
+    // bucket" must not ride on two engines' defaults staying aligned)
+    val byScore = Window.partitionBy(classCol)
+      .orderBy(col(scoreCol).desc_nulls_last)
     val marked = hist
       .withColumn("_cum", sum("_mass").over(byScore))
       .withColumn("_start", col("_cum") - col("_mass"))
       .filter(col("_start") <= budget)
       .withColumn("_full", col("_cum") <= budget)
-      .select(col(classCol), col(scoreCol), col("_start"), col("_full"))
-    val joined = staged.join(marked, Seq(classCol, scoreCol))
+      .select(col(classCol).as("_fb_cls"), col(scoreCol).as("_fb_sc"),
+        col("_start"), col("_full"))
+    // NULL-SAFE join back (the calibrateByClass discipline): a plain
+    // equi-join would silently DROP NULL-keyed rows (NULL != NULL),
+    // diverging from the documented global-window twin, which keeps a
+    // NULL-scored row last while budget remains (ADVICE r12).
+    val joined = staged.join(marked,
+        col(classCol) <=> col("_fb_cls") && col(scoreCol) <=> col("_fb_sc"))
+      .drop("_fb_cls", "_fb_sc")
     val full = joined.filter(col("_full")).drop("_start", "_full")
     val byTie = Window.partitionBy(col(classCol), col(scoreCol))
       .orderBy(col(idCol))
@@ -676,7 +687,13 @@ object PackingOps {
       : DataFrame = {
     val counts = df.groupBy(col(classCol), col(scoreCol))
       .agg(count(lit(1)).as("_c"))
-    val wCum = Window.partitionBy(classCol).orderBy(scoreCol)
+    // asc_nulls_first pinned explicitly: Spark's asc default puts NULLs
+    // first but DuckDB's default is NULLS LAST, so an unpinned order
+    // would rank a NULL-scored group HIGHEST on the oracle side — a
+    // latent cross-engine divergence (ADVICE r12; the x83 oracle pins
+    // NULLS FIRST on its side of the same contract)
+    val wCum = Window.partitionBy(classCol)
+      .orderBy(col(scoreCol).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(classCol)
     val cum = counts

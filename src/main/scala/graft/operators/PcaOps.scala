@@ -68,7 +68,13 @@ object PcaOps {
         posexplode(col("_q")).as(Seq("j", "xj")))
       .filter(col("j") >= col("i"))
       .groupBy("i", "j")
-      .agg(sum((col("xi") * col("xj")).cast(DecimalType(38, 0))).as("s"))
+      // cast BEFORE the multiply: a LONG xi*xj silently wraps past ~3e5
+      // coordinate magnitude at the default scale, breaking the "exact
+      // integer aggregation" contract (ADVICE r12); decimal(19,0)² is
+      // widened by Spark to an exact decimal(38,0) product. The oracle
+      // twin multiplies in HUGEINT for the same reason.
+      .agg(sum(col("xi").cast(DecimalType(19, 0)) *
+        col("xj").cast(DecimalType(19, 0))).as("s"))
 
   /** Top-k principal components from the persisted [[gramUpper]] +
     * [[dimSums]] artifacts: centers the second moment

@@ -571,7 +571,7 @@ object Ext2Queries {
                          generate_subscripts(embedding, 1) AS ord
                   FROM embeddings))
           SELECT a.pos AS i, b.pos AS j,
-                 CAST(SUM(a.qv * b.qv) AS BIGINT) AS s
+                 CAST(SUM(CAST(a.qv AS HUGEINT) * b.qv) AS BIGINT) AS s
           FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.pos >= a.pos
           GROUP BY a.pos, b.pos ORDER BY i, j"""
     // x82b: projection replayed from the persisted component artifact
@@ -614,7 +614,8 @@ object Ext2Queries {
                       FROM documents)))),
           c AS (
             SELECT doc_id, source, quality,
-                   CAST(COUNT(*) OVER (PARTITION BY source ORDER BY quality
+                   CAST(COUNT(*) OVER (PARTITION BY source
+                     ORDER BY quality NULLS FIRST
                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      AS BIGINT) AS n_le,
                    CAST(COUNT(*) OVER (PARTITION BY source)
@@ -717,12 +718,16 @@ object Ext2Queries {
                    CAST(len(text) AS BIGINT) AS n_bytes
             FROM documents),
           agg AS (
+            -- LEFT join + coalesce, matching the Spark side exactly: a
+            -- document with zero regex words has no BPE-replay row but
+            -- still counts in the per-lang census with n_tokens = 0
+            -- (ADVICE r12: an inner join here dropped such docs)
             SELECT w.lang,
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(w.n_words) AS BIGINT) AS n_words,
-                   CAST(SUM(bt.n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(SUM(coalesce(bt.n_tokens, 0)) AS BIGINT) AS n_tokens,
                    CAST(SUM(w.n_bytes) AS BIGINT) AS n_bytes
-            FROM w JOIN ($bpeDoc) bt USING (doc_id)
+            FROM w LEFT JOIN ($bpeDoc) bt USING (doc_id)
             GROUP BY w.lang)
           SELECT lang, n_docs, n_words, n_tokens, n_bytes,
                  ((n_tokens * 20000 + n_words) // (2 * NULLIF(n_words, 0)))
@@ -814,7 +819,7 @@ object Ext2Queries {
             c AS (
               SELECT source, doc_id, score, toks,
                      SUM(toks) OVER (PARTITION BY source
-                       ORDER BY score DESC, doc_id
+                       ORDER BY score DESC NULLS LAST, doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS cum
               FROM t)
