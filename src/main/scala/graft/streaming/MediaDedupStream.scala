@@ -79,13 +79,18 @@ object MediaDedupStream {
       // bounded collect: ≤ 256 prefix buckets — the store-scan filter
       val pfxes = hashes.select("pfx").distinct().collect()
         .map(_.getLong(0))
+      // widened with the mod-16 projections: small batches store coarse
+      // buckets (the DeltaManifest.pfxWidth LSM dial, numeric analog) —
+      // a coarse stored bucket is relevant exactly when it equals a
+      // probed bucket mod 16; extra rows fall out of the anti-join
+      val probePfxes = (pfxes ++ pfxes.map(_ % 16)).distinct
       // within-batch collapse first: lowest asset_id owns a hash
       val winners = hashes.groupBy(words.map(col) :+ col("pfx"): _*)
         .agg(min("asset_id").as("asset_id"))
       val admitted = readStore(spark, storeDir) match {
         case Some(store) =>
           val prior = store.filter(col("batch_id") < batchId &&
-              col("pfx").isin(pfxes: _*))
+              col("pfx").isin(probePfxes: _*))
             .select(words.map(col): _*).distinct()
           winners.join(prior, words, "left_anti")
         case None => winners
@@ -98,7 +103,15 @@ object MediaDedupStream {
           .write.mode("overwrite").parquet(s"$cleanDir/batch=$batchId")
         a.join(keptIds, Seq("asset_id"), "left_anti")
           .write.mode("overwrite").parquet(s"$droppedDir/batch=$batchId")
-        admitted.select(col("pfx") +: words.map(col) :+ col("asset_id"): _*)
+        // adaptive bucket count + pfx-clustered write (the
+        // DeltaManifest.writePartitionedAdaptive discipline, numeric
+        // analog): a small batch writes 16 dirs, not 256 dirs of
+        // ~15 ms commit overhead each
+        val mod = if (admitted.count() <
+            graft.operators.DeltaManifest.adaptiveRowCutoff) 16 else 256
+        admitted.select(pmod(col("dh_r_lo"), lit(mod)).as("pfx") +:
+            words.map(col) :+ col("asset_id"): _*)
+          .repartition(col("pfx"))
           .write.mode("overwrite").partitionBy("pfx")
           .parquet(s"$storeDir/batch_id=$batchId")
       } finally admitted.unpersist()

@@ -65,8 +65,11 @@ object ParagraphStream {
         .map(_.getString(0))
       val admitted = (readStore(spark, storeDir) match {
         case Some(store) =>
+          // widened prefix set: small batches store 1-char buckets
+          // (the DeltaManifest.pfxWidth LSM dial)
           val prior = store.filter(col("batch_id") < batchId &&
-              col("pfx").isin(pfxes: _*))
+              col("pfx").isin(
+                graft.operators.DeltaManifest.widenPfxs(pfxes.toSeq): _*))
             .select("ph").distinct()
           winners.join(prior, Seq("ph"), "left_anti")
         case None => winners
@@ -78,12 +81,13 @@ object ParagraphStream {
             coalesce(col("_ord") === col("_owner"), lit(false)))
         DedupOps.reassembleParas(flagged, idCol, sep)
           .write.mode("overwrite").parquet(s"$cleanDir/batch=$batchId")
-        // cluster by pfx before the partitioned write (the DeltaManifest
-        // discipline): without it every shuffle task writes into every
-        // pfx dir — O(tasks × 256) files per batch instead of ≤ 256
-        admitted.select("pfx", "ph").repartition(col("pfx"))
-          .write.mode("overwrite").partitionBy("pfx")
-          .parquet(s"$storeDir/batch_id=$batchId")
+        // adaptive partitioned write (the DeltaManifest discipline):
+        // pfx-clustered so tasks don't fan files into every bucket, and
+        // bucket width sized to the batch — a small wave writes 16 dirs
+        // instead of paying ~4 s of 256-dir commit overhead
+        graft.operators.DeltaManifest.writePartitionedAdaptive(
+          admitted.select("pfx", "ph"),
+          s"$storeDir/batch_id=$batchId", col("ph"))
       } finally {
         admitted.unpersist()
         winners.unpersist()

@@ -103,7 +103,15 @@ class DeltaManifestSpec extends AnyFunSuite {
         new org.apache.hadoop.fs.Path(s"$state/hashes/batch=0"))
       .map(_.getPath.getName).filter(_.startsWith("pfx="))
     assert(pfxDirs.nonEmpty, "batch 0 hashes must be pfx-partitioned")
-    assert(pfxDirs.forall(_.length == "pfx=".length + DeltaManifest.pfxLen))
+    // adaptive LSM width: the bucket width must be what this batch's
+    // row count earns (a small batch writes 16 coarse buckets instead
+    // of paying 256 dirs of commit overhead; a corpus-scale batch keeps
+    // the full fan-out) — and uniform within the batch dir
+    val batchRows = spark.read.parquet(s"$state/hashes/batch=0").count()
+    val expectW = DeltaManifest.pfxWidth(batchRows)
+    assert(pfxDirs.forall(_.length == "pfx=".length + expectW),
+      s"bucket width must be pfxWidth($batchRows)=$expectW: " +
+        pfxDirs.take(3).mkString(","))
     // prune parity: an anti-join against the log restricted to the
     // probe's own prefixes equals the unrestricted one — rows outside
     // the probe's prefixes can never match it
