@@ -918,6 +918,43 @@ object ExtQueries {
     // rebuild, the x48 discipline on the similarity surface).
     "x54_ann_index_probe" -> ((s, d) => x54Probe(s, d, x54Build(s, d))),
 
+    // ---- the STREAMING twin of x54 (judge r12 #4 — the x58b/x70c/x80b
+    // promotion pattern on the last state stream without a hash-gated
+    // row): init freezes the quantizers on wave 0, waves 1 and 2 stream
+    // through AnnIndexStream's index-maintenance driver (a real
+    // Structured Streaming query over a MemoryStream — foreachBatch →
+    // AnnIndex.appendBatch, exactly-once by batch-keyed overwrite), and
+    // the probe reads the STREAM-maintained postings. The oracle is
+    // x54's full-corpus replay from the persisted quantizers rebased to
+    // this query's artifact tag — so the gate pins that streaming
+    // maintenance converges to the batch build bit for bit. The wave
+    // collect is the test-harness seam (a deployment feeds a real
+    // source); quantizer artifacts stay frozen, ticks stay O(arrivals).
+    "x54c_ann_index_stream" -> ((s, d) => {
+      import graft.operators.{AnnIndex, StageIO}
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val emb = Tables.embeddings(s, d)
+      val base = s"${StageIO.artifactRoot(s)}" +
+        s"/ann_index_stream/${new java.io.File(d).getName}"
+      AnnIndex.init(s, emb.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", base, kCells = 8, m = 16, kCodewords = 64)
+      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val input = MemoryStream[(Long, Seq[Float])]
+      val q = graft.streaming.AnnIndexStream.startIndexMaintenance(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        base, StageIO.resolve(s, None, "x54c-ckpt"))
+      def wave(k: Int): Seq[(Long, Seq[Float])] =
+        emb.filter(col("vec_id") % 3 === k)
+          .select("vec_id", "embedding").collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      try {
+        input.addData(wave(1)); q.processAllAvailable()
+        input.addData(wave(2)); q.processAllAvailable()
+      } finally q.stop()
+      x54Probe(s, d, base)
+    }),
+
     // sliding context windows: width-120 chunks every 90 chars (30-char
     // overlap) — the standard prep before tokenize-and-pack; row-local
     // integer window math, one generate, no shuffle. Every doc yields at
@@ -5232,6 +5269,12 @@ object ExtQueries {
       dhashOracle ++ dhashPairsOracle ++ audioOracle ++ videoOracle ++
       hardNegOracle ++ sqOracle ++ sqFromBoundsOracle ++
       driftFromStateOracle +
+      // x54c's oracle IS x54's rebased onto the stream-maintained
+      // artifact tag: streaming maintenance must converge to the batch
+      // build exactly (frozen quantizers + batch-keyed appends)
+      ("x54c_ann_index_stream" ->
+        m("x54_ann_index_probe").replace("/ann_index/",
+          "/ann_index_stream/")) +
       // x77: the planted type cycles (toAssets id%3 bmp/wav/gvid;
       // toRasterAssets id%4 png/png/gif/png) — the sniffer must recover
       // this from payload bytes alone
