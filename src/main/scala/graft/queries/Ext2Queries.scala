@@ -73,6 +73,24 @@ object Ext2Queries {
     s.read.parquet(dir)
   }
 
+  /** Shared x93/x93b output shape: census + exact-rational average +
+    * an integer-comparison keep gate (`sum_bps ≥ thr·n_scored` — the
+    * rounding in `avg_bps` is display, never the decision).
+    */
+  private val lmKeepThresholdBps = 800L
+
+  private def lmScoreProjection(scored: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.queries.Det.round4RatBig
+    scored.select(col("doc_id"), col("n_scored"), col("sum_bps"),
+        round4RatBig(col("sum_bps"), col("n_scored")).as("avg_bps"),
+        when(col("n_scored") === 0, lit(0L))
+          .otherwise((col("sum_bps") >=
+            lit(lmKeepThresholdBps) * col("n_scored")).cast("long"))
+          .as("keep"))
+      .orderBy("doc_id")
+  }
+
   def defs: Map[String, Q] = Map(
     // ---- corpus-wide paragraph dedup (CCNet granularity): keep-first
     // over md5(paragraph) with in-place reassembly. Paragraphs are
@@ -481,6 +499,45 @@ object Ext2Queries {
     // 8 tokens makes the 2-rep (8-token) docs block with the rest.
     // The oracle replays plant, blocking, and the boundary-exact
     // prefix check.
+    // ---- trigram stupid-backoff LM scoring (the KenLM/CCNet
+    // perplexity-filter shape): count tables trained on the EVEN-id
+    // half of the corpus, every document scored under them — seen
+    // trigrams score c3/c2, unseen ones back off (α = 2/5 exactly)
+    // through bigram and unigram, all integer bps. The hash gate pins
+    // every per-type backoff decision and every per-doc sum; the keep
+    // gate compares exact integers (sum ≥ thr·n — no rounding in the
+    // decision). Train/score asymmetry is the point: odd docs exercise
+    // all three backoff levels.
+    "x93_lm_backoff" -> ((s, d) => {
+      import graft.operators.LmOps
+      val docs = Tables.documents(s, d)
+      lmScoreProjection(LmOps.backoffScore(docs, "doc_id", "text",
+        LmOps.ngramCountsTo(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text")))
+    }),
+
+    // ---- the same gate FROM STATE (the x47b/x80b discipline on the
+    // LM surface): the even-id training half arrives in three waves
+    // through NgramStream's batch-keyed counter log; counts are
+    // mergeable by plain sum, so the merged log IS the one-pass table
+    // and the scores hash-match x93 exactly. This is the resident
+    // shape: the reference LM stays current per ingest batch, scoring
+    // never rescans the reference corpus.
+    "x93b_lm_backoff_from_state" -> ((s, d) => {
+      import graft.operators.{LmOps, StageIO}
+      import graft.streaming.NgramStream
+      val docs = Tables.documents(s, d)
+      val store = StageIO.resolve(s, None, "x93b-lm")
+      (0L to 2L).foreach { k =>
+        NgramStream.applyBatch(
+          docs.filter(pmod(col("doc_id"), lit(6)) === k * 2),
+          "text", store, k)
+      }
+      val counts = NgramStream.readCounts(s, store).getOrElse(
+        sys.error("x93b: empty count log"))
+      lmScoreProjection(LmOps.backoffScore(docs, "doc_id", "text", counts))
+    }),
+
     "x92_prefix_dups" -> ((s, d) => {
       val phrase = "alpha beta gamma delta"
       val planted = Tables.documents(s, d).select(col("doc_id"),
@@ -744,6 +801,74 @@ object Ext2Queries {
                  CAST(COUNT(*) AS BIGINT) AS n_frames
           FROM sc GROUP BY asset_id, scene_id
           ORDER BY asset_id, scene_id"""
+    // x93: even-id train split → three count tables → per-type stupid
+    // backoff in integer bps → per-doc census. Engine-portable by the
+    // same moves as everywhere: tokensRegex ≡ the string_split_regex
+    // filter, floor division both sides, keep decided on exact
+    // integers (sum_bps ≥ 800·n_scored — the fixture's discriminating
+    // band: the train half floors at 805 avg bps, held-out docs span
+    // 208–1073, so both gate outcomes occur on both halves' edges).
+    val lmBackoffSql =
+      s"""WITH w AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text),
+                     '[^a-z0-9]+'), x -> len(x) > 0) AS t
+            FROM documents),
+          tr AS (SELECT t FROM w WHERE doc_id % 2 = 0),
+          uni AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+              SELECT unnest(t) AS g FROM tr) GROUP BY g),
+          bi AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+              SELECT unnest(list_transform(range(1, len(t)),
+                i -> t[i]||' '||t[i+1])) AS g FROM tr) GROUP BY g),
+          tri AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+              SELECT unnest(list_transform(range(1, len(t)-1),
+                i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS g FROM tr)
+            GROUP BY g),
+          n AS (SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) AS n FROM uni),
+          occ AS (
+            SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS n_occ FROM (
+              SELECT doc_id, unnest(list_transform(range(1, len(t)-1),
+                i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS g FROM w)
+            GROUP BY doc_id, g),
+          ty AS (SELECT DISTINCT g FROM occ),
+          ts AS (
+            SELECT ty.g,
+                   CASE WHEN t3.c IS NOT NULL
+                          THEN (t3.c * 10000) // cx.c
+                        WHEN b.c IS NOT NULL
+                          THEN (b.c * 2 * 10000) // (u2.c * 5)
+                        WHEN u3.c IS NOT NULL
+                          THEN (u3.c * 4 * 10000) // (n.n * 25)
+                        ELSE 0 END AS tok_bps
+            FROM ty
+            LEFT JOIN tri t3 ON ty.g = t3.g
+            LEFT JOIN bi cx ON cx.g = string_split(ty.g, ' ')[1]
+              || ' ' || string_split(ty.g, ' ')[2]
+            LEFT JOIN bi b ON b.g = string_split(ty.g, ' ')[2]
+              || ' ' || string_split(ty.g, ' ')[3]
+            LEFT JOIN uni u2 ON u2.g = string_split(ty.g, ' ')[2]
+            LEFT JOIN uni u3 ON u3.g = string_split(ty.g, ' ')[3]
+            CROSS JOIN n),
+          agg AS (
+            SELECT o.doc_id, CAST(SUM(o.n_occ) AS BIGINT) AS n_scored,
+                   CAST(SUM(o.n_occ * ts.tok_bps) AS BIGINT) AS sum_bps
+            FROM occ o JOIN ts USING (g) GROUP BY o.doc_id)
+          SELECT d.doc_id,
+                 CAST(coalesce(a.n_scored, 0) AS BIGINT) AS n_scored,
+                 CAST(coalesce(a.sum_bps, 0) AS BIGINT) AS sum_bps,
+                 ((CAST(coalesce(a.sum_bps, 0) AS HUGEINT) * 20000
+                     + coalesce(a.n_scored, 0))
+                   // (2 * NULLIF(coalesce(a.n_scored, 0), 0)))
+                   / 10000.0 AS avg_bps,
+                 CAST(CASE WHEN coalesce(a.n_scored, 0) = 0 THEN 0
+                      WHEN coalesce(a.sum_bps, 0) >=
+                        800 * coalesce(a.n_scored, 0) THEN 1
+                      ELSE 0 END AS BIGINT) AS keep
+          FROM documents d LEFT JOIN agg a USING (doc_id)
+          ORDER BY d.doc_id"""
     Map(
       "x80_paragraph_dedup" -> paraSql,
       "x80b_paragraph_dedup_from_state" -> paraSql,
@@ -883,6 +1008,14 @@ object Ext2Queries {
             FROM e CROSS JOIN x""",
       // x92: identical plant, 8-token blocking key, boundary-exact
       // prefix verification.
+      // x93/x93b: the trigram stupid-backoff replay — identical
+      // tokenization, identical train split, integer-exact backoff
+      // arithmetic (// is floor over non-negative counts, matching the
+      // Spark side's decimal (a − a mod b)/b), integer keep gate.
+      // x93b's oracle IS x93's: merged per-wave counts equal the
+      // one-pass table (counts are sums).
+      "x93_lm_backoff" -> lmBackoffSql,
+      "x93b_lm_backoff_from_state" -> lmBackoffSql,
       "x92_prefix_dups" ->
         """WITH p AS (
               SELECT doc_id,

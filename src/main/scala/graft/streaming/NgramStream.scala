@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.LmOps
+
+/** Streaming maintenance of the [[LmOps]] n-gram count tables — the
+  * resident form of "train the reference LM once, keep it current":
+  * each document batch appends its own `(ord, gram, cnt)` counts under
+  * `storeDir/batch_id=<id>/`, and a reader merges the log by plain sum
+  * — counts are mergeable by construction, so the merged table over
+  * any batch partition of a corpus equals the one-pass table over its
+  * union, row for row (the x93b hash gate pins this end to end).
+  *
+  * Same counter-log discipline as [[SketchStream]]: a replayed batch
+  * OVERWRITES its own partition (at-least-once in, exactly-once
+  * effect), readers see only committed partitions, and [[compact]]
+  * folds the accumulated batch dirs into one pre-summed partition when
+  * file listing becomes the read's cost — after which every later read
+  * is `|vocab|` rows regardless of how many batches ever ran.
+  *
+  * At 100 TB the log stays Heaps-bounded: each batch's partition is
+  * its own distinct-gram frame, and the merged table is the corpus's —
+  * orders of magnitude smaller than the text. A deployment that needs
+  * a bounded ceiling prunes `cnt < minCount` tails at compaction (the
+  * KenLM discipline; scores then back off conservatively).
+  */
+object NgramStream {
+
+  /** Count one micro-batch of documents into the log. Overwrite-keyed
+    * by batch id: replay is a no-op.
+    */
+  def applyBatch(docs: DataFrame, textCol: String, storeDir: String,
+      batchId: Long, maxOrder: Int = 3): Unit = {
+    if (docs.isEmpty) return
+    LmOps.ngramCountsTo(docs, textCol, maxOrder)
+      .write.mode("overwrite").parquet(s"$storeDir/batch_id=$batchId")
+  }
+
+  /** The merged count table — `(ord, gram, cnt)` summed over every
+    * committed batch, or None before the first commit. Feed it to
+    * [[LmOps.backoffScore]] directly.
+    */
+  def readCounts(spark: SparkSession, storeDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p) && fs.listStatus(p)
+        .exists(_.getPath.getName.startsWith("batch_id=")))
+      Some(spark.read.parquet(storeDir)
+        .groupBy("ord", "gram")
+        .agg(sum("cnt").cast("long").as("cnt")))
+    else None
+  }
+
+  /** Fold every batch partition into ONE pre-summed partition keyed by
+    * the max folded id — the [[SketchStream.compact]] maintenance
+    * story. OFFLINE rule as everywhere: no batch writing, no folded id
+    * replayable.
+    */
+  def compact(spark: SparkSession, storeDir: String,
+      below: Long = Long.MaxValue): Unit = {
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    CounterLog.rollForward(spark, storeDir)
+    if (!CounterLog.hasData(spark, storeDir)) return
+    val all = spark.read.parquet(storeDir)
+      .filter(col("batch_id").cast("long") < below)
+    if (all.isEmpty) return
+    val maxId = all.agg(max(col("batch_id").cast("long"))).head().getLong(0)
+    val folded = all.groupBy("ord", "gram")
+      .agg(sum("cnt").cast("long").as("cnt"))
+    val next = new org.apache.hadoop.fs.Path(storeDir + ".next")
+    if (fs.exists(next)) fs.delete(next, true)
+    folded.write.mode("overwrite").parquet(s"$next/batch_id=$maxId")
+    fs.delete(p, true)
+    require(fs.rename(next, p), s"compaction swap failed: $next -> $p")
+  }
+
+  /** Run count maintenance continuously over a streaming document
+    * frame (foreachBatch → [[applyBatch]], the [[AnnIndexStream]]
+    * driver shape). Stream batch ids offset past a batch-0 seed.
+    */
+  def startCountMaintenance(docs: DataFrame, textCol: String,
+      storeDir: String, checkpointDir: String,
+      maxOrder: Int = 3): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyBatch(batch.toDF(), textCol, storeDir, batchId + 1L, maxOrder)
+      }
+      .start()
+}
