@@ -213,7 +213,7 @@ object Bench {
     // a typo'd filter would otherwise emit a clean-looking total=0 line
     // (x49_tick_only is a bench-synthesized timing, not a queries entry)
     val synthetic = Set("x49_tick_only", "x54_probe_only", "x56_probe_only",
-      "x57_apply_only")
+      "x57_apply_only", "x54c_probe_only")
     only.foreach(_.diff(SparkEntry.queries.keySet ++ synthetic).foreach(n =>
       System.err.println(s"[bench] WARNING: SPARK_GRAFT_ONLY name '$n' matches no query")))
     var failed = List.empty[String]
@@ -370,6 +370,14 @@ object Bench {
       marginal("x56_probe_only", "x56_ann_filtered") {
         val base = graft.queries.ExtQueries.x56Build(spark, sfDir)
         () => { graft.queries.ExtQueries.x56Probe(spark, sfDir, base).count(); () }
+      }
+      // x54c: run the streaming index maintenance once untimed (init +
+      // two MemoryStream waves — the build), time the probe against the
+      // stream-maintained postings: proves streaming maintenance costs
+      // nothing at read time vs the batch-built x54_probe_only.
+      marginal("x54c_probe_only", "x54c_ann_index_stream") {
+        val base = graft.queries.ExtQueries.x54cBuild(spark, sfDir)
+        () => { graft.queries.ExtQueries.x54Probe(spark, sfDir, base).count(); () }
       }
       // x57: train the BPE merge table once untimed, time corpus
       // tokenization from the read-back artifact (judge r12 #5) — the

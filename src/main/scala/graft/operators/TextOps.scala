@@ -154,6 +154,180 @@ object TextOps {
     (num, lit(5000L) * nt)
   }
 
+  // ---- Gopher / C4 document-quality rule sets (curation surface) ----
+  //
+  // The two standard public-web filter batteries every LLM corpus runs
+  // (Rae et al. 2021 "Scaling Language Models: ... Gopher", appendix A;
+  // Raffel et al. 2020 "Exploring the Limits of Transfer Learning" §2.2,
+  // the C4 heuristics), over line-structured text ('\n' line breaks).
+  // Every ratio threshold is decided by integer cross-multiplication so
+  // Spark and the DuckDB oracle agree bit for bit (x96/x97); the whole
+  // battery is per-row functions._ composition — codegen'd, no shuffle,
+  // 100 TB shape: a map-side gate that composes in front of any dedup or
+  // packing stage.
+
+  /** Gopher's required-stopword list (a document must contain ≥2 of
+    * these) — a different list from the scoring `stopwords` above; the
+    * distinction is part of the published rule.
+    */
+  val gopherStop: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher quality-rule census: per-document counts and the seven
+    * rule bits over `textCol` (lines split on '\n', words on spaces).
+    *   r1  50 ≤ n_words ≤ 100,000
+    *   r2  3 ≤ mean word length ≤ 10        (3·n ≤ Σlen ≤ 10·n)
+    *   r3  symbol-to-word ratio ≤ 0.1       ('#' words; 10·sym ≤ n)
+    *   r4  lines ending in '…'/'...' ≤ 30%  (10·ell ≤ 3·lines)
+    *   r5  lines starting with a bullet ≤ 90%
+    *   r6  words containing an alphabetic char ≥ 80%  (5·alpha ≥ 4·n)
+    *   r7  ≥ 2 of the required stopwords
+    * keep = all seven. Counts are emitted alongside the bits so the gate
+    * is auditable (which rule dropped the doc), the production debugging
+    * question.
+    */
+  def gopherRules(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val text = col(textCol)
+    val words = split(regexp_replace(text, "\n", " "), " ")
+    val lines = split(text, "\n")
+    val nWords = size(words).cast("long")
+    val sumWlen = aggregate(words, lit(0L), (a, w) => a + length(w))
+    val nStop = size(filter(words, w => w.isInCollection(gopherStop))).cast("long")
+    val nAlpha = size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("long")
+    val nSym = size(filter(words, w => w === lit("#"))).cast("long")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l => l.startsWith("- "))).cast("long")
+    val nEll = size(filter(lines, l => l.endsWith("..."))).cast("long")
+    val r1 = nWords >= 50L && nWords <= 100000L
+    val r2 = sumWlen >= nWords * 3L && sumWlen <= nWords * 10L
+    val r3 = nSym * 10L <= nWords
+    val r4 = nEll * 10L <= nLines * 3L
+    val r5 = nBullet * 10L <= nLines * 9L
+    val r6 = nAlpha * 5L >= nWords * 4L
+    val r7 = nStop >= 2L
+    df.select(col(idCol),
+      nWords.as("n_words"), sumWlen.as("sum_wlen"), nStop.as("n_stop"),
+      nAlpha.as("n_alpha"), nSym.as("n_sym"), nLines.as("n_lines"),
+      nBullet.as("n_bullet"), nEll.as("n_ell"),
+      r1.cast("long").as("r_wordcount"), r2.cast("long").as("r_wordlen"),
+      r3.cast("long").as("r_symbol"), r4.cast("long").as("r_ellipsis"),
+      r5.cast("long").as("r_bullet"), r6.cast("long").as("r_alpha"),
+      r7.cast("long").as("r_stopword"),
+      (r1 && r2 && r3 && r4 && r5 && r6 && r7).cast("long").as("keep"))
+  }
+
+  /** C4 line-level cleaning: keep lines that end in terminal punctuation
+    * (. ! ? ") AND carry ≥ `minWords` words; drop the whole page when it
+    * contains "lorem ipsum" (case-insensitive) or a '{', or when fewer
+    * than `minLines` lines survive. Emits the cleaned text (kept lines
+    * re-joined with '\n'; NULL when the page is dropped) plus the line
+    * census, so the output is both the filter decision and the
+    * transformed corpus.
+    */
+  def c4Clean(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, minWords: Int = 5, minLines: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    val text = col(textCol)
+    val lines = split(text, "\n")
+    val kept = filter(lines, l =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+        l.endsWith("\"")) && size(split(l, " ")) >= minWords)
+    val nKept = size(kept).cast("long")
+    val pageOk = !lower(text).contains("lorem ipsum") && !text.contains("{")
+    val keep = pageOk && nKept >= minLines.toLong
+    df.select(col(idCol),
+      size(lines).cast("long").as("n_lines"), nKept.as("n_kept"),
+      keep.cast("long").as("keep"),
+      when(keep, array_join(kept, "\n")).as("cleaned"))
+  }
+
+  // ---- secret scanning (curation surface) ----
+
+  /** Luhn checksum validity of a contiguous digit string (the check
+    * every credit-card-shaped redactor runs so plain order numbers
+    * aren't scrubbed): from the rightmost digit, double every second,
+    * subtract 9 when the double exceeds 9, total ≡ 0 (mod 10). Pure
+    * higher-order integer arithmetic over the char positions —
+    * codegen'd, and the identical list arithmetic is the DuckDB twin
+    * (x98).
+    */
+  def luhnValid(digits: Column): Column = {
+    val n = length(digits)
+    val total = aggregate(sequence(lit(1), n), lit(0L), (acc, i) => {
+      val d = digits.substr(i, lit(1)).cast("long")
+      // parity of the 0-based position from the RIGHT
+      val dd = when(pmod(n - i, lit(2)) === 1,
+        when(d * 2L > 9L, d * 2L - 9L).otherwise(d * 2L)).otherwise(d)
+      acc + dd
+    })
+    pmod(total, lit(10L)) === 0L
+  }
+
+  /** Credit-card shaped runs: exactly 16 digits, word-bounded. */
+  val ccPattern = "\\b\\d{16}\\b"
+
+  /** Hex-key shaped runs: ≥32 lowercase hex chars, word-bounded. */
+  val hexKeyPattern = "\\b[0-9a-f]{32,}\\b"
+
+  /** Secret scan + redaction: count 16-digit candidates, validate each
+    * with Luhn (only VALID numbers redact to `<CC>` — the false-positive
+    * discipline every production scrubber needs), and redact ≥32-char
+    * hex runs to `<KEY>`. Emits the censuses and the redacted text.
+    * Per-row codegen'd regex + fold work, no shuffle — composes in
+    * front of any sink like [[redactPii]].
+    */
+  def secretScan(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val text = col(textCol)
+    val ccCands = regexp_extract_all(text, lit(ccPattern), lit(0))
+    val valid = filter(ccCands, c => luhnValid(c))
+    val redacted = regexp_replace(
+      aggregate(valid, text, (t, c) =>
+        regexp_replace(t, concat(lit("\\b"), c, lit("\\b")), lit("<CC>"))),
+      hexKeyPattern, "<KEY>")
+    df.select(col(idCol),
+      size(ccCands).cast("long").as("n_cc_cand"),
+      size(valid).cast("long").as("n_cc_valid"),
+      size(regexp_extract_all(text, lit(hexKeyPattern), lit(0)))
+        .cast("long").as("n_keys"),
+      redacted.as("redacted"))
+  }
+
+  // ---- readability (curation surface) ----
+
+  /** Flesch–Kincaid grade level over line-structured text (lines are the
+    * sentence unit; syllables = vowel groups `[aeiouy]+` per word, min 1
+    * — the standard dictionary-free heuristic). The grade
+    * 0.39·(W/S) + 11.8·(Syl/W) − 15.59 is carried as one exact integer
+    * rational over the common denominator 100·S·W (floored at 0, the
+    * documented clamp keeping [[graft.queries.Det.round4Rat]] in its
+    * non-negative domain), and the easy/medium/hard banding is decided
+    * by integer cross-multiplication against grades 6 and 10 — both
+    * engines band identically, no float ever compared (x99).
+    */
+  def readability(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import graft.queries.Det.round4Rat
+    val text = col(textCol)
+    val words = split(regexp_replace(text, "\n", " "), " ")
+    val nW = size(words).cast("long")
+    val nS = size(split(text, "\n")).cast("long")
+    val nSyl = aggregate(words, lit(0L), (a, w) => a +
+      greatest(lit(1L),
+        size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))).cast("long")))
+    val den = lit(100L) * nS * nW
+    val num = greatest(
+      lit(39L) * nW * nW + lit(1180L) * nSyl * nS - lit(1559L) * nS * nW,
+      lit(0L))
+    df.select(col(idCol),
+      nW.as("n_words"), nS.as("n_sent"), nSyl.as("n_syll"),
+      round4Rat(num, den).as("fk_grade"),
+      when(num < lit(6L) * den, lit("easy"))
+        .when(num < lit(10L) * den, lit("medium"))
+        .otherwise(lit("hard")).as("band"))
+  }
+
   // ---- PII redaction (curation surface) ----
   //
   // The scrub every public-web corpus runs before training: emails,

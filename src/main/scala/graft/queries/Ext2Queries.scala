@@ -30,6 +30,39 @@ object Ext2Queries {
         "\n\n").as("text"))
   }
 
+  /** Deterministic line-structured fixture for the Gopher/C4 rule rows
+    * (x96/x97): re-line the flat corpus at 8 words per line, then plant
+    * the features the rules look for — bullets ('- ' when
+    * (doc_id+li)%5=0), symbol words ('# ' when %11=0), ellipsis endings
+    * ('...' when %7=0), terminal periods ('.' when %3≠0; bare
+    * otherwise), and the C4 page-level triggers ("lorem ipsum…" appended
+    * when doc_id%101=0, a '{'-bearing code line when %103=0). The same
+    * derivation is the `plSql` CTE on the oracle side, so both engines
+    * rule on an identical corpus — the x87/x92 planting discipline.
+    */
+  private def plantLines(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val words = split(col("text"), " ")
+    val nLines = ((size(words) + 7) / 8).cast("int")
+    val deco = transform(sequence(lit(0), nLines - 1), i => {
+      val m = col("doc_id") + i
+      concat(
+        when(pmod(m, lit(5)) === 0, lit("- ")).otherwise(lit("")),
+        when(pmod(m, lit(11)) === 0, lit("# ")).otherwise(lit("")),
+        array_join(slice(words, i * 8 + lit(1), lit(8)), " "),
+        when(pmod(m, lit(7)) === 0, lit("..."))
+          .when(pmod(m, lit(3)) =!= 0, lit("."))
+          .otherwise(lit("")))
+    })
+    docs.select(col("doc_id"),
+      concat(array_join(deco, "\n"),
+        when(pmod(col("doc_id"), lit(101)) === 0,
+          lit("\nlorem ipsum dolor sit amet.")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(103)) === 0,
+          lit("\nfunction() { return 0; }")).otherwise(lit("")))
+        .as("text"))
+  }
+
   // oracle-side vector folds — kept textually identical to ExtQueries'
   // private ddbSum/ddbDot/ddbCos (the SimilarityOps.dot twins); edited
   // in lockstep with those
@@ -626,6 +659,56 @@ object Ext2Queries {
         .orderBy("purchase_id")
     }),
 
+    // ---- the Gopher quality-rule battery (Rae et al. 2021 App. A)
+    // over the line-planted corpus: per-doc counts + all seven rule
+    // bits + keep, every threshold an integer cross-multiply. At
+    // sf0.01 the corpus discriminates on r_wordcount (short docs),
+    // r_stopword (docs without 2 of the REQUIRED list — 'a'/'in'
+    // don't count), and the planted bullet/ellipsis/symbol lines.
+    "x96_gopher_rules" -> ((s, d) =>
+      graft.operators.TextOps.gopherRules(
+          plantLines(Tables.documents(s, d)), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ---- C4 line-level cleaning (Raffel et al. 2020 §2.2) over the
+    // same planted corpus: the gate decision AND the cleaned text
+    // (kept lines re-joined; NULL when the page drops) are both under
+    // the hash, so the oracle pins the transform, not just the filter.
+    "x97_c4_rules" -> ((s, d) =>
+      graft.operators.TextOps.c4Clean(
+          plantLines(Tables.documents(s, d)), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ---- secret scan + Luhn-gated redaction: plant a 16-digit run
+    // (final digit doc_id%10 — Luhn decides WHICH plants are real
+    // cards, so the checksum itself is under the hash gate) on every
+    // 13th doc and a 32-hex key on every 19th; counts + the redacted
+    // text are the output. The oracle replays the identical digit
+    // arithmetic in DuckDB list form (≤1 candidate per doc by
+    // construction, so its single-extract replace is exact).
+    "x98_secret_scan" -> ((s, d) => {
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(13)) === 0,
+            concat(lit(" 453957876362148"),
+              pmod(col("doc_id"), lit(10)).cast("string")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(19)) === 0,
+            lit(" deadbeefdeadbeefdeadbeefdeadbeef")).otherwise(lit("")))
+          .as("text"))
+      graft.operators.TextOps.secretScan(planted, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- Flesch–Kincaid readability over the line-planted corpus
+    // (lines = sentences, vowel-group syllables): the grade as one
+    // exact integer rational, banding by cross-multiply — the lexical
+    // third leg beside x9's composite quality and x93's LM score.
+    "x99_readability" -> ((s, d) =>
+      graft.operators.TextOps.readability(
+          plantLines(Tables.documents(s, d)), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "x92_prefix_dups" -> ((s, d) => {
       val phrase = "alpha beta gamma delta"
       val planted = Tables.documents(s, d).select(col("doc_id"),
@@ -995,6 +1078,37 @@ object Ext2Queries {
                  CAST(n_match AS DOUBLE) / 12 AS est_jaccard
           FROM est WHERE n_match >= 9
           ORDER BY doc_a, doc_b"""
+    // x96/x97 plumbing — the plantLines fixture as a CTE, kept textually
+    // in lockstep with the Spark-side helper (8-word lines; bullet %5,
+    // symbol %11, ellipsis %7, period %3≠0; lorem %101, curly %103)
+    val plSql =
+      """WITH gw AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS wd,
+                   generate_subscripts(string_split(text, ' '), 1) AS ord
+            FROM documents),
+          gl0 AS (
+            SELECT doc_id, (ord - 1) // 8 AS li,
+                   string_agg(wd, ' ' ORDER BY ord) AS line
+            FROM gw GROUP BY doc_id, (ord - 1) // 8),
+          gl1 AS (
+            SELECT doc_id, li,
+                   (CASE WHEN (doc_id + li) % 5 = 0 THEN '- ' ELSE '' END) ||
+                   (CASE WHEN (doc_id + li) % 11 = 0 THEN '# ' ELSE '' END) ||
+                   line ||
+                   (CASE WHEN (doc_id + li) % 7 = 0 THEN '...'
+                         WHEN (doc_id + li) % 3 <> 0 THEN '.'
+                         ELSE '' END) AS line
+            FROM gl0),
+          pl AS (
+            SELECT doc_id,
+                   string_agg(line, chr(10) ORDER BY li) ||
+                   (CASE WHEN doc_id % 101 = 0
+                     THEN chr(10) || 'lorem ipsum dolor sit amet.'
+                     ELSE '' END) ||
+                   (CASE WHEN doc_id % 103 = 0
+                     THEN chr(10) || 'function() { return 0; }'
+                     ELSE '' END) AS text
+            FROM gl1 GROUP BY doc_id)"""
     Map(
       "x80_paragraph_dedup" -> paraSql,
       "x80b_paragraph_dedup_from_state" -> paraSql,
@@ -1166,6 +1280,169 @@ object Ext2Queries {
             FROM purchases p ASOF LEFT JOIN clicks c
               ON p.user_id = c.c_user AND p.tsec >= c.c_tsec
             ORDER BY p.purchase_id""",
+      // x96: word census from the re-flattened text, line census from
+      // the line list, rules as the same integer cross-multiplies.
+      "x96_gopher_rules" -> (plSql + """,
+            wrd AS (
+              SELECT doc_id,
+                     unnest(string_split(replace(text, chr(10), ' '), ' ')) AS w
+              FROM pl),
+            wa AS (
+              SELECT doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_words,
+                     CAST(SUM(len(w)) AS BIGINT) AS sum_wlen,
+                     CAST(SUM(CASE WHEN w IN ('the','be','to','of','and',
+                       'that','have','with') THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_stop,
+                     CAST(SUM(CASE WHEN regexp_matches(w, '[a-zA-Z]')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+                     CAST(SUM(CASE WHEN w = '#' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_sym
+              FROM wrd GROUP BY doc_id),
+            lin AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+              FROM pl),
+            la AS (
+              SELECT doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_lines,
+                     CAST(SUM(CASE WHEN l LIKE '- %' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_bullet,
+                     CAST(SUM(CASE WHEN l LIKE '%...' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_ell
+              FROM lin GROUP BY doc_id),
+            r AS (
+              SELECT doc_id, n_words, sum_wlen, n_stop, n_alpha, n_sym,
+                     n_lines, n_bullet, n_ell,
+                     CASE WHEN n_words >= 50 AND n_words <= 100000
+                       THEN 1 ELSE 0 END AS r_wordcount,
+                     CASE WHEN sum_wlen >= n_words * 3
+                           AND sum_wlen <= n_words * 10
+                       THEN 1 ELSE 0 END AS r_wordlen,
+                     CASE WHEN n_sym * 10 <= n_words
+                       THEN 1 ELSE 0 END AS r_symbol,
+                     CASE WHEN n_ell * 10 <= n_lines * 3
+                       THEN 1 ELSE 0 END AS r_ellipsis,
+                     CASE WHEN n_bullet * 10 <= n_lines * 9
+                       THEN 1 ELSE 0 END AS r_bullet,
+                     CASE WHEN n_alpha * 5 >= n_words * 4
+                       THEN 1 ELSE 0 END AS r_alpha,
+                     CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stopword
+              FROM wa JOIN la USING (doc_id))
+            SELECT doc_id, n_words, sum_wlen, n_stop, n_alpha, n_sym,
+                   n_lines, n_bullet, n_ell,
+                   CAST(r_wordcount AS BIGINT) AS r_wordcount,
+                   CAST(r_wordlen AS BIGINT) AS r_wordlen,
+                   CAST(r_symbol AS BIGINT) AS r_symbol,
+                   CAST(r_ellipsis AS BIGINT) AS r_ellipsis,
+                   CAST(r_bullet AS BIGINT) AS r_bullet,
+                   CAST(r_alpha AS BIGINT) AS r_alpha,
+                   CAST(r_stopword AS BIGINT) AS r_stopword,
+                   CAST(r_wordcount * r_wordlen * r_symbol * r_ellipsis *
+                        r_bullet * r_alpha * r_stopword AS BIGINT) AS keep
+            FROM r ORDER BY doc_id"""),
+      // x97: kept = terminal punctuation AND ≥5 words; page drops on
+      // lorem/curly/<3 kept; cleaned text under the hash (string_agg
+      // skips the NULLed dropped lines).
+      "x97_c4_rules" -> (plSql + """,
+            lin AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS l,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS li
+              FROM pl),
+            k AS (
+              SELECT doc_id, li, l,
+                     CASE WHEN (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?'
+                                OR l LIKE '%"')
+                               AND len(string_split(l, ' ')) >= 5
+                       THEN 1 ELSE 0 END AS kept
+              FROM lin),
+            a AS (
+              SELECT doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_lines,
+                     CAST(SUM(kept) AS BIGINT) AS n_kept,
+                     string_agg(CASE WHEN kept = 1 THEN l END, chr(10)
+                       ORDER BY li) AS cleaned0
+              FROM k GROUP BY doc_id),
+            pg AS (
+              SELECT doc_id,
+                     CASE WHEN lower(text) LIKE '%lorem ipsum%'
+                            OR text LIKE '%{%' THEN 0 ELSE 1 END AS page_ok
+              FROM pl)
+            SELECT a.doc_id, n_lines, n_kept,
+                   CAST(CASE WHEN page_ok = 1 AND n_kept >= 3
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep,
+                   CASE WHEN page_ok = 1 AND n_kept >= 3
+                     THEN cleaned0 END AS cleaned
+            FROM a JOIN pg USING (doc_id) ORDER BY a.doc_id"""),
+      // x98: the Luhn fold as DuckDB list arithmetic; single-extract
+      // replace is exact because the planting guarantees ≤1 candidate.
+      "x98_secret_scan" ->
+        """WITH p AS (
+              SELECT doc_id, text ||
+                     (CASE WHEN doc_id % 13 = 0
+                       THEN ' 453957876362148' || CAST(doc_id % 10 AS VARCHAR)
+                       ELSE '' END) ||
+                     (CASE WHEN doc_id % 19 = 0
+                       THEN ' deadbeefdeadbeefdeadbeefdeadbeef'
+                       ELSE '' END) AS text
+              FROM documents),
+            c AS (
+              SELECT doc_id, text,
+                     regexp_extract(text, '\b(\d{16})\b', 1) AS cc,
+                     CAST(len(regexp_extract_all(text, '\b\d{16}\b'))
+                       AS BIGINT) AS n_cc_cand,
+                     CAST(len(regexp_extract_all(text, '\b[0-9a-f]{32,}\b'))
+                       AS BIGINT) AS n_keys
+              FROM p),
+            v AS (
+              SELECT doc_id, text, cc, n_cc_cand, n_keys,
+                     CASE WHEN cc <> '' AND
+                          list_sum(list_transform(range(1, len(cc) + 1), i ->
+                            CASE WHEN (len(cc) - i) % 2 = 1
+                                 THEN CASE WHEN CAST(cc[i] AS INT) * 2 > 9
+                                           THEN CAST(cc[i] AS INT) * 2 - 9
+                                           ELSE CAST(cc[i] AS INT) * 2 END
+                                 ELSE CAST(cc[i] AS INT) END)) % 10 = 0
+                       THEN 1 ELSE 0 END AS ok
+              FROM c)
+            SELECT doc_id, n_cc_cand,
+                   CAST(ok AS BIGINT) AS n_cc_valid, n_keys,
+                   regexp_replace(
+                     CASE WHEN ok = 1 THEN replace(text, cc, '<CC>')
+                          ELSE text END,
+                     '\b[0-9a-f]{32,}\b', '<KEY>', 'g') AS redacted
+            FROM v ORDER BY doc_id""",
+      // x99: vowel-group syllables, lines as sentences, the FK grade
+      // rational floored at 0, bands by integer cross-multiply.
+      "x99_readability" -> (plSql + """,
+            wrd AS (
+              SELECT doc_id,
+                     unnest(string_split(replace(text, chr(10), ' '), ' ')) AS w
+              FROM pl),
+            wa AS (
+              SELECT doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_words,
+                     CAST(SUM(GREATEST(1,
+                       len(regexp_extract_all(w, '[aeiouy]+')))) AS BIGINT)
+                       AS n_syll
+              FROM wrd GROUP BY doc_id),
+            sa AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_sent
+              FROM pl),
+            r AS (
+              SELECT doc_id, n_words, n_sent, n_syll,
+                     GREATEST(39 * n_words * n_words
+                              + 1180 * n_syll * n_sent
+                              - 1559 * n_sent * n_words, 0) AS num,
+                     100 * n_sent * n_words AS den
+              FROM wa JOIN sa USING (doc_id))
+            SELECT doc_id, n_words, n_sent, n_syll,
+                   ((num * 20000 + den) // (2 * NULLIF(den, 0))) / 10000.0
+                     AS fk_grade,
+                   CASE WHEN num < 6 * den THEN 'easy'
+                        WHEN num < 10 * den THEN 'medium'
+                        ELSE 'hard' END AS band
+            FROM r ORDER BY doc_id"""),
       "x92_prefix_dups" ->
         """WITH p AS (
               SELECT doc_id,

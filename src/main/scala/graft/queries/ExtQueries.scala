@@ -77,6 +77,37 @@ object ExtQueries {
     base
   }
 
+  /** x54c's build half (public for the bench's marginal split, like
+    * [[x54Build]]): quantizer init on wave 0, then waves 1–2 through the
+    * REAL `AnnIndexStream` Structured Streaming maintenance query. The
+    * wave collect is the MemoryStream harness seam (a deployment feeds a
+    * real source); quantizer artifacts stay frozen, ticks O(arrivals).
+    */
+  def x54cBuild(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import graft.operators.{AnnIndex, StageIO}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val emb = Tables.embeddings(s, d)
+    val base = s"${StageIO.artifactRoot(s)}" +
+      s"/ann_index_stream/${new java.io.File(d).getName}"
+    AnnIndex.init(s, emb.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", base, kCells = 8, m = 16, kCodewords = 64)
+    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.AnnIndexStream.startIndexMaintenance(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      base, StageIO.resolve(s, None, "x54c-ckpt"))
+    def wave(k: Int): Seq[(Long, Seq[Float])] =
+      emb.filter(col("vec_id") % 3 === k)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    try {
+      input.addData(wave(1)); q.processAllAvailable()
+      input.addData(wave(2)); q.processAllAvailable()
+    } finally q.stop()
+    base
+  }
+
   def x54Probe(s: org.apache.spark.sql.SparkSession, d: String,
       base: String): org.apache.spark.sql.DataFrame = {
     import graft.operators.AnnIndex
@@ -930,30 +961,7 @@ object ExtQueries {
     // maintenance converges to the batch build bit for bit. The wave
     // collect is the test-harness seam (a deployment feeds a real
     // source); quantizer artifacts stay frozen, ticks stay O(arrivals).
-    "x54c_ann_index_stream" -> ((s, d) => {
-      import graft.operators.{AnnIndex, StageIO}
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      val emb = Tables.embeddings(s, d)
-      val base = s"${StageIO.artifactRoot(s)}" +
-        s"/ann_index_stream/${new java.io.File(d).getName}"
-      AnnIndex.init(s, emb.filter(col("vec_id") % 3 === 0),
-        "vec_id", "embedding", base, kCells = 8, m = 16, kCodewords = 64)
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val input = MemoryStream[(Long, Seq[Float])]
-      val q = graft.streaming.AnnIndexStream.startIndexMaintenance(
-        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
-        base, StageIO.resolve(s, None, "x54c-ckpt"))
-      def wave(k: Int): Seq[(Long, Seq[Float])] =
-        emb.filter(col("vec_id") % 3 === k)
-          .select("vec_id", "embedding").collect()
-          .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
-      try {
-        input.addData(wave(1)); q.processAllAvailable()
-        input.addData(wave(2)); q.processAllAvailable()
-      } finally q.stop()
-      x54Probe(s, d, base)
-    }),
+    "x54c_ann_index_stream" -> ((s, d) => x54Probe(s, d, x54cBuild(s, d))),
 
     // sliding context windows: width-120 chunks every 90 chars (30-char
     // overlap) — the standard prep before tokenize-and-pack; row-local

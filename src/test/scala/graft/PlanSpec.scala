@@ -557,4 +557,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("_band") && p.contains("_word"), p)
   }
+
+  test("x96-x99: the rule batteries are shuffle-free per-row passes") {
+    // gopher/c4/secret-scan/readability are map-side gates: higher-order
+    // folds + regex over the scan, integer cross-multiplied thresholds —
+    // the ONLY exchange allowed is the final output sort's range
+    // partitioning. A hash exchange before the sort means a per-row
+    // kernel grew a shuffle it never needs.
+    Seq("x96_gopher_rules", "x97_c4_rules", "x98_secret_scan",
+        "x99_readability").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q per-row gate shuffles:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q grew a join:\n$p")
+    }
+  }
 }
