@@ -709,6 +709,125 @@ object Ext2Queries {
           plantLines(Tables.documents(s, d)), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // ---- CCNet head/middle/tail perplexity buckets: the x93 LM score
+    // calibrated per language (x83's within-class percentile kernel),
+    // cut at the published terciles — the bucketing CCNet feeds to
+    // mixture sampling. Docs with no scored tokens carry a NULL score
+    // and calibrate to the tail-most rank (asc_nulls_first on both
+    // engines). Composition is the point: LM state (x93b) + calibration
+    // (x83) + mixture (x28/x63) already exist; this row gates the glue.
+    "x100_ccnet_buckets" -> ((s, d) => {
+      import graft.operators.{LmOps, PackingOps}
+      import graft.queries.Det.round4RatBig
+      val docs = Tables.documents(s, d)
+      val scored = LmOps.backoffScore(docs, "doc_id", "text",
+        LmOps.ngramCountsTo(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text"))
+      val withLang = scored
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          round4RatBig(col("sum_bps"), col("n_scored")).as("lm_bps"))
+      PackingOps.calibrateByClass(withLang, "lang", "lm_bps")
+        .select(col("doc_id"), col("lang"), col("lm_bps"), col("calib_bps"),
+          when(col("calib_bps") >= 6667L, lit("head"))
+            .when(col("calib_bps") >= 3333L, lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- DPO/RLHF preference-pair construction: per source, the
+    // highest-quality doc (ties → max id) is `chosen`, the lowest
+    // (ties → min id) is `rejected` — the standard weak-label pairing
+    // for preference tuning. Exact: quality is the x9 rational rounded
+    // by the shared integer formula, tie-breaks on ids; two two-phase
+    // aggregates + an equi-join back, no windows.
+    "x101_preference_pairs" -> ((s, d) => {
+      import graft.operators.TextOps
+      import graft.queries.Det.round4Rat
+      val (qn, qd) = TextOps.qualityRat(col("text"), col("n_chars"))
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), round4Rat(qn, qd).as("q"))
+        .persist()
+      val ext = scored.groupBy("source")
+        .agg(max(col("q")).as("qmax"), min(col("q")).as("qmin"))
+      val chosen = scored.join(ext, Seq("source"))
+        .filter(col("q") === col("qmax"))
+        .groupBy("source").agg(max(col("doc_id")).as("chosen_id"),
+          first(col("qmax")).as("chosen_q"))
+      val rejected = scored.join(ext, Seq("source"))
+        .filter(col("q") === col("qmin"))
+        .groupBy("source").agg(min(col("doc_id")).as("rejected_id"),
+          first(col("qmin")).as("rejected_q"))
+      chosen.join(rejected, Seq("source"))
+        .select("source", "chosen_id", "chosen_q", "rejected_id",
+          "rejected_q")
+        .orderBy("source")
+    }),
+
+    // ---- SFT conversation prep: parse each doc into role-tagged turns
+    // (10-word turns; turn 0 system, then user/assistant alternating —
+    // the deterministic fixture both engines derive), then dedup
+    // ASSISTANT turns corpus-wide by content hash, keep-first by
+    // (doc, turn) — templated-response removal, the chat-data analogue
+    // of x80's paragraph gate. Owner decisions ride a two-phase min
+    // aggregate on the packed (doc, turn) key + one equi-join; user/
+    // system turns always keep.
+    "x102_chat_turns" -> ((s, d) => {
+      val words = split(col("text"), " ")
+      val nT = ((size(words) + 9) / 10).cast("int")
+      val turns = transform(sequence(lit(0), nT - 1), i =>
+        struct(i.cast("long").as("turn_idx"),
+          when(i === 0, lit("system"))
+            .when(pmod(i, lit(2)) === 1, lit("user"))
+            .otherwise(lit("assistant")).as("role"),
+          array_join(slice(words, i * 10 + lit(1), lit(10)), " ")
+            .as("content")))
+      val parsed = Tables.documents(s, d)
+        .select(col("doc_id"), explode(turns).as("t"))
+        .select(col("doc_id"), col("t.turn_idx").as("turn_idx"),
+          col("t.role").as("role"), col("t.content").as("content"))
+      val key = col("doc_id") * 1000000L + col("turn_idx")
+      val owners = parsed.filter(col("role") === "assistant")
+        .groupBy(md5(col("content")).as("h"))
+        .agg(min(col("doc_id") * 1000000L + col("turn_idx")).as("_owner"))
+      parsed.withColumn("h", md5(col("content")))
+        .join(owners, Seq("h"), "left")
+        .select(col("doc_id"), col("turn_idx"), col("role"),
+          size(split(col("content"), " ")).cast("long").as("n_words"),
+          (col("role") =!= "assistant" || key === col("_owner"))
+            .cast("long").as("keep"))
+        .orderBy("doc_id", "turn_idx")
+    }),
+
+    // ---- packing-efficiency report: for each candidate context length,
+    // the chunk count, waste, and utilization of truncation-free
+    // per-doc packing (ceil(n_tok/cap) chunks per doc) — the sizing
+    // census run before committing a sequence length. One corpus scan
+    // cross-joined with a 3-row broadcast capacity frame; ceil is the
+    // slidingChunks integer idiom, utilization the shared rational.
+    "x103_packing_efficiency" -> ((s, d) => {
+      import graft.queries.Det.round4Rat
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select(size(graft.operators.TextOps.tokens(col("text")))
+          .cast("long").as("n_tok"))
+      val caps = Seq(32L, 64L, 128L).toDF("capacity")
+      val a = col("n_tok") + col("capacity") - 1
+      docs.crossJoin(broadcast(caps))
+        .groupBy("capacity")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          sum(((a - pmod(a, col("capacity"))) / col("capacity"))
+            .cast("long")).as("n_chunks"))
+        .select(col("capacity"), col("n_docs"), col("total_tokens"),
+          col("n_chunks"),
+          (col("n_chunks") * col("capacity") - col("total_tokens"))
+            .as("waste_tokens"),
+          round4Rat(col("total_tokens"), col("n_chunks") * col("capacity"))
+            .as("utilization"))
+        .orderBy("capacity")
+    }),
+
     "x92_prefix_dups" -> ((s, d) => {
       val phrase = "alpha beta gamma delta"
       val planted = Tables.documents(s, d).select(col("doc_id"),
@@ -1443,6 +1562,114 @@ object Ext2Queries {
                         WHEN num < 10 * den THEN 'medium'
                         ELSE 'hard' END AS band
             FROM r ORDER BY doc_id"""),
+      // x100: x93's full LM replay as a CTE (composed BY REFERENCE so
+      // the two can never diverge), joined to lang, then x83's
+      // calibration window + the tercile cut.
+      "x100_ccnet_buckets" -> (s"""WITH lm AS ($lmBackoffSql),
+            sc AS (
+              SELECT lm.doc_id, d.lang, lm.avg_bps AS lm_bps
+              FROM lm JOIN documents d USING (doc_id)),
+            c AS (
+              SELECT doc_id, lang, lm_bps,
+                     CAST(COUNT(*) OVER (PARTITION BY lang
+                       ORDER BY lm_bps NULLS FIRST
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS n_le,
+                     CAST(COUNT(*) OVER (PARTITION BY lang)
+                       AS BIGINT) AS n_class
+              FROM sc)
+            SELECT doc_id, lang, lm_bps,
+                   CAST((n_le * 10000) // n_class AS BIGINT) AS calib_bps,
+                   CASE WHEN (n_le * 10000) // n_class >= 6667 THEN 'head'
+                        WHEN (n_le * 10000) // n_class >= 3333 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM c ORDER BY doc_id"""),
+      // x101: the x9 quality rational (calibrateSql's q CTE, textually),
+      // extremes per source, tie-broken on ids.
+      "x101_preference_pairs" -> (s"""WITH q0 AS (
+              SELECT doc_id, source,
+                     ((qnum * 20000 + qden) // (2 * NULLIF(qden, 0)))
+                       / 10000.0 AS q
+              FROM (
+                SELECT doc_id, source,
+                       20 * nt * least(nt, 100) + 1500 * (nt - sw)
+                         + 3 * nt * least(n_chars, 500) AS qnum,
+                       5000 * nt AS qden
+                FROM (
+                  SELECT doc_id, source, n_chars, len(t) AS nt,
+                         len(list_filter(t, x -> list_contains($swList, x)))
+                           AS sw
+                  FROM (SELECT doc_id, source, n_chars,
+                               string_split(text, ' ') AS t
+                        FROM documents)))),
+            ext AS (
+              SELECT source, MAX(q) AS qmax, MIN(q) AS qmin
+              FROM q0 GROUP BY source),
+            ch AS (
+              SELECT q0.source, CAST(MAX(doc_id) AS BIGINT) AS chosen_id,
+                     MAX(qmax) AS chosen_q
+              FROM q0 JOIN ext ON q0.source = ext.source AND q0.q = ext.qmax
+              GROUP BY q0.source),
+            rj AS (
+              SELECT q0.source, CAST(MIN(doc_id) AS BIGINT) AS rejected_id,
+                     MAX(qmin) AS rejected_q
+              FROM q0 JOIN ext ON q0.source = ext.source AND q0.q = ext.qmin
+              GROUP BY q0.source)
+            SELECT ch.source, chosen_id, chosen_q, rejected_id, rejected_q
+            FROM ch JOIN rj ON ch.source = rj.source
+            ORDER BY ch.source"""),
+      // x102: turn parse (10-word turns, system/user/assistant cycle)
+      // + corpus-wide keep-first on assistant content hashes via the
+      // packed (doc, turn) owner key.
+      "x102_chat_turns" ->
+        """WITH w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS wd,
+                     generate_subscripts(string_split(text, ' '), 1) AS ord
+              FROM documents),
+            t AS (
+              SELECT doc_id, (ord - 1) // 10 AS turn_idx,
+                     string_agg(wd, ' ' ORDER BY ord) AS content
+              FROM w GROUP BY doc_id, (ord - 1) // 10),
+            r AS (
+              SELECT doc_id, turn_idx,
+                     CASE WHEN turn_idx = 0 THEN 'system'
+                          WHEN turn_idx % 2 = 1 THEN 'user'
+                          ELSE 'assistant' END AS role,
+                     content
+              FROM t),
+            own AS (
+              SELECT md5(content) AS h,
+                     MIN(doc_id * 1000000 + turn_idx) AS owner
+              FROM r WHERE role = 'assistant' GROUP BY md5(content))
+            SELECT r.doc_id, CAST(r.turn_idx AS BIGINT) AS turn_idx,
+                   r.role,
+                   CAST(len(string_split(r.content, ' ')) AS BIGINT)
+                     AS n_words,
+                   CAST(CASE WHEN r.role <> 'assistant'
+                          OR r.doc_id * 1000000 + r.turn_idx = own.owner
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM r LEFT JOIN own ON md5(r.content) = own.h
+            ORDER BY r.doc_id, r.turn_idx""",
+      // x103: per-capacity chunk census; ceil via integer //.
+      "x103_packing_efficiency" ->
+        """WITH t AS (
+              SELECT len(string_split(text, ' ')) AS n_tok FROM documents),
+            c AS (SELECT unnest([32, 64, 128]) AS capacity),
+            a AS (
+              SELECT capacity,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+                     CAST(SUM((n_tok + capacity - 1) // capacity)
+                       AS BIGINT) AS n_chunks
+              FROM t CROSS JOIN c GROUP BY capacity)
+            SELECT CAST(capacity AS BIGINT) AS capacity, n_docs,
+                   total_tokens, n_chunks,
+                   CAST(n_chunks * capacity - total_tokens AS BIGINT)
+                     AS waste_tokens,
+                   ((total_tokens * 20000 + n_chunks * capacity)
+                     // (2 * NULLIF(n_chunks * capacity, 0))) / 10000.0
+                     AS utilization
+            FROM a ORDER BY capacity""",
       "x92_prefix_dups" ->
         """WITH p AS (
               SELECT doc_id,
