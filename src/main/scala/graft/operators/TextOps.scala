@@ -294,6 +294,22 @@ object TextOps {
       redacted.as("redacted"))
   }
 
+  /** Canonical form for CODE dedup (The Stack / CodeParrot discipline):
+    * strip block comments (slash-star to star-slash, dot-matches-newline,
+    * lazy), then line comments (`//` to end of line), then collapse all
+    * whitespace runs to one space and trim — two sources that differ
+    * only in comments or formatting canonicalize to the same bytes.
+    * Order is part of the contract (block first, so a block-open inside
+    * a line comment never half-survives); the oracle twin mirrors the
+    * three regexes verbatim (x107). Pure codegen'd regexp_replace chain.
+    */
+  def canonicalizeCode(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(text, "(?s)/\\*.*?\\*/", ""),
+        "//[^\n]*", ""),
+      "[ \t\n]+", " "))
+
   // ---- readability (curation surface) ----
 
   /** Flesch–Kincaid grade level over line-structured text (lines are the

@@ -828,6 +828,110 @@ object Ext2Queries {
         .orderBy("capacity")
     }),
 
+    // ---- multi-benchmark decontamination: x23's shingle-overlap
+    // census against THREE held-out sets at once (src17/18/19 as
+    // bench_c/a/b), aggregated per (train doc, benchmark) — the report
+    // a release audit publishes. The train shingle array is staged ONCE
+    // (`trainShingleCol`) and shared by all three probes, so the corpus
+    // pays one tokenize pass however many benchmarks are checked.
+    "x104_multi_eval_decontam" -> ((s, d) => {
+      import graft.operators.{DedupOps, TextOps}
+      val docs = Tables.documents(s, d)
+      val evalSrcs = Seq("src17", "src18", "src19")
+      val train = docs
+        .filter(!coalesce(col("source").isin(evalSrcs: _*), lit(false)))
+        .withColumn("sh", graft.functions.HashExprs
+          .distinctShingles(TextOps.tokens(col("text"))))
+        .persist()
+      val bmap = Seq("src18" -> "bench_a", "src19" -> "bench_b",
+        "src17" -> "bench_c")
+      bmap.map { case (src, b) =>
+        DedupOps.crossContamination(train,
+            docs.filter(col("source") === src), "text", "doc_id", 0.5,
+            trainShingleCol = Some("sh"))
+          .select(col("train_id"), lit(b).as("benchmark"),
+            Det.round4Rat(col("inter"), col("n_eval")).as("contamination"))
+      }.reduce(_.unionAll(_))
+        .groupBy("train_id", "benchmark")
+        .agg(count(lit(1)).as("n_hits"),
+          max(col("contamination")).as("max_contamination"))
+        .orderBy("train_id", "benchmark")
+    }),
+
+    // ---- near-dup cluster-size report: the "how duplicated is this
+    // corpus" histogram — x25's connected components rolled up to
+    // (cluster size → clusters, docs), plus the singleton row derived
+    // from the total census (labels only cover docs in ≥2-components).
+    // Two 1-row driver aggregates; the histogram is two group-bys.
+    "x105_cluster_size_report" -> ((s, d) => {
+      import graft.operators.DedupOps
+      import s.implicits._
+      val labels = DedupOps.clusterLabels(DedupOps.jaccardNearDups(
+        Tables.documents(s, d), "text", "doc_id", 0.5)).persist()
+      val hist = labels.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum("cluster_size").as("n_docs"))
+      val total = Tables.documents(s, d).count()
+      val labeled = labels.count()
+      hist.unionAll(Seq((1L, total - labeled, total - labeled))
+          .toDF("cluster_size", "n_clusters", "n_docs"))
+        .orderBy("cluster_size")
+    }),
+
+    // ---- quality × duplication cross-tab: are the duplicates the bad
+    // docs? Band cuts on the exact x9 rational by integer cross-multiply
+    // (q<0.5 low, <0.75 mid), dup = membership in any x25 component;
+    // the left join keeps unique docs with is_dup=0.
+    "x106_quality_dup_matrix" -> ((s, d) => {
+      import graft.operators.{DedupOps, TextOps}
+      val docs = Tables.documents(s, d)
+      val labels = DedupOps.clusterLabels(DedupOps.jaccardNearDups(
+          docs, "text", "doc_id", 0.5))
+        .select(col("doc_id"), lit(1L).as("_dup"))
+      val (qn, qd) = TextOps.qualityRat(col("text"), col("n_chars"))
+      docs.select(col("doc_id"),
+          col("n_chars").cast("long").as("n_chars"),
+          qn.as("_qn"), qd.as("_qd"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(
+          when(col("_qn") * 2 < col("_qd"), lit("low"))
+            .when(col("_qn") * 4 < col("_qd") * 3, lit("mid"))
+            .otherwise(lit("high")).as("quality_band"),
+          coalesce(col("_dup"), lit(0L)).as("is_dup"),
+          col("n_chars"))
+        .groupBy("quality_band", "is_dup")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("quality_band", "is_dup")
+    }),
+
+    // ---- code-corpus canonical dedup: comment- and whitespace-blind
+    // grouping via TextOps.canonicalizeCode. Every 23rd doc is replaced
+    // by a code snippet whose FUNCTION BODY cycles over doc_id%3 but
+    // whose comments/formatting are per-doc unique — the canonicalizer
+    // must collapse ~22 sources into 3 groups while every prose doc
+    // stays its own group; owner = min id, the x52 discipline.
+    "x107_code_canonical" -> ((s, d) => {
+      import graft.operators.TextOps
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(23)) === 0,
+          concat(lit("int f"), pmod(col("doc_id"), lit(3)).cast("string"),
+            lit("() {\n  // note "), col("doc_id").cast("string"),
+            lit("\n  return "), pmod(col("doc_id"), lit(3)).cast("string"),
+            lit("; /* v"), col("doc_id").cast("string"), lit(" */\n}")))
+          .otherwise(col("text")).as("text"))
+      val hashed = planted.select(col("doc_id"),
+        md5(TextOps.canonicalizeCode(col("text"))).as("canon_md5"))
+      val groups = hashed.groupBy("canon_md5")
+        .agg(min(col("doc_id")).as("_owner"), count(lit(1)).as("_sz"))
+      hashed.join(groups, Seq("canon_md5"))
+        .select(col("doc_id"), col("canon_md5"),
+          (col("_sz") > 1L).cast("long").as("is_dup"),
+          (col("_owner") === col("doc_id")).cast("long").as("keep"))
+        .orderBy("doc_id")
+    }),
+
     "x92_prefix_dups" -> ((s, d) => {
       val phrase = "alpha beta gamma delta"
       val planted = Tables.documents(s, d).select(col("doc_id"),
@@ -1670,6 +1774,116 @@ object Ext2Queries {
                      // (2 * NULLIF(n_chunks * capacity, 0))) / 10000.0
                      AS utilization
             FROM a ORDER BY capacity""",
+      // x104: x23's shingle census with a benchmark label, train side
+      // excluding all three held-out sources, rolled up per (train,
+      // benchmark). Shingle fragment kept in lockstep with ndShingles.
+      "x104_multi_eval_decontam" ->
+        s"""WITH d AS (
+              SELECT doc_id, source, $ndShingles AS sh
+              FROM (SELECT doc_id, source, string_split(text, ' ') AS t
+                    FROM documents)),
+            e AS (
+              SELECT doc_id AS eval_id,
+                     CASE source WHEN 'src18' THEN 'bench_a'
+                          WHEN 'src19' THEN 'bench_b'
+                          ELSE 'bench_c' END AS benchmark,
+                     CAST(len(sh) AS BIGINT) AS n_eval, unnest(sh) AS s
+              FROM d WHERE source IN ('src17', 'src18', 'src19')
+                AND len(sh) > 0),
+            tr AS (
+              SELECT doc_id AS train_id, unnest(sh) AS s
+              FROM d WHERE source NOT IN ('src17', 'src18', 'src19')
+                AND len(sh) > 0),
+            j AS (
+              SELECT eval_id, benchmark, train_id,
+                     CAST(COUNT(*) AS BIGINT) AS inter,
+                     any_value(n_eval) AS n_eval
+              FROM e JOIN tr USING (s) GROUP BY 1, 2, 3),
+            h AS (
+              SELECT train_id, benchmark,
+                     ((inter * 20000 + n_eval) // (2 * NULLIF(n_eval, 0)))
+                       / 10000.0 AS contamination
+              FROM j WHERE inter * 1.0 / n_eval >= 0.5)
+            SELECT train_id, benchmark,
+                   CAST(COUNT(*) AS BIGINT) AS n_hits,
+                   MAX(contamination) AS max_contamination
+            FROM h GROUP BY 1, 2 ORDER BY train_id, benchmark""",
+      // x105/x106: x25's recursive component SQL composed BY REFERENCE.
+      "x105_cluster_size_report" -> (s"""WITH cl AS (
+              ${ExtQueries.oracles("x25_dedup_clusters")}),
+            cs AS (
+              SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM cl GROUP BY cluster_id),
+            hist AS (
+              SELECT cluster_size,
+                     CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                     CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+              FROM cs GROUP BY cluster_size),
+            tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+            lab AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cl)
+            SELECT * FROM hist
+            UNION ALL
+            SELECT 1, tot.n - lab.n, tot.n - lab.n FROM tot, lab
+            ORDER BY cluster_size"""),
+      "x106_quality_dup_matrix" -> (s"""WITH cl AS (
+              ${ExtQueries.oracles("x25_dedup_clusters")}),
+            q AS (
+              SELECT doc_id, n_chars,
+                     20 * nt * least(nt, 100) + 1500 * (nt - sw)
+                       + 3 * nt * least(n_chars, 500) AS qnum,
+                     5000 * nt AS qden
+              FROM (
+                SELECT doc_id, n_chars, len(t) AS nt,
+                       len(list_filter(t, x -> list_contains($swList, x)))
+                         AS sw
+                FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS t
+                      FROM documents))),
+            b AS (
+              SELECT q.doc_id,
+                     CASE WHEN qnum * 2 < qden THEN 'low'
+                          WHEN qnum * 4 < qden * 3 THEN 'mid'
+                          ELSE 'high' END AS quality_band,
+                     CASE WHEN cl.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup,
+                     n_chars
+              FROM q LEFT JOIN cl ON q.doc_id = cl.doc_id)
+            SELECT quality_band, CAST(is_dup AS BIGINT) AS is_dup,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM b GROUP BY 1, 2 ORDER BY quality_band, is_dup"""),
+      // x107: the three canonicalization regexes verbatim (block, line,
+      // whitespace), then the md5-group census.
+      "x107_code_canonical" ->
+        """WITH p AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 23 = 0
+                       THEN 'int f' || CAST(doc_id % 3 AS VARCHAR)
+                            || '() {' || chr(10) || '  // note '
+                            || CAST(doc_id AS VARCHAR) || chr(10)
+                            || '  return ' || CAST(doc_id % 3 AS VARCHAR)
+                            || '; /* v' || CAST(doc_id AS VARCHAR)
+                            || ' */' || chr(10) || '}'
+                       ELSE text END AS text
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text, '(?s)/\*.*?\*/', '', 'g'),
+                         '//[^' || chr(10) || ']*', '', 'g'),
+                       '[ ' || chr(9) || chr(10) || ']+', ' ', 'g')))
+                       AS canon_md5
+              FROM p),
+            g AS (
+              SELECT canon_md5, MIN(doc_id) AS owner,
+                     CAST(COUNT(*) AS BIGINT) AS sz
+              FROM c GROUP BY canon_md5)
+            SELECT c.doc_id, c.canon_md5,
+                   CAST(CASE WHEN sz > 1 THEN 1 ELSE 0 END AS BIGINT)
+                     AS is_dup,
+                   CAST(CASE WHEN owner = c.doc_id THEN 1 ELSE 0 END
+                     AS BIGINT) AS keep
+            FROM c JOIN g USING (canon_md5)
+            ORDER BY c.doc_id""",
       "x92_prefix_dups" ->
         """WITH p AS (
               SELECT doc_id,

@@ -56,6 +56,22 @@ class SecretReadabilitySpec extends AnyFunSuite {
     assert(rows(3).getAs[String]("redacted") == "clean text only")
   }
 
+  test("canonicalizeCode: comment- and whitespace-blind, prose preserved") {
+    import spark.implicits._
+    def canon(s: String): String =
+      Seq(s).toDF("t").select(TextOps.canonicalizeCode(col("t")).as("c"))
+        .collect()(0).getString(0)
+    val a = "int f() {\n  // say hi\n  return 1; /* v1 */\n}"
+    val b = "int f() { /* totally\n different\n comments */ return 1;\n}"
+    assert(canon(a) == canon(b) && canon(a) == "int f() { return 1; }")
+    // a '/*' inside a line comment must not eat following code (block
+    // comments strip FIRST, so an unmatched '/*' in a // comment is
+    // removed with its line, not paired across lines)
+    val c = "x = 1; // open /* here\ny = 2;"
+    assert(canon(c) == "x = 1; y = 2;", canon(c))
+    assert(canon("plain prose stays put") == "plain prose stays put")
+  }
+
   test("readability: hand-computed grade and bands") {
     import spark.implicits._
     def row(text: String) =
