@@ -932,6 +932,81 @@ object Ext2Queries {
         .orderBy("doc_id")
     }),
 
+    // ---- the same audit FROM PERSISTED STATE (the x49/x70c discipline
+    // on the multi-benchmark surface): each benchmark's eval shingle
+    // index is persisted ONCE as an artifact and every probe reads it
+    // back (`evalIndex`), so a resident audit re-checks arrivals
+    // without ever re-tokenizing the benchmarks — O(train) per run,
+    // O(eval) once. Must hash-match x104 exactly.
+    "x104b_decontam_from_index" -> ((s, d) => {
+      import graft.operators.{DedupOps, StageIO, TextOps}
+      val docs = Tables.documents(s, d)
+      val evalSrcs = Seq("src17", "src18", "src19")
+      val train = docs
+        .filter(!coalesce(col("source").isin(evalSrcs: _*), lit(false)))
+        .withColumn("sh", graft.functions.HashExprs
+          .distinctShingles(TextOps.tokens(col("text"))))
+        .persist()
+      val sfName = new java.io.File(d).getName
+      val bmap = Seq("src18" -> "bench_a", "src19" -> "bench_b",
+        "src17" -> "bench_c")
+      bmap.map { case (src, b) =>
+        val dir = s"${StageIO.artifactRoot(s)}/eval_index_$src/$sfName"
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")))
+          DedupOps.evalShingleIndex(
+              docs.filter(col("source") === src), "text", "doc_id")
+            .write.mode("overwrite").parquet(dir)
+        DedupOps.crossContamination(train, docs.limit(0), "text",
+            "doc_id", 0.5, trainShingleCol = Some("sh"),
+            evalIndex = Some(s.read.parquet(dir)))
+          .select(col("train_id"), lit(b).as("benchmark"),
+            Det.round4Rat(col("inter"), col("n_eval")).as("contamination"))
+      }.reduce(_.unionAll(_))
+        .groupBy("train_id", "benchmark")
+        .agg(count(lit(1)).as("n_hits"),
+          max(col("contamination")).as("max_contamination"))
+        .orderBy("train_id", "benchmark")
+    }),
+
+    // ---- Heaps'-law vocabulary-growth census: the corpus in four
+    // id-ordered waves; each distinct word TYPE is charged to the first
+    // wave containing it (a single min-aggregate over the exploded
+    // words — no per-wave rescans), alongside the wave token counts.
+    // The cumulative type/token curve is the tokenizer-sizing input
+    // (how fast does vocabulary grow per token ingested?); the running
+    // sums ride a 4-row window, constant at any corpus size.
+    "x108_vocab_growth" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val n = docs.agg(max("doc_id")).head.getLong(0) + 1
+      val b = (1 to 3).map(w => w.toLong * n / 4)
+      val wave = when(col("doc_id") < b(0), 0L)
+        .when(col("doc_id") < b(1), 1L)
+        .when(col("doc_id") < b(2), 2L).otherwise(3L)
+      val words = docs.select(wave.as("wave"),
+          explode(split(col("text"), " ")).as("w"))
+        .persist()
+      val types = words.groupBy("w").agg(min("wave").as("wave"))
+        .groupBy("wave").agg(count(lit(1)).as("n_new_types"))
+      val toks = words.groupBy("wave").agg(count(lit(1)).as("n_tokens"))
+      val win = Window.orderBy("wave")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // LEFT join from the token census: every wave has tokens, but a
+      // late wave can introduce ZERO new types (this corpus's closed
+      // ~40-word vocabulary saturates in wave 0) — an inner join would
+      // drop that wave and corrupt the cumulative curve
+      toks.join(types, Seq("wave"), "left")
+        .select(col("wave"),
+          coalesce(col("n_new_types"), lit(0L)).as("n_new_types"),
+          col("n_tokens"))
+        .select(col("wave"), col("n_new_types"), col("n_tokens"),
+          sum("n_new_types").over(win).as("cum_types"),
+          sum("n_tokens").over(win).as("cum_tokens"))
+        .orderBy("wave")
+    }),
+
     "x92_prefix_dups" -> ((s, d) => {
       val phrase = "alpha beta gamma delta"
       val planted = Tables.documents(s, d).select(col("doc_id"),
@@ -1332,6 +1407,41 @@ object Ext2Queries {
                      THEN chr(10) || 'function() { return 0; }'
                      ELSE '' END) AS text
             FROM gl1 GROUP BY doc_id)"""
+    // x104/x104b plumbing: x23's shingle census with a benchmark
+    // label, train side excluding all three held-out sources, rolled
+    // up per (train, benchmark); shingles in lockstep with ndShingles.
+    // x104b (probe from the PERSISTED eval index) shares it verbatim.
+    val multiEvalSql =
+        s"""WITH d AS (
+              SELECT doc_id, source, $ndShingles AS sh
+              FROM (SELECT doc_id, source, string_split(text, ' ') AS t
+                    FROM documents)),
+            e AS (
+              SELECT doc_id AS eval_id,
+                     CASE source WHEN 'src18' THEN 'bench_a'
+                          WHEN 'src19' THEN 'bench_b'
+                          ELSE 'bench_c' END AS benchmark,
+                     CAST(len(sh) AS BIGINT) AS n_eval, unnest(sh) AS s
+              FROM d WHERE source IN ('src17', 'src18', 'src19')
+                AND len(sh) > 0),
+            tr AS (
+              SELECT doc_id AS train_id, unnest(sh) AS s
+              FROM d WHERE source NOT IN ('src17', 'src18', 'src19')
+                AND len(sh) > 0),
+            j AS (
+              SELECT eval_id, benchmark, train_id,
+                     CAST(COUNT(*) AS BIGINT) AS inter,
+                     any_value(n_eval) AS n_eval
+              FROM e JOIN tr USING (s) GROUP BY 1, 2, 3),
+            h AS (
+              SELECT train_id, benchmark,
+                     ((inter * 20000 + n_eval) // (2 * NULLIF(n_eval, 0)))
+                       / 10000.0 AS contamination
+              FROM j WHERE inter * 1.0 / n_eval >= 0.5)
+            SELECT train_id, benchmark,
+                   CAST(COUNT(*) AS BIGINT) AS n_hits,
+                   MAX(contamination) AS max_contamination
+            FROM h GROUP BY 1, 2 ORDER BY train_id, benchmark"""
     Map(
       "x80_paragraph_dedup" -> paraSql,
       "x80b_paragraph_dedup_from_state" -> paraSql,
@@ -1774,40 +1884,7 @@ object Ext2Queries {
                      // (2 * NULLIF(n_chunks * capacity, 0))) / 10000.0
                      AS utilization
             FROM a ORDER BY capacity""",
-      // x104: x23's shingle census with a benchmark label, train side
-      // excluding all three held-out sources, rolled up per (train,
-      // benchmark). Shingle fragment kept in lockstep with ndShingles.
-      "x104_multi_eval_decontam" ->
-        s"""WITH d AS (
-              SELECT doc_id, source, $ndShingles AS sh
-              FROM (SELECT doc_id, source, string_split(text, ' ') AS t
-                    FROM documents)),
-            e AS (
-              SELECT doc_id AS eval_id,
-                     CASE source WHEN 'src18' THEN 'bench_a'
-                          WHEN 'src19' THEN 'bench_b'
-                          ELSE 'bench_c' END AS benchmark,
-                     CAST(len(sh) AS BIGINT) AS n_eval, unnest(sh) AS s
-              FROM d WHERE source IN ('src17', 'src18', 'src19')
-                AND len(sh) > 0),
-            tr AS (
-              SELECT doc_id AS train_id, unnest(sh) AS s
-              FROM d WHERE source NOT IN ('src17', 'src18', 'src19')
-                AND len(sh) > 0),
-            j AS (
-              SELECT eval_id, benchmark, train_id,
-                     CAST(COUNT(*) AS BIGINT) AS inter,
-                     any_value(n_eval) AS n_eval
-              FROM e JOIN tr USING (s) GROUP BY 1, 2, 3),
-            h AS (
-              SELECT train_id, benchmark,
-                     ((inter * 20000 + n_eval) // (2 * NULLIF(n_eval, 0)))
-                       / 10000.0 AS contamination
-              FROM j WHERE inter * 1.0 / n_eval >= 0.5)
-            SELECT train_id, benchmark,
-                   CAST(COUNT(*) AS BIGINT) AS n_hits,
-                   MAX(contamination) AS max_contamination
-            FROM h GROUP BY 1, 2 ORDER BY train_id, benchmark""",
+      "x104_multi_eval_decontam" -> multiEvalSql,
       // x105/x106: x25's recursive component SQL composed BY REFERENCE.
       "x105_cluster_size_report" -> (s"""WITH cl AS (
               ${ExtQueries.oracles("x25_dedup_clusters")}),
@@ -1884,6 +1961,38 @@ object Ext2Queries {
                      AS BIGINT) AS keep
             FROM c JOIN g USING (canon_md5)
             ORDER BY c.doc_id""",
+      // x104b's oracle IS x104's: probing from the persisted eval
+      // index must reproduce the direct census exactly.
+      "x104b_decontam_from_index" -> multiEvalSql,
+      // x108: first-wave-of-type via one min aggregate; cumulative over
+      // the 4-row frame; LEFT join + coalesce for zero-new-type waves.
+      "x108_vocab_growth" ->
+        """WITH nn AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+            w AS (
+              SELECT CASE WHEN doc_id < (1 * nn.n) // 4 THEN 0
+                          WHEN doc_id < (2 * nn.n) // 4 THEN 1
+                          WHEN doc_id < (3 * nn.n) // 4 THEN 2
+                          ELSE 3 END AS wave,
+                     unnest(string_split(text, ' ')) AS w
+              FROM documents, nn),
+            ty AS (SELECT w, MIN(wave) AS wave FROM w GROUP BY w),
+            tc AS (
+              SELECT wave, CAST(COUNT(*) AS BIGINT) AS n_new_types
+              FROM ty GROUP BY wave),
+            tk AS (
+              SELECT wave, CAST(COUNT(*) AS BIGINT) AS n_tokens
+              FROM w GROUP BY wave)
+            SELECT CAST(tk.wave AS BIGINT) AS wave,
+                   CAST(coalesce(n_new_types, 0) AS BIGINT) AS n_new_types,
+                   n_tokens,
+                   CAST(SUM(coalesce(n_new_types, 0)) OVER (
+                     ORDER BY tk.wave ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS BIGINT) AS cum_types,
+                   CAST(SUM(n_tokens) OVER (
+                     ORDER BY tk.wave ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS BIGINT) AS cum_tokens
+            FROM tk LEFT JOIN tc ON tk.wave = tc.wave
+            ORDER BY wave""",
       "x92_prefix_dups" ->
         """WITH p AS (
               SELECT doc_id,
