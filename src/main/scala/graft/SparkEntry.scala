@@ -37,6 +37,7 @@ object SparkEntry {
     (SetPivotQueries.defs, SetPivotQueries.oracles),
     (ExtQueries.defs, ExtQueries.oracles),
     (Ext2Queries.defs, Ext2Queries.oracles),
+    (Ext3Queries.defs, Ext3Queries.oracles),
     (MiscQueries.defs, MiscQueries.oracles),
     (SubqueryQueries.defs, SubqueryQueries.oracles)
   )

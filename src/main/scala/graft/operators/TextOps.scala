@@ -512,4 +512,72 @@ object TextOps {
       .withColumn("chunk",
         col(textCol).substr((col("chunk_start") + 1).cast("int"), lit(width)))
   }
+
+  /** The canonical UTF-8-read-as-cp1252 double-encoding artifacts
+    * ("mojibake") and their intended characters — the ftfy-style repair
+    * table, kept to the three sequences that dominate real web crawls:
+    * é, the right single quote, and the left double quote as their
+    * 2-/3-char misdecodings. Ordered fixed table (bad → good); no entry's
+    * replacement can CREATE another entry's pattern, so one left-to-right
+    * pass per pattern is exact. Oracle twin composes the same literals
+    * from chr() codepoints so neither engine depends on source-file
+    * encoding.
+    */
+  val mojibakePatterns: Seq[(String, String)] = Seq(
+    // U+00C3 U+00A9 ("A-tilde, copyright") -> U+00E9 (e-acute)
+    "\u00c3\u00a9" -> "\u00e9",
+    // U+00E2 U+20AC U+2122 ("a-circumflex, euro, TM") -> U+2019 (rsquo)
+    "\u00e2\u20ac\u2122" -> "\u2019",
+    // U+00E2 U+20AC U+0153 ("a-circumflex, euro, oe") -> U+201C (ldquo)
+    "\u00e2\u20ac\u0153" -> "\u201c")
+
+  /** Repair the [[mojibakePatterns]] artifacts in-place — chained literal
+    * `replace` (codegen'd, per-row; no regex engine in the hot path).
+    */
+  def fixMojibake(text: Column): Column =
+    mojibakePatterns.foldLeft(text) { case (c, (bad, good)) =>
+      call_function("replace", c, lit(bad), lit(good))
+    }
+
+  /** Total artifact occurrences across [[mojibakePatterns]] — the
+    * shrink-and-measure count ((len − len(without)) / len(pattern)); the
+    * double division is integer-valued and exact by construction.
+    */
+  def mojibakeCount(text: Column): Column =
+    mojibakePatterns.map { case (bad, _) =>
+      ((length(text) -
+        length(call_function("replace", text, lit(bad), lit("")))) /
+        bad.length).cast(org.apache.spark.sql.types.LongType)
+    }.reduce(_ + _)
+
+  /** Domain suffix chain of a host — "a.b.c" → ["a.b.c", "b.c", "c"].
+    * The scalable form of wildcard blocklist matching (robots opt-outs,
+    * takedown lists): explode the ≤ ~6-element chain and EQUI-join it
+    * against the blocklist, instead of a non-equi `endswith` join that
+    * would plan as a nested loop at corpus scale.
+    */
+  def domainSuffixes(host: Column): Column = {
+    val parts = split(host, "\\.")
+    transform(sequence(lit(1), size(parts)),
+      i => array_join(slice(parts, i, size(parts)), "."))
+  }
+
+  /** Split one WET-style crawl file into its records — the Common-Crawl
+    * ingestion step. Record grammar (the WET conversion-record shape,
+    * newline-normalized): `"WARC/1.0\nWARC-Target-URI: <url>\n\n<payload>
+    * \n\n"`, concatenated. Returns `array<struct<url, body>>`; one
+    * `transform` over the delimiter split, all inside the scan stage —
+    * per-file work is linear in file bytes and nothing shuffles.
+    *
+    * Contract: payloads are newline-normalized and never contain the
+    * `"WARC/1.0\n"` delimiter or a bare blank line (real WARC readers
+    * slice by the Content-Length header instead; this is the WET
+    * simplification for single-line payload corpora).
+    */
+  def splitWetRecords(file: Column): Column = {
+    val parts = filter(split(file, "WARC/1\\.0\n"), p => length(p) > 0)
+    transform(parts, p => struct(
+      regexp_extract(p, "^WARC-Target-URI: ([^\n]*)", 1).as("url"),
+      regexp_extract(p, "(?s)\n\n(.*)\n\n$", 1).as("body")))
+  }
 }

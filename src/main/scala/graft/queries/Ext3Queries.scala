@@ -1,0 +1,691 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-13 extension inventory — the release-audit / compliance /
+  * ingestion surface: semantic (embedding-space) decontamination, domain
+  * opt-out enforcement, quality-threshold operating curves, k-anonymity
+  * privacy census, mojibake repair, special-token contamination scan,
+  * cross-source duplication matrix, excess-quality domain reweighting,
+  * and WET crawl-record parsing. Same determinism policy ([[Det]]) and
+  * oracle discipline as every other group.
+  */
+object Ext3Queries {
+
+  // DuckDB twins of TextOps.tokens / HashExprs.distinctShingles — kept in
+  // lockstep with ExtQueries' private copies (single formula, two sites).
+  private val mdToks = "string_split(text, ' ')"
+  private val mdShingles =
+    "list_distinct(list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]))"
+  private def ddbSum(l: String) = s"list_reduce($l, (x,y) -> x+y)"
+  private def ddbDot(a: String, b: String) =
+    ddbSum(s"list_transform(list_zip($a,$b), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))")
+  private def ddbNorm2(a: String) =
+    ddbSum(s"list_transform($a, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))")
+  private def ddbCos(a: String, b: String) =
+    s"${ddbDot(a, b)} / (sqrt(${ddbNorm2(a)}) * sqrt(${ddbNorm2(b)}))"
+  private def ddbBucketN(v: String, bits: Int) = (0 until bits).map(i =>
+    s"(CASE WHEN $v[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+  private def ddbList(xs: Seq[String]) =
+    xs.map(s => s"'$s'").mkString("[", ",", "]")
+
+  // the x9 quality rational as a DuckDB CTE body (the x90/x106 twin),
+  // carrying (doc_id, source, n_chars, nt, qnum, qden)
+  private def qualityCte = {
+    val swList = ddbList(graft.operators.TextOps.stopwords)
+    s"""SELECT doc_id, source, n_chars, nt,
+               20 * nt * least(nt, 100) + 1500 * (nt - sw)
+                 + 3 * nt * least(n_chars, 500) AS qnum,
+               5000 * nt AS qden
+        FROM (
+          SELECT doc_id, source, n_chars, len(t) AS nt,
+                 len(list_filter(t, x -> list_contains($swList, x))) AS sw
+          FROM (SELECT doc_id, source, n_chars, $mdToks AS t
+                FROM documents))"""
+  }
+
+  // mojibake artifacts composed from chr() codepoints on the oracle side
+  // (TextOps.mojibakePatterns's twins — neither engine depends on a
+  // source-file encoding)
+  private val moj1 = "chr(195)||chr(169)"            // U+00C3 U+00A9
+  private val moj2 = "chr(226)||chr(8364)||chr(8482)" // U+00E2 U+20AC U+2122
+  private val moj3 = "chr(226)||chr(8364)||chr(339)"  // U+00E2 U+20AC U+0153
+
+  private val specialTokens = Seq("<|endoftext|>", "<|im_start|>", "</s>")
+
+  val defs: Map[String, Q] = Map(
+
+    // ---- SEMANTIC decontamination: the embedding-space twin of x23/x104
+    // (which see n-gram overlap and therefore miss paraphrased benchmark
+    // leakage). Eval set = vec_id % 25 = 0; a training vector within 0.4
+    // cosine of any eval vector is a suspected paraphrase leak. Candidates
+    // come from the sign-bucket equi-join with the SMALL eval side
+    // broadcast and multiprobed (SimilarityOps.cosineCrossBucketed) — the
+    // corpus never shuffles; the report keeps every train vector with its
+    // hit count so the clean rows are auditable too.
+    "x109_semantic_decontam" -> ((s, d) => {
+      import graft.operators.SimilarityOps
+      val emb = Tables.embeddings(s, d)
+      val eval = emb.filter(pmod(col("vec_id"), lit(25)) === 0)
+      val train = emb.filter(pmod(col("vec_id"), lit(25)) =!= 0)
+      val agg = SimilarityOps.cosineCrossBucketed(train, eval,
+          "vec_id", "embedding", 0.4, bits = 4)
+        .groupBy(col("id").as("vec_id"))
+        .agg(count(lit(1)).as("n_eval_hits"), max(col("cos")).as("max_cos"))
+      train.select(col("vec_id"))
+        .join(agg, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+          col("max_cos"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- the same scan FROM A PERSISTED PROBE INDEX (the x104b
+    // discipline on the embedding surface): the eval set's multiprobed
+    // sign-bucket index is persisted ONCE as an artifact and every later
+    // audit reads it back (SimilarityOps.cosineCrossWith), so a resident
+    // process re-checks arrivals without re-bucketing the benchmarks —
+    // and must hash-match x109 exactly (floats round-trip parquet
+    // bit-identically).
+    "x109b_semantic_decontam_from_index" -> ((s, d) => {
+      import graft.operators.{SimilarityOps, StageIO}
+      val emb = Tables.embeddings(s, d)
+      val eval = emb.filter(pmod(col("vec_id"), lit(25)) === 0)
+      val train = emb.filter(pmod(col("vec_id"), lit(25)) =!= 0)
+      val sfName = new java.io.File(d).getName
+      val dir = s"${StageIO.artifactRoot(s)}/eval_probe_index/$sfName"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS")))
+        SimilarityOps.probeIndex(eval, "vec_id", "embedding", bits = 4)
+          .write.mode("overwrite").parquet(dir)
+      val agg = SimilarityOps.cosineCrossWith(train, "vec_id", "embedding",
+          0.4, s.read.parquet(dir), bits = 4)
+        .groupBy(col("id").as("vec_id"))
+        .agg(count(lit(1)).as("n_eval_hits"), max(col("cos")).as("max_cos"))
+      train.select(col("vec_id"))
+        .join(agg, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("n_eval_hits"), lit(0L)).as("n_eval_hits"),
+          col("max_cos"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- domain opt-out enforcement (robots/takedown lists): hosts are
+    // exploded into their domain-suffix chain and EQUI-joined against the
+    // broadcast blocklist, so a wildcard "block example1.com and all its
+    // subdomains" is a map-side hash join, never an endswith nested loop.
+    // Fixture hosts derive from doc_id (the x68 discipline; compose with
+    // TextOps.canonicalUrl when starting from raw URLs), with a planted
+    // subdomain every 7th doc so the suffix-chain path is exercised.
+    "x110_optout_filter" -> ((s, d) => {
+      import graft.operators.TextOps
+      import s.implicits._
+      val id = col("doc_id")
+      val host = concat(
+        when(pmod(id, lit(7)) === 0, lit("sub.")).otherwise(lit("")),
+        lit("example"), pmod(id, lit(5)).cast("string"), lit(".com"))
+      val docs = Tables.documents(s, d).select(id, host.as("host"))
+      val block = Seq("example1.com", "example3.com").toDF("domain")
+      val blocked = docs
+        .select(col("doc_id"),
+          explode(TextOps.domainSuffixes(col("host"))).as("sfx"))
+        .join(broadcast(block), col("sfx") === col("domain"), "left_semi")
+        .select(col("doc_id")).distinct()
+      docs.join(blocked.withColumn("_blk", lit(1L)), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("host"),
+          when(col("_blk").isNull, lit(1L)).otherwise(lit(0L)).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- quality-threshold operating curve (the FineWeb-Edu sweep):
+    // docs and tokens retained at each candidate gate threshold, decided
+    // by integer cross-multiply on the exact x9 rational — the table a
+    // curation team reads before committing to a cutoff. One corpus scan
+    // against a 4-row broadcast grid; the aggregate is ≤ grid-size keys.
+    "x111_retention_curve" -> ((s, d) => {
+      import graft.operators.TextOps
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val (qn, qd) = TextOps.qualityRat(col("text"), col("n_chars"))
+      val scored = docs.select(qn.as("_qn"), qd.as("_qd"),
+        size(TextOps.tokens(col("text"))).cast("long").as("_nt"))
+      val grid = Seq(2000L, 4000L, 6000L, 8000L).toDF("threshold_bp")
+      val keep = col("_qn") * 10000L >= col("threshold_bp") * col("_qd")
+      scored.crossJoin(broadcast(grid))
+        .groupBy("threshold_bp")
+        .agg(sum(when(keep, 1L).otherwise(0L)).as("n_docs"),
+          sum(when(keep, col("_nt")).otherwise(0L)).as("n_tokens"),
+          count(lit(1)).as("_tot"))
+        .select(col("threshold_bp"), col("n_docs"), col("n_tokens"),
+          Det.round4Rat(col("n_docs"), col("_tot")).as("retained_frac"))
+        .orderBy("threshold_bp")
+    }),
+
+    // ---- k-anonymity census over the release-metadata quasi-identifiers
+    // (lang, source, length bucket): any cell with fewer than k=5 members
+    // re-identifies its documents by metadata alone and must be suppressed
+    // or generalized before a public release. One partial-aggregated
+    // groupBy; the flag is per-cell arithmetic.
+    "x112_k_anonymity" -> ((s, d) => {
+      val bucket = ((col("n_chars") - pmod(col("n_chars"), lit(100L))) /
+        100L).cast("long")
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"), bucket.as("size_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("lang"), col("source"), col("size_bucket"), col("n"),
+          (col("n") < 5L).cast("long").as("at_risk"))
+        .orderBy("lang", "source", "size_bucket")
+    }),
+
+    // ---- mojibake repair census (the ftfy pass): UTF-8-read-as-cp1252
+    // artifacts planted deterministically (every 13th doc gets the
+    // 3-artifact phrase, every 7th a double e-acute), then detected and
+    // repaired by TextOps.fixMojibake — per-row codegen'd literal
+    // replaces, no regex. The md5 of the repaired text pins the full fix,
+    // not just the count.
+    "x113_mojibake_fix" -> ((s, d) => {
+      import graft.operators.TextOps
+      val art1 = " caf\u00c3\u00a9 don\u00e2\u20ac\u2122t \u00e2\u20ac\u0153q"
+      val art2 = " \u00c3\u00a9\u00c3\u00a9"
+      val planted = Tables.documents(s, d).select(col("doc_id"), concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(13)) === 0, lit(art1)).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(art2)).otherwise(lit("")))
+        .as("text"))
+      planted.select(col("doc_id"),
+          TextOps.mojibakeCount(col("text")).as("n_artifacts"),
+          md5(TextOps.fixMojibake(col("text"))).as("fixed_md5"))
+        .filter(col("n_artifacts") > 0)
+        .orderBy("doc_id")
+    }),
+
+    // ---- special-token contamination scan: chat-template / EOS literals
+    // inside pretraining text derail the tokenizer and leak templates into
+    // the model — the standard pre-tokenization lint. Planted every 19th
+    // doc (token cycles by doc_id % 3, twice per doc); the scan is the
+    // shrink-and-measure count against a 3-row broadcast token table.
+    "x114_template_scan" -> ((s, d) => {
+      import s.implicits._
+      val tokArr = array(specialTokens.map(lit): _*)
+      val t2 = element_at(tokArr, (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+      val planted = Tables.documents(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(19)) === 0,
+          concat(col("text"), lit(" "), t2, lit(" tail "), t2))
+          .otherwise(col("text")).as("text"))
+      val toks = specialTokens.toDF("special_token")
+      planted.crossJoin(broadcast(toks))
+        .select(col("special_token"),
+          ((length(col("text")) - length(call_function("replace",
+            col("text"), col("special_token"), lit("")))) /
+            length(col("special_token"))).cast("long").as("_hits"))
+        .groupBy("special_token")
+        .agg(sum(when(col("_hits") > 0, 1L).otherwise(0L)).as("n_docs"),
+          sum(col("_hits")).as("n_hits"))
+        .orderBy("special_token")
+    }),
+
+    // ---- cross-source duplication matrix: which sources duplicate each
+    // other — x4's exact inverted-index near-dup pairs (threshold 0.5, the
+    // x105/x106 regime) rolled up to unordered (source, source) cells,
+    // zero-filled over the full upper triangle so "no duplication" is an
+    // explicit auditable cell. The matrix side is |sources|² — model-sized.
+    "x115_source_dup_matrix" -> ((s, d) => {
+      import graft.operators.DedupOps
+      val docs = Tables.documents(s, d)
+      val src = docs.select(col("doc_id"), col("source"))
+      val tagged = DedupOps.jaccardNearDups(docs, "text", "doc_id", 0.5)
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("_sa")),
+          Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("_sb")),
+          Seq("doc_b"))
+        .select(least(col("_sa"), col("_sb")).as("src_a"),
+          greatest(col("_sa"), col("_sb")).as("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+      val srcs = docs.select(col("source")).distinct()
+      srcs.select(col("source").as("src_a"))
+        .join(srcs.select(col("source").as("src_b")),
+          col("src_a") <= col("src_b"))
+        .join(tagged, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+        .orderBy("src_a", "src_b")
+    }),
+
+    // ---- excess-quality domain reweighting (the DoReMi-flavored one-step
+    // update): each source's mean quality in basis points vs the corpus
+    // mean; sources above the mean get weight proportional to their
+    // excess, all in the exact integer-rational discipline (per-doc bp by
+    // the round4Rat core, means by the x90 conf_bp form, weights by floor
+    // division over the summed excess — uniform fallback if no source is
+    // above the mean). The per-source and global frames are model-sized
+    // (≤ |sources| rows) and ride broadcasts.
+    "x116_domain_reweight" -> ((s, d) => {
+      import graft.operators.TextOps
+      val docs = Tables.documents(s, d)
+      val (qn, qd) = TextOps.qualityRat(col("text"), col("n_chars"))
+      val a = qn * 20000L + qd
+      val b = qd * 2L
+      val bp = ((a - pmod(a, b)) / b).cast("long")
+      val perSrc = docs.select(col("source"), bp.as("_bp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("_bp").as("_sum_bp"))
+      def meanBp(sumBp: org.apache.spark.sql.Column,
+          n: org.apache.spark.sql.Column) = {
+        val na = sumBp * 2L + n
+        val nb = n * 2L
+        ((na - pmod(na, nb)) / nb).cast("long")
+      }
+      val g = perSrc.agg(sum("_sum_bp").as("_g_sum"), sum("n_docs").as("_g_n"))
+      val withGlobal = perSrc.crossJoin(broadcast(g))
+        .select(col("source"), col("n_docs"),
+          meanBp(col("_sum_bp"), col("n_docs")).as("src_bp"),
+          meanBp(col("_g_sum"), col("_g_n")).as("_global_bp"))
+        .withColumn("excess_bp",
+          greatest(col("src_bp") - col("_global_bp"), lit(0L)))
+      val tot = withGlobal.agg(sum("excess_bp").as("_tot_excess"),
+        count(lit(1)).as("_n_src"))
+      withGlobal.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("src_bp"), col("excess_bp"),
+          when(col("_tot_excess") > 0,
+            ((col("excess_bp") * 10000L -
+              pmod(col("excess_bp") * 10000L, col("_tot_excess"))) /
+              col("_tot_excess")).cast("long"))
+            .otherwise(((lit(10000L) - pmod(lit(10000L), col("_n_src"))) /
+              col("_n_src")).cast("long"))
+            .as("weight_bp"))
+        .orderBy("source")
+    }),
+
+    // ---- WET crawl-record parsing (the CommonCrawl ingestion step): each
+    // source's docs are serialized into one WET-style file (records in
+    // doc_id order), then TextOps.splitWetRecords must recover every
+    // record exactly — the oracle is the IDENTITY over the original rows,
+    // so the round-trip pins url extraction, payload slicing, and record
+    // order. The parse kernel is per-file linear work inside the scan
+    // stage; the build side here is fixture (real ingestion reads the
+    // files from object storage).
+    "x117_wet_records" -> ((s, d) => {
+      import graft.operators.TextOps
+      val rec = concat(lit("WARC/1.0\nWARC-Target-URI: http://ex.org/d"),
+        col("doc_id").cast("string"), lit("\n\n"), col("text"), lit("\n\n"))
+      val files = Tables.documents(s, d)
+        .select(col("source"),
+          struct(col("doc_id"), rec.as("rec")).as("_r"))
+        .groupBy("source")
+        .agg(array_sort(collect_list(col("_r"))).as("_rs"))
+        .select(col("source"),
+          array_join(transform(col("_rs"), r => r.getField("rec")), "")
+            .as("_file"))
+      files.select(col("source"),
+          posexplode(TextOps.splitWetRecords(col("_file"))))
+        .select(col("source"), col("pos").cast("long").as("rec_idx"),
+          col("col.url").as("url"), md5(col("col.body")).as("body_md5"),
+          length(col("col.body")).cast("long").as("body_chars"))
+        .orderBy("source", "rec_idx")
+    }),
+
+    // ---- OOV-rate census against a frozen top-N vocabulary: the
+    // tokenizer-fit audit per source (which domains will fragment under
+    // this vocab?). The vocabulary is the model artifact — top 30 words
+    // by corpus frequency, count-desc/word-asc deterministic — built once
+    // and BROADCAST; the census is one scan + a ≤|sources|-key aggregate.
+    // (In production the vocab build is a separate persisted step — here
+    // the corpus pays the word scan twice, priced and documented.)
+    "x118_oov_rate" -> ((s, d) => {
+      import graft.operators.TextOps
+      val words = Tables.documents(s, d).select(col("source"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      val vocab = words.groupBy("w").agg(count(lit(1)).as("_c"))
+        .orderBy(col("_c").desc, col("w")).limit(30)
+        .select(col("w"), lit(1L).as("_in"))
+      words.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          Det.round4Rat(col("n_oov"), col("n_tokens")).as("oov_rate"))
+        .orderBy("source")
+    }),
+
+    // ---- length-bucket padding plan (dynamic batching): documents
+    // binned to the next power-of-two sequence length, with the padding
+    // waste a naive pad-to-bucket batcher would pay — the sizing table
+    // that motivates packing (x103's packer is the cure; this is the
+    // diagnosis). Pure per-row arithmetic into a ≤6-key aggregate.
+    "x119_length_buckets" -> ((s, d) => {
+      import graft.operators.TextOps
+      val nt = size(TextOps.tokens(col("text"))).cast("long")
+      val buckets = Seq(16L, 32L, 64L, 128L, 256L)
+      val seqLen = buckets.foldRight(lit(512L): org.apache.spark.sql.Column) {
+        (b, rest) => when(nt <= b, lit(b)).otherwise(rest)
+      }
+      Tables.documents(s, d)
+        .select(seqLen.as("seq_len"), nt.as("_nt"))
+        .groupBy("seq_len")
+        .agg(count(lit(1)).as("n_docs"), sum("_nt").as("n_tokens"))
+        .select(col("seq_len"), col("n_docs"), col("n_tokens"),
+          (col("n_docs") * col("seq_len") - col("n_tokens"))
+            .as("pad_tokens"),
+          Det.round4Rat(col("n_tokens"), col("n_docs") * col("seq_len"))
+            .as("utilization"))
+        .orderBy("seq_len")
+    }),
+
+    // ---- multi-signal decontamination VERDICT: the release-audit rollup
+    // — per training document, did the n-gram scan (x23's kernel) or the
+    // embedding scan (x109's kernel) flag it against the held-out split
+    // (id % 25 = 0, shared by text and vector sides; a doc without an
+    // embedding row can only be flagged by n-grams — encoded identically
+    // in the oracle). Production gates on `flagged`; the per-signal bits
+    // make the verdict auditable.
+    "x120_decontam_verdict" -> ((s, d) => {
+      import graft.operators.{DedupOps, SimilarityOps}
+      val docs = Tables.documents(s, d)
+      val isEval = pmod(col("doc_id"), lit(25)) === 0
+      val ng = DedupOps.crossContamination(docs.filter(!isEval),
+          docs.filter(isEval), "text", "doc_id", 0.5)
+        .select(col("train_id").as("doc_id")).distinct()
+        .withColumn("_ng", lit(1L))
+      val emb = Tables.embeddings(s, d)
+      val sem = SimilarityOps.cosineCrossBucketed(
+          emb.filter(pmod(col("vec_id"), lit(25)) =!= 0),
+          emb.filter(pmod(col("vec_id"), lit(25)) === 0),
+          "vec_id", "embedding", 0.4, bits = 4)
+        .select(col("id").as("doc_id")).distinct()
+        .withColumn("_sem", lit(1L))
+      docs.filter(!isEval).select(col("doc_id"))
+        .join(ng, Seq("doc_id"), "left")
+        .join(sem, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("_ng"), lit(0L)).as("ngram_hit"),
+          coalesce(col("_sem"), lit(0L)).as("semantic_hit"))
+        .withColumn("flagged", greatest(col("ngram_hit"), col("semantic_hit")))
+        .orderBy("doc_id")
+    })
+  )
+
+  private val semanticDecontamSql = {
+      val flips = (0 until 4).map(i => s"xor(bucket, ${1 << i})")
+        .mkString(", ")
+      s"""WITH e AS (
+            SELECT vec_id, embedding,
+                   CAST(${ddbBucketN("embedding", 4)} AS INT) AS bucket
+            FROM embeddings),
+          ev AS (SELECT * FROM e WHERE vec_id % 25 = 0),
+          tr AS (SELECT * FROM e WHERE vec_id % 25 <> 0),
+          probes AS (
+            SELECT vec_id, embedding,
+                   unnest([bucket, $flips]) AS bucket0 FROM ev),
+          hits AS (
+            SELECT t.vec_id,
+                   round(${ddbCos("t.embedding", "p.embedding")}, 4) AS cos
+            FROM tr t JOIN probes p ON t.bucket = p.bucket0
+            WHERE ${ddbCos("t.embedding", "p.embedding")} >= 0.4),
+          a AS (
+            SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+                   MAX(cos) AS max_cos
+            FROM hits GROUP BY vec_id)
+          SELECT t.vec_id,
+                 CAST(coalesce(n_eval_hits, 0) AS BIGINT) AS n_eval_hits,
+                 max_cos
+          FROM tr t LEFT JOIN a USING (vec_id)
+          ORDER BY vec_id"""
+  }
+
+  val oracles: Map[String, String] = Map(
+
+    "x109_semantic_decontam" -> semanticDecontamSql,
+
+    // x109b's oracle IS x109's: probing from the persisted index must
+    // reproduce the direct scan exactly.
+    "x109b_semantic_decontam_from_index" -> semanticDecontamSql,
+
+    "x110_optout_filter" ->
+      """WITH h AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 7 = 0 THEN 'sub.' ELSE '' END)
+                     || 'example' || CAST(doc_id % 5 AS VARCHAR) || '.com'
+                     AS host
+            FROM documents),
+          s AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(p) + 1),
+                     i -> array_to_string(list_slice(p, i, len(p)), '.')))
+                     AS sfx
+            FROM (SELECT doc_id, string_split(host, '.') AS p FROM h)),
+          b AS (
+            SELECT DISTINCT doc_id FROM s
+            WHERE sfx IN ('example1.com', 'example3.com'))
+          SELECT h.doc_id, h.host,
+                 CAST(CASE WHEN b.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                   AS keep
+          FROM h LEFT JOIN b USING (doc_id)
+          ORDER BY doc_id""",
+
+    "x111_retention_curve" ->
+      s"""WITH q AS ($qualityCte),
+          g AS (SELECT unnest([2000, 4000, 6000, 8000]) AS threshold_bp),
+          a AS (
+            SELECT threshold_bp,
+                   CAST(SUM(CASE WHEN qnum * 10000 >= threshold_bp * qden
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN qnum * 10000 >= threshold_bp * qden
+                     THEN nt ELSE 0 END) AS BIGINT) AS n_tokens,
+                   COUNT(*) AS tot
+            FROM q CROSS JOIN g GROUP BY threshold_bp)
+          SELECT CAST(threshold_bp AS BIGINT) AS threshold_bp, n_docs,
+                 n_tokens,
+                 ((n_docs * 20000 + tot) // (2 * NULLIF(tot, 0))) / 10000.0
+                   AS retained_frac
+          FROM a ORDER BY threshold_bp""",
+
+    "x112_k_anonymity" ->
+      """SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS size_bucket,
+                CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(CASE WHEN COUNT(*) < 5 THEN 1 ELSE 0 END AS BIGINT)
+                  AS at_risk
+         FROM documents GROUP BY 1, 2, 3
+         ORDER BY lang, source, size_bucket""",
+
+    "x113_mojibake_fix" ->
+      s"""WITH p AS (
+            SELECT doc_id,
+                   text
+                   || (CASE WHEN doc_id % 13 = 0
+                        THEN ' caf' || $moj1 || ' don' || $moj2 || 't '
+                             || $moj3 || 'q' ELSE '' END)
+                   || (CASE WHEN doc_id % 7 = 0
+                        THEN ' ' || $moj1 || $moj1 ELSE '' END) AS text
+            FROM documents),
+          c AS (
+            SELECT doc_id,
+                   (len(text) - len(replace(text, $moj1, ''))) // 2
+                   + (len(text) - len(replace(text, $moj2, ''))) // 3
+                   + (len(text) - len(replace(text, $moj3, ''))) // 3
+                     AS n_artifacts,
+                   md5(replace(replace(replace(text,
+                     $moj1, chr(233)), $moj2, chr(8217)), $moj3, chr(8220)))
+                     AS fixed_md5
+            FROM p)
+          SELECT doc_id, CAST(n_artifacts AS BIGINT) AS n_artifacts,
+                 fixed_md5
+          FROM c WHERE n_artifacts > 0 ORDER BY doc_id""",
+
+    "x114_template_scan" -> {
+      val tl = ddbList(specialTokens)
+      s"""WITH tk AS (SELECT unnest($tl) AS special_token),
+          p AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 19 = 0
+                     THEN text || ' ' || t2 || ' tail ' || t2
+                     ELSE text END AS text
+            FROM (SELECT doc_id, text,
+                         ($tl)[CAST(doc_id % 3 AS INT) + 1] AS t2
+                  FROM documents)),
+          h AS (
+            SELECT special_token,
+                   (len(text) - len(replace(text, special_token, '')))
+                     // len(special_token) AS hits
+            FROM p CROSS JOIN tk)
+          SELECT special_token,
+                 CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_docs,
+                 CAST(SUM(hits) AS BIGINT) AS n_hits
+          FROM h GROUP BY special_token ORDER BY special_token"""
+    },
+
+    "x115_source_dup_matrix" ->
+      s"""WITH sh AS (
+            SELECT doc_id, unnest(sh) AS s FROM (
+              SELECT doc_id, $mdShingles AS sh
+              FROM (SELECT doc_id, $mdToks AS t FROM documents))),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+          pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          p AS (
+            SELECT doc_a, doc_b FROM pairs
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+          t AS (
+            SELECT least(da.source, db.source) AS src_a,
+                   greatest(da.source, db.source) AS src_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM p
+            JOIN documents da ON doc_a = da.doc_id
+            JOIN documents db ON doc_b = db.doc_id
+            GROUP BY 1, 2),
+          srcs AS (SELECT DISTINCT source FROM documents),
+          cells AS (
+            SELECT a.source AS src_a, b.source AS src_b
+            FROM srcs a JOIN srcs b ON a.source <= b.source)
+          SELECT src_a, src_b, CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs
+          FROM cells LEFT JOIN t USING (src_a, src_b)
+          ORDER BY src_a, src_b""",
+
+    "x116_domain_reweight" ->
+      s"""WITH q AS ($qualityCte),
+          bp AS (
+            SELECT source,
+                   (qnum * 20000 + qden) // (2 * qden) AS bp
+            FROM q),
+          per AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   SUM(bp) AS sum_bp
+            FROM bp GROUP BY source),
+          g AS (SELECT SUM(sum_bp) AS g_sum, SUM(n_docs) AS g_n FROM per),
+          w AS (
+            SELECT source, n_docs,
+                   CAST((sum_bp * 2 + n_docs) // (2 * n_docs) AS BIGINT)
+                     AS src_bp,
+                   CAST((g_sum * 2 + g_n) // (2 * g_n) AS BIGINT)
+                     AS global_bp
+            FROM per, g),
+          x AS (
+            SELECT source, n_docs, src_bp,
+                   greatest(src_bp - global_bp, 0) AS excess_bp
+            FROM w),
+          tot AS (
+            SELECT SUM(excess_bp) AS tot_excess, COUNT(*) AS n_src FROM x)
+          SELECT source, n_docs, src_bp,
+                 CAST(excess_bp AS BIGINT) AS excess_bp,
+                 CAST(CASE WHEN tot_excess > 0
+                   THEN (excess_bp * 10000) // tot_excess
+                   ELSE 10000 // n_src END AS BIGINT) AS weight_bp
+          FROM x, tot ORDER BY source""",
+
+    "x117_wet_records" ->
+      """SELECT source,
+                CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                  - 1 AS BIGINT) AS rec_idx,
+                'http://ex.org/d' || CAST(doc_id AS VARCHAR) AS url,
+                md5(text) AS body_md5,
+                CAST(len(text) AS BIGINT) AS body_chars
+         FROM documents ORDER BY source, rec_idx""",
+
+    "x118_oov_rate" ->
+      s"""WITH w AS (
+            SELECT source, unnest($mdToks) AS w FROM documents),
+          v AS (
+            SELECT w FROM (
+              SELECT w, COUNT(*) AS c FROM w GROUP BY w
+              ORDER BY c DESC, w LIMIT 30)),
+          a AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_oov
+            FROM w LEFT JOIN v ON w.w = v.w
+            GROUP BY source)
+          SELECT source, n_tokens, n_oov,
+                 ((n_oov * 20000 + n_tokens) // (2 * NULLIF(n_tokens, 0)))
+                   / 10000.0 AS oov_rate
+          FROM a ORDER BY source""",
+
+    "x119_length_buckets" ->
+      s"""WITH t AS (
+            SELECT CAST(CASE WHEN nt <= 16 THEN 16 WHEN nt <= 32 THEN 32
+                             WHEN nt <= 64 THEN 64 WHEN nt <= 128 THEN 128
+                             WHEN nt <= 256 THEN 256 ELSE 512 END AS BIGINT)
+                     AS seq_len,
+                   nt
+            FROM (SELECT len($mdToks) AS nt FROM documents)),
+          a AS (
+            SELECT seq_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(nt) AS BIGINT) AS n_tokens
+            FROM t GROUP BY seq_len)
+          SELECT seq_len, n_docs, n_tokens,
+                 CAST(n_docs * seq_len - n_tokens AS BIGINT) AS pad_tokens,
+                 ((n_tokens * 20000 + n_docs * seq_len)
+                   // (2 * NULLIF(n_docs * seq_len, 0))) / 10000.0
+                   AS utilization
+          FROM a ORDER BY seq_len""",
+
+    "x120_decontam_verdict" -> {
+      val flips = (0 until 4).map(i => s"xor(bucket, ${1 << i})")
+        .mkString(", ")
+      s"""WITH d AS (
+            SELECT doc_id, $mdShingles AS sh
+            FROM (SELECT doc_id, $mdToks AS t FROM documents)),
+          e AS (
+            SELECT doc_id AS eval_id, CAST(len(sh) AS BIGINT) AS n_eval,
+                   unnest(sh) AS s
+            FROM d WHERE doc_id % 25 = 0 AND len(sh) > 0),
+          tr AS (
+            SELECT doc_id AS train_id, unnest(sh) AS s
+            FROM d WHERE doc_id % 25 <> 0 AND len(sh) > 0),
+          ng AS (
+            SELECT DISTINCT train_id AS doc_id FROM (
+              SELECT eval_id, train_id, COUNT(*) AS inter,
+                     any_value(n_eval) AS n_eval
+              FROM e JOIN tr USING (s) GROUP BY 1, 2)
+            WHERE inter * 1.0 / n_eval >= 0.5),
+          emb AS (
+            SELECT vec_id, embedding,
+                   CAST(${ddbBucketN("embedding", 4)} AS INT) AS bucket
+            FROM embeddings),
+          probes AS (
+            SELECT embedding, unnest([bucket, $flips]) AS bucket0
+            FROM emb WHERE vec_id % 25 = 0),
+          sem AS (
+            SELECT DISTINCT t.vec_id AS doc_id
+            FROM (SELECT * FROM emb WHERE vec_id % 25 <> 0) t
+            JOIN probes p ON t.bucket = p.bucket0
+            WHERE ${ddbCos("t.embedding", "p.embedding")} >= 0.4)
+          SELECT dd.doc_id,
+                 CAST(CASE WHEN ng.doc_id IS NULL THEN 0 ELSE 1 END
+                   AS BIGINT) AS ngram_hit,
+                 CAST(CASE WHEN sem.doc_id IS NULL THEN 0 ELSE 1 END
+                   AS BIGINT) AS semantic_hit,
+                 CAST(CASE WHEN ng.doc_id IS NULL AND sem.doc_id IS NULL
+                   THEN 0 ELSE 1 END AS BIGINT) AS flagged
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 25 <> 0) dd
+          LEFT JOIN ng ON dd.doc_id = ng.doc_id
+          LEFT JOIN sem ON dd.doc_id = sem.doc_id
+          ORDER BY dd.doc_id"""
+    }
+  )
+}

@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{SimilarityOps, TextOps}
+
+/** Round-13 kernels: cross-frame cosine blocking, mojibake repair, domain
+  * suffix chains, WET record parsing, and the x109–x117 query-level
+  * invariants the oracle gate can't see (recall containment, weight-sum
+  * bounds, round-trip identity).
+  */
+class Ext3OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = SparkTestSession.sf0001
+
+  // ---- cosineCrossBucketed ----
+
+  test("cosineCrossBucketed: every returned pair verifies brute-force, " +
+    "and no-multiprobe results are contained in multiprobe results") {
+    val emb = Tables.embeddings(spark, sf)
+    val eval = emb.filter(pmod(col("vec_id"), lit(25)) === 0)
+    val train = emb.filter(pmod(col("vec_id"), lit(25)) =!= 0)
+    val multi = SimilarityOps.cosineCrossBucketed(train, eval,
+      "vec_id", "embedding", 0.4, bits = 4).collect()
+    // brute-force verify each returned pair's cosine on the driver
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    assert(multi.nonEmpty, "fixture should contain at least one cross hit")
+    multi.foreach { r =>
+      val c = cos(vecs(r.getLong(0)), vecs(r.getLong(1)))
+      assert(c >= 0.4 - 1e-9, s"pair $r brute-force cosine $c < threshold")
+      assert(math.abs(c - r.getDouble(2)) < 1e-3)
+    }
+    val single = SimilarityOps.cosineCrossBucketed(train, eval,
+      "vec_id", "embedding", 0.4, bits = 4, multiprobe = false).collect()
+    val multiKeys = multi.map(r => (r.getLong(0), r.getLong(1))).toSet
+    single.foreach { r =>
+      assert(multiKeys.contains((r.getLong(0), r.getLong(1))),
+        "multiprobe must be a superset of exact-bucket matching")
+    }
+  }
+
+  test("cosineCrossBucketed emits at most one row per (id, probe) pair") {
+    val emb = Tables.embeddings(spark, sf)
+    val eval = emb.filter(pmod(col("vec_id"), lit(25)) === 0)
+    val train = emb.filter(pmod(col("vec_id"), lit(25)) =!= 0)
+    val out = SimilarityOps.cosineCrossBucketed(train, eval,
+      "vec_id", "embedding", 0.0, bits = 4)
+    assert(out.count() == out.select("id", "probe_id").distinct().count())
+  }
+
+  // ---- mojibake ----
+
+  test("fixMojibake repairs all three artifact classes and counts them") {
+    val bad = "caf\u00c3\u00a9 don\u00e2\u20ac\u2122t \u00e2\u20ac\u0153q"
+    val good = "caf\u00e9 don\u2019t \u201cq"
+    val df = Seq(bad, good, "plain ascii").toDF("text")
+      .select(col("text"), TextOps.fixMojibake(col("text")).as("fixed"),
+        TextOps.mojibakeCount(col("text")).as("n"))
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).toList
+    assert(rows(0) == ((bad, good, 3L)))
+    // already-clean text is a fixed point with zero artifacts
+    assert(rows(1) == ((good, good, 0L)))
+    assert(rows(2) == (("plain ascii", "plain ascii", 0L)))
+  }
+
+  test("fixMojibake is idempotent") {
+    val df = Tables.documents(spark, sf).select(
+      concat(col("text"), lit(" \u00c3\u00a9\u00e2\u20ac\u2122")).as("t"))
+    val once = df.select(TextOps.fixMojibake(col("t")).as("f"))
+    val twice = once.select(TextOps.fixMojibake(col("f")).as("f2"),
+      col("f"))
+    assert(twice.filter(col("f") =!= col("f2")).count() == 0)
+  }
+
+  // ---- domain suffixes ----
+
+  test("domainSuffixes yields the full suffix chain") {
+    val out = Seq("a.b.c", "example.com", "com").toDF("h")
+      .select(TextOps.domainSuffixes(col("h")).as("s"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(out == List(
+      List("a.b.c", "b.c", "c"),
+      List("example.com", "com"),
+      List("com")))
+  }
+
+  // ---- WET records ----
+
+  test("splitWetRecords round-trips records, including an empty payload") {
+    val recs = Seq(("http://a/1", "hello world"), ("http://a/2", ""),
+      ("http://a/3", "third body"))
+    val file = recs.map { case (u, b) =>
+      s"WARC/1.0\nWARC-Target-URI: $u\n\n$b\n\n"
+    }.mkString
+    val out = Seq(file).toDF("f")
+      .select(posexplode(TextOps.splitWetRecords(col("f"))))
+      .select(col("pos"), col("col.url"), col("col.body"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .toList
+    assert(out == recs.zipWithIndex.map { case ((u, b), i) => (i, u, b) })
+  }
+
+  test("x117 parses back exactly one record per document") {
+    val q = SparkEntry.queries("x117_wet_records")(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    assert(q.count() == docs.count())
+    // spot-check: body md5s as parsed == md5 of the original texts
+    val expected = docs.select(md5(col("text")).as("m")).collect()
+      .map(_.getString(0)).sorted.toList
+    val got = q.select(col("body_md5")).collect()
+      .map(_.getString(0)).sorted.toList
+    assert(got == expected)
+  }
+
+  // ---- query-level invariants ----
+
+  test("x116 weights are non-negative and sum to at most 10000 bp") {
+    val w = SparkEntry.queries("x116_domain_reweight")(spark, sf).collect()
+    val weights = w.map(_.getAs[Long]("weight_bp"))
+    assert(weights.forall(_ >= 0))
+    val nSrc = w.length
+    val total = weights.sum
+    // floor division loses < 1 bp per source
+    assert(total <= 10000 && total > 10000 - nSrc,
+      s"weight sum $total out of bounds for $nSrc sources")
+    // only above-mean sources carry weight when any excess exists
+    if (w.exists(_.getAs[Long]("excess_bp") > 0))
+      w.foreach { r =>
+        assert((r.getAs[Long]("weight_bp") > 0) ==
+          (r.getAs[Long]("excess_bp") > 0))
+      }
+  }
+
+  test("x111 retention curve is monotone non-increasing in the threshold") {
+    val rows = SparkEntry.queries("x111_retention_curve")(spark, sf)
+      .orderBy("threshold_bp").collect()
+    val docs = rows.map(_.getAs[Long]("n_docs")).toList
+    assert(docs == docs.sorted.reverse, s"not monotone: $docs")
+    val toks = rows.map(_.getAs[Long]("n_tokens")).toList
+    assert(toks == toks.sorted.reverse, s"not monotone: $toks")
+  }
+
+  test("x110 blocks exactly the planted domains, wildcard included") {
+    val rows = SparkEntry.queries("x110_optout_filter")(spark, sf).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val expected = if (id % 5 == 1 || id % 5 == 3) 0L else 1L
+      assert(r.getAs[Long]("keep") == expected, s"doc $id")
+      // the planted subdomain must not escape the wildcard block
+      if (id % 7 == 0 && (id % 5 == 1 || id % 5 == 3))
+        assert(r.getAs[String]("host").startsWith("sub.") &&
+          r.getAs[Long]("keep") == 0L)
+    }
+  }
+
+  test("x112 cells partition the corpus") {
+    val cells = SparkEntry.queries("x112_k_anonymity")(spark, sf)
+    val total = cells.agg(sum("n")).head.getLong(0)
+    assert(total == Tables.documents(spark, sf).count())
+  }
+
+  test("x118 sources partition the token stream; rates are in [0,1]") {
+    val rows = SparkEntry.queries("x118_oov_rate")(spark, sf).collect()
+    val totalToks = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == totalToks)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("oov_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tokens"))
+    }
+  }
+
+  test("x119 buckets partition the corpus and never pad negatively") {
+    val rows = SparkEntry.queries("x119_length_buckets")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pad_tokens") >= 0)
+      assert(r.getAs[Double]("utilization") <= 1.0)
+    }
+  }
+
+  test("x120 verdict is the OR of its signals over exactly the train split") {
+    val rows = SparkEntry.queries("x120_decontam_verdict")(spark, sf).collect()
+    val nTrain = Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(25)) =!= 0).count()
+    assert(rows.length == nTrain)
+    rows.foreach { r =>
+      val ng = r.getAs[Long]("ngram_hit")
+      val sem = r.getAs[Long]("semantic_hit")
+      assert(r.getAs[Long]("flagged") == math.max(ng, sem))
+      // a doc without an embedding row can only be flagged by n-grams
+      if (r.getAs[Long]("doc_id") > 1999) assert(sem == 0L)
+    }
+  }
+}
