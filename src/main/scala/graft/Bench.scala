@@ -442,7 +442,6 @@ object Bench {
     }.mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$totalSteady,"unit":"sec","best_of":$numPasses,"queries":${fmt(_.steady.toString)},"queries_cold":${fmt(_.cold.toString)},"total_cold":$totalCold,"gc_ms":${fmt(_.gcSteady.toString)},"gc_ms_cold":${fmt(_.gcCold.toString)},"heap_mb":${fmt(_.heapMb.toString)},"io_read_mb":${fmt(_.ioSteady.toString)},"io_read_mb_cold":${fmt(_.ioCold.toString)},"io_write_mb":${fmt(_.ioWrSteady.toString)},"io_write_mb_cold":${fmt(_.ioWrCold.toString)},"io_cancelled_write_mb":${fmt(_.ioCwSteady.toString)},"alloc_mb":${fmt(_.allocSteady.toString)},"alloc_mb_cold":${fmt(_.allocCold.toString)},"box_cpu_sec":${fmt(_.boxCpuSteady.toString)},"box_cpu_sec_cold":${fmt(_.boxCpuCold.toString)},"box_iowait_sec":${fmt(_.boxIowaitSteady.toString)},"self_cpu_sec":${fmt(_.selfCpuSteady.toString)},"self_cpu_sec_cold":${fmt(_.selfCpuCold.toString)},"loadavg_start":${fmt(_.loadavgStart.toString)},"dirty_kb_start":${fmt(_.dirtyStartKb.toString)},"build_sec":$buildsJson,"idle_gate":$gatesJson,"runs":$runsJson,"wall_start_ms":${fmt(_.wallStart.toString)},"sentinel":$sentinelJson,"failed":$failedJson,"sf":"$sfDir"}"""
-    println(json)
     // the driver tail-captures stdout and has truncated the head of this
     // line before (BENCH_r02 lost its totals) — persist the artifact
     // TWICE: a timestamped file that no later run can clobber (judge r10
@@ -462,6 +461,18 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
     }
+    // the driver's wrapper parse has read null since r11 (BENCH_r13
+    // "parsed": null): it tail-captures stdout and the full artifact
+    // line — 223 queries × ~20 channels, ~100 KB — loses its HEAD to
+    // the capture window, so the JSON never parses. Self-describing
+    // output (judge r13 #6): a stable marker naming the un-clobberable
+    // full artifact, then a COMPACT contract-shaped summary (metric/
+    // value/unit/queries/sf + the artifact path) as the FINAL stdout
+    // line, small enough to survive any tail capture intact.
+    println(s"BENCH_JSON: $stamped")
+    val compact =
+      s"""{"metric":"total","value":$totalSteady,"unit":"sec","best_of":$numPasses,"total_cold":$totalCold,"queries":${fmt(_.steady.toString)},"failed":$failedJson,"artifact":"$stamped","sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

