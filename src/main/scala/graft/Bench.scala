@@ -2,6 +2,29 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+  /** The HONEST bench action (judge r14 #2): force EVERY output column to
+    * materialize, then reduce to one row. The old `df.count()` action let
+    * Catalyst prune any projection a count doesn't need, under-measuring
+    * projection-heavy queries 3–15× (measured at sf0.1: x97 0.14 s
+    * counted vs 2.07 s materialized, x9 0.16→1.10, x41 0.13→0.84, x96
+    * 0.80→2.31, the LM family ~5×) — the bench was timing a plan the
+    * user never runs. XOR of per-column xxhash64 over a string cast
+    * forces every column through the projection; `bit_xor` reduces
+    * without ANSI overflow risk; measured overhead ~0.3 s on a
+    * 5000-row × 20-col output. BENCH_NOTES records the series
+    * discontinuity.
+    */
+  private[graft] def materialize(df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val cs = df.columns
+    if (cs.isEmpty) { df.count(); () }
+    else {
+      val h = cs.map(c => xxhash64(df.col(s"`$c`").cast("string")))
+        .reduce(_.bitwiseXOR(_))
+      df.select(h.as("_h")).agg(expr("bit_xor(_h)")).collect()
+      ()
+    }
+  }
   /** Cumulative GC time (ms) across all collector beans. Per-query deltas
     * of this are the memory-side telemetry the r10 verdict asked for: the
     * sentinel series proved CPU contention innocent for the remaining
@@ -204,7 +227,7 @@ object Bench {
     // codegen + scheduler + parquet-reader startup
     spark.range(1000).selectExpr("sum(id)").collect()
     SparkEntry.queries.get("a1_count_star")
-      .foreach(fn => try fn(spark, sfDir).count() catch { case _: Throwable => })
+      .foreach(fn => try materialize(fn(spark, sfDir)) catch { case _: Throwable => })
     // fixed alphabetical order: per-round timings stay comparable and cache
     // effects hit the same queries each round
     // optional comma-separated filter for timing individual queries locally;
@@ -235,7 +258,7 @@ object Bench {
     val numPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
       .map(_.toInt).getOrElse(2).max(1)
 
-    def runPass(passIdx: Int): Pass = {
+    def runPass(passIdx: Int, filter: Option[Set[String]]): Pass = {
       // ---- contention telemetry (judge r9): the r9 artifact showed a
       // contiguous block of unchanged-code queries reading 4-10x their
       // pinned idle times and nobody could tell a regression from an
@@ -254,7 +277,7 @@ object Bench {
         SparkEntry.queries.get("a1_count_star").foreach { fn =>
           val w = System.currentTimeMillis()
           val t = System.nanoTime()
-          try { fn(spark, sfDir).count(); () } catch { case _: Throwable => }
+          try { materialize(fn(spark, sfDir)); () } catch { case _: Throwable => }
           sentinels ::= ((after, w, (System.nanoTime() - t) / 1e9))
         }
       // Each query runs TWICE in this JVM per pass: run 1 ("cold") pays
@@ -313,9 +336,9 @@ object Bench {
       val results = scala.collection.mutable.ListBuffer.empty[Timing]
       val builds = scala.collection.mutable.Map.empty[String, Double]
       SparkEntry.queries.toSeq.sortBy(_._1)
-        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .filter { case (n, _) => filter.forall(_.contains(n)) }
         .foreach { case (name, fn) =>
-          val run = () => { fn(spark, sfDir).count(); () }
+          val run = () => { materialize(fn(spark, sfDir)); () }
           results += timeQuery(name, Seq(run, run))
           // outside the timed region: drop any intermediates a query persisted
           // so later timings are neither helped nor starved by earlier caches,
@@ -338,7 +361,7 @@ object Bench {
       // never masquerade as marginal-cost regression — and time only the
       // part that scales (tick / probe / apply), twice.
       def marginal(name: String, gatedBy: String)(mk: => () => Unit): Unit =
-        if (only.forall(_.contains(name))
+        if (filter.forall(_.contains(name))
             && SparkEntry.queries.contains(gatedBy)) {
           try {
             val b0 = System.nanoTime()
@@ -359,17 +382,17 @@ object Bench {
       // scales at 100 TB.
       marginal("x49_tick_only", "x49_ingest_tick") {
         val state = graft.queries.ExtQueries.x49Seed(spark, sfDir)
-        () => { graft.queries.ExtQueries.x49Tick(spark, sfDir, state).count(); () }
+        () => { materialize(graft.queries.ExtQueries.x49Tick(spark, sfDir, state)); () }
       }
       // x54/x56: build the IVF-PQ index once untimed, time the PROBE —
       // the number that scales with query traffic.
       marginal("x54_probe_only", "x54_ann_index_probe") {
         val base = graft.queries.ExtQueries.x54Build(spark, sfDir)
-        () => { graft.queries.ExtQueries.x54Probe(spark, sfDir, base).count(); () }
+        () => { materialize(graft.queries.ExtQueries.x54Probe(spark, sfDir, base)); () }
       }
       marginal("x56_probe_only", "x56_ann_filtered") {
         val base = graft.queries.ExtQueries.x56Build(spark, sfDir)
-        () => { graft.queries.ExtQueries.x56Probe(spark, sfDir, base).count(); () }
+        () => { materialize(graft.queries.ExtQueries.x56Probe(spark, sfDir, base)); () }
       }
       // x54c: run the streaming index maintenance once untimed (init +
       // two MemoryStream waves — the build), time the probe against the
@@ -377,7 +400,7 @@ object Bench {
       // nothing at read time vs the batch-built x54_probe_only.
       marginal("x54c_probe_only", "x54c_ann_index_stream") {
         val base = graft.queries.ExtQueries.x54cBuild(spark, sfDir)
-        () => { graft.queries.ExtQueries.x54Probe(spark, sfDir, base).count(); () }
+        () => { materialize(graft.queries.ExtQueries.x54Probe(spark, sfDir, base)); () }
       }
       // x57: train the BPE merge table once untimed, time corpus
       // tokenization from the read-back artifact (judge r12 #5) — the
@@ -385,24 +408,67 @@ object Bench {
       // composite x57 rows keep gating the train path.
       marginal("x57_apply_only", "x57d_bpe_apply") {
         val merges = graft.queries.ExtQueries.x57dBuild(spark, sfDir)
-        () => { graft.queries.ExtQueries.x57dApply(spark, sfDir, merges).count(); () }
+        () => { materialize(graft.queries.ExtQueries.x57dApply(spark, sfDir, merges)); () }
       }
       Pass(results.toVector, sentinels, gate, builds.toMap)
     }
 
-    val passes = (1 to numPasses).map(runPass)
+    val basePasses = (1 to numPasses).map(runPass(_, only))
+
+    // ---- pollution flags + targeted retry (judge r13 #3 / r14 #4): the
+    // artifact has RECORDED contention channels since r9 but nothing
+    // acted on them — r14's official series printed 6.93 s for a 1.8 s
+    // query (x25) because a co-tenant burst landed on both passes. A
+    // query's winning row is FLAGGED when its own channels say the box
+    // was not ours alone while it ran:
+    //   - |box_cpu − self_cpu| > max(3 s, 0.5 × wall): someone else (or
+    //     sampling skew large enough to hide someone else) burned CPU
+    //     comparable to the query itself during the timed region;
+    //   - loadavg_start above SPARK_GRAFT_FLAG_LOADAVG (default 8.0 —
+    //     p90 of the r14 series; the 1-min loadavg is self-polluted by
+    //     our own preceding queries, so only extremes are meaningful).
+    // Flagged queries get ONE extra settled pass at the end of the
+    // suite (after waiting for loadavg to drain, bounded), and any row
+    // whose official number STILL comes from a flagged run is named in
+    // the artifact's `flags` field so no downstream regression read can
+    // adjudicate from it silently.
+    def pollution(t: Timing): Option[String] = {
+      val foreign = math.abs(t.boxCpuSteady - t.selfCpuSteady)
+      val flagLoad = sys.env.get("SPARK_GRAFT_FLAG_LOADAVG")
+        .map(_.toDouble).getOrElse(8.0)
+      if (foreign > math.max(3.0, 0.5 * t.steady))
+        Some(f"foreign_cpu=$foreign%.1fs over ${t.steady}%.2fs wall")
+      else if (t.loadavgStart > flagLoad)
+        Some(f"loadavg_start=${t.loadavgStart}%.2f")
+      else None
+    }
+    def bestOf(ps: Seq[Pass]): Seq[Timing] =
+      ps.head.results.map(_.name).map { n =>
+        val ts = ps.flatMap(_.results.find(_.name == n))
+        ts.minBy(_.steady).copy(cold = ts.map(_.cold).min)
+      }
+    val baseBest = bestOf(basePasses)
+    val flaggedNames = baseBest.filter(t => pollution(t).isDefined)
+      .map(_.name).toSet
+    val passes = if (flaggedNames.isEmpty) basePasses else {
+      System.err.println(s"[bench] retrying ${flaggedNames.size} " +
+        s"pollution-flagged queries: ${flaggedNames.toSeq.sorted.mkString(",")}")
+      // settle: our own 1-min loadavg tail decays in ~1 min; co-tenant
+      // load that does NOT decay is exactly what the retry must dodge,
+      // so wait (bounded) rather than re-time into the same burst
+      val deadline = System.nanoTime() + 180L * 1000000000L
+      while (loadAvg1() > 4.0 && System.nanoTime() < deadline)
+        Thread.sleep(5000)
+      basePasses :+ runPass(numPasses + 1, Some(flaggedNames))
+    }
 
     // ---- best-of assembly: per query, the official steady/cold are the
     // MIN over passes; channel telemetry rides from the pass that won the
     // steady minimum (so e.g. a slow pass's GC spike never decorates the
     // fast pass's time).
-    val byName: Seq[Seq[Timing]] = passes.head.results.map(_.name).map { n =>
-      passes.flatMap(_.results.find(_.name == n))
-    }
-    val results = byName.map { ts =>
-      val best = ts.minBy(_.steady)
-      best.copy(cold = ts.map(_.cold).min)
-    }
+    val results = bestOf(passes)
+    val flagsJson = results.flatMap(t => pollution(t).map(r =>
+        s"""\"${t.name}\":\"${r}\"""")).mkString("{", ",", "}")
     val builds = passes.flatMap(_.builds.toSeq).groupBy(_._1)
       .map { case (k, vs) => k -> vs.map(_._2).min }
 
@@ -441,7 +507,7 @@ object Bench {
       s"""{"total":${rows.map(_.steady).sum},"total_cold":${rows.map(_.cold).sum},"queries":${passQueries(p)}}"""
     }.mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$totalSteady,"unit":"sec","best_of":$numPasses,"queries":${fmt(_.steady.toString)},"queries_cold":${fmt(_.cold.toString)},"total_cold":$totalCold,"gc_ms":${fmt(_.gcSteady.toString)},"gc_ms_cold":${fmt(_.gcCold.toString)},"heap_mb":${fmt(_.heapMb.toString)},"io_read_mb":${fmt(_.ioSteady.toString)},"io_read_mb_cold":${fmt(_.ioCold.toString)},"io_write_mb":${fmt(_.ioWrSteady.toString)},"io_write_mb_cold":${fmt(_.ioWrCold.toString)},"io_cancelled_write_mb":${fmt(_.ioCwSteady.toString)},"alloc_mb":${fmt(_.allocSteady.toString)},"alloc_mb_cold":${fmt(_.allocCold.toString)},"box_cpu_sec":${fmt(_.boxCpuSteady.toString)},"box_cpu_sec_cold":${fmt(_.boxCpuCold.toString)},"box_iowait_sec":${fmt(_.boxIowaitSteady.toString)},"self_cpu_sec":${fmt(_.selfCpuSteady.toString)},"self_cpu_sec_cold":${fmt(_.selfCpuCold.toString)},"loadavg_start":${fmt(_.loadavgStart.toString)},"dirty_kb_start":${fmt(_.dirtyStartKb.toString)},"build_sec":$buildsJson,"idle_gate":$gatesJson,"runs":$runsJson,"wall_start_ms":${fmt(_.wallStart.toString)},"sentinel":$sentinelJson,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalSteady,"unit":"sec","best_of":$numPasses,"queries":${fmt(_.steady.toString)},"queries_cold":${fmt(_.cold.toString)},"total_cold":$totalCold,"gc_ms":${fmt(_.gcSteady.toString)},"gc_ms_cold":${fmt(_.gcCold.toString)},"heap_mb":${fmt(_.heapMb.toString)},"io_read_mb":${fmt(_.ioSteady.toString)},"io_read_mb_cold":${fmt(_.ioCold.toString)},"io_write_mb":${fmt(_.ioWrSteady.toString)},"io_write_mb_cold":${fmt(_.ioWrCold.toString)},"io_cancelled_write_mb":${fmt(_.ioCwSteady.toString)},"alloc_mb":${fmt(_.allocSteady.toString)},"alloc_mb_cold":${fmt(_.allocCold.toString)},"box_cpu_sec":${fmt(_.boxCpuSteady.toString)},"box_cpu_sec_cold":${fmt(_.boxCpuCold.toString)},"box_iowait_sec":${fmt(_.boxIowaitSteady.toString)},"self_cpu_sec":${fmt(_.selfCpuSteady.toString)},"self_cpu_sec_cold":${fmt(_.selfCpuCold.toString)},"loadavg_start":${fmt(_.loadavgStart.toString)},"dirty_kb_start":${fmt(_.dirtyStartKb.toString)},"build_sec":$buildsJson,"idle_gate":$gatesJson,"runs":$runsJson,"wall_start_ms":${fmt(_.wallStart.toString)},"sentinel":$sentinelJson,"failed":$failedJson,"flags":$flagsJson,"sf":"$sfDir"}"""
     // the driver tail-captures stdout and has truncated the head of this
     // line before (BENCH_r02 lost its totals) — persist the artifact
     // TWICE: a timestamped file that no later run can clobber (judge r10
@@ -471,7 +537,7 @@ object Bench {
     // line, small enough to survive any tail capture intact.
     println(s"BENCH_JSON: $stamped")
     val compact =
-      s"""{"metric":"total","value":$totalSteady,"unit":"sec","best_of":$numPasses,"total_cold":$totalCold,"queries":${fmt(_.steady.toString)},"failed":$failedJson,"artifact":"$stamped","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalSteady,"unit":"sec","best_of":$numPasses,"total_cold":$totalCold,"n_queries":${totalRows.size},"failed":$failedJson,"flags":$flagsJson,"artifact":"$stamped","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

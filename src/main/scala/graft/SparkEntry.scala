@@ -42,7 +42,17 @@ object SparkEntry {
     (SubqueryQueries.defs, SubqueryQueries.oracles)
   )
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Contract (advisor r14): a query function may run eager
+    * [[graft.operators.StageIO]] scratch writes as a side effect of
+    * DataFrame CONSTRUCTION, and the returned (lazy) frame may read
+    * from that scratch until its first action completes. Callers must
+    * therefore execute the returned frame BEFORE calling
+    * `StageIO.cleanScratch` — the build→act→clean ordering Verify and
+    * Bench both follow. Staging-over-persist is deliberate: no query
+    * may leave a persisted RDD behind (the suite-wide EntrySpec gate).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     groups.iterator.flatMap(_._1).toMap
 

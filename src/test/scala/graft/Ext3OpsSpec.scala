@@ -132,11 +132,14 @@ class Ext3OpsSpec extends AnyFunSuite {
     // floor division loses < 1 bp per source
     assert(total <= 10000 && total > 10000 - nSrc,
       s"weight sum $total out of bounds for $nSrc sources")
-    // only above-mean sources carry weight when any excess exists
+    // only above-mean sources carry weight when any excess exists.
+    // ONE-directional on purpose (advisor r14): weight ⇒ excess is the
+    // query's invariant; excess ⇒ weight is fixture luck — an excess
+    // small enough that excess·10⁴ < Σexcess floors to weight 0.
     if (w.exists(_.getAs[Long]("excess_bp") > 0))
       w.foreach { r =>
-        assert((r.getAs[Long]("weight_bp") > 0) ==
-          (r.getAs[Long]("excess_bp") > 0))
+        if (r.getAs[Long]("weight_bp") > 0)
+          assert(r.getAs[Long]("excess_bp") > 0)
       }
   }
 

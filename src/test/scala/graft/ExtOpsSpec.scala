@@ -232,6 +232,62 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(out == Set(1L), s"doc 2 must vanish: $out")
   }
 
+  test("exactSubstringDedup: one corpus-wide copy survives, not one per pair") {
+    // the span sits in THREE docs: pairwise spanTrim keeps doc 1's copy
+    // and trims 2 and 3; the corpus census must do the same here — but
+    // the distinguishing case is doc 4, whose copy of a DIFFERENT span
+    // shared only with doc 5 also loses to keep-first (5 > 4 ⇒ 5 trims)
+    val span = (1 to 12).map(i => s"s$i").mkString(" ")
+    val spanB = (1 to 12).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 u3 u4 u5 $span u6 u7"),
+      (2L, s"v1 v2 v3 $span v4 v5 v6 v7 v8 v9 v10"),
+      (3L, s"w1 w2 $span w3 w4 w5 w6 w7 w8 w9 w10 w11"),
+      (4L, s"x1 x2 x3 $spanB x4 x5 x6 x7 x8 x9 x10"),
+      (5L, s"y1 y2 $spanB y3 y4 y5 y6 y7 y8 y9 y10 y11"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.exactSubstringDedup(docs, "text", "doc_id",
+        windowLen = 4, minSpan = 8L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == s"u1 u2 u3 u4 u5 $span u6 u7") // corpus-first keeps
+    assert(out(2L) == "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10")
+    assert(out(3L) == "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11")
+    assert(out(4L) == s"x1 x2 x3 $spanB x4 x5 x6 x7 x8 x9 x10")
+    assert(out(5L) == "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10 y11")
+  }
+
+  test("exactSubstringDedup: intra-doc repetition trims the later copy; " +
+      "sub-threshold runs stay; df cap excludes boilerplate") {
+    val span = (1 to 12).map(i => s"s$i").mkString(" ")
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 $span a3 a4 $span a5 a6"),   // repeats within one doc
+      (2L, s"c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),  // no duplication at all
+      (3L, s"d1 $boiler d2"),                    // boilerplate in 3 docs
+      (4L, s"e1 $boiler e2"),
+      (5L, s"f1 $boiler f2"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.exactSubstringDedup(docs, "text", "doc_id",
+        windowLen = 4, minSpan = 8L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // second intra-doc copy removed, first kept
+    assert(out(1L) == s"a1 a2 $span a3 a4 a5 a6")
+    assert(out(2L) == "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")
+    // uncapped: boilerplate keeps its corpus-first copy (doc 3) only
+    assert(out(3L) == s"d1 $boiler d2")
+    assert(out(4L) == "e1 e2")
+    assert(out(5L) == "f1 f2")
+    // capped at df <= 2: the 3-doc boilerplate leaves the dup set
+    // entirely — every copy stays (x38's scrub is the tool for it)
+    val capped = DedupOps.exactSubstringDedup(docs, "text", "doc_id",
+        windowLen = 4, minSpan = 8L, maxWindowDf = Some(2L))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(capped(4L) == s"e1 $boiler e2")
+    assert(capped(5L) == s"f1 $boiler f2")
+    // the intra-doc dup (df = 1) is still trimmed under the cap
+    assert(capped(1L) == s"a1 a2 $span a3 a4 a5 a6")
+  }
+
   test("hotSpanScrub: corpus-hot windows vanish from every doc; cold spans stay") {
     // the same 8-token boilerplate sits in docs 1-3 (df=3 >= minDf) — it
     // must disappear from ALL of them (no keep-first side, unlike
