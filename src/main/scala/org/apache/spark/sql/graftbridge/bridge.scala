@@ -23,4 +23,14 @@ object Bridge {
   /** The analyzed logical plan behind a DataFrame. */
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[ClassicDataset[Row]].queryExecution.analyzed
+
+  /** Block (bounded) until queued listener events are delivered — so a
+    * bench's per-run shuffle-byte deltas include the run's own trailing
+    * stage completions. `listenerBus` is private[spark]; this is the
+    * same minimal-bridge justification as the Column/Expression pair.
+    */
+  def drainListenerBus(sc: org.apache.spark.SparkContext,
+      timeoutMs: Long = 2000L): Unit =
+    try sc.listenerBus.waitUntilEmpty(timeoutMs)
+    catch { case _: Throwable => () }
 }
