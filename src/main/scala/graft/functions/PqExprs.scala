@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Native twins of the PQ distance kernels. The compositional
+  * zip_with/aggregate forms in [[graft.operators.PqOps]] remain the
+  * oracle-auditable spec; these produce identical doubles (same
+  * left-to-right accumulation order, same strict-< tie-breaks —
+  * PqOpsSpec asserts value parity) without the per-candidate array
+  * allocation and interpreted-lambda evaluation that made the encode
+  * and train paths the x53 profile: measured at sf0.1, the
+  * compositional encode paid ~1k interpreted mini-folds PER ROW
+  * (m=16 subspaces × k=64 codewords), 7.7 s for 2 000 vectors; the
+  * assign side of training paid the same shape twice per iteration.
+  * The [[CosineSim]] precedent, applied to squared-L2.
+  */
+
+/** Exact squared L2 in double, left-to-right — allocation-free codegen
+  * twin of [[graft.operators.PqOps.dist2]].
+  */
+case class Dist2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dist2"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var d = 0.0
+    var i = 0
+    while (i < n) {
+      val diff = x.getDouble(i) - y.getDouble(i)
+      d += diff * diff
+      i += 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, d, i, df) = (ctx.freshName("n"), ctx.freshName("d"),
+        ctx.freshName("i"), ctx.freshName("df"))
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $d = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $df = $a.getDouble($i) - $b.getDouble($i);
+         |  $d += $df * $df;
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Dist2 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** One-pass PQ encode of a vector under a LITERAL codebook (the model is
+  * driver-bounded — m·k rows — so it rides in the expression, the
+  * [[UnigramSegment]] discipline): per subspace, argmin over codewords
+  * by exact squared-L2 with strict-< first-code-wins ties — bit-equal
+  * to the compositional fold in
+  * [[graft.operators.PqOps.pqEncodePackedSpec]]. CodegenFallback on
+  * purpose: the per-row work is already one compiled JVM loop.
+  */
+case class PqEncode(child: Expression, book: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+  require(book.nonEmpty && book.forall(_.nonEmpty), "empty codebook")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val dims = arr.numElements()
+    val m = book.length
+    val subLen = dims / m
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val cws = book(s)
+      val base = s * subLen
+      var bestD = Double.MaxValue
+      var bestC = 0
+      var c = 0
+      while (c < cws.length) {
+        val cw = cws(c)
+        var d = 0.0
+        var j = 0
+        val lim = math.min(subLen, cw.length)
+        while (j < lim) {
+          val diff = arr.getDouble(base + j) - cw(j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; bestC = c }
+        c += 1
+      }
+      out(s) = bestC
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncode =
+    copy(child = c)
+}
+
+object PqExprs {
+  /** Inputs cast to array<double> so the codegen body's getDouble is
+    * always valid — the same elementwise cast the compositional forms
+    * apply, so doubles match bit for bit.
+    */
+  def dist2Native(a: Column, b: Column): Column =
+    Bridge.column(Dist2(
+      Bridge.expression(a.cast("array<double>")),
+      Bridge.expression(b.cast("array<double>"))))
+
+  def pqEncode(vec: Column, book: Array[Array[Array[Double]]]): Column =
+    Bridge.column(PqEncode(
+      Bridge.expression(vec.cast("array<double>")), book))
+}

@@ -37,11 +37,19 @@ object PqOps {
   private def asDouble(a: Column): Column = transform(a, x => x.cast(DoubleType))
 
   /** Exact squared L2 distance in double, left-to-right — the metric every
-    * PQ stage (train / encode / LUT / rerank) shares. Kept in the
-    * compositional zip_with+aggregate form so the oracle twin is
-    * line-for-line auditable.
+    * PQ stage (train / encode / LUT / rerank) shares. Native codegen
+    * kernel ([[graft.functions.Dist2]] — allocation-free, same
+    * accumulation order); [[dist2Spec]] keeps the compositional
+    * zip_with+aggregate form as the line-for-line oracle-auditable spec
+    * and PqOpsSpec pins value equality.
     */
   def dist2(a: Column, b: Column): Column =
+    graft.functions.PqExprs.dist2Native(a, b)
+
+  /** The compositional spec of [[dist2]] (the DuckDB `list_reduce`
+    * twin, kept executable for the parity test).
+    */
+  def dist2Spec(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
@@ -83,47 +91,53 @@ object PqOps {
       m: Int, k: Int, iters: Int = 3): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val subs = subvectors(emb, idCol, vecCol, m)
-      .select(col(idCol).as("_pq_id"), col("sub_id"), col("sv"))
-    subs.cache()
-    try {
-      // seed: k lowest-id vectors' subvectors, code_id = rank of the id
-      var cb: Seq[(Int, Int, Seq[Double])] =
-        subs.join(broadcast(
-            emb.select(col(idCol).as("_pq_id")).orderBy("_pq_id").limit(k)
-              .withColumn("code_id",
-                row_number().over(org.apache.spark.sql.expressions.Window
-                  .orderBy("_pq_id")) - 1)),
-            Seq("_pq_id"))
-          .select(col("sub_id"), col("code_id"), col("sv"))
-          .collect()
-          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
-          .toSeq
-      for (_ <- 0 until iters) {
-        val cbDf = cb.toDF("sub_id", "code_id", "cw")
-        // assign: nearest codeword per (vector, subspace), tie → lower code
-        val assigned = subs.join(broadcast(cbDf), Seq("sub_id"))
-          .withColumn("d", dist2(col("sv"), col("cw")))
-          .groupBy(col("_pq_id"), col("sub_id"))
-          .agg(min(struct(col("d"), col("code_id"), col("sv"))).as("_m"))
-          .select(col("sub_id"), col("_m.code_id").as("code_id"),
-            col("_m.sv").as("sv"))
-        // update: element-wise mean per (subspace, code) — posexplode keeps
-        // the mean a plain groupBy (partial-aggregated map-side), never a
-        // whole-array reduce on one task
-        val means = assigned
-          .select(col("sub_id"), col("code_id"), posexplode(col("sv")))
-          .groupBy("sub_id", "code_id", "pos").agg(avg("col").as("mu"))
-          .groupBy("sub_id", "code_id")
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
-            s => s.getField("mu")).as("cw"))
-          .collect()
-          .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2)))
-          .toMap
-        cb = cb.map { case (s, c, old) => (s, c, means.getOrElse((s, c), old)) }
-      }
-      cb.toDF("sub_id", "code_id", "cw")
-    } finally subs.unpersist()
+    // seed: k lowest-id vectors' subvectors, code_id = rank of the id
+    var cb: Seq[(Int, Int, Seq[Double])] =
+      subvectors(emb, idCol, vecCol, m)
+        .select(col(idCol).as("_pq_id"), col("sub_id"), col("sv"))
+        .join(broadcast(
+          emb.select(col(idCol).as("_pq_id")).orderBy("_pq_id").limit(k)
+            .withColumn("code_id",
+              row_number().over(org.apache.spark.sql.expressions.Window
+                .orderBy("_pq_id")) - 1)),
+          Seq("_pq_id"))
+        .select(col("sub_id"), col("code_id"), col("sv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        .toSeq
+    for (_ <- 0 until iters) {
+      // assign: SCAN-LOCAL argmin — the same native one-pass kernel the
+      // bulk encode uses ([[graft.functions.PqEncode]], codebook as a
+      // literal), so an iteration is one projection + one map-side-
+      // combined mean. The previous join+struct-min form planned a
+      // SortAggregate over n·m·k candidate rows (the struct carried the
+      // subvector ARRAY, which de-hashes the aggregate) — measured as
+      // the bulk of x53's 14 s train at 2 000 vectors.
+      val bookArr: Array[Array[Array[Double]]] = (0 until m).map { s =>
+        cb.filter(_._1 == s).sortBy(_._2).map(_._3.toArray).toArray
+      }.toArray
+      val subLen = (size(col(vecCol)) / m).cast("int")
+      val assigned = emb.select(col(vecCol),
+          posexplode(graft.functions.PqExprs.pqEncode(col(vecCol), bookArr))
+            .as(Seq("sub_id", "code_id")))
+        .select(col("sub_id"), col("code_id"),
+          asDouble(slice(col(vecCol), col("sub_id") * subLen + 1, subLen))
+            .as("sv"))
+      // update: element-wise mean per (subspace, code) — posexplode keeps
+      // the mean a plain groupBy (partial-aggregated map-side), never a
+      // whole-array reduce on one task
+      val means = assigned
+        .select(col("sub_id"), col("code_id"), posexplode(col("sv")))
+        .groupBy("sub_id", "code_id", "pos").agg(avg("col").as("mu"))
+        .groupBy("sub_id", "code_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+          s => s.getField("mu")).as("cw"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2)))
+        .toMap
+      cb = cb.map { case (s, c, old) => (s, c, means.getOrElse((s, c), old)) }
+    }
+    cb.toDF("sub_id", "code_id", "cw")
   }
 
   /** Encode the corpus against a trained codebook: nearest codeword per
@@ -157,14 +171,34 @@ object PqOps {
     */
   def pqEncodePacked(emb: DataFrame, idCol: String, vecCol: String,
       cb: DataFrame, m: Int): DataFrame = {
+    val book = collectBook(cb, m)
+    emb.select(col(idCol),
+      graft.functions.PqExprs.pqEncode(col(vecCol), book).as("codes"))
+  }
+
+  /** The codebook as driver arrays, validated contiguous per subspace —
+    * the model-sized collect both encode forms share.
+    */
+  private def collectBook(cb: DataFrame, m: Int): Array[Array[Array[Double]]] = {
     val rows = cb.orderBy("sub_id", "code_id").collect() // model-sized
-    val book: Seq[Seq[Seq[Double]]] = (0 until m).map { s =>
+    (0 until m).map { s =>
       val forS = rows.filter(_.getInt(0) == s).sortBy(_.getInt(1))
       require(forS.nonEmpty, s"no codewords for subspace $s")
       require(forS.zipWithIndex.forall { case (r, i) => r.getInt(1) == i },
         s"non-contiguous code ids in subspace $s")
-      forS.map(_.getSeq[Double](2).toSeq).toSeq
-    }
+      forS.map(_.getSeq[Double](2).toArray).toArray
+    }.toArray
+  }
+
+  /** The compositional higher-order-function spec of [[pqEncodePacked]]
+    * (kept executable: PqOpsSpec pins code equality against the native
+    * kernel; this form was the x53 profile at 7.7 s / 2 000 vectors —
+    * ~m·k interpreted mini-folds per row — and is not on any hot path).
+    */
+  def pqEncodePackedSpec(emb: DataFrame, idCol: String, vecCol: String,
+      cb: DataFrame, m: Int): DataFrame = {
+    val book: Seq[Seq[Seq[Double]]] =
+      collectBook(cb, m).map(_.map(_.toSeq).toSeq).toSeq
     val k = book.head.length
     val bookLit = typedlit(book)
     val subLen = (size(col(vecCol)) / m).cast("int")

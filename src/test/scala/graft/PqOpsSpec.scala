@@ -111,6 +111,23 @@ class PqOpsSpec extends AnyFunSuite {
     assert(rr >= 0.85, s"pq_adc_rerank recall@5 $rr")
   }
 
+  test("native Dist2 == compositional zip_with/aggregate spec, bit for bit") {
+    val pairs = emb.alias("a").crossJoin(emb.limit(5).select(
+        col("vec_id").as("bid"), col("embedding").as("bv")))
+      .select(PqOps.dist2(col("embedding"), col("bv")).as("n"),
+        PqOps.dist2Spec(col("embedding"), col("bv")).as("c"))
+    assert(pairs.filter(col("n") =!= col("c")).count() === 0)
+  }
+
+  test("native PqEncode == compositional higher-order spec, code for code") {
+    val nat = PqOps.pqEncodePacked(emb, "vec_id", "embedding", cb, m)
+    val spec = PqOps.pqEncodePackedSpec(emb, "vec_id", "embedding", cb, m)
+      .withColumnRenamed("codes", "codes_spec")
+    val j = nat.join(spec, Seq("vec_id"))
+    assert(j.filter(col("codes") =!= col("codes_spec")).count() === 0)
+    assert(j.count() === emb.count())
+  }
+
   test("training iterations do not hurt the quantizer: iter-2 codebook's"
       + " total residual ≤ iter-0 (seed) codebook's") {
     def residual(book: org.apache.spark.sql.DataFrame): Double =
