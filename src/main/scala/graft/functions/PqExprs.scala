@@ -63,6 +63,84 @@ case class Dist2(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Dot product in double, left-to-right — allocation-free codegen twin
+  * of [[graft.operators.SimilarityOps.dot]] (same fold order; the
+  * compositional spec stays as `dotSpec` with a VectorExprsSpec parity
+  * pin). x59's random projection evaluates outDim of these per row —
+  * interpreted, that was outDim·dim boxed lambda steps per row.
+  */
+case class DotProd(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_prod"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var d = 0.0
+    var i = 0
+    while (i < n) { d += x.getDouble(i) * y.getDouble(i); i += 1 }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, d, i) =
+        (ctx.freshName("n"), ctx.freshName("d"), ctx.freshName("i"))
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $d = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $d += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProd =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Matrix–vector product under a LITERAL row matrix — outDim
+  * left-to-right dot folds fused into ONE pass over the input vector
+  * per row ([[DotProd]]'s order per output coordinate, so values are
+  * bit-identical to the chained-dot form). Exists because building the
+  * projection as outDim separate dot COLUMNS re-evaluates the
+  * array<double> cast of the input and a CreateArray literal per
+  * coordinate per row — the x59/x82c profile. CodegenFallback: one
+  * compiled JVM loop per row already.
+  */
+case class MatVec(child: Expression, mat: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+  require(mat.nonEmpty, "empty matrix")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "mat_vec"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](mat.length)
+    var r = 0
+    while (r < mat.length) {
+      val row = mat(r)
+      val lim = math.min(n, row.length)
+      var d = 0.0
+      var j = 0
+      while (j < lim) { d += arr.getDouble(j) * row(j); j += 1 }
+      out(r) = d
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MatVec =
+    copy(child = c)
+}
+
 /** One-pass PQ encode of a vector under a LITERAL codebook (the model is
   * driver-bounded — m·k rows — so it rides in the expression, the
   * [[UnigramSegment]] discipline): per subspace, argmin over codewords
@@ -123,6 +201,14 @@ object PqExprs {
     Bridge.column(Dist2(
       Bridge.expression(a.cast("array<double>")),
       Bridge.expression(b.cast("array<double>"))))
+
+  def dotNative(a: Column, b: Column): Column =
+    Bridge.column(DotProd(
+      Bridge.expression(a.cast("array<double>")),
+      Bridge.expression(b.cast("array<double>"))))
+
+  def matVec(vec: Column, mat: Array[Array[Double]]): Column =
+    Bridge.column(MatVec(Bridge.expression(vec.cast("array<double>")), mat))
 
   def pqEncode(vec: Column, book: Array[Array[Array[Double]]]): Column =
     Bridge.column(PqEncode(

@@ -201,10 +201,11 @@ object PcaOps {
       .map { case (cIdx, rows) =>
         (cIdx, rows.sortBy(_.getInt(1)).map(_.getDouble(2)))
       }
-    val dots = byComp.map { case (_, cv) =>
-      floor(SimilarityOps.dot(col(vecCol),
-        array(cv.map(lit(_)): _*)) * 10000) / 10000.0
-    }
-    df.select(col(idCol), array(dots: _*).as("pv"))
+    val mat = byComp.map(_._2.toArray).toArray
+    // one fused mat-vec pass (same per-coordinate fold order as the
+    // chained-dot form — values identical), floors applied elementwise
+    df.select(col(idCol),
+      transform(graft.functions.PqExprs.matVec(col(vecCol), mat),
+        d => floor(d * 10000) / 10000.0).as("pv"))
   }
 }

@@ -21,6 +21,16 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(mismatches == 0L)
   }
 
+  test("native dot is bitwise-identical to the compositional spec") {
+    val emb = Tables.embeddings(spark, SparkTestSession.sf0001)
+    val q = emb.limit(5).select(col("vec_id").as("qid"),
+      col("embedding").as("qv"))
+    val pairs = emb.crossJoin(q)
+      .select(SimilarityOps.dot(col("embedding"), col("qv")).as("n"),
+        SimilarityOps.dotSpec(col("embedding"), col("qv")).as("c"))
+    assert(pairs.filter(col("n") =!= col("c")).count() === 0)
+  }
+
   test("fused cosine: known values and null propagation") {
     import spark.implicits._
     val df = Seq(
