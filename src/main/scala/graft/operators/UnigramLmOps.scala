@@ -93,6 +93,13 @@ object UnigramLmOps {
       table.map { case (_, c) => bitlen(total) - bitlen(c) })
   }
 
+  /** [[segmentVocab]] from a (piece, cnt) FRAME — the model-sized
+    * collect applied for callers holding the persisted artifact (the
+    * streaming maintainer, the apply path).
+    */
+  def segmentVocabTable(vocab: DataFrame, pieces: DataFrame): DataFrame =
+    segmentVocab(vocab, collectTable(pieces))
+
   /** Viterbi-segment every distinct word under a collected piece table:
     * (word, wcount, pieces).
     */

@@ -467,7 +467,28 @@ object Ext3Queries {
     // Heaps split). The oracle re-derives costs from the artifact and
     // replays the Viterbi by exhaustive enumeration.
     "x122b_unigram_apply" -> ((s, d) =>
-      x122Apply(s, d, s.read.parquet(x122Build(s, d))))
+      x122Apply(s, d, s.read.parquet(x122Build(s, d)))),
+
+    // ---- the piece-count log FROM STATE (the x93b discipline on the
+    // tokenizer surface): the corpus arrives in three id-sliced waves
+    // through UnigramStream's batch-keyed counter log under the FROZEN
+    // trained table; hard-EM counts are mergeable by plain sum, so the
+    // merged log hash-matches the one-pass count table over the union —
+    // the resident usage-statistics shape (drift input for "retrain?").
+    "x122c_unigram_counts_from_state" -> ((s, d) => {
+      import graft.streaming.UnigramStream
+      val docs = Tables.documents(s, d)
+      val pieces = s.read.parquet(x122Build(s, d))
+      val store = graft.operators.StageIO.resolve(s, None, "x122c-log")
+      (0L to 2L).foreach { k =>
+        UnigramStream.applyBatch(
+          docs.filter(pmod(col("doc_id"), lit(3)) === k),
+          "text", pieces, store, k)
+      }
+      UnigramStream.readCounts(s, store)
+        .getOrElse(sys.error("x122c: empty count log"))
+        .orderBy("piece")
+    })
   )
 
   /** x122's two halves, public for the bench's apply/train split (the
@@ -833,7 +854,26 @@ object Ext3Queries {
          SELECT o.doc_id, CAST(SUM(len(b.path)) AS BIGINT)
                   AS n_pieces
          FROM occ o JOIN best1 b USING (word)
-         GROUP BY o.doc_id ORDER BY o.doc_id"""
+         GROUP BY o.doc_id ORDER BY o.doc_id""",
+
+    // x122c's oracle IS the one-pass count table under the artifact:
+    // count mergeability across the three waves is the claim the hash
+    // equality proves
+    "x122c_unigram_counts_from_state" ->
+      s"""WITH RECURSIVE
+         p AS (SELECT piece, cnt FROM
+           read_parquet('__GRAFT_ART__/unigram_pieces/__GRAFT_SF__/*.parquet')),
+         t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM p),
+         c0 AS (SELECT piece, CAST(length(bin(total)) - length(bin(cnt))
+                  AS BIGINT) AS cost, len(piece) AS plen FROM p, t),
+         words AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wcount FROM (
+           SELECT unnest($ddbWords) AS word FROM documents) GROUP BY word),
+         dw AS (SELECT word FROM words),
+         ${unigramSegSql(1, "c0")}
+         SELECT piece, CAST(SUM(wcount) AS BIGINT) AS cnt FROM (
+           SELECT b.word, unnest(b.path) AS piece FROM best1 b) o
+         JOIN words USING (word)
+         GROUP BY piece ORDER BY piece"""
   )
 
   /** One exhaustive-Viterbi round: enumerate every segmentation of every

@@ -69,6 +69,51 @@ class UnigramSpec extends AnyFunSuite {
     assert(got == Map(1L -> 2L, 2L -> 1L)) // doc 3 empty → absent
   }
 
+  test("UnigramStream merged log equals one-pass counts; compact folds; driver runs") {
+    import graft.streaming.UnigramStream
+    val sf = SparkTestSession.sf0001
+    val docs = Tables.documents(spark, sf)
+    val pieces = spark.read.parquet(
+      graft.queries.Ext3Queries.x122Build(spark, sf))
+    val store = graft.operators.StageIO.resolve(spark, None, "ug-spec")
+    (0L to 2L).foreach { k =>
+      UnigramStream.applyBatch(docs.filter(pmod(col("doc_id"), lit(3)) === k),
+        "text", pieces, store, k)
+    }
+    // materialize BEFORE compact: the lazy readCounts plan references
+    // batch files the compaction swap deletes
+    val merged = UnigramStream.readCounts(spark, store).get
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocab = docs
+      .select(explode(graft.operators.TextOps.tokensRegex(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wcount"))
+    val direct = UnigramLmOps.pieceCounts(
+        UnigramLmOps.segmentVocabTable(vocab, pieces))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == direct)
+    UnigramStream.compact(spark, store)
+    val folded = UnigramStream.readCounts(spark, store).get
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(folded == merged)
+    // streaming driver: one wave through the real foreachBatch query
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val store2 = graft.operators.StageIO.resolve(spark, None, "ug-spec2")
+    val q = UnigramStream.startCountMaintenance(
+      input.toDF().toDF("doc_id", "text"), "text", pieces, store2,
+      graft.operators.StageIO.resolve(spark, None, "ug-ckpt"))
+    try {
+      input.addData(docs.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = UnigramStream.readCounts(spark, store2).get
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == direct)
+  }
+
   test("train output matches the x122 query surface at sf0.001") {
     val out = SparkEntry.queries("x122_unigram_train")(
       spark, SparkTestSession.sf0001)
