@@ -68,5 +68,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("nfc_normalize",
         "nfc_normalize(string) - Unicode NFC canonicalization (byte-normalize before exact dedup)"),
       (args: Seq[Expression]) => NfcNormalize(args.head)))
+
+    ext.injectFunction((FunctionIdentifier("window_keys60"),
+      info("window_keys60",
+        "window_keys60(array<string>, n) - positional 60-bit md5 window keys (the span/LM gram key)"),
+      (args: Seq[Expression]) => WindowKeys60(args(0),
+        args(1).eval().asInstanceOf[Int])))
+
+    ext.injectFunction((FunctionIdentifier("dist2"),
+      info("dist2",
+        "dist2(array<double>, array<double>) - exact squared L2, left-to-right"),
+      (args: Seq[Expression]) => Dist2(args(0), args(1))))
+
+    ext.injectFunction((FunctionIdentifier("dot_prod"),
+      info("dot_prod",
+        "dot_prod(array<double>, array<double>) - dot product in double, left-to-right"),
+      (args: Seq[Expression]) => DotProd(args(0), args(1))))
   }
 }

@@ -46,6 +46,22 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("window_keys60 / dist2 / dot_prod in SQL equal the expression API") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val viaSql = spark.sql(
+      "SELECT window_keys60(array('a','b','c'), 2) AS w").head().getSeq[Long](0)
+    val viaApi = Seq(Seq("a", "b", "c")).toDF("t")
+      .select(graft.functions.HashExprs.windowKeys60(col("t"), 2))
+      .head().getSeq[Long](0)
+    assert(viaSql == viaApi)
+    val r = spark.sql(
+      """SELECT dist2(array(1.0D, 2.0D), array(3.0D, 0.0D)) AS d,
+                dot_prod(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS p""").head()
+    assert(r.getDouble(0) == 8.0) // (1-3)^2 + (2-0)^2
+    assert(r.getDouble(1) == 11.0) // 3 + 8
+  }
+
   test("md5_simhash60 in SQL equals the expression API") {
     import org.apache.spark.sql.functions._
     val viaSql = spark.sql("SELECT md5_simhash60(array('hello')) AS s").head().getLong(0)
