@@ -154,7 +154,11 @@ object Ext2Queries {
       // first would run the full string rebuild just for max(doc_id)
       val raw = Tables.documents(s, d)
       val n = raw.agg(max("doc_id")).head.getLong(0) + 1
-      val docs = plantParas(raw, 4)
+      // staged once — the paragraph plant is a per-row string rebuild
+      // the 3 wave filters would re-run per wave
+      val plantStage = graft.operators.StageIO.resolve(s, None, "x80b-plant")
+      plantParas(raw, 4).write.mode("overwrite").parquet(plantStage)
+      val docs = s.read.parquet(plantStage)
       (0L to 2L).foreach { w =>
         ParagraphStream.applyBatch(
           docs.filter(col("doc_id") >= w * n / 3 &&

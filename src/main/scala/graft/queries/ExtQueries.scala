@@ -1556,7 +1556,12 @@ object ExtQueries {
     // without ever recomputing the corpus clustering.
     "x58b_cluster_split_from_state" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = DedupOps.jaccardNearDups(docs, "text", "doc_id", 0.5)
+      // staged once — the x78b argument: 3 wave filters over a lazy
+      // pair frame re-run the near-dup join 3x
+      val pairStage = graft.operators.StageIO.resolve(s, None, "x58b-pairs")
+      DedupOps.jaccardNearDups(docs, "text", "doc_id", 0.5)
+        .write.mode("overwrite").parquet(pairStage)
+      val pairs = s.read.parquet(pairStage)
       val store = s"${graft.operators.StageIO.resolve(s, None, "x58b-cc")}/labels"
       (0 until 3).foreach { k =>
         graft.streaming.ClusterStream.applyBatch(
@@ -2039,7 +2044,13 @@ object ExtQueries {
     "x78b_cluster_quality_from_state" -> ((s, d) => {
       import graft.queries.Det.round4Rat
       val docs = Tables.documents(s, d)
-      val pairs = DedupOps.jaccardNearDups(docs, "text", "doc_id", 0.5)
+      // staged once: each wave filters the PAIR frame, and an unstaged
+      // lazy frame re-runs the whole inverted-index near-dup join per
+      // wave (3x the query's dominant kernel for identical rows)
+      val pairStage = graft.operators.StageIO.resolve(s, None, "x78b-pairs")
+      DedupOps.jaccardNearDups(docs, "text", "doc_id", 0.5)
+        .write.mode("overwrite").parquet(pairStage)
+      val pairs = s.read.parquet(pairStage)
       val store = s"${graft.operators.StageIO.resolve(s, None, "x78b-cc")}/labels"
       (0 until 3).foreach { k =>
         graft.streaming.ClusterStream.applyBatch(
@@ -2069,8 +2080,14 @@ object ExtQueries {
     "x70c_dhash_gate_from_state" -> ((s, d) => {
       import graft.streaming.MediaDedupStream
       val words = Seq("dh_r_lo", "dh_r_hi", "dh_c_lo", "dh_c_hi")
-      val assets = MultimodalOps.toRasterAssets(
-        Tables.documents(s, d), "doc_id", "text")
+      // staged once: raster SYNTHESIS (text -> BMP bytes) is the
+      // fixture's expensive projection, and the wave filters plus the
+      // max-id probe would otherwise re-run it 4x
+      val assetStage = graft.operators.StageIO.resolve(s, None, "x70c-assets")
+      MultimodalOps.toRasterAssets(
+          Tables.documents(s, d), "doc_id", "text")
+        .write.mode("overwrite").parquet(assetStage)
+      val assets = s.read.parquet(assetStage)
       val root = graft.operators.StageIO.resolve(s, None, "x70c-gate")
       val (store, clean, dropped) =
         (s"$root/store", s"$root/clean", s"$root/dropped")
