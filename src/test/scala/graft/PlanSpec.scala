@@ -558,6 +558,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("_band") && p.contains("_word"), p)
   }
 
+  test("x121: exact-substring dedup has NO pair join anywhere") {
+    // the operator's scale claim: census + chain-extension + anti-join —
+    // never a candidate pair join (the thing maxWindowDf exists to cap
+    // in the PAIRWISE family is structurally absent here)
+    val p = plan("x121_exact_substring")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the island window partitions on doc_id, never globally (x85 style)
+    val specs = "windowspecdefinition\\(".r.findAllIn(p).size
+    val byDoc = "windowspecdefinition\\(doc_id".r.findAllIn(p).size
+    assert(specs == byDoc,
+      s"found $specs window specs, only $byDoc partitioned by doc_id:\n$p")
+  }
+
+  test("x122b: unigram apply is the Heaps split — segmentation joins " +
+      "occurrences by word equi-join, no per-occurrence segmentation") {
+    val p = plan("x122b_unigram_apply")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // occurrences meet the per-word segmentation on a word equi-join
+    assert(p.contains("Join [word") || p.contains("Join LeftOuter") ||
+      "\\[word#\\d+\\], \\[word#\\d+\\]".r.findFirstIn(p).isDefined,
+      s"no word equi-join found:\n$p")
+  }
+
   test("x96-x99: the rule batteries are shuffle-free per-row passes") {
     // gopher/c4/secret-scan/readability are map-side gates: higher-order
     // folds + regex over the scan, integer cross-multiplied thresholds —
