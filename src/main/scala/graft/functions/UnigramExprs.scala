@@ -124,8 +124,58 @@ case class UnigramSegment(child: Expression, pieces: Array[String],
     copy(child = c)
 }
 
+/** Greedy maximal-munch segmentation of one word under a piece
+  * inventory — the WordPiece-style LINEAR apply path (Song et al. 2021
+  * "Fast WordPiece Tokenization" §2: longest-match-first; SentencePiece
+  * ships the same walk as its non-Viterbi option). At each position the
+  * LONGEST inventory piece starting there is emitted and the cursor
+  * advances past it; a position no piece covers (a character outside
+  * the training alphabet) emits that single character — the same UNK
+  * convention as [[UnigramSegment]]'s fallback, so both segmenters
+  * total on any input. Deterministic single pass, no scoring, no ties:
+  * the DuckDB twin replays it with one longest-match-per-position
+  * census plus a linear recursive walk.
+  */
+case class GreedySegment(child: Expression, pieces: Array[String])
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  require(pieces.nonEmpty, "empty piece table")
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "greedy_segment"
+
+  @transient private lazy val table: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    pieces.foreach(s.add)
+    s
+  }
+  @transient private lazy val maxPieceLen: Int = pieces.map(_.length).max
+
+  override def nullSafeEval(v: Any): Any = {
+    val w = v.asInstanceOf[UTF8String].toString
+    val n = w.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < n) {
+      var len = math.min(maxPieceLen, n - i)
+      while (len > 1 && !table.contains(w.substring(i, i + len))) len -= 1
+      // len == 1: a known char matches; an unknown char emits itself
+      out += UTF8String.fromString(w.substring(i, i + len))
+      i += len
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): GreedySegment =
+    copy(child = c)
+}
+
 object UnigramExprs {
   def unigramSegment(word: Column, pieces: Array[String],
       costs: Array[Long]): Column =
     Bridge.column(UnigramSegment(Bridge.expression(word), pieces, costs))
+
+  def greedySegment(word: Column, pieces: Array[String]): Column =
+    Bridge.column(GreedySegment(Bridge.expression(word), pieces))
 }

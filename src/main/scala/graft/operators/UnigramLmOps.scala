@@ -153,6 +153,34 @@ object UnigramLmOps {
     spark.createDataFrame(table.toIndexedSeq).toDF("piece", "cnt")
   }
 
+  /** Per-doc counts under BOTH apply paths — `(idCol, n_greedy,
+    * n_viterbi)`: the greedy maximal-munch walk
+    * ([[graft.functions.GreedySegment]] — the WordPiece-style linear
+    * apply) beside the min-bit-cost Viterbi, from one distinct-word
+    * pass. The pair is the production apply-path decision table:
+    * greedy is cheaper per byte and streaming-friendly; Viterbi is the
+    * trained objective — where they disagree (n_greedy ≠ n_viterbi)
+    * is exactly the mass a deployment trades for the speed.
+    */
+  def segmentCountsPerDoc(docs: DataFrame, idCol: String, textCol: String,
+      pieceTable: DataFrame): DataFrame = {
+    val table = collectTable(pieceTable)
+    val vocab = docs
+      .select(explode(TextOps.tokensRegex(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wcount"))
+    val (p, c) = tableCosts(table)
+    val wp = vocab.select(col("word"),
+      size(graft.functions.UnigramExprs.greedySegment(col("word"), p))
+        .cast("long").as("_g"),
+      size(graft.functions.UnigramExprs.unigramSegment(col("word"), p, c))
+        .cast("long").as("_v"))
+    docs.select(col(idCol),
+        explode(TextOps.tokensRegex(col(textCol))).as("word"))
+      .join(wp, Seq("word"))
+      .groupBy(idCol)
+      .agg(sum("_g").as("n_greedy"), sum("_v").as("n_viterbi"))
+  }
+
   /** Per-doc piece counts under a trained (piece, cnt) table — the
     * apply path a training run re-pays per corpus pass, shaped exactly
     * like [[BpeOps.tokenCountsPerDoc]]: segmentation runs once per

@@ -488,6 +488,18 @@ object Ext3Queries {
       UnigramStream.readCounts(s, store)
         .getOrElse(sys.error("x122c: empty count log"))
         .orderBy("piece")
+    }),
+
+    // ---- greedy (WordPiece-style) apply beside the Viterbi apply from
+    // the same artifact: per doc, piece counts under BOTH walks — the
+    // apply-path decision table (greedy is the linear streaming-friendly
+    // path; Viterbi the trained objective; their disagreement is the
+    // traded mass). One distinct-word pass computes both.
+    "x123_greedy_tokenize" -> ((s, d) => {
+      import graft.operators.UnigramLmOps
+      UnigramLmOps.segmentCountsPerDoc(Tables.documents(s, d),
+          "doc_id", "text", s.read.parquet(x122Build(s, d)))
+        .orderBy("doc_id")
     })
   )
 
@@ -873,7 +885,43 @@ object Ext3Queries {
          SELECT piece, CAST(SUM(wcount) AS BIGINT) AS cnt FROM (
            SELECT b.word, unnest(b.path) AS piece FROM best1 b) o
          JOIN words USING (word)
-         GROUP BY piece ORDER BY piece"""
+         GROUP BY piece ORDER BY piece""",
+
+    // x123: the greedy walk is one longest-match-per-position census
+    // (LEFT JOIN → unmatched position advances 1, the UNK-char
+    // convention) plus a LINEAR recursive walk — single path, no
+    // enumeration; the Viterbi side reuses the x122b replay verbatim
+    "x123_greedy_tokenize" ->
+      s"""WITH RECURSIVE
+         p AS (SELECT piece, cnt FROM
+           read_parquet('__GRAFT_ART__/unigram_pieces/__GRAFT_SF__/*.parquet')),
+         t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM p),
+         c0 AS (SELECT piece, CAST(length(bin(total)) - length(bin(cnt))
+                  AS BIGINT) AS cost, len(piece) AS plen FROM p, t),
+         d0 AS (SELECT doc_id, $ddbWords AS ws FROM documents),
+         occ AS (SELECT doc_id, unnest(ws) AS word FROM d0),
+         dw AS (SELECT DISTINCT word FROM occ),
+         lmc AS MATERIALIZED (
+           SELECT d.word, d.pos, CAST(COALESCE(MAX(c.plen), 1) AS BIGINT)
+                    AS adv
+           FROM (SELECT word, unnest(range(1, len(word)+1)) AS pos
+                 FROM dw) d
+           LEFT JOIN c0 c ON substr(d.word, d.pos, c.plen) = c.piece
+           GROUP BY d.word, d.pos),
+         walk(word, pos, k) AS (
+           SELECT word, CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM dw
+           UNION ALL
+           SELECT w.word, w.pos + l.adv, w.k + 1
+           FROM walk w JOIN lmc l ON l.word = w.word AND l.pos = w.pos
+           WHERE w.pos <= len(w.word)),
+         gdone AS (SELECT word, k AS n_g FROM walk
+                   WHERE pos = len(word) + 1),
+         ${unigramSegSql(1, "c0")}
+         SELECT o.doc_id,
+                CAST(SUM(g.n_g) AS BIGINT) AS n_greedy,
+                CAST(SUM(len(b.path)) AS BIGINT) AS n_viterbi
+         FROM occ o JOIN gdone g USING (word) JOIN best1 b USING (word)
+         GROUP BY o.doc_id ORDER BY o.doc_id"""
   )
 
   /** One exhaustive-Viterbi round: enumerate every segmentation of every

@@ -114,6 +114,24 @@ class UnigramSpec extends AnyFunSuite {
     assert(streamed == direct)
   }
 
+  test("greedy maximal-munch: longest piece wins; unknown chars pass through") {
+    import graft.functions.UnigramExprs
+    def greedy(word: String, pieces: Seq[String]): Seq[String] =
+      Seq(word).toDF("w")
+        .select(UnigramExprs.greedySegment(col("w"), pieces.toArray).as("p"))
+        .head().getSeq[String](0)
+    // longest match at each position, not best-scoring overall:
+    // "abcd" with {ab, abc, d, a, b, c} → [abc, d] (abc beats ab)
+    assert(greedy("abcd", Seq("ab", "abc", "d", "a", "b", "c"))
+      == Seq("abc", "d"))
+    // greedy can be SUBOPTIMAL vs Viterbi: "abc" with {ab, c, a, bc} →
+    // greedy [ab, c]; a Viterbi under equal costs could pick [a, bc] —
+    // the disagreement x123 measures
+    assert(greedy("abc", Seq("ab", "c", "a", "bc")) == Seq("ab", "c"))
+    // unknown char emits itself and the walk continues
+    assert(greedy("axb", Seq("a", "b")) == Seq("a", "x", "b"))
+  }
+
   test("train output matches the x122 query surface at sf0.001") {
     val out = SparkEntry.queries("x122_unigram_train")(
       spark, SparkTestSession.sf0001)
