@@ -49,6 +49,67 @@ object CurationProps extends Properties("curation") {
          else out(2L) == ((doc2Expected.length.toLong, doc2Expected.mkString(" "))))
     }
 
+  /** Independent in-memory reference of [[DedupOps.exactSubstringDedup]]
+    * — the spec re-derived from scratch (window census with occurrence
+    * ordering by (doc_id, pos), optional df cap, per-doc island
+    * chaining, minSpan filter, position removal) so the distributed
+    * plan is pinned against a second implementation on ARBITRARY
+    * corpora, not just the fixture. Small closed vocabulary on purpose:
+    * duplication is dense, so every branch (keep-first, intra-doc
+    * repeats, cap exclusion, run splitting) fires.
+    */
+  private def refExactSubstr(docs: Seq[(Long, String)], w: Int,
+      minSpan: Int, cap: Option[Int]): Map[Long, String] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+    val occ = for {
+      (id, ts) <- toks.toSeq
+      i <- 0 to ts.length - w
+    } yield (ts.slice(i, i + w).mkString(" "), id, i)
+    val dup: Set[(Long, Int)] = occ.groupBy(_._1).iterator.flatMap {
+      case (_, os) =>
+        val eligible = cap.forall(c => os.map(_._2).distinct.size <= c)
+        if (os.size >= 2 && eligible)
+          os.sortBy(o => (o._2, o._3)).drop(1).map(o => (o._2, o._3))
+        else Nil
+    }.toSet
+    val removed: Map[Long, Set[Int]] = dup.groupBy(_._1).map {
+      case (id, ps) =>
+        val sorted = ps.map(_._2).toSeq.sorted
+        // islands of consecutive dup positions -> spans
+        val runs = sorted.foldLeft(List.empty[List[Int]]) {
+          case (acc @ (h :: t), p) if h.head == p - 1 => (p :: h) :: t
+          case (acc, p) => List(p) :: acc
+        }
+        val kill = runs.filter(r => r.length + w - 1 >= minSpan).flatMap {
+          r => r.min until (r.min + r.length + w - 1) }
+        id -> kill.toSet
+    }
+    toks.flatMap { case (id, ts) =>
+      val keep = ts.zipWithIndex.collect {
+        case (t, i) if !removed.getOrElse(id, Set.empty)(i) => t }
+      if (keep.isEmpty) None else Some(id -> keep.mkString(" "))
+    }
+  }
+
+  property("exactSubstringDedup matches an independent reference on random corpora") =
+    forAll(Gen.choose(42L, 100000L), Gen.oneOf[Option[Int]](None, Some(2))) {
+      (seed, cap) =>
+        import spark.implicits._
+        val rnd = new scala.util.Random(seed)
+        val vocab = Seq("aa", "bb", "cc")
+        val docs = (0L until 8L).map { id =>
+          val n = rnd.nextInt(14)
+          id -> (0 until n).map(_ => vocab(rnd.nextInt(3))).mkString(" ")
+        }
+        val expect = refExactSubstr(docs, w = 3, minSpan = 4, cap = cap)
+        val got = graft.operators.DedupOps.exactSubstringDedup(
+            docs.toDF("doc_id", "text"), "text", "doc_id",
+            windowLen = 3, minSpan = 4L, maxWindowDf = cap.map(_.toLong))
+          .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+        got == expect
+    }
+
   property("hotSpanScrub removes a planted window iff its df reaches minDf") =
     forAll(Gen.choose(2, 6), Gen.choose(2L, 6L)) { (copies, minDf) =>
       import spark.implicits._
