@@ -815,13 +815,18 @@ object DedupOps {
   /** Tokenize a corpus ONCE to a parquet stage — the shared first step of
     * both span surgeries (the kernel and the reassembly each consume the
     * stage as cheap columnar reads; see [[spanTrim]]'s scale notes).
+    * Uses [[TextOps.tokensNonEmpty]]: documents that ARRIVE empty (or
+    * whitespace-only) tokenize to zero tokens and therefore disappear
+    * from the reassembled output, per the family contract — with the
+    * phantom-token `split("", " ") = [""]` they would survive as
+    * `(id, n_tok=1, text="")` and corrupt downstream token budgets.
     */
   private def stageTokens(docs: DataFrame, textCol: String, idCol: String,
       stageDir: Option[String], tag: String): DataFrame = {
     val spark = docs.sparkSession
     val stage = StageIO.resolve(spark, stageDir, tag)
     docs.select(col(idCol).as("doc_id"),
-        TextOps.tokens(col(textCol)).as("toks"))
+        TextOps.tokensNonEmpty(col(textCol)).as("toks"))
       .write.mode("overwrite").parquet(stage)
     spark.read.parquet(stage)
   }

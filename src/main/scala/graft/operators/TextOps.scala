@@ -14,9 +14,23 @@ import org.apache.spark.sql.types.DoubleType
 object TextOps {
 
   /** Whitespace tokenization (single-space corpus; a BPE-ish regex variant
-    * is `tokensRegex`).
+    * is `tokensRegex`). NOTE: `split("", " ")` yields `[""]` — one empty
+    * token — so a caller whose contract says "empty documents have zero
+    * tokens" must use [[tokensNonEmpty]] instead.
     */
   def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace tokenization that drops empty tokens, so an empty or
+    * whitespace-only document tokenizes to zero tokens (where [[tokens]]
+    * inherits Spark's `split("", " ") = [""]` phantom token) and runs of
+    * spaces don't mint empties. This is the tokenizer of record for the
+    * span-surgery family ([[DedupOps.spanTrim]] / `hotSpanScrub` /
+    * `exactSubstringDedup`), whose contract is "documents trimmed to — or
+    * arriving with — zero tokens disappear". DuckDB twin:
+    * `list_filter(string_split(text, ' '), t -> len(t) > 0)`.
+    */
+  def tokensNonEmpty(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
 
   /** Canonical form for byte-keyed dedup: Unicode NFC (native expression,
     * [[graft.functions.NfcNormalize]]) → lowercase → whitespace runs

@@ -211,6 +211,10 @@ object ExtQueries {
   }
 
   private val mdToks = "string_split(text, ' ')"
+  // TextOps.tokensNonEmpty twin — the span-surgery family's tokenizer of
+  // record (empty/whitespace-only docs => zero tokens => disappear)
+  private val mdToksNE =
+    "list_filter(string_split(text, ' '), t -> len(t) > 0)"
   private val mdShingles =
     "list_distinct(list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2]))"
   private def ddbSum(l: String) = s"list_reduce($l, (x,y) -> x+y)"
@@ -3853,7 +3857,7 @@ object ExtQueries {
                      unnest(list_transform(range(1, len(t)-6), i ->
                        CAST('0x' || substr(md5($win8), 1, 15) AS BIGINT))) AS h,
                      unnest(range(1, len(t)-6)) AS pos
-              FROM (SELECT doc_id, $mdToks AS t FROM documents)),
+              FROM (SELECT doc_id, $mdToksNE AS t FROM documents)),
             m AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      a.pos AS pa, b.pos AS pb
@@ -3875,7 +3879,7 @@ object ExtQueries {
             tok AS (
               SELECT doc_id, unnest(t) AS tok,
                      unnest(range(1, len(t)+1)) AS pos
-              FROM (SELECT doc_id, $mdToks AS t FROM documents)),
+              FROM (SELECT doc_id, $mdToksNE AS t FROM documents)),
             kept AS (
               SELECT k.doc_id, k.pos, k.tok FROM tok k
               WHERE NOT EXISTS (
@@ -3897,7 +3901,7 @@ object ExtQueries {
                      unnest(list_transform(range(1, len(t)-6), i ->
                        CAST('0x' || substr(md5($win8), 1, 15) AS BIGINT))) AS h,
                      unnest(range(1, len(t)-6)) AS pos
-              FROM (SELECT doc_id, $mdToks AS t FROM documents)),
+              FROM (SELECT doc_id, $mdToksNE AS t FROM documents)),
             hot AS MATERIALIZED (
               SELECT h FROM (
                 SELECT h, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY h)
@@ -3907,7 +3911,7 @@ object ExtQueries {
             tok AS (
               SELECT doc_id, unnest(t) AS tok,
                      unnest(range(1, len(t)+1)) AS pos
-              FROM (SELECT doc_id, $mdToks AS t FROM documents)),
+              FROM (SELECT doc_id, $mdToksNE AS t FROM documents)),
             kept AS (
               SELECT k.doc_id, k.pos, k.tok FROM tok k
               WHERE NOT EXISTS (
