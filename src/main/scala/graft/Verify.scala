@@ -23,7 +23,14 @@ object Verify {
       }
       // a few queries persist() intermediates for self-joins; drop them so
       // memory stays bounded across the whole inventory — and reclaim
-      // scratch parquet stages so disk stays bounded too
+      // scratch parquet stages so disk stays bounded too. ORDERING
+      // CONSTRAINT (advisor r14): several query functions write scratch
+      // at DataFrame CONSTRUCTION time (pref-pairs, the x104/x105/x108
+      // stagings) and the returned frame reads it back lazily, so
+      // cleanScratch is safe only HERE — after the frame above was fully
+      // consumed by its write action, before the next one is built. A
+      // build-all-then-clean-then-execute loop would delete stages that
+      // unexecuted frames still reference.
       spark.catalog.clearCache()
       graft.operators.StageIO.cleanScratch(spark)
     }

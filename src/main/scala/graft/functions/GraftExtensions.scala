@@ -19,6 +19,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "built-in")
 
+  /** Static int argument of a SQL registration (advisor r15): a bare
+    * `args(n).eval().asInstanceOf[Int]` throws ClassCastException on a
+    * BIGINT literal (SQL integer literals can parse either way) and an
+    * opaque registration-time error on a non-foldable argument — this
+    * resolves foldable integrals (Long only when it fits) and raises a
+    * proper AnalysisException otherwise.
+    */
+  private def intArg(fname: String, pos: Int, e: Expression): Int = {
+    def fail(why: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION", Map("errorMessage" ->
+          s"$fname: argument ${pos + 1} must be a foldable integer literal, $why"))
+    if (!e.foldable) fail(s"got non-foldable expression ${e.sql}")
+    e.eval() match {
+      case i: Int => i
+      case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case null => fail("got NULL")
+      case other => fail(s"got $other of ${e.dataType.sql}")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator extension: native as-of join (logical node + physical
     // merge scan; see graft.plans.AsOfJoin), plus the optimizer rule that
@@ -41,18 +64,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("minhash_hex_sig"),
       info("minhash_hex_sig", "minhash_hex_sig(array<string>, k) - md5 MinHash signature"),
       (args: Seq[Expression]) => MinHashHexSig(args(0),
-        args(1).eval().asInstanceOf[Int])))
+        intArg("minhash_hex_sig", 1, args(1)))))
 
     ext.injectFunction((FunctionIdentifier("distinct_shingles"),
       info("distinct_shingles", "distinct_shingles(array<string>, n) - distinct word n-grams"),
       (args: Seq[Expression]) => DistinctShingles(args(0),
-        args(1).eval().asInstanceOf[Int])))
+        intArg("distinct_shingles", 1, args(1)))))
 
     ext.injectFunction((FunctionIdentifier("topk_by_score"),
       info("topk_by_score",
         "topk_by_score(score double, id bigint, k) - per-group top-k aggregate with map-side partial pruning"),
       (args: Seq[Expression]) => TopKByScore(args(0), args(1),
-        args(2).eval().asInstanceOf[Int])))
+        intArg("topk_by_score", 2, args(2)))))
 
     ext.injectFunction((FunctionIdentifier("top_bigram_count"),
       info("top_bigram_count",
@@ -73,7 +96,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("window_keys60",
         "window_keys60(array<string>, n) - positional 60-bit md5 window keys (the span/LM gram key)"),
       (args: Seq[Expression]) => WindowKeys60(args(0),
-        args(1).eval().asInstanceOf[Int])))
+        intArg("window_keys60", 1, args(1)))))
 
     ext.injectFunction((FunctionIdentifier("dist2"),
       info("dist2",

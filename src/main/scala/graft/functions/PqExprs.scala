@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -21,21 +21,34 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   */
 
 /** Exact squared L2 in double, left-to-right — allocation-free codegen
-  * twin of [[graft.operators.PqOps.dist2]].
+  * twin of [[graft.operators.PqOps.dist2]]. `ImplicitCastInputTypes`
+  * (advisor r15): the SQL registration (`dist2`) must coerce natural
+  * calls — `array(1.0, 2.0)` parses as array<decimal>, and float/int
+  * array COLUMNS would otherwise reach `getDouble` uncast, which on
+  * UnsafeArrayData reinterprets raw bytes. NULL contract matches the
+  * compositional spec (`dist2Spec`, zip_with + aggregate): length
+  * mismatch or a null element yields NULL — the spec's NULL is how a
+  * malformed vector surfaces, and the native twin must not silently
+  * truncate where the spec would flag.
   */
 case class Dist2(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "dist2"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var d = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val diff = x.getDouble(i) - y.getDouble(i)
       d += diff * diff
       i += 1
@@ -48,13 +61,17 @@ case class Dist2(left: Expression, right: Expression)
       val (n, d, i, df) = (ctx.freshName("n"), ctx.freshName("d"),
         ctx.freshName("i"), ctx.freshName("df"))
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $d = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $df = $a.getDouble($i) - $b.getDouble($i);
-         |  $d += $df * $df;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $df = $a.getDouble($i) - $b.getDouble($i);
+         |    $d += $df * $df;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $d; }
          |}
-         |${ev.value} = $d;
        """.stripMargin
     })
 
@@ -68,20 +85,31 @@ case class Dist2(left: Expression, right: Expression)
   * compositional spec stays as `dotSpec` with a VectorExprsSpec parity
   * pin). x59's random projection evaluates outDim of these per row —
   * interpreted, that was outDim·dim boxed lambda steps per row.
+  * Same coercion + NULL contract as [[Dist2]] (advisor r15): inputs
+  * analyze to array<double>, and length mismatch / null elements yield
+  * NULL exactly as the zip_with spec does.
   */
 case class DotProd(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_prod"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var d = 0.0
     var i = 0
-    while (i < n) { d += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      d += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     d
   }
 
@@ -90,12 +118,16 @@ case class DotProd(left: Expression, right: Expression)
       val (n, d, i) =
         (ctx.freshName("n"), ctx.freshName("d"), ctx.freshName("i"))
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $d = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $d += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $d += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $d; }
          |}
-         |${ev.value} = $d;
        """.stripMargin
     })
 

@@ -38,6 +38,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * seen character into the table) falls back to a single-char piece
   * costing `fallbackCost` (one more than any table piece can cost), so
   * segmentation totals on unseen text, the UNK convention.
+  *
+  * '''BMP-word precondition''' (advisor r15): this DP indexes words by
+  * UTF-16 code unit (`java.lang.String` substring/length), while the
+  * seed inventory (Spark SQL `substr`) and the DuckDB twins count code
+  * POINTS — a supplementary-plane character (anything above U+FFFF)
+  * occupies two code units here and one position there, so the walks
+  * would disagree and a lone surrogate could surface as a "piece".
+  * Unreachable from [[graft.operators.UnigramLmOps]], whose
+  * `tokensRegex` words are `[a-z0-9]+` by construction; any other
+  * caller must pre-filter words to the Basic Multilingual Plane (or
+  * ASCII) before segmenting. Same precondition for [[GreedySegment]].
   */
 case class UnigramSegment(child: Expression, pieces: Array[String],
     costs: Array[Long])

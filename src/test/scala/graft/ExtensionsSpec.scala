@@ -62,6 +62,37 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 11.0) // 3 + 8
   }
 
+  test("dist2/dot_prod SQL coerce natural literals; static int args accept"
+      + " BIGINT and reject junk with AnalysisException (advisor r15)") {
+    // array(1.0, 2.0) parses as array<decimal> — ImplicitCastInputTypes
+    // must coerce it to array<double> instead of letting getDouble
+    // reinterpret decimal bytes
+    val r = spark.sql(
+      """SELECT dist2(array(1.0, 2.0), array(3.0, 5.0)) AS d,
+                dot_prod(array(1, 2), array(3, 4)) AS p""").head()
+    assert(r.getDouble(0) == 13.0)
+    assert(r.getDouble(1) == 11.0)
+    // malformed vectors: the spec's NULL, not a silent truncation
+    val n = spark.sql(
+      "SELECT dist2(array(1.0D), array(1.0D, 2.0D)) AS d").head()
+    assert(n.isNullAt(0))
+    // SQL integer literals may parse as BIGINT; a Long-valued n must work
+    val w = spark.sql(
+      "SELECT window_keys60(array('a','b','c'), CAST(2 AS BIGINT)) AS w")
+      .head().getSeq[Long](0)
+    assert(w.length == 2)
+    // junk static args die as AnalysisException with the function named,
+    // not as ClassCastException at registration-eval time
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT window_keys60(array('a'), 'x')").collect()
+    }
+    assert(e1.getMessage.contains("window_keys60"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash_hex_sig(array('a'), rand())").collect()
+    }
+    assert(e2.getMessage.contains("minhash_hex_sig"))
+  }
+
   test("md5_simhash60 in SQL equals the expression API") {
     import org.apache.spark.sql.functions._
     val viaSql = spark.sql("SELECT md5_simhash60(array('hello')) AS s").head().getLong(0)

@@ -119,6 +119,31 @@ class PqOpsSpec extends AnyFunSuite {
     assert(pairs.filter(col("n") =!= col("c")).count() === 0)
   }
 
+  test("Dist2/DotProd match the spec's NULL contract on malformed vectors"
+      + " (length mismatch, null element)") {
+    // the spec (zip_with + aggregate) surfaces a malformed vector as
+    // NULL; the native twins must not silently truncate there (advisor
+    // r15) — interpreted eval and codegen both
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(
+      ("len_mismatch", Seq[java.lang.Double](1.0, 2.0, 3.0),
+        Seq[java.lang.Double](1.0, 2.0)),
+      ("null_elem", Seq[java.lang.Double](1.0, null, 3.0),
+        Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      ("clean", Seq[java.lang.Double](1.0, 2.0, 3.0),
+        Seq[java.lang.Double](4.0, 5.0, 6.0))).toDF("kind", "a", "b")
+    val out = df.select(col("kind"),
+      graft.functions.PqExprs.dist2Native(col("a"), col("b")).as("nd"),
+      PqOps.dist2Spec(col("a"), col("b")).as("sd"),
+      graft.functions.PqExprs.dotNative(col("a"), col("b")).as("np"))
+      .collect().map(r => r.getString(0) ->
+        (r.isNullAt(1), r.isNullAt(2), r.isNullAt(3))).toMap
+    assert(out("len_mismatch") === ((true, true, true)))
+    assert(out("null_elem") === ((true, true, true)))
+    assert(out("clean") === ((false, false, false)))
+  }
+
   test("native PqEncode == compositional higher-order spec, code for code") {
     val nat = PqOps.pqEncodePacked(emb, "vec_id", "embedding", cb, m)
     val spec = PqOps.pqEncodePackedSpec(emb, "vec_id", "embedding", cb, m)
