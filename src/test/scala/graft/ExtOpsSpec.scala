@@ -220,6 +220,31 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(out(3L)._2 == "plain unrelated words that stay whole")
   }
 
+  test("span-surgery family: empty/whitespace docs disappear; runs of"
+      + " spaces don't mint phantom tokens (the r15 property-found bug)") {
+    // split("", " ") = [""] made docs that ARRIVE empty survive as
+    // (id, n_tok=1, text=""); the family's tokenizer of record now
+    // drops empty tokens, so they vanish like docs TRIMMED to empty do
+    val span = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 $span a3"),
+      (2L, s"b1 $span b2 b3"),
+      (3L, ""), (4L, "   "),
+      (5L, "c1  c2  c3 c4 c5 c6 c7 c8 c9")) // doubled spaces inside
+      .toDF("doc_id", "text")
+    for (out <- Seq(
+        DedupOps.spanTrim(docs, "text", "doc_id", 4, 8L),
+        DedupOps.exactSubstringDedup(docs, "text", "doc_id", 4, 8L),
+        DedupOps.hotSpanScrub(docs, "text", "doc_id", 4, minDf = 9L))) {
+      val m = out.collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      assert(!m.contains(3L) && !m.contains(4L),
+        s"empty/whitespace docs must vanish: ${m.keySet}")
+      assert(m(5L) == (9L, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),
+        s"n_tok must count real tokens: ${m(5L)}")
+    }
+  }
+
   test("spanTrim: a fully-duplicated doc disappears; overlapping ranges union") {
     val span = (1 to 16).map(i => s"s$i").mkString(" ")
     val docs = Seq(
