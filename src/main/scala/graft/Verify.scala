@@ -15,6 +15,11 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
     def keep(name: String): Boolean = only.forall(_.contains(name))
+    // oracle_sql.json lands BEFORE the query loop (the Bench r16
+    // survivability lesson): a driver-timeout kill mid-inventory then
+    // leaves every already-dumped query gradeable instead of losing the
+    // whole correctness signal to the missing manifest
+    writeOracleSql(spark, sfDir, outDir, keep)
     SparkEntry.queries.filter(e => keep(e._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -34,6 +39,11 @@ object Verify {
       spark.catalog.clearCache()
       graft.operators.StageIO.cleanScratch(spark)
     }
+    spark.stop()
+  }
+
+  private def writeOracleSql(spark: SparkSession, sfDir: String,
+      outDir: String, keep: String => Boolean): Unit = {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -62,6 +72,5 @@ object Verify {
         .replace("__GRAFT_ART__", artRoot))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }
