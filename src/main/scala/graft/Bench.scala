@@ -278,7 +278,8 @@ object Bench {
     // a typo'd filter would otherwise emit a clean-looking total=0 line
     // (x49_tick_only is a bench-synthesized timing, not a queries entry)
     val synthetic = Set("x49_tick_only", "x54_probe_only", "x56_probe_only",
-      "x57_apply_only", "x54c_probe_only", "x122_apply_only")
+      "x57_apply_only", "x54c_probe_only", "x54b_probe_only",
+      "x122_apply_only")
     only.foreach(_.diff(SparkEntry.queries.keySet ++ synthetic).foreach(n =>
       System.err.println(s"[bench] WARNING: SPARK_GRAFT_ONLY name '$n' matches no query")))
     var failed = List.empty[String]
@@ -496,6 +497,15 @@ object Bench {
       marginal("x56_probe_only", "x56_ann_filtered") {
         val base = graft.queries.ExtQueries.x56Build(spark, sfDir)
         () => { materialize(graft.queries.ExtQueries.x56Probe(spark, sfDir, base)); () }
+      }
+      // x54b: the residual-coding variant was the one index composite
+      // without a marginal split — its probe pays an extra per-cell LUT
+      // (q − centroid) over x54's, which is exactly the marginal this
+      // row makes visible.
+      marginal("x54b_probe_only", "x54b_ann_index_residual") {
+        val base = graft.queries.ExtQueries.x54Build(spark, sfDir,
+          residual = true)
+        () => { materialize(graft.queries.ExtQueries.x54Probe(spark, sfDir, base)); () }
       }
       // x54c: run the streaming index maintenance once untimed (init +
       // two MemoryStream waves — the build), time the probe against the
