@@ -209,6 +209,52 @@ object Bench {
     (before, now, (System.nanoTime() - t0) / 1e9, syncRc)
   }
 
+  /** Physical-plan fingerprint of the most recent action (judge-style
+    * plan audit, automated): node counts that define a plan's scale
+    * shape — shuffle/broadcast exchanges, AQE local reads, join
+    * strategies, aggregate forms, whole-stage-codegen span count —
+    * parsed from the EXECUTED plan (post-AQE, so a runtime
+    * broadcast-conversion shows as bcast, not smj). Recorded per query
+    * in the artifact as a compact `k=v` string, so a plan-shape
+    * regression (a new exchange, a broadcast that stopped happening)
+    * diffs across rounds like any other channel — by data, not by
+    * re-running explain by hand.
+    */
+  @volatile private var lastPlanSig: Option[String] = None
+  private def planSigOf(
+      qe: org.apache.spark.sql.execution.QueryExecution): String = {
+    val s = try qe.executedPlan.toString
+      catch { case _: Throwable => return "" }
+    // node names at line starts (tree decorations stripped); codegen
+    // spans counted from distinct *(id) markers
+    val nodeRe = "(?m)^[-+*:() 0-9]*([A-Za-z][A-Za-z0-9]*)".r
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
+    for (m <- nodeRe.findAllMatchIn(s)) counts(m.group(1)) += 1
+    val wsc = "\\*\\((\\d+)\\)".r.findAllMatchIn(s).map(_.group(1)).toSet.size
+    val keys = Seq(
+      "Exchange" -> "xchg", "BroadcastExchange" -> "bcast",
+      "AQEShuffleRead" -> "aqeread",
+      "SortMergeJoin" -> "smj", "BroadcastHashJoin" -> "bhj",
+      "ShuffledHashJoin" -> "shj", "BroadcastNestedLoopJoin" -> "bnlj",
+      "CartesianProduct" -> "cart",
+      "HashAggregate" -> "hagg", "ObjectHashAggregate" -> "ohagg",
+      "SortAggregate" -> "sagg",
+      "TakeOrderedAndProject" -> "topk", "Generate" -> "gen",
+      "Window" -> "win", "Sort" -> "sort")
+    val parts = keys.collect {
+      case (k, t) if counts(k) > 0 => s"$t=${counts(k)}" }
+    (parts :+ s"wsc=$wsc").mkString(",")
+  }
+  private class PlanTap extends org.apache.spark.sql.util.QueryExecutionListener {
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long): Unit = lastPlanSig = Some(planSigOf(qe))
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        exception: Exception): Unit = ()
+  }
+
   /** Cumulative shuffle read/write bytes across all completed stages —
     * the SHUFFLE channel (judge r13 #5): the one cost that compounds
     * super-linearly when a plan stops fitting, and the number a 100 TB
@@ -251,7 +297,9 @@ object Bench {
     // any run of this timing threw — its walls are failure-path noops
     // (a query that dies in 10 ms would otherwise WIN the best-of
     // minimum and publish a fantasy number; found by the r16 kill test)
-    failed: Boolean = false)
+    failed: Boolean = false,
+    // executed-plan fingerprint of the steady run's final action
+    planSig: String = "")
 
   /** One full timed pass over the suite: results, sentinel series, and
     * untimed fixture-build seconds for the `*_only` marginal rows.
@@ -265,6 +313,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build("graft-bench")
     spark.sparkContext.addSparkListener(new ShuffleTap)
+    spark.listenerManager.register(new PlanTap)
     // warm the JVM/session once so the first timed query isn't paying
     // codegen + scheduler + parquet-reader startup
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -369,6 +418,7 @@ object Bench {
         val dirty0 = dirtyKb()
         val load0 = loadAvg1()
         var anyRunFailed = false
+        lastPlanSig = None
         val timed = runs.map { run =>
           val g0 = gcMs()
           val io0 = ioReadBytes()
@@ -418,7 +468,8 @@ object Bench {
           cd.map(_._9).getOrElse(Double.NaN), st._9,
           cd.map(_._10).getOrElse(Double.NaN), st._10,
           cd.map(_._11).getOrElse(Double.NaN), st._11,
-          dirty0, load0, wallStart, failed = anyRunFailed)
+          dirty0, load0, wallStart, failed = anyRunFailed,
+          planSig = lastPlanSig.getOrElse(""))
       }
       // ---- idle gate (judge r11 #2), once per pass: drain ambient
       // writeback BEFORE the timed region and record the drain in the
@@ -664,7 +715,7 @@ object Bench {
       val skippedJson = budgetSkipped.sorted
         .map("\"" + _ + "\"").mkString("[", ",", "]")
       val json =
-        s"""{"metric":"total","value":$totalSteady,"unit":"sec","partial":$partial,"best_of":$numPasses,"passes_run":${passes.size},"elapsed_sec":$elapsedSec,"budget_sec":$budgetSec,"budget_skipped":$skippedJson,"queries":${fmt(_.steady.toString)},"queries_cold":${fmt(_.cold.toString)},"total_cold":$totalCold,"gc_ms":${fmt(_.gcSteady.toString)},"gc_ms_cold":${fmt(_.gcCold.toString)},"heap_mb":${fmt(_.heapMb.toString)},"io_read_mb":${fmt(_.ioSteady.toString)},"io_read_mb_cold":${fmt(_.ioCold.toString)},"io_write_mb":${fmt(_.ioWrSteady.toString)},"io_write_mb_cold":${fmt(_.ioWrCold.toString)},"io_cancelled_write_mb":${fmt(_.ioCwSteady.toString)},"alloc_mb":${fmt(_.allocSteady.toString)},"alloc_mb_cold":${fmt(_.allocCold.toString)},"box_cpu_sec":${fmt(_.boxCpuSteady.toString)},"box_cpu_sec_cold":${fmt(_.boxCpuCold.toString)},"box_iowait_sec":${fmt(_.boxIowaitSteady.toString)},"self_cpu_sec":${fmt(_.selfCpuSteady.toString)},"self_cpu_sec_cold":${fmt(_.selfCpuCold.toString)},"shuffle_read_mb":${fmt(_.shufRdSteady.toString)},"shuffle_read_mb_cold":${fmt(_.shufRdCold.toString)},"shuffle_write_mb":${fmt(_.shufWrSteady.toString)},"shuffle_write_mb_cold":${fmt(_.shufWrCold.toString)},"loadavg_start":${fmt(_.loadavgStart.toString)},"dirty_kb_start":${fmt(_.dirtyStartKb.toString)},"build_sec":$buildsJson,"idle_gate":$gatesJson,"runs":$runsJson,"wall_start_ms":${fmt(_.wallStart.toString)},"sentinel":$sentinelJson,"failed":$failedJson,"flags":$flagsJson,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$totalSteady,"unit":"sec","partial":$partial,"best_of":$numPasses,"passes_run":${passes.size},"elapsed_sec":$elapsedSec,"budget_sec":$budgetSec,"budget_skipped":$skippedJson,"queries":${fmt(_.steady.toString)},"queries_cold":${fmt(_.cold.toString)},"total_cold":$totalCold,"gc_ms":${fmt(_.gcSteady.toString)},"gc_ms_cold":${fmt(_.gcCold.toString)},"heap_mb":${fmt(_.heapMb.toString)},"io_read_mb":${fmt(_.ioSteady.toString)},"io_read_mb_cold":${fmt(_.ioCold.toString)},"io_write_mb":${fmt(_.ioWrSteady.toString)},"io_write_mb_cold":${fmt(_.ioWrCold.toString)},"io_cancelled_write_mb":${fmt(_.ioCwSteady.toString)},"alloc_mb":${fmt(_.allocSteady.toString)},"alloc_mb_cold":${fmt(_.allocCold.toString)},"box_cpu_sec":${fmt(_.boxCpuSteady.toString)},"box_cpu_sec_cold":${fmt(_.boxCpuCold.toString)},"box_iowait_sec":${fmt(_.boxIowaitSteady.toString)},"self_cpu_sec":${fmt(_.selfCpuSteady.toString)},"self_cpu_sec_cold":${fmt(_.selfCpuCold.toString)},"shuffle_read_mb":${fmt(_.shufRdSteady.toString)},"shuffle_read_mb_cold":${fmt(_.shufRdCold.toString)},"shuffle_write_mb":${fmt(_.shufWrSteady.toString)},"shuffle_write_mb_cold":${fmt(_.shufWrCold.toString)},"loadavg_start":${fmt(_.loadavgStart.toString)},"dirty_kb_start":${fmt(_.dirtyStartKb.toString)},"plan_nodes":${fmt(r => "\"" + r.planSig + "\"")},"build_sec":$buildsJson,"idle_gate":$gatesJson,"runs":$runsJson,"wall_start_ms":${fmt(_.wallStart.toString)},"sentinel":$sentinelJson,"failed":$failedJson,"flags":$flagsJson,"sf":"$sfDir"}"""
       Seq(stamped, fixed).foreach { out =>
         // write-then-atomic-move: a kill mid-write must not leave a
         // truncated artifact under the name the driver reads
