@@ -223,16 +223,20 @@ object Bench {
   @volatile private var lastPlanSig: Option[String] = None
   private def planSigOf(
       qe: org.apache.spark.sql.execution.QueryExecution): String = {
-    val s = try qe.executedPlan.toString
+    // STRUCTURAL node-name traversal, never toString: rendering a plan
+    // whose expressions embed literal codebooks/matrices produces
+    // megabyte strings per action, and this handler runs on the shared
+    // listener bus for every action of every timed run
+    val names = try org.apache.spark.sql.graftbridge.Bridge
+        .physicalNodeNames(qe.executedPlan)
       catch { case _: Throwable => return "" }
-    // node names at line starts (tree decorations stripped); codegen
-    // spans counted from distinct *(id) markers
-    val nodeRe = "(?m)^[-+*:() 0-9]*([A-Za-z][A-Za-z0-9]*)".r
-    val counts = scala.collection.mutable.Map.empty[String, Int]
+    // WholeStageCodegen nodes carry their span id in the name
+    val counts = names.map(n =>
+        if (n.startsWith("WholeStageCodegen")) "WholeStageCodegen" else n)
+      .groupBy(identity).map { case (k, v) => k -> v.size }
       .withDefaultValue(0)
-    for (m <- nodeRe.findAllMatchIn(s)) counts(m.group(1)) += 1
-    val wsc = "\\*\\((\\d+)\\)".r.findAllMatchIn(s).map(_.group(1)).toSet.size
     val keys = Seq(
+      // ShuffleExchangeExec presents nodeName "Exchange"
       "Exchange" -> "xchg", "BroadcastExchange" -> "bcast",
       "AQEShuffleRead" -> "aqeread",
       "SortMergeJoin" -> "smj", "BroadcastHashJoin" -> "bhj",
@@ -241,10 +245,10 @@ object Bench {
       "HashAggregate" -> "hagg", "ObjectHashAggregate" -> "ohagg",
       "SortAggregate" -> "sagg",
       "TakeOrderedAndProject" -> "topk", "Generate" -> "gen",
-      "Window" -> "win", "Sort" -> "sort")
-    val parts = keys.collect {
-      case (k, t) if counts(k) > 0 => s"$t=${counts(k)}" }
-    (parts :+ s"wsc=$wsc").mkString(",")
+      "Window" -> "win", "Sort" -> "sort",
+      "WholeStageCodegen" -> "wsc")
+    keys.collect {
+      case (k, t) if counts(k) > 0 => s"$t=${counts(k)}" }.mkString(",")
   }
   private class PlanTap extends org.apache.spark.sql.util.QueryExecutionListener {
     override def onSuccess(funcName: String,

@@ -24,6 +24,36 @@ object Bridge {
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[ClassicDataset[Row]].queryExecution.analyzed
 
+  /** Node names of a physical plan, traversed STRUCTURALLY — including
+    * through AQE wrappers (AdaptiveSparkPlanExec holds its finalized
+    * plan as a field, not a child) and materialized query stages — and
+    * through expression subqueries. Exists because the obvious
+    * alternative, parsing `executedPlan.toString`, renders every
+    * embedded literal (PQ codebooks, projection matrices, vocabulary
+    * arrays ride in plans as array literals here) into megabyte strings
+    * per action; the traversal touches no expression rendering at all.
+    */
+  def physicalNodeNames(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[String] = {
+    val buf = scala.collection.mutable.Buffer.empty[String]
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      buf += p.nodeName
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
+        case r: org.apache.spark.sql.execution.ReusedSubqueryExec =>
+          walk(r.child)
+        case _ => ()
+      }
+      p.subqueries.foreach(walk)
+      p.children.foreach(walk)
+    }
+    walk(plan)
+    buf.toSeq
+  }
+
   /** Block (bounded) until queued listener events are delivered — so a
     * bench's per-run shuffle-byte deltas include the run's own trailing
     * stage completions. `listenerBus` is private[spark]; this is the
