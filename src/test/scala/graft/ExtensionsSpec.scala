@@ -93,6 +93,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("minhash_hex_sig"))
   }
 
+  test("Bridge.physicalNodeNames sees through AQE into the finalized plan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (1 to 1000).toDF("v").groupBy(pmod(col("v"), lit(7)).as("k"))
+      .agg(sum("v").as("s"))
+    df.collect() // finalize the adaptive plan
+    val names = org.apache.spark.sql.graftbridge.Bridge
+      .physicalNodeNames(df.queryExecution.executedPlan)
+    // the walk must reach inside AdaptiveSparkPlanExec (a field, not a
+    // child): a shuffle exchange and codegen spans only exist there
+    assert(names.contains("AdaptiveSparkPlan"), names.take(5))
+    assert(names.contains("Exchange"), s"no shuffle seen: $names")
+    assert(names.exists(_.startsWith("WholeStageCodegen")),
+      s"no codegen span seen: $names")
+    assert(names.count(_ == "HashAggregate") >= 2,
+      s"partial+final aggregate expected: $names")
+  }
+
   test("md5_simhash60 in SQL equals the expression API") {
     import org.apache.spark.sql.functions._
     val viaSql = spark.sql("SELECT md5_simhash60(array('hello')) AS s").head().getLong(0)
