@@ -754,7 +754,11 @@ object Bench {
     var donePasses = Vector.empty[Pass]
     val partialEverySec = sys.env.get("SPARK_GRAFT_BENCH_PARTIAL_SEC")
       .map(_.toDouble).getOrElse(120.0)
-    var lastPartialNs = System.nanoTime()
+    // backdate the throttle so the FIRST partial lands ~30 s in: a kill
+    // inside the first full window otherwise leaves no artifact at all
+    // (the one gap the r16 kill test left open)
+    var lastPartialNs = System.nanoTime() -
+      ((partialEverySec - 30.0).max(0.0) * 1e9).toLong
     def onProgress(snapshot: Pass): Unit =
       if (snapshot.results.nonEmpty &&
           (System.nanoTime() - lastPartialNs) / 1e9 >= partialEverySec) {
