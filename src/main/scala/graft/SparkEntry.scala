@@ -38,6 +38,7 @@ object SparkEntry {
     (ExtQueries.defs, ExtQueries.oracles),
     (Ext2Queries.defs, Ext2Queries.oracles),
     (Ext3Queries.defs, Ext3Queries.oracles),
+    (Ext4Queries.defs, Ext4Queries.oracles),
     (MiscQueries.defs, MiscQueries.oracles),
     (SubqueryQueries.defs, SubqueryQueries.oracles)
   )

@@ -386,6 +386,66 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: C(sub → sup) =
+    * |S_sub ∩ S_sup| / |S_sub| over distinct word-trigram shingle sets —
+    * the "this document is quoted/embedded inside that one" signal
+    * Jaccard structurally misses (a short doc fully contained in a long
+    * one has tiny Jaccard but containment 1.0). The aggregator-page /
+    * quotation dedup pass of a crawled corpus, and the set-level
+    * complement of the positional span matcher (x29/x35): order-blind,
+    * so shuffled or re-joined copies still hit.
+    *
+    * Emits ORDERED pairs (doc_sub, doc_sup): both directions of a
+    * candidate pair are tested and both can qualify (mutual containment
+    * ⇔ near-identical sets). The gate is an integer cross-multiply
+    * (inter·10⁴ ≥ n_sub·thresholdBps) and the reported containment is
+    * the exact [[graft.queries.Det.round4Rat]] rational — nothing
+    * float-sensitive decides membership on any engine.
+    *
+    * Scale shape is [[jaccardNearDups]]'s: one inverted-index equi-join
+    * on the shingle hash (8-byte keys), pair work Σ df², with the same
+    * optional `maxShingleDf` boilerplate cap (the capped index stages to
+    * parquet once, so the hot-key scan and the anti-join never re-run
+    * the tokenize kernel).
+    */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+      thresholdBps: Long, maxShingleDf: Option[Long] = None,
+      stageDir: Option[String] = None): DataFrame = {
+    val sh0 = spreadByDoc(docs, idCol)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.HashExprs.distinctShingles(tokens(col(textCol))).as("sharr"))
+      .select(col("doc_id"), size(col("sharr")).cast(LongType).as("n"),
+        explode(col("sharr")).as("s0"))
+      .select(col("doc_id"), col("n"), xxhash64(col("s0")).as("s"))
+    val sh = maxShingleDf.fold(sh0) { cap =>
+      val spark = docs.sparkSession
+      val stage = StageIO.resolve(spark, stageDir, "containment-index")
+      sh0.write.mode("overwrite").parquet(stage)
+      val idx = spark.read.parquet(stage)
+      val hot = idx.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap).select("s")
+      idx.join(hot, Seq("s"), "left_anti")
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    }
+    // one '<' pair aggregation, then both directions derived from it —
+    // the join never enumerates (a,b) and (b,a) separately
+    val pairs = sh.as("x").join(sh.as("y"), col("x.s") === col("y.s")
+        && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("x.n")).as("na"), first(col("y.n")).as("nb"))
+    pairs.select(explode(array(
+        struct(col("doc_a").as("doc_sub"), col("doc_b").as("doc_sup"),
+          col("inter"), col("na").as("n_sub")),
+        struct(col("doc_b").as("doc_sub"), col("doc_a").as("doc_sup"),
+          col("inter"), col("nb").as("n_sub")))).as("e"))
+      .select(col("e.doc_sub"), col("e.doc_sup"), col("e.inter"),
+        col("e.n_sub"))
+      .filter(col("inter") * lit(10000L) >= col("n_sub") * lit(thresholdBps))
+      .withColumn("containment",
+        graft.queries.Det.round4Rat(col("inter"), col("n_sub")))
+  }
+
   /** Train/eval DECONTAMINATION scan: find training documents sharing at
     * least `minOverlap` of an evaluation document's word n-gram shingles —
     * the benchmark-leakage check an LLM data pipeline runs before

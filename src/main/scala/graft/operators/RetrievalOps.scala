@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval over a document corpus — the BM25 ranking an
+  * LLM-data pipeline runs for retrieval-augmented data selection, RAG
+  * index evaluation, and query-targeted corpus audits.
+  *
+  * Okapi BM25 with the textbook constants k1 = 1.2, b = 0.75 — chosen as
+  * the exact rationals 6/5 and 3/4 so the whole score reduces to one
+  * integer rational per (query term, document):
+  *
+  *   term = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  *        = 22·idf·tf·T / (10·tf·T + 3·T + 9·dl·N)
+  *
+  * with N = corpus size, T = total token mass (avgdl = T/N), dl = the
+  * document's token count, and idf the binary-length log₂ bucket
+  * bits(N) − bits(df) (the x42/x43 integer-idf idiom — no float log
+  * crosses an engine boundary). Each term is rounded half-up to integer
+  * BASIS POINTS ([[graft.queries.Det.rat4BpBig]], exact in decimal(38,0)
+  * at 100 TB token masses); the document score is the exact integer SUM
+  * of its term bps, so scores compare and tie-break identically on any
+  * engine.
+  *
+  * Scale shape: the (doc, token, tf) postings frame stages to parquet
+  * ONCE and every downstream table (df, dl, candidates) derives from the
+  * staged scan — the corpus text is tokenized exactly once. The query
+  * side is model-sized (a query set, not a corpus) and BROADCASTS into
+  * the postings scan, so the corpus never shuffles to meet the queries;
+  * only the candidate rows (docs sharing an informative term with some
+  * query) move. Terms whose idf bucket is 0 — df within a factor of two
+  * of N, i.e. stopword-grade — are dropped BEFORE the candidate join:
+  * they cannot contribute score (bp = 0 after the idf factor) but would
+  * otherwise fan every query out to most of the corpus. That drop is the
+  * DF cap of the dedup family (x4b) falling out of the scoring math
+  * rather than a tuned knob.
+  *
+  * Tokenization is [[TextOps.tokensNonEmpty]]: empty/whitespace docs have
+  * dl = 0, contribute no postings, and are never candidates or queries.
+  *
+  * The lexical term unit is the word n-gram (`ngram`, default 2 —
+  * phrase-level BM25). Unigram terms run the identical kernel, but over
+  * a small closed vocabulary (the synthetic fixture has 31 word types;
+  * any corpus's stopword head behaves the same) every unigram's df lands
+  * within a factor of two of N and the idf bucket floor correctly zeroes
+  * the whole query — phrase terms are the unit that stays informative,
+  * on the fixture and on a real corpus alike. dl, avgdl and T are all in
+  * the same term unit, per the BM25 contract.
+  */
+object RetrievalOps {
+
+  private def bits(c: Column): Column = length(bin(c)).cast("long")
+
+  /** The document's term sequence in the chosen n-gram unit (1 = words,
+    * 2 = word bigrams). Docs with fewer than n tokens have no terms.
+    */
+  private def terms(text: Column, ngram: Int): Column = ngram match {
+    case 1 => TextOps.tokensNonEmpty(text)
+    case 2 => TextOps.bigrams(TextOps.tokensNonEmpty(text))
+    case n => throw new IllegalArgumentException(s"ngram $n not supported")
+  }
+
+  /** BM25 scores for every (query, candidate) pair sharing at least one
+    * informative (idf ≥ 1) term. `queryIds` is a one-column frame of
+    * `q_id`s drawn from `docs.doc_id` (model-sized — it broadcasts); a
+    * query never scores itself. Returns (q_id, doc_id, score_bp) with
+    * score_bp the exact integer basis-point BM25 score.
+    */
+  def bm25PairScores(docs: DataFrame, queryIds: DataFrame,
+      ngram: Int = 2): DataFrame = {
+    val s = docs.sparkSession
+    val nDocs = docs.count()
+    val stage = StageIO.resolve(s, None, "bm25-tf")
+    docs.select(col("doc_id"),
+        explode(terms(col("text"), ngram)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite").parquet(stage)
+    val tf = s.read.parquet(stage)
+    val totToks = tf.agg(coalesce(sum(col("tf")), lit(0L)).cast("long"))
+      .collect()(0).getLong(0)
+
+    // the query-term frame is model-sized but DERIVES from a corpus scan
+    // (extracting the query texts) — stage it once so the three consumers
+    // below (distinct tokens, df probe, candidate join) never rescan docs
+    val qstage = StageIO.resolve(s, None, "bm25-qterms")
+    docs.join(queryIds, col("doc_id") === col("q_id"))
+      .select(col("q_id"),
+        explode(array_distinct(terms(col("text"), ngram))).as("tok"))
+      .write.mode("overwrite").parquet(qstage)
+    val qterms = s.read.parquet(qstage)
+    // df only over the query-term slice of the postings: (doc, tok) is
+    // unique in tf, so a count per token IS the document frequency
+    val qtoks = qterms.select("tok").distinct()
+    val tfm = tf.join(broadcast(qtoks), "tok")
+    val dfq = tfm.groupBy("tok").agg(count(lit(1)).as("df"))
+      .withColumn("idf", bits(lit(nDocs)) - bits(col("df")))
+      .filter(col("idf") >= 1) // stopword-grade terms carry no score
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).cast("long").as("dl"))
+
+    // num/den widen to decimal(38,0) BEFORE any multiply: at 100 TB the
+    // token mass T makes 22·idf·tf·T overflow a long inside the product
+    // (the rational round itself is already decimal-exact)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val T = lit(totToks).cast(d38)
+    val N = lit(nDocs).cast(d38)
+    val num = lit(22L).cast(d38) * col("idf") * col("tf") * T
+    val den = lit(10L).cast(d38) * col("tf") * T + lit(3L).cast(d38) * T +
+      lit(9L).cast(d38) * col("dl") * N
+    tfm.join(broadcast(dfq), "tok")
+      .join(broadcast(qterms), "tok")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(dl, "doc_id")
+      .select(col("q_id"), col("doc_id"),
+        graft.queries.Det.rat4BpBig(num, den).as("bp"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("bp")).cast("long").as("score_bp"))
+  }
+
+  /** Top-k BM25 results per query, best first — the pair scores reduced
+    * through the bounded-heap [[graft.functions.TopKByScore]] aggregate
+    * (map-side partial pruning; never a per-query rank window over the
+    * candidate set). Tie order: score desc, doc_id asc. Returns
+    * (q_id, doc_id, score_bp).
+    */
+  def bm25TopK(docs: DataFrame, queryIds: DataFrame, k: Int,
+      ngram: Int = 2): DataFrame =
+    bm25PairScores(docs, queryIds, ngram)
+      .groupBy("q_id")
+      .agg(graft.functions.AggExprs.topKByScore(
+        col("score_bp").cast("double"), col("doc_id"), k).as("_tk"))
+      .select(col("q_id"), explode(col("_tk")).as("_e"))
+      // score_bp stays under 2^53 by construction (≤ 10⁴ · Σ idf·2.2 per
+      // doc), so the double round-trips to the exact integer
+      .select(col("q_id"), col("_e.id").as("doc_id"),
+        col("_e.score").cast("long").as("score_bp"))
+
+  /** Ranked (1-based) top-k per query: [[bm25TopK]]'s arrays positionally
+    * exploded, so rank i is the heap's i-th best under the same total
+    * order. Returns (q_id, doc_id, rank, score_bp).
+    */
+  def bm25Ranks(docs: DataFrame, queryIds: DataFrame, k: Int,
+      ngram: Int = 2): DataFrame =
+    bm25PairScores(docs, queryIds, ngram)
+      .groupBy("q_id")
+      .agg(graft.functions.AggExprs.topKByScore(
+        col("score_bp").cast("double"), col("doc_id"), k).as("_tk"))
+      .select(col("q_id"), posexplode(col("_tk")).as(Seq("_p", "_e")))
+      .select(col("q_id"), col("_e.id").as("doc_id"),
+        (col("_p") + 1).cast("long").as("rank"),
+        col("_e.score").cast("long").as("score_bp"))
+}

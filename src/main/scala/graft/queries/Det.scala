@@ -76,6 +76,27 @@ object Det {
       ((a - pmod(a, b)) / b).cast(org.apache.spark.sql.types.LongType) / lit(10000.0))
   }
 
+  /** Integer basis points of a rational: half-up round of 10⁴·num/den as
+    * a LONG — [[round4RatBig]] before its final /10⁴, for callers that go
+    * on to SUM the rounded terms (per-term BM25 / reciprocal-rank scores).
+    * Summing the bp integers is exact and order-independent where summing
+    * the /10⁴ doubles would not be; consumers divide once at the end, or
+    * keep the integer. Same decimal(38,0) envelope as [[round4RatBig]] on
+    * the inputs; the ROUNDED bp itself must fit a long (callers' ratios
+    * are bounded scores — BM25 terms, reciprocal ranks — so 10⁴·num/den
+    * stays far under 2⁶³; a wider ratio overflows the final cast loudly,
+    * never silently).
+    * DuckDB equivalent: (CAST(num AS HUGEINT)*20000 + den) // (2*den)
+    * (guard the zero denominator with NULLIF(den, 0)).
+    */
+  def rat4BpBig(num: Column, den: Column): Column = {
+    val d38 = DecimalType(38, 0)
+    val a = num.cast(d38) * lit(20000L).cast(d38) + den.cast(d38)
+    val b = den.cast(d38) * lit(2L).cast(d38)
+    when(den === 0, lit(null).cast(org.apache.spark.sql.types.LongType))
+      .otherwise(((a - pmod(a, b)) / b).cast(org.apache.spark.sql.types.LongType))
+  }
+
   /** Exact revenue-style product sum: price*(1-discount) computed entirely
     * in decimal, then the exact decimal sum cast to double.
     * DuckDB: CAST(SUM(CAST(p AS DECIMAL(18,2)) * (1 - CAST(d AS DECIMAL(18,2)))) AS DOUBLE).

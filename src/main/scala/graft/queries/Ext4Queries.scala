@@ -1,0 +1,369 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-16 extension inventory — the retrieval / data-selection surface:
+  * BM25 lexical ranking over an inverted index, hybrid (lexical +
+  * embedding) retrieval fused by reciprocal-rank fusion, and a
+  * character-distribution surprise score (the compression-ratio-style
+  * gibberish filter). Same determinism policy ([[Det]]) and oracle
+  * discipline as every other group.
+  */
+object Ext4Queries {
+
+  // DuckDB twin of TextOps.tokensNonEmpty (kept in lockstep with
+  // Ext3Queries' private copy — single formula, two sites)
+  private val mdToksNE =
+    "list_filter(string_split(text, ' '), t -> len(t) > 0)"
+  private def ddbSum(l: String) = s"list_reduce($l, (x,y) -> x+y)"
+  private def ddbDot(a: String, b: String) =
+    ddbSum(s"list_transform(list_zip($a,$b), z -> CAST(z[1] AS DOUBLE)*CAST(z[2] AS DOUBLE))")
+  private def ddbNorm2(a: String) =
+    ddbSum(s"list_transform($a, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE))")
+
+  // word-bigram term list (RetrievalOps.terms(_, 2) twin): adjacent-token
+  // pairs over the empty-dropping tokenization; <2-token docs have none
+  private val mdBigrams =
+    s"list_transform(range(1, len(tt)), i -> tt[i] || ' ' || tt[i+1])"
+
+  /** The shared BM25 oracle body over a corpus CTE named `corpus`
+    * (columns doc_id, text) with queries `doc_id % 101 = 0` — the DuckDB
+    * replay of [[graft.operators.RetrievalOps.bm25PairScores]] at
+    * ngram = 2: same bigram terms, same integer idf buckets, same exact
+    * HUGEINT rational per term, same summed basis points. Emits CTE
+    * `pairs(q_id, doc_id, score_bp)`.
+    */
+  private def bm25PairsCte = s"""
+    tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest($mdBigrams) AS tok
+            FROM (SELECT doc_id, $mdToksNE AS tt FROM corpus))
+      GROUP BY doc_id, tok),
+    stats AS (
+      SELECT (SELECT coalesce(CAST(SUM(tf) AS BIGINT), 0) FROM tf) AS T,
+             (SELECT COUNT(*) FROM corpus) AS N),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+           FROM tf GROUP BY doc_id),
+    qt AS (
+      SELECT doc_id AS q_id,
+             unnest(list_distinct($mdBigrams)) AS tok
+      FROM (SELECT doc_id, $mdToksNE AS tt FROM corpus
+            WHERE doc_id % 101 = 0)),
+    idf AS (
+      SELECT tok,
+             length(bin((SELECT N FROM stats))) - length(bin(df)) AS idf
+      FROM (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+            WHERE tok IN (SELECT DISTINCT tok FROM qt) GROUP BY tok)
+      WHERE length(bin((SELECT N FROM stats))) - length(bin(df)) >= 1),
+    term AS (
+      SELECT qt.q_id, tf.doc_id,
+             CAST(22 AS HUGEINT) * i.idf * tf.tf * s.T AS num,
+             CAST(10 AS HUGEINT) * tf.tf * s.T + 3 * s.T
+               + 9 * dl.dl * s.N AS den
+      FROM tf
+      JOIN idf i USING (tok)
+      JOIN qt USING (tok)
+      CROSS JOIN stats s
+      JOIN dl ON dl.doc_id = tf.doc_id
+      WHERE tf.doc_id <> qt.q_id),
+    pairs AS (
+      SELECT q_id, doc_id,
+             CAST(SUM((num * 20000 + den) // (2 * den)) AS BIGINT)
+               AS score_bp
+      FROM term GROUP BY q_id, doc_id)"""
+
+  val defs: Map[String, Q] = Map(
+
+    // ---- BM25 retrieval: top-3 corpus documents per query doc (every
+    // doc_id % 101 == 0 plays the query), Okapi BM25 with k1=1.2 b=0.75
+    // over word-BIGRAM (phrase) terms, reduced to exact integer basis
+    // points (RetrievalOps scaladoc has the algebra and why the phrase
+    // unit). The postings frame stages once; the query side
+    // broadcasts into it (the corpus never shuffles toward the queries);
+    // idf-0 (stopword-grade) terms drop before the candidate join — the
+    // DF cap falling out of the scoring math; per-query top-3 runs
+    // through the bounded-heap TopKByScore aggregate, never a rank
+    // window over the candidate set.
+    "x124_bm25_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val qids = docs.filter(pmod(col("doc_id"), lit(101)) === 0)
+        .select(col("doc_id").as("q_id"))
+      graft.operators.RetrievalOps.bm25TopK(docs, qids, 3)
+        .orderBy(col("q_id"), col("score_bp").desc, col("doc_id"))
+    }),
+
+    // ---- character-distribution surprise — the integer-exact stand-in
+    // for the compression-ratio / character-entropy gibberish filter
+    // (a doc whose chars are few and repetitive compresses well and
+    // scores LOW; natural prose scores high). Per doc: counts c_i per
+    // character, n = Σc_i, surprise = Σ c_i·(bits(n) − bits(c_i)) in the
+    // x42/x43 binary-length log₂ buckets (= n·bits(n) − Σ c_i·bits(c_i),
+    // so the aggregate is one map-side-combinable groupBy on (doc, char)
+    // — key cardinality is bounded by the alphabet per doc). Docs that
+    // arrive empty keep a row with zero mass and a NULL rate. Scale
+    // shape: the per-char explode is scan-local map work; the only
+    // shuffle keys are (doc_id, ch) then doc_id.
+    "x125_char_entropy" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bits = (c: org.apache.spark.sql.Column) => length(bin(c)).cast("long")
+      val chars = when(length(col("text")) === 0,
+          array().cast("array<string>"))
+        .otherwise(expr(
+          "transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+      val per = docs.select(col("doc_id"), explode(chars).as("ch"))
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum(col("c")).cast("long").as("n"),
+          count(lit(1)).as("distinct_chars"),
+          sum(col("c") * bits(col("c"))).cast("long").as("sb"))
+        .select(col("doc_id"),
+          col("n"), col("distinct_chars"),
+          (bits(col("n")) * col("n") - col("sb")).as("surprise_bits"))
+      docs.select(col("doc_id"))
+        .join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n"), lit(0L)).as("n_chars_seen"),
+          coalesce(col("distinct_chars"), lit(0L)).as("distinct_chars"),
+          coalesce(col("surprise_bits"), lit(0L)).as("surprise_bits"),
+          Det.round4Rat(coalesce(col("surprise_bits"), lit(0L)),
+            coalesce(col("n"), lit(0L))).as("surprise_per_char"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- HYBRID retrieval with reciprocal-rank fusion — the modern RAG
+    // retrieval stack: a lexical BM25 shortlist and an embedding-cosine
+    // shortlist (top-20 each, per query) fused by RRF
+    // (score = Σ_lists 1/(60 + rank), each term rounded half-up to exact
+    // integer basis points so the fused score compares identically on
+    // any engine); top-3 fused results per query. Runs on the embedded
+    // slice of the corpus (doc_id = vec_id). Both shortlists reduce
+    // through TopKByScore (map-side bounded heaps); the final fuse
+    // windows over a ≤40-row-per-query frame that is bounded by
+    // construction (20 + 20 shortlist entries), where a rank window is
+    // the right-sized tool. The semantic arm broadcasts the model-sized
+    // query set and scores with the fused codegen CosineSim — the
+    // all-corpus scan form; the bucketed probe (x7/x14/x54) is the
+    // sublinear path and this row pins the FUSION semantics.
+    "x126_hybrid_rrf" -> ((s, d) => {
+      import graft.functions.{AggExprs, VectorExprs}
+      import graft.operators.RetrievalOps
+      val slice = Tables.documents(s, d)
+        .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("text"), col("embedding"))
+      val qids = slice.filter(pmod(col("doc_id"), lit(101)) === 0)
+        .select(col("doc_id").as("q_id"))
+      val lex = RetrievalOps.bm25Ranks(
+          slice.select("doc_id", "text"), qids, 20)
+        .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))
+      val qe = slice.filter(pmod(col("doc_id"), lit(101)) === 0)
+        .select(col("doc_id").as("q_id"), col("embedding").as("qemb"))
+      val sem = slice.select(col("doc_id"), col("embedding"))
+        .crossJoin(broadcast(qe))
+        .filter(col("doc_id") =!= col("q_id"))
+        .select(col("q_id"), col("doc_id"),
+          VectorExprs.cosineSim(col("qemb"), col("embedding")).as("cos"))
+        .groupBy("q_id")
+        .agg(AggExprs.topKByScore(col("cos"), col("doc_id"), 20).as("_tk"))
+        .select(col("q_id"), posexplode(col("_tk")).as(Seq("_p", "_e")))
+        .select(col("q_id"), col("_e.id").as("doc_id"),
+          (col("_p") + 1).cast("long").as("sem_rank"))
+      val rrfBp = (r: org.apache.spark.sql.Column) =>
+        coalesce(Det.rat4BpBig(lit(1L), lit(60L) + r), lit(0L))
+      val fused = lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
+        .withColumn("rrf_bp", rrfBp(col("lex_rank")) + rrfBp(col("sem_rank")))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("rrf_bp").desc, col("doc_id"))
+      fused.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("q_id"), col("doc_id"), col("lex_rank"),
+          col("sem_rank"), col("rrf_bp"))
+        .orderBy(col("q_id"), col("rrf_bp").desc, col("doc_id"))
+    }),
+
+    // ---- asymmetric CONTAINMENT near-dup pairs — the "this doc is
+    // quoted/embedded inside that one" signal Jaccard (x4) structurally
+    // misses: a short doc fully contained in a long one has tiny Jaccard
+    // but containment 1.0 (the aggregator-page dedup pass). Ordered
+    // pairs, integer cross-multiplied 0.8 gate, exact round4Rat ratio;
+    // same inverted-index equi-join scale shape (and optional DF cap) as
+    // the Jaccard family — DedupOps.containmentPairs scaladoc.
+    "x127_containment_pairs" -> ((s, d) => {
+      graft.operators.DedupOps.containmentPairs(Tables.documents(s, d),
+          "text", "doc_id", 8000L)
+        .orderBy("doc_sub", "doc_sup")
+    }),
+
+    // ---- PMI collocation mining — the phrase-extraction census feeding
+    // tokenizer vocabularies and phrase-aware indexing: top-20 adjacent
+    // word pairs by LIFT = p(a,b)/(p(a)·p(b)) = c_ab·N²/(B·c_a·c_b)
+    // (PMI's argument before the log — same ranking, no float log),
+    // rounded half-up to exact integer basis points in decimal(38,0)
+    // (sound at 100 TB counts), min support c_ab ≥ 5. The token frame
+    // stages once; unigram and bigram counts are map-side-combinable
+    // groupBys over it; the final top-20 is a bounded
+    // TakeOrderedAndProject under the total order (lift desc, w1, w2).
+    "x128_pmi_collocations" -> ((s, d) => {
+      import graft.operators.{StageIO, TextOps}
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val stage = StageIO.resolve(s, None, "x128-toks")
+      Tables.documents(s, d)
+        .select(TextOps.tokensNonEmpty(col("text")).as("tt"))
+        .write.mode("overwrite").parquet(stage)
+      val tt = s.read.parquet(stage)
+      val uni = tt.select(explode(col("tt")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val big = tt.select(explode(TextOps.bigrams(col("tt"))).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("cab"))
+        .select(substring_index(col("g"), " ", 1).as("w1"),
+          substring_index(col("g"), " ", -1).as("w2"), col("cab"))
+      val nTok = uni.agg(coalesce(sum(col("c")), lit(0L)).cast("long"))
+        .collect()(0).getLong(0)
+      val nBig = big.agg(coalesce(sum(col("cab")), lit(0L)).cast("long"))
+        .collect()(0).getLong(0)
+      val N = lit(nTok).cast(d38)
+      val B = lit(nBig).cast(d38)
+      val num = col("cab").cast(d38) * N * N
+      val den = B * col("ca") * col("cb")
+      big.join(uni.select(col("w").as("w1"), col("c").as("ca")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("cb")), "w2")
+        .filter(col("cab") >= 5)
+        .select(col("w1"), col("w2"), col("cab"), col("ca"), col("cb"),
+          Det.rat4BpBig(num, den).as("lift_bp"))
+        .orderBy(col("lift_bp").desc, col("w1"), col("w2"))
+        .limit(20)
+        .orderBy(col("lift_bp").desc, col("w1"), col("w2"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "x124_bm25_topk" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+          $bm25PairsCte
+          SELECT q_id, doc_id, score_bp FROM (
+            SELECT q_id, doc_id, score_bp,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY score_bp DESC, doc_id) AS rk
+            FROM pairs)
+          WHERE rk <= 3 ORDER BY q_id, score_bp DESC, doc_id""",
+
+    "x125_char_entropy" ->
+      """WITH cc AS (
+            SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c FROM (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(text) + 1),
+                       i -> substr(text, i, 1))) AS ch
+              FROM documents)
+            GROUP BY doc_id, ch),
+          per AS (
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+                   CAST(SUM(c * length(bin(c))) AS BIGINT) AS sb
+            FROM cc GROUP BY doc_id)
+          SELECT d.doc_id,
+                 coalesce(p.n, 0) AS n_chars_seen,
+                 coalesce(p.distinct_chars, 0) AS distinct_chars,
+                 coalesce(length(bin(p.n)) * p.n - p.sb, 0) AS surprise_bits,
+                 ((coalesce(length(bin(p.n)) * p.n - p.sb, 0) * 20000
+                   + coalesce(p.n, 0))
+                  // (2 * NULLIF(coalesce(p.n, 0), 0))) / 10000.0
+                   AS surprise_per_char
+          FROM documents d LEFT JOIN per p USING (doc_id)
+          ORDER BY doc_id""",
+
+    "x126_hybrid_rrf" -> {
+      val cos = s"""${ddbDot("q.embedding", "c.embedding")}
+                     / (sqrt(${ddbNorm2("q.embedding")})
+                        * sqrt(${ddbNorm2("c.embedding")}))"""
+      s"""WITH corpus AS (
+            SELECT d.doc_id, d.text, e.embedding
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+          $bm25PairsCte,
+          lex AS (
+            SELECT q_id, doc_id,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                     ORDER BY score_bp DESC, doc_id) AS BIGINT) AS lex_rank
+            FROM pairs
+            QUALIFY lex_rank <= 20),
+          q AS (SELECT doc_id AS q_id, embedding FROM corpus
+                WHERE doc_id % 101 = 0),
+          sem AS (
+            SELECT q_id, doc_id,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                     ORDER BY cos DESC, doc_id) AS BIGINT) AS sem_rank
+            FROM (
+              SELECT q.q_id, c.doc_id, $cos AS cos
+              FROM q, corpus c WHERE c.doc_id <> q.q_id)
+            QUALIFY sem_rank <= 20),
+          fused AS (
+            SELECT coalesce(l.q_id, s.q_id) AS q_id,
+                   coalesce(l.doc_id, s.doc_id) AS doc_id,
+                   l.lex_rank, s.sem_rank,
+                   CAST(coalesce((20000 + (60 + l.lex_rank))
+                          // (2 * (60 + l.lex_rank)), 0)
+                        + coalesce((20000 + (60 + s.sem_rank))
+                          // (2 * (60 + s.sem_rank)), 0) AS BIGINT) AS rrf_bp
+            FROM lex l FULL OUTER JOIN sem s
+              ON l.q_id = s.q_id AND l.doc_id = s.doc_id)
+          SELECT q_id, doc_id, lex_rank, sem_rank, rrf_bp FROM (
+            SELECT q_id, doc_id, lex_rank, sem_rank, rrf_bp,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY rrf_bp DESC, doc_id) AS rk
+            FROM fused)
+          WHERE rk <= 3 ORDER BY q_id, rrf_bp DESC, doc_id"""
+    },
+
+    // the x4 oracle's inverted index, re-read per DIRECTION: one '<' pair
+    // aggregation, both orderings derived, the gate an integer
+    // cross-multiply against the contained side's set size
+    "x127_containment_pairs" ->
+      """WITH sh AS (
+            SELECT doc_id, unnest(sh) AS s FROM (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(t)-1),
+                       i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents))),
+          sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM sh GROUP BY doc_id),
+          pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          dir AS (
+            SELECT doc_a AS doc_sub, doc_b AS doc_sup, inter FROM pairs
+            UNION ALL
+            SELECT doc_b AS doc_sub, doc_a AS doc_sup, inter FROM pairs)
+          SELECT doc_sub, doc_sup, inter, z.n AS n_sub,
+                 ((inter * 20000 + z.n) // (2 * NULLIF(z.n, 0))) / 10000.0
+                   AS containment
+          FROM dir JOIN sizes z ON doc_sub = z.doc_id
+          WHERE inter * 10000 >= z.n * 8000
+          ORDER BY doc_sub, doc_sup""",
+
+    "x128_pmi_collocations" ->
+      s"""WITH tt AS (SELECT $mdToksNE AS tt FROM documents),
+          uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM (SELECT unnest(tt) AS w FROM tt) GROUP BY w),
+          big AS (
+            SELECT string_split(g, ' ')[1] AS w1,
+                   string_split(g, ' ')[2] AS w2, cab
+            FROM (SELECT g, CAST(COUNT(*) AS BIGINT) AS cab FROM (
+                    SELECT unnest(list_transform(range(1, len(tt)),
+                      i -> tt[i] || ' ' || tt[i+1])) AS g FROM tt)
+                  GROUP BY g)),
+          st AS (SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS N,
+                        (SELECT CAST(SUM(cab) AS BIGINT) FROM big) AS B)
+          SELECT w1, w2, cab, a.c AS ca, b.c AS cb,
+                 CAST((CAST(cab AS HUGEINT) * s.N * s.N * 20000
+                        + CAST(s.B AS HUGEINT) * a.c * b.c)
+                      // (2 * CAST(s.B AS HUGEINT) * a.c * b.c) AS BIGINT)
+                   AS lift_bp
+          FROM big JOIN uni a ON w1 = a.w JOIN uni b ON w2 = b.w
+          CROSS JOIN st s
+          WHERE cab >= 5
+          ORDER BY lift_bp DESC, w1, w2 LIMIT 20"""
+  )
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DedupOps
+
+/** Round-16 containment / collocation kernels: the asymmetric-containment
+  * semantics Jaccard can't see, the DF-cap discipline on the containment
+  * index, and the PMI-lift formula replayed row by row.
+  */
+class Ext4OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def pairsOf(rows: Array[org.apache.spark.sql.Row]) =
+    rows.map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+
+  test("containmentPairs: a short doc embedded in a long one scores 1.0 " +
+      "in that direction only; verbatim duplicates contain mutually") {
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq[(Long, String)](
+      0L -> quote,
+      1L -> (s"$quote eta theta iota kappa lambda mu nu xi omicron pi " +
+        "rho sigma tau upsilon phi chi psi omega aleph bet gimel dalet"),
+      2L -> quote, // verbatim dup of 0
+      3L -> "completely different tokens one two three four five six seven")
+      .toDF("doc_id", "text")
+    val got = pairsOf(DedupOps.containmentPairs(docs, "text", "doc_id",
+      8000L).collect())
+    assert(got.contains((0L, 1L)), s"short-in-long missing: $got")
+    assert(got((0L, 1L))._3 == 1.0, "full containment must be exactly 1.0")
+    assert(!got.contains((1L, 0L)),
+      "the long doc is NOT contained in the short one")
+    assert(got.contains((0L, 2L)) && got.contains((2L, 0L)),
+      "verbatim duplicates contain each other")
+    assert(got((0L, 2L))._3 == 1.0 && got((2L, 0L))._3 == 1.0)
+    assert(!got.keySet.exists(k => k._1 == 3L || k._2 == 3L),
+      "the unrelated doc shares no shingle")
+    // ratio is the exact rational of the reported integers
+    got.foreach { case (_, (inter, nSub, c)) =>
+      val bp = (BigInt(inter) * 20000 + nSub) / (BigInt(nSub) * 2)
+      assert(c == bp.toLong / 10000.0)
+      assert(inter * 10000 >= nSub * 8000, "gate must hold on every row")
+    }
+  }
+
+  test("containmentPairs: the DF cap drops boilerplate-driven pairs and " +
+      "recounts the contained side over surviving shingles") {
+    // doc 0 and doc 1 share ONLY a boilerplate run present in every doc
+    val boiler = "one two three four five"
+    val docs = Seq[(Long, String)](
+      0L -> s"$boiler alpha beta gamma",
+      1L -> s"$boiler delta epsilon zeta",
+      2L -> s"$boiler eta theta iota",
+      3L -> s"$boiler kappa lambda mu")
+      .toDF("doc_id", "text")
+    val uncapped = DedupOps.containmentPairs(docs, "text", "doc_id", 3000L)
+      .collect()
+    assert(uncapped.nonEmpty, "boilerplate creates pairs uncapped")
+    val capped = DedupOps.containmentPairs(docs, "text", "doc_id", 3000L,
+      maxShingleDf = Some(2L)).collect()
+    assert(capped.isEmpty,
+      s"df-capped index must drop the boilerplate-only pairs: " +
+        s"${capped.mkString(",")}")
+  }
+
+  test("x127 fixture run: every direction of a mutual pair agrees on " +
+      "inter, and containment >= jaccard on shared pairs") {
+    val sf = SparkTestSession.sf0001
+    val cont = SparkEntry.queries("x127_containment_pairs")(spark, sf)
+      .collect()
+    assert(cont.nonEmpty, "fixture planted dups must produce containments")
+    val jac = DedupOps.jaccardNearDups(Tables.documents(spark, sf),
+      "text", "doc_id", 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val byPair = pairsOf(cont)
+    jac.foreach { case ((a, b), j) =>
+      val c = byPair.get((a, b)).orElse(byPair.get((b, a)))
+      assert(c.isDefined, s"jaccard-0.8 pair ($a,$b) missing at gate 0.8")
+      assert(c.get._3 >= j - 1e-9,
+        s"containment ${c.get._3} < jaccard $j for ($a,$b)")
+    }
+  }
+
+  test("x128: every reported lift_bp replays from its own counts and the " +
+      "corpus scalars; ordering and support gate hold") {
+    val sf = SparkTestSession.sf0001
+    val out = SparkEntry.queries("x128_pmi_collocations")(spark, sf)
+      .collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val docs = Tables.documents(spark, sf)
+    val toks = docs.select(explode(
+      graft.operators.TextOps.tokensNonEmpty(col("text"))).as("w"))
+    val nTok = toks.count()
+    val nBig = docs.select(explode(graft.operators.TextOps.bigrams(
+      graft.operators.TextOps.tokensNonEmpty(col("text")))).as("g")).count()
+    var prev = Long.MaxValue
+    out.foreach { r =>
+      val (cab, ca, cb, lift) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(cab >= 5, "support gate")
+      val num = BigInt(cab) * nTok * nTok
+      val den = BigInt(nBig) * ca * cb
+      assert(lift == ((num * 20000 + den) / (den * 2)).toLong,
+        s"lift replay failed for row $r")
+      assert(lift <= prev, "rows must be lift-descending")
+      prev = lift
+    }
+  }
+}

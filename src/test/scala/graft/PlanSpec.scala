@@ -583,6 +583,32 @@ class PlanSpec extends AnyFunSuite {
       s"no word equi-join found:\n$p")
   }
 
+  test("x124: BM25 candidate generation is an inverted-index equi-join — " +
+      "query side broadcast, no pair join anywhere") {
+    val p = plan("x124_bm25_topk")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the model-sized query-term / df frames broadcast into the postings
+    // scan; the corpus never shuffles toward the queries
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("x126: the fusion window partitions per query over the bounded " +
+      "shortlist union, and the only nested-loop join is the broadcast " +
+      "query-embedding scan") {
+    val p = plan("x126_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), p)
+    // the semantic arm is crossJoin(broadcast(queries)) by design — a
+    // BroadcastNestedLoopJoin whose build side is the model-sized query
+    // set; any OTHER nested loop would be a corpus-pair blowup
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl <= 1, s"unexpected extra nested-loop joins ($bnl):\n$p")
+    val specs = "windowspecdefinition\\(".r.findAllIn(p).size
+    val byQ = "windowspecdefinition\\(q_id".r.findAllIn(p).size
+    assert(specs == byQ,
+      s"found $specs window specs, only $byQ partitioned by q_id:\n$p")
+  }
+
   test("x96-x99: the rule batteries are shuffle-free per-row passes") {
     // gopher/c4/secret-scan/readability are map-side gates: higher-order
     // folds + regex over the scan, integer cross-multiplied thresholds —

@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.RetrievalOps
+
+/** Round-16 retrieval surface: BM25 over word-bigram terms replayed by an
+  * independent driver-side reference (BigInt exact arithmetic), degenerate
+  * -document contracts, the rat4BpBig rounding kernel, and the RRF /
+  * char-entropy invariants the oracle gate can't phrase.
+  */
+class RetrievalOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- independent BM25 reference (pure Scala, BigInt-exact) ----
+
+  private def refTokens(text: String): Seq[String] =
+    text.split(" ").filter(_.nonEmpty).toSeq
+  private def refBigrams(text: String): Seq[String] = {
+    val t = refTokens(text)
+    if (t.size < 2) Seq.empty else t.sliding(2).map(_.mkString(" ")).toSeq
+  }
+  private def bits(x: Long): Long = java.lang.Long.toBinaryString(x).length.toLong
+
+  /** Exact replay of RetrievalOps.bm25PairScores at ngram=2: same idf
+    * buckets, same per-term half-up basis points, same integer sums.
+    */
+  private def refBm25(corpus: Seq[(Long, String)],
+      queryIds: Set[Long]): Map[(Long, Long), Long] = {
+    val grams = corpus.map { case (id, t) => id -> refBigrams(t) }.toMap
+    val tf = corpus.flatMap { case (id, t) =>
+      refBigrams(t).groupBy(identity).map { case (g, os) => (id, g, os.size.toLong) }
+    }
+    val n = corpus.size.toLong
+    val bigT = tf.map(_._3).sum
+    val dl = tf.groupBy(_._1).map { case (id, rs) => id -> rs.map(_._3).sum }
+    val df = tf.groupBy(_._2).map { case (g, rs) => g -> rs.size.toLong }
+    val out = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for (q <- queryIds.toSeq.sorted; g <- grams(q).distinct) {
+      val idf = bits(n) - bits(df(g))
+      if (idf >= 1) {
+        tf.filter(r => r._2 == g && r._1 != q).foreach { case (d, _, f) =>
+          val num = BigInt(22) * idf * f * bigT
+          val den = BigInt(10) * f * bigT + BigInt(3) * bigT + BigInt(9) * dl(d) * n
+          val bp = (num * 20000 + den) / (den * 2)
+          out((q, d)) = out.getOrElse((q, d), 0L) + bp.toLong
+        }
+      }
+    }
+    out.toMap
+  }
+
+  test("bm25PairScores matches the independent BigInt reference on a " +
+      "mixed corpus (shared phrases, rare phrases, degenerate docs)") {
+    val corpus = Seq[(Long, String)](
+      0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "quick brown fox seen near the river bank today",
+      2L -> "the lazy dog sleeps by the river bank",
+      3L -> "stock market closes higher on quiet trading day",
+      4L -> "quick brown fox quick brown fox quick brown fox",
+      5L -> "", // empty: no terms, never a candidate
+      6L -> "single", // 1 token: no bigrams, never a candidate
+      7L -> "the quick brown fox jumps over the lazy dog") // dup of 0
+    val docs = corpus.toDF("doc_id", "text")
+    val qids = Seq(0L).toDF("q_id")
+    val got = RetrievalOps.bm25PairScores(docs, qids)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = refBm25(corpus, Set(0L))
+    assert(got == want, s"got $got\nwant $want")
+    // sanity on the semantics the numbers should encode:
+    assert(!got.keySet.exists(k => k._2 == 5L || k._2 == 6L),
+      "degenerate docs must never be candidates")
+    assert(!got.contains((0L, 0L)), "a query never scores itself")
+    assert(!got.contains((0L, 3L)),
+      "a doc sharing no phrase with the query is never a candidate")
+    assert(got((0L, 7L)) > got((0L, 2L)),
+      "the verbatim duplicate must outscore the partial-overlap doc")
+  }
+
+  test("bm25PairScores: a query that is itself degenerate returns nothing") {
+    val docs = Seq(0L -> "", 1L -> "only", 2L -> "a real document here")
+      .toDF("doc_id", "text")
+    assert(RetrievalOps.bm25PairScores(docs, Seq(0L, 1L).toDF("q_id"))
+      .count() === 0)
+  }
+
+  test("bm25TopK equals the rank-window form of the pair scores " +
+      "(score desc, doc_id asc), and bm25Ranks numbers it 1-based") {
+    val sf = SparkTestSession.sf0001
+    val docs = Tables.documents(spark, sf)
+    val qids = docs.filter(pmod(col("doc_id"), lit(101)) === 0)
+      .select(col("doc_id").as("q_id"))
+    val pairs = RetrievalOps.bm25PairScores(docs, qids).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.nonEmpty, "fixture queries should retrieve something")
+    val wantTop = pairs.groupBy(_._1).toSeq.flatMap { case (q, rs) =>
+      rs.sortBy(r => (-r._3, r._2)).take(3).zipWithIndex
+        .map { case ((_, d, s), i) => (q, d, i + 1L, s) }.toSeq
+    }.toSet
+    val gotRanks = RetrievalOps.bm25Ranks(docs, qids, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(gotRanks == wantTop)
+    val gotTop = RetrievalOps.bm25TopK(docs, qids, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotTop == wantTop.map(t => (t._1, t._2, t._4)))
+  }
+
+  // ---- Det.rat4BpBig ----
+
+  test("rat4BpBig: half-up integer basis points, exact past the long " +
+      "envelope, NULL on a zero denominator") {
+    val cases = Seq[(Long, Long)](
+      (1L, 61L), (1L, 80L), (1L, 3L), (0L, 7L), (7L, 7L),
+      (1L, 20000L), (1L, 40000L), (3L, 40000L), // .00005 boundaries
+      (123456789012345L, 987654321L),
+      (9007199254740993L, 30000L)) // quotient > 2^53: double math would drift
+    val df = cases.toDF("num", "den")
+      .select(col("num"), col("den"),
+        queries.Det.rat4BpBig(col("num"), col("den")).as("bp"))
+    df.collect().foreach { r =>
+      val (num, den) = (r.getLong(0), r.getLong(1))
+      val want = ((BigInt(num) * 20000 + den) / (BigInt(den) * 2)).toLong
+      assert(r.getLong(2) == want, s"$num/$den")
+    }
+    val z = Seq((5L, 0L)).toDF("num", "den")
+      .select(queries.Det.rat4BpBig(col("num"), col("den"))).collect()
+    assert(z(0).isNullAt(0), "zero denominator must be NULL")
+  }
+
+  // ---- x125 char-entropy invariants ----
+
+  test("x125: surprise is 0 exactly for single-character-alphabet docs, " +
+      "positive otherwise, and n_chars_seen equals the text length") {
+    val sf = SparkTestSession.sf0001
+    val out = SparkEntry.queries("x125_char_entropy")(spark, sf)
+    val byId = out.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.keySet == docs.keySet, "every doc keeps a row")
+    byId.foreach { case (id, (n, distinct, surprise)) =>
+      assert(n == docs(id), s"doc $id char count")
+      assert(surprise >= 0, s"doc $id negative surprise")
+      if (distinct > 1) assert(surprise > 0, s"doc $id multi-char alphabet")
+    }
+    // driver replay of the bucket formula itself on constructed extremes
+    def surprise(t: String): Long = {
+      val cs = t.groupBy(identity).map(_._2.length.toLong); val n = cs.sum
+      cs.map(c => c * (bits(n) - bits(c))).sum
+    }
+    assert(surprise("aaaaaaaa") == 0L)
+    assert(surprise("abcdefgh") == 8L * (bits(8) - bits(1)))
+  }
+
+  // ---- x126 fusion invariants ----
+
+  test("x126: every fused row carries at least one rank, rrf_bp is the " +
+      "exact sum of its reciprocal-rank terms, and top-3 per query holds") {
+    val sf = SparkTestSession.sf0001
+    val out = SparkEntry.queries("x126_hybrid_rrf")(spark, sf).collect()
+    assert(out.nonEmpty)
+    def term(rank: Any): Long = rank match {
+      case null => 0L
+      case r: Long => ((BigInt(1) * 20000 + (60 + r)) / (2 * (BigInt(60) + r))).toLong
+    }
+    out.foreach { r =>
+      val lex = if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2))
+      val sem = if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3))
+      assert(lex != null || sem != null, s"rankless row $r")
+      val want = term(if (lex == null) null else lex.longValue()) +
+        term(if (sem == null) null else sem.longValue())
+      assert(r.getLong(4) == want, s"rrf_bp mismatch in $r")
+    }
+    val perQ = out.groupBy(_.getLong(0))
+    perQ.foreach { case (q, rs) => assert(rs.length <= 3, s"query $q") }
+  }
+}
