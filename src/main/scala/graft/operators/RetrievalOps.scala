@@ -61,34 +61,46 @@ object RetrievalOps {
     case n => throw new IllegalArgumentException(s"ngram $n not supported")
   }
 
-  /** BM25 scores for every (query, candidate) pair sharing at least one
-    * informative (idf ≥ 1) term. `queryIds` is a one-column frame of
-    * `q_id`s drawn from `docs.doc_id` (model-sized — it broadcasts); a
-    * query never scores itself. Returns (q_id, doc_id, score_bp) with
-    * score_bp the exact integer basis-point BM25 score.
+  /** `(doc_id, tok, tf)` term counts over the corpus in the chosen
+    * n-gram unit — the postings frame, and the row shape the
+    * [[graft.streaming.PostingsStream]] log maintains per batch.
     */
-  def bm25PairScores(docs: DataFrame, queryIds: DataFrame,
-      ngram: Int = 2): DataFrame = {
-    val s = docs.sparkSession
-    val nDocs = docs.count()
-    val stage = StageIO.resolve(s, None, "bm25-tf")
-    docs.select(col("doc_id"),
-        explode(terms(col("text"), ngram)).as("tok"))
+  private[graft] def termCounts(docs: DataFrame, ngram: Int): DataFrame =
+    docs.select(col("doc_id"), explode(terms(col("text"), ngram)).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .write.mode("overwrite").parquet(stage)
-    val tf = s.read.parquet(stage)
-    val totToks = tf.agg(coalesce(sum(col("tf")), lit(0L)).cast("long"))
-      .collect()(0).getLong(0)
 
-    // the query-term frame is model-sized but DERIVES from a corpus scan
-    // (extracting the query texts) — stage it once so the three consumers
-    // below (distinct tokens, df probe, candidate join) never rescan docs
+  /** `(doc_id, dl)` per-doc term mass INCLUDING zero-term docs — the
+    * N/T bookkeeping the from-state path persists so corpus size and
+    * token mass survive without the corpus (a zero-dl doc counts toward
+    * N and avgdl exactly as it does in the one-pass form).
+    */
+  private[graft] def docLengths(docs: DataFrame, ngram: Int): DataFrame =
+    docs.select(col("doc_id"),
+      size(terms(col("text"), ngram)).cast("long").as("dl"))
+
+  /** The model-sized query-term frame, staged to parquet once: it
+    * DERIVES from a corpus scan (extracting the query texts), and its
+    * three consumers (distinct tokens, df probe, candidate join) must
+    * never rescan docs.
+    */
+  private[graft] def stageQueryTerms(docs: DataFrame, queryIds: DataFrame,
+      ngram: Int): DataFrame = {
+    val s = docs.sparkSession
     val qstage = StageIO.resolve(s, None, "bm25-qterms")
     docs.join(queryIds, col("doc_id") === col("q_id"))
       .select(col("q_id"),
         explode(array_distinct(terms(col("text"), ngram))).as("tok"))
       .write.mode("overwrite").parquet(qstage)
-    val qterms = s.read.parquet(qstage)
+    s.read.parquet(qstage)
+  }
+
+  /** The scoring tail shared by the one-pass and from-state forms:
+    * `tf` the postings, `dl` per-doc term mass (docs WITH terms suffice
+    * — zero-term docs are never candidates), `qterms` staged query
+    * terms, `nDocs`/`totToks` the corpus scalars.
+    */
+  private def scoreCore(tf: DataFrame, dl: DataFrame, qterms: DataFrame,
+      nDocs: Long, totToks: Long): DataFrame = {
     // df only over the query-term slice of the postings: (doc, tok) is
     // unique in tf, so a count per token IS the document frequency
     val qtoks = qterms.select("tok").distinct()
@@ -96,7 +108,6 @@ object RetrievalOps {
     val dfq = tfm.groupBy("tok").agg(count(lit(1)).as("df"))
       .withColumn("idf", bits(lit(nDocs)) - bits(col("df")))
       .filter(col("idf") >= 1) // stopword-grade terms carry no score
-    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).cast("long").as("dl"))
 
     // num/den widen to decimal(38,0) BEFORE any multiply: at 100 TB the
     // token mass T makes 22·idf·tf·T overflow a long inside the product
@@ -117,16 +128,51 @@ object RetrievalOps {
       .agg(sum(col("bp")).cast("long").as("score_bp"))
   }
 
+  /** BM25 scores for every (query, candidate) pair sharing at least one
+    * informative (idf ≥ 1) term. `queryIds` is a one-column frame of
+    * `q_id`s drawn from `docs.doc_id` (model-sized — it broadcasts); a
+    * query never scores itself. Returns (q_id, doc_id, score_bp) with
+    * score_bp the exact integer basis-point BM25 score.
+    */
+  def bm25PairScores(docs: DataFrame, queryIds: DataFrame,
+      ngram: Int = 2): DataFrame = {
+    val s = docs.sparkSession
+    val nDocs = docs.count()
+    val stage = StageIO.resolve(s, None, "bm25-tf")
+    termCounts(docs, ngram).write.mode("overwrite").parquet(stage)
+    val tf = s.read.parquet(stage)
+    val totToks = tf.agg(coalesce(sum(col("tf")), lit(0L)).cast("long"))
+      .collect()(0).getLong(0)
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).cast("long").as("dl"))
+    scoreCore(tf, dl, stageQueryTerms(docs, queryIds, ngram), nDocs, totToks)
+  }
+
+  /** BM25 from MAINTAINED postings state
+    * ([[graft.streaming.PostingsStream]]): `tfState` the merged
+    * `(doc_id, tok, tf)` log, `dlState` the merged `(doc_id, dl)` log
+    * (zero-dl rows included — they carry N and avgdl). Query terms
+    * still probe the live corpus (queries are online probes, not
+    * state). Scores hash-match the one-pass [[bm25PairScores]] over the
+    * same corpus by count mergeability.
+    */
+  def bm25PairScoresFromState(tfState: DataFrame, dlState: DataFrame,
+      docs: DataFrame, queryIds: DataFrame, ngram: Int = 2): DataFrame = {
+    val nDocs = dlState.count()
+    val totToks = dlState
+      .agg(coalesce(sum(col("dl")), lit(0L)).cast("long"))
+      .collect()(0).getLong(0)
+    scoreCore(tfState, dlState.filter(col("dl") > 0),
+      stageQueryTerms(docs, queryIds, ngram), nDocs, totToks)
+  }
+
   /** Top-k BM25 results per query, best first — the pair scores reduced
     * through the bounded-heap [[graft.functions.TopKByScore]] aggregate
     * (map-side partial pruning; never a per-query rank window over the
     * candidate set). Tie order: score desc, doc_id asc. Returns
     * (q_id, doc_id, score_bp).
     */
-  def bm25TopK(docs: DataFrame, queryIds: DataFrame, k: Int,
-      ngram: Int = 2): DataFrame =
-    bm25PairScores(docs, queryIds, ngram)
-      .groupBy("q_id")
+  private def topKTail(pairs: DataFrame, k: Int): DataFrame =
+    pairs.groupBy("q_id")
       .agg(graft.functions.AggExprs.topKByScore(
         col("score_bp").cast("double"), col("doc_id"), k).as("_tk"))
       .select(col("q_id"), explode(col("_tk")).as("_e"))
@@ -134,6 +180,19 @@ object RetrievalOps {
       // doc), so the double round-trips to the exact integer
       .select(col("q_id"), col("_e.id").as("doc_id"),
         col("_e.score").cast("long").as("score_bp"))
+
+  def bm25TopK(docs: DataFrame, queryIds: DataFrame, k: Int,
+      ngram: Int = 2): DataFrame =
+    topKTail(bm25PairScores(docs, queryIds, ngram), k)
+
+  /** [[bm25TopK]] over maintained postings state — see
+    * [[bm25PairScoresFromState]].
+    */
+  def bm25TopKFromState(tfState: DataFrame, dlState: DataFrame,
+      docs: DataFrame, queryIds: DataFrame, k: Int,
+      ngram: Int = 2): DataFrame =
+    topKTail(bm25PairScoresFromState(tfState, dlState, docs, queryIds,
+      ngram), k)
 
   /** Ranked (1-based) top-k per query: [[bm25TopK]]'s arrays positionally
     * exploded, so rank i is the heap's i-th best under the same total

@@ -74,6 +74,16 @@ object Ext4Queries {
                AS score_bp
       FROM term GROUP BY q_id, doc_id)"""
 
+  private def bm25TopKSql =
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+        $bm25PairsCte
+        SELECT q_id, doc_id, score_bp FROM (
+          SELECT q_id, doc_id, score_bp,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY score_bp DESC, doc_id) AS rk
+          FROM pairs)
+        WHERE rk <= 3 ORDER BY q_id, score_bp DESC, doc_id"""
+
   val defs: Map[String, Q] = Map(
 
     // ---- BM25 retrieval: top-3 corpus documents per query doc (every
@@ -91,6 +101,33 @@ object Ext4Queries {
       val qids = docs.filter(pmod(col("doc_id"), lit(101)) === 0)
         .select(col("doc_id").as("q_id"))
       graft.operators.RetrievalOps.bm25TopK(docs, qids, 3)
+        .orderBy(col("q_id"), col("score_bp").desc, col("doc_id"))
+    }),
+
+    // ---- the same ranking FROM MAINTAINED POSTINGS (the x93b
+    // discipline on the retrieval surface): the corpus arrives in three
+    // id-sliced waves through PostingsStream's batch-keyed postings +
+    // doc-length logs; tf and dl are mergeable by plain sum, so the
+    // merged log IS the one-pass index and the ranking hash-matches
+    // x124 exactly (the oracle is x124's). This is the resident shape:
+    // the index stays current per ingest batch, ranking never rescans
+    // the corpus text.
+    "x124b_bm25_from_postings" -> ((s, d) => {
+      import graft.operators.{RetrievalOps, StageIO}
+      import graft.streaming.PostingsStream
+      val docs = Tables.documents(s, d)
+      val store = StageIO.resolve(s, None, "x124b-postings")
+      (0L to 2L).foreach { k =>
+        PostingsStream.applyBatch(
+          docs.filter(pmod(col("doc_id"), lit(3)) === k), store, k)
+      }
+      val tf = PostingsStream.readTf(s, store)
+        .getOrElse(sys.error("x124b: empty tf log"))
+      val dl = PostingsStream.readDl(s, store)
+        .getOrElse(sys.error("x124b: empty dl log"))
+      val qids = docs.filter(pmod(col("doc_id"), lit(101)) === 0)
+        .select(col("doc_id").as("q_id"))
+      RetrievalOps.bm25TopKFromState(tf, dl, docs, qids, 3)
         .orderBy(col("q_id"), col("score_bp").desc, col("doc_id"))
     }),
 
@@ -238,15 +275,11 @@ object Ext4Queries {
 
   val oracles: Map[String, String] = Map(
 
-    "x124_bm25_topk" ->
-      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
-          $bm25PairsCte
-          SELECT q_id, doc_id, score_bp FROM (
-            SELECT q_id, doc_id, score_bp,
-                   row_number() OVER (PARTITION BY q_id
-                     ORDER BY score_bp DESC, doc_id) AS rk
-            FROM pairs)
-          WHERE rk <= 3 ORDER BY q_id, score_bp DESC, doc_id""",
+    "x124_bm25_topk" -> bm25TopKSql,
+
+    // x124b's oracle IS x124's: ranking from the maintained postings log
+    // must reproduce the one-pass ranking exactly (count mergeability).
+    "x124b_bm25_from_postings" -> bm25TopKSql,
 
     "x125_char_entropy" ->
       """WITH cc AS (

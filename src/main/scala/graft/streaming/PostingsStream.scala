@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.RetrievalOps
+
+/** Streaming maintenance of the BM25 postings state — the resident form
+  * of "index the corpus once, keep it current per ingest batch": each
+  * document batch appends its own `(doc_id, tok, tf)` postings under
+  * `storeDir/tf/batch_id=<id>/` and its `(doc_id, dl)` length rows —
+  * INCLUDING zero-term docs, which carry corpus size N and the avgdl
+  * mass — under `storeDir/dl/batch_id=<id>/`. Term frequencies and
+  * lengths are mergeable by plain sum, so the merged log over any batch
+  * partition of a corpus equals the one-pass postings over its union,
+  * row for row, and [[graft.operators.RetrievalOps.bm25PairScoresFromState]]
+  * hash-matches the one-pass scores (the x124b gate pins this end to
+  * end).
+  *
+  * Same counter-log discipline as [[NgramStream]]/[[SketchStream]]: a
+  * replayed batch OVERWRITES its own partitions (at-least-once in,
+  * exactly-once effect), readers see only committed partitions, and
+  * [[compact]] folds the accumulated batch dirs into one pre-summed
+  * partition per sub-log when file listing becomes the read's cost.
+  *
+  * At 100 TB the tf log is the corpus's postings — large, but
+  * partition-appendable and already in the shape every downstream probe
+  * consumes; the dl log is one row per document. Neither is ever
+  * rescanned from text.
+  */
+object PostingsStream {
+
+  /** Index one micro-batch of documents into the log. Overwrite-keyed
+    * by batch id: replay is a no-op.
+    */
+  def applyBatch(docs: DataFrame, storeDir: String, batchId: Long,
+      ngram: Int = 2): Unit = {
+    if (docs.isEmpty) return
+    RetrievalOps.termCounts(docs, ngram)
+      .write.mode("overwrite").parquet(s"$storeDir/tf/batch_id=$batchId")
+    RetrievalOps.docLengths(docs, ngram)
+      .write.mode("overwrite").parquet(s"$storeDir/dl/batch_id=$batchId")
+  }
+
+  private def hasBatches(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.listStatus(p)
+      .exists(_.getPath.getName.startsWith("batch_id="))
+  }
+
+  /** The merged postings — `(doc_id, tok, tf)` summed over every
+    * committed batch (sum-merge also covers a document split across
+    * batches), or None before the first commit.
+    */
+  def readTf(spark: SparkSession, storeDir: String): Option[DataFrame] =
+    if (!hasBatches(spark, s"$storeDir/tf")) None
+    else Some(spark.read.parquet(s"$storeDir/tf")
+      .groupBy("doc_id", "tok").agg(sum("tf").cast("long").as("tf")))
+
+  /** The merged length table — `(doc_id, dl)`, zero-dl rows included. */
+  def readDl(spark: SparkSession, storeDir: String): Option[DataFrame] =
+    if (!hasBatches(spark, s"$storeDir/dl")) None
+    else Some(spark.read.parquet(s"$storeDir/dl")
+      .groupBy("doc_id").agg(sum("dl").cast("long").as("dl")))
+
+  /** Fold every batch partition of both sub-logs into ONE pre-summed
+    * partition keyed by the max folded id — the [[NgramStream.compact]]
+    * maintenance story. OFFLINE rule as everywhere: no batch writing
+    * while compacting, no folded id replayable afterwards.
+    */
+  def compact(spark: SparkSession, storeDir: String): Unit = {
+    foldLog(spark, s"$storeDir/tf", Seq("doc_id", "tok"), "tf")
+    foldLog(spark, s"$storeDir/dl", Seq("doc_id"), "dl")
+  }
+
+  private def foldLog(spark: SparkSession, dir: String,
+      keys: Seq[String], valueCol: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!hasBatches(spark, dir)) return
+    val all = spark.read.parquet(dir)
+    if (all.isEmpty) return
+    val maxId = all.agg(max(col("batch_id").cast("long"))).head().getLong(0)
+    val folded = all.groupBy(keys.map(col): _*)
+      .agg(sum(valueCol).cast("long").as(valueCol))
+    val next = new org.apache.hadoop.fs.Path(dir + ".next")
+    if (fs.exists(next)) fs.delete(next, true)
+    folded.write.mode("overwrite").parquet(s"$next/batch_id=$maxId")
+    fs.delete(p, true)
+    require(fs.rename(next, p), s"compaction swap failed: $next -> $p")
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.RetrievalOps
+import graft.streaming.PostingsStream
+
+/** The BM25 postings log: merge == one-pass by count mergeability, replay
+  * idempotence, compaction, and the zero-term-doc N/avgdl bookkeeping the
+  * fixture (no empty docs) can't exercise through the oracle row.
+  */
+class PostingsStreamSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshStore(tag: String): String =
+    graft.operators.StageIO.resolve(spark, None, tag)
+
+  // empty + 1-token docs have zero bigram terms but still carry N/avgdl
+  private val corpus = Seq[(Long, String)](
+    0L -> "the quick brown fox jumps over the lazy dog",
+    1L -> "quick brown fox seen near the river bank today",
+    2L -> "the lazy dog sleeps by the river bank",
+    3L -> "", 4L -> "single",
+    5L -> "the quick brown fox jumps over the lazy dog")
+
+  test("merged tf/dl logs equal the one-pass postings; replayed batches " +
+      "are no-ops; compaction preserves both") {
+    val docs = corpus.toDF("doc_id", "text")
+    val store = freshStore("postings-spec")
+    (0L to 2L).foreach { k =>
+      PostingsStream.applyBatch(
+        docs.filter(pmod(col("doc_id"), lit(3)) === k), store, k)
+    }
+    def tfSet = PostingsStream.readTf(spark, store).get.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    def dlSet = PostingsStream.readDl(spark, store).get.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantTf = RetrievalOps.termCounts(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val wantDl = RetrievalOps.docLengths(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tfSet == wantTf)
+    assert(dlSet == wantDl)
+    assert(wantDl.contains((3L, 0L)) && wantDl.contains((4L, 0L)),
+      "zero-term docs must keep dl rows")
+    // replay wave 1: overwrite-keyed, merged state unchanged
+    PostingsStream.applyBatch(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 1), store, 1L)
+    assert(tfSet == wantTf && dlSet == wantDl, "replay must be a no-op")
+    PostingsStream.compact(spark, store)
+    assert(tfSet == wantTf && dlSet == wantDl, "compaction must preserve")
+  }
+
+  test("bm25 from state equals the one-pass scores on a corpus WITH " +
+      "degenerate docs (N and avgdl include them)") {
+    val docs = corpus.toDF("doc_id", "text")
+    val qids = Seq(0L).toDF("q_id")
+    val store = freshStore("postings-spec-scores")
+    (0L to 2L).foreach { k =>
+      PostingsStream.applyBatch(
+        docs.filter(pmod(col("doc_id"), lit(3)) === k), store, k)
+    }
+    val tf = PostingsStream.readTf(spark, store).get
+    val dl = PostingsStream.readDl(spark, store).get
+    val fromState = RetrievalOps
+      .bm25PairScoresFromState(tf, dl, docs, qids).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val onePass = RetrievalOps.bm25PairScores(docs, qids).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(fromState == onePass)
+    assert(onePass.nonEmpty)
+  }
+}
