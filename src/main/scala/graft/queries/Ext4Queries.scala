@@ -231,6 +231,19 @@ object Ext4Queries {
         .orderBy("doc_sub", "doc_sup")
     }),
 
+    // the capped form is THE 100 TB containment operator (the x4b
+    // discipline): the 10× interleave probe measured the uncapped pair
+    // join at 38× wall / 657× shuffle — pair work is Σ df² and the DF
+    // cap is the hard bound on it. The cap is reproduced in the DuckDB
+    // twin (drop-by-df-of-hash == drop-by-df-of-string: the hash is
+    // injective on a real shingle vocabulary), so the capped semantics
+    // themselves are oracle-checked, as for Jaccard.
+    "x127b_containment_capped" -> ((s, d) => {
+      graft.operators.DedupOps.containmentPairs(Tables.documents(s, d),
+          "text", "doc_id", 6000L, maxShingleDf = Some(8L))
+        .orderBy("doc_sub", "doc_sup")
+    }),
+
     // ---- PMI collocation mining — the phrase-extraction census feeding
     // tokenizer vocabularies and phrase-aware indexing: top-20 adjacent
     // word pairs by LIFT = p(a,b)/(p(a)·p(b)) = c_ab·N²/(B·c_a·c_b)
@@ -374,6 +387,36 @@ object Ext4Queries {
                    AS containment
           FROM dir JOIN sizes z ON doc_sub = z.doc_id
           WHERE inter * 10000 >= z.n * 8000
+          ORDER BY doc_sub, doc_sup""",
+
+    "x127b_containment_capped" ->
+      """WITH sh0 AS (
+            SELECT doc_id, unnest(sh) AS s FROM (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(t)-1),
+                       i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents))),
+          hot AS (SELECT s FROM (SELECT s, COUNT(*) AS df FROM sh0
+                                 GROUP BY s) WHERE df > 8),
+          sh AS (SELECT doc_id, s FROM sh0
+                 WHERE s NOT IN (SELECT s FROM hot)),
+          sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM sh GROUP BY doc_id),
+          pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(COUNT(*) AS BIGINT) AS inter
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          dir AS (
+            SELECT doc_a AS doc_sub, doc_b AS doc_sup, inter FROM pairs
+            UNION ALL
+            SELECT doc_b AS doc_sub, doc_a AS doc_sup, inter FROM pairs)
+          SELECT doc_sub, doc_sup, inter, z.n AS n_sub,
+                 ((inter * 20000 + z.n) // (2 * NULLIF(z.n, 0))) / 10000.0
+                   AS containment
+          FROM dir JOIN sizes z ON doc_sub = z.doc_id
+          WHERE inter * 10000 >= z.n * 6000
           ORDER BY doc_sub, doc_sup""",
 
     "x128_pmi_collocations" ->
