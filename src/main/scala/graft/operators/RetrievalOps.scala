@@ -147,6 +147,26 @@ object RetrievalOps {
     scoreCore(tf, dl, stageQueryTerms(docs, queryIds, ngram), nDocs, totToks)
   }
 
+  /** BM25 scores for an EXPLICIT query-term frame `(q_id, tok)` — the
+    * entry point for expanded queries (pseudo-relevance feedback, query
+    * rewriting) where the terms are no longer "the bigrams of document
+    * q_id". The caller owns staging/distinctness of `qterms`; scoring,
+    * idf flooring, and the self-exclusion rule (`doc_id ≠ q_id`) are
+    * identical to [[bm25PairScores]].
+    */
+  def bm25PairScoresForTerms(docs: DataFrame, qterms: DataFrame,
+      ngram: Int = 2): DataFrame = {
+    val s = docs.sparkSession
+    val nDocs = docs.count()
+    val stage = StageIO.resolve(s, None, "bm25-tf")
+    termCounts(docs, ngram).write.mode("overwrite").parquet(stage)
+    val tf = s.read.parquet(stage)
+    val totToks = tf.agg(coalesce(sum(col("tf")), lit(0L)).cast("long"))
+      .collect()(0).getLong(0)
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).cast("long").as("dl"))
+    scoreCore(tf, dl, qterms, nDocs, totToks)
+  }
+
   /** BM25 from MAINTAINED postings state
     * ([[graft.streaming.PostingsStream]]): `tfState` the merged
     * `(doc_id, tok, tf)` log, `dlState` the merged `(doc_id, dl)` log
@@ -171,7 +191,7 @@ object RetrievalOps {
     * candidate set). Tie order: score desc, doc_id asc. Returns
     * (q_id, doc_id, score_bp).
     */
-  private def topKTail(pairs: DataFrame, k: Int): DataFrame =
+  private[graft] def topKTail(pairs: DataFrame, k: Int): DataFrame =
     pairs.groupBy("q_id")
       .agg(graft.functions.AggExprs.topKByScore(
         col("score_bp").cast("double"), col("doc_id"), k).as("_tk"))

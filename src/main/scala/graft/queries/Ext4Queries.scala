@@ -28,14 +28,12 @@ object Ext4Queries {
   private val mdBigrams =
     s"list_transform(range(1, len(tt)), i -> tt[i] || ' ' || tt[i+1])"
 
-  /** The shared BM25 oracle body over a corpus CTE named `corpus`
-    * (columns doc_id, text) with queries `doc_id % 101 = 0` — the DuckDB
-    * replay of [[graft.operators.RetrievalOps.bm25PairScores]] at
-    * ngram = 2: same bigram terms, same integer idf buckets, same exact
-    * HUGEINT rational per term, same summed basis points. Emits CTE
-    * `pairs(q_id, doc_id, score_bp)`.
+  /** The corpus-side BM25 base CTEs over a corpus CTE named `corpus`
+    * (columns doc_id, text): bigram postings `tf`, scalars `stats`,
+    * lengths `dl`, and the default query-term frame `qt`
+    * (`doc_id % 101 = 0`).
     */
-  private def bm25PairsCte = s"""
+  private def bm25BaseCtes = s"""
     tf AS (
       SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
       FROM (SELECT doc_id, unnest($mdBigrams) AS tok
@@ -50,29 +48,45 @@ object Ext4Queries {
       SELECT doc_id AS q_id,
              unnest(list_distinct($mdBigrams)) AS tok
       FROM (SELECT doc_id, $mdToksNE AS tt FROM corpus
-            WHERE doc_id % 101 = 0)),
-    idf AS (
+            WHERE doc_id % 101 = 0))"""
+
+  /** The scoring CTEs over [[bm25BaseCtes]] for the query-term frame
+    * `$qt(q_id, tok)`: same integer idf buckets, same exact HUGEINT
+    * rational per term, same summed basis points as
+    * [[graft.operators.RetrievalOps]]'s scoreCore. Emits
+    * `idf$sfx`/`term$sfx`/`pairs$sfx(q_id, doc_id, score_bp)`.
+    */
+  private def bm25ScoreCtes(sfx: String, qt: String) = s"""
+    idf$sfx AS (
       SELECT tok,
              length(bin((SELECT N FROM stats))) - length(bin(df)) AS idf
       FROM (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf
-            WHERE tok IN (SELECT DISTINCT tok FROM qt) GROUP BY tok)
+            WHERE tok IN (SELECT DISTINCT tok FROM $qt) GROUP BY tok)
       WHERE length(bin((SELECT N FROM stats))) - length(bin(df)) >= 1),
-    term AS (
-      SELECT qt.q_id, tf.doc_id,
+    term$sfx AS (
+      SELECT $qt.q_id, tf.doc_id,
              CAST(22 AS HUGEINT) * i.idf * tf.tf * s.T AS num,
              CAST(10 AS HUGEINT) * tf.tf * s.T + 3 * s.T
                + 9 * dl.dl * s.N AS den
       FROM tf
-      JOIN idf i USING (tok)
-      JOIN qt USING (tok)
+      JOIN idf$sfx i USING (tok)
+      JOIN $qt USING (tok)
       CROSS JOIN stats s
       JOIN dl ON dl.doc_id = tf.doc_id
-      WHERE tf.doc_id <> qt.q_id),
-    pairs AS (
+      WHERE tf.doc_id <> $qt.q_id),
+    pairs$sfx AS (
       SELECT q_id, doc_id,
              CAST(SUM((num * 20000 + den) // (2 * den)) AS BIGINT)
                AS score_bp
-      FROM term GROUP BY q_id, doc_id)"""
+      FROM term$sfx GROUP BY q_id, doc_id)"""
+
+  /** [[bm25BaseCtes]] + [[bm25ScoreCtes]] at the default query set —
+    * the replay of [[graft.operators.RetrievalOps.bm25PairScores]];
+    * emits CTE `pairs(q_id, doc_id, score_bp)`.
+    */
+  private def bm25PairsCte =
+    s"""$bm25BaseCtes,
+    ${bm25ScoreCtes("", "qt")}"""
 
   private def bm25TopKSql =
     s"""WITH corpus AS (SELECT doc_id, text FROM documents),
@@ -242,6 +256,93 @@ object Ext4Queries {
       graft.operators.DedupOps.containmentPairs(Tables.documents(s, d),
           "text", "doc_id", 6000L, maxShingleDf = Some(8L))
         .orderBy("doc_sub", "doc_sup")
+    }),
+
+    // ---- lexical–semantic AGREEMENT census — the hybrid-search
+    // diagnostic behind x126's fusion: per query, how much do the BM25
+    // top-10 and the embedding-cosine top-10 overlap? Low agreement =
+    // complementary arms (fusion pays); high = redundant. Exact integer
+    // set algebra: n_lex, n_sem, n_both, Jaccard agreement via
+    // round4Rat over the union size. Same shortlist kernels as x126
+    // (bounded TopKByScore heaps; model-sized query set broadcast).
+    "x129_lex_sem_agreement" -> ((s, d) => {
+      import graft.functions.{AggExprs, VectorExprs}
+      import graft.operators.RetrievalOps
+      val slice = Tables.documents(s, d)
+        .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("text"), col("embedding"))
+      val qids = slice.filter(pmod(col("doc_id"), lit(101)) === 0)
+        .select(col("doc_id").as("q_id"))
+      val lex = RetrievalOps.bm25TopK(slice.select("doc_id", "text"),
+          qids, 10)
+        .select(col("q_id"), col("doc_id"))
+      val qe = slice.filter(pmod(col("doc_id"), lit(101)) === 0)
+        .select(col("doc_id").as("q_id"), col("embedding").as("qemb"))
+      val sem = slice.select(col("doc_id"), col("embedding"))
+        .crossJoin(broadcast(qe))
+        .filter(col("doc_id") =!= col("q_id"))
+        .select(col("q_id"), col("doc_id"),
+          VectorExprs.cosineSim(col("qemb"), col("embedding")).as("cos"))
+        .groupBy("q_id")
+        .agg(AggExprs.topKByScore(col("cos"), col("doc_id"), 10).as("_tk"))
+        .select(col("q_id"), explode(col("_tk")).as("_e"))
+        .select(col("q_id"), col("_e.id").as("doc_id"))
+      val nl = lex.groupBy("q_id").agg(count(lit(1)).as("n_lex"))
+      val ns = sem.groupBy("q_id").agg(count(lit(1)).as("n_sem"))
+      val nb = lex.join(sem, Seq("q_id", "doc_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_both"))
+      val z = (c: org.apache.spark.sql.Column) => coalesce(c, lit(0L))
+      qids.join(nl, Seq("q_id"), "left").join(ns, Seq("q_id"), "left")
+        .join(nb, Seq("q_id"), "left")
+        .select(col("q_id"),
+          z(col("n_lex")).as("n_lex"), z(col("n_sem")).as("n_sem"),
+          z(col("n_both")).as("n_both"),
+          Det.round4Rat(z(col("n_both")),
+            z(col("n_lex")) + z(col("n_sem")) - z(col("n_both")))
+            .as("agreement"))
+        .orderBy("q_id")
+    }),
+
+    // ---- pseudo-relevance-feedback query expansion (RM3-lite): seed
+    // BM25 top-3 per query → the 5 heaviest bigram terms across the
+    // feedback docs (summed tf, md5-heap tie order — the x43 idiom)
+    // join the original query terms → one re-scored BM25 pass under
+    // the expanded term set. The full two-pass IR stack as one
+    // deterministic integer pipeline; postings stage once per pass and
+    // the expanded term frame is staged model-sized state.
+    "x130_bm25_prf" -> ((s, d) => {
+      import graft.functions.AggExprs
+      import graft.operators.{RetrievalOps, StageIO, TextOps}
+      val docs = Tables.documents(s, d)
+      val qids = docs.filter(pmod(col("doc_id"), lit(101)) === 0)
+        .select(col("doc_id").as("q_id"))
+      val seed = RetrievalOps.bm25TopK(docs, qids, 3)
+        .select(col("q_id"), col("doc_id"))
+      val stage = StageIO.resolve(s, None, "x130-fb")
+      RetrievalOps.termCounts(docs, 2)
+        .join(seed, "doc_id")
+        .groupBy("q_id", "tok").agg(sum(col("tf")).cast("long").as("ftf"))
+        .select(col("q_id"), col("tok"),
+          TextOps.md5Key60(col("tok")).as("hk"), col("ftf"))
+        .write.mode("overwrite").parquet(stage)
+      val fb = s.read.parquet(stage)
+      val top5 = fb.groupBy("q_id")
+        .agg(AggExprs.topKByScore(col("ftf").cast("double"), col("hk"), 5)
+          .as("_tk"))
+        .select(col("q_id"), explode(col("_tk")).as("_e"))
+      val expansion = top5.join(fb.select(col("q_id").as("_q"),
+          col("hk").as("_hk"), col("tok")),
+          col("q_id") === col("_q") && col("_e.id") === col("_hk"))
+        .select(col("q_id"), col("tok"))
+      val qstage = StageIO.resolve(s, None, "x130-qt")
+      RetrievalOps.stageQueryTerms(docs, qids, 2)
+        .select(col("q_id"), col("tok"))
+        .union(expansion).distinct()
+        .write.mode("overwrite").parquet(qstage)
+      val qt = s.read.parquet(qstage)
+      RetrievalOps.topKTail(
+          RetrievalOps.bm25PairScoresForTerms(docs, qt, 2), 3)
+        .orderBy(col("q_id"), col("score_bp").desc, col("doc_id"))
     }),
 
     // ---- PMI collocation mining — the phrase-extraction census feeding
@@ -418,6 +519,92 @@ object Ext4Queries {
           FROM dir JOIN sizes z ON doc_sub = z.doc_id
           WHERE inter * 10000 >= z.n * 6000
           ORDER BY doc_sub, doc_sup""",
+
+    "x129_lex_sem_agreement" -> {
+      val cos = s"""${ddbDot("q.embedding", "c.embedding")}
+                     / (sqrt(${ddbNorm2("q.embedding")})
+                        * sqrt(${ddbNorm2("c.embedding")}))"""
+      s"""WITH corpus AS (
+            SELECT d.doc_id, d.text, e.embedding
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+          $bm25PairsCte,
+          lex AS (
+            SELECT q_id, doc_id FROM (
+              SELECT q_id, doc_id,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY score_bp DESC, doc_id) AS rk
+              FROM pairs) WHERE rk <= 10),
+          q AS (SELECT doc_id AS q_id, embedding FROM corpus
+                WHERE doc_id % 101 = 0),
+          sem AS (
+            SELECT q_id, doc_id FROM (
+              SELECT q_id, doc_id,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY cos DESC, doc_id) AS rk
+              FROM (SELECT q.q_id, c.doc_id, $cos AS cos
+                    FROM q, corpus c WHERE c.doc_id <> q.q_id))
+            WHERE rk <= 10),
+          nl AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_lex
+                 FROM lex GROUP BY q_id),
+          ns AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_sem
+                 FROM sem GROUP BY q_id),
+          nb AS (SELECT l.q_id, CAST(COUNT(*) AS BIGINT) AS n_both
+                 FROM lex l JOIN sem s2
+                   ON l.q_id = s2.q_id AND l.doc_id = s2.doc_id
+                 GROUP BY l.q_id)
+          SELECT qq.q_id,
+                 coalesce(nl.n_lex, 0) AS n_lex,
+                 coalesce(ns.n_sem, 0) AS n_sem,
+                 coalesce(nb.n_both, 0) AS n_both,
+                 ((coalesce(nb.n_both, 0) * 20000
+                   + (coalesce(nl.n_lex, 0) + coalesce(ns.n_sem, 0)
+                      - coalesce(nb.n_both, 0)))
+                  // (2 * NULLIF(coalesce(nl.n_lex, 0)
+                      + coalesce(ns.n_sem, 0)
+                      - coalesce(nb.n_both, 0), 0))) / 10000.0
+                   AS agreement
+          FROM (SELECT doc_id AS q_id FROM corpus
+                WHERE doc_id % 101 = 0) qq
+          LEFT JOIN nl ON qq.q_id = nl.q_id
+          LEFT JOIN ns ON qq.q_id = ns.q_id
+          LEFT JOIN nb ON qq.q_id = nb.q_id
+          ORDER BY qq.q_id"""
+    },
+
+    // the two-pass PRF replay: seed pass (pairs0, the x124 kernel),
+    // feedback mass over seed docs, md5-heap-ordered top-5 expansion,
+    // union with the original terms, re-scored pass (pairs1)
+    "x130_bm25_prf" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+          $bm25BaseCtes,
+          ${bm25ScoreCtes("0", "qt")},
+          seed AS (
+            SELECT q_id, doc_id FROM (
+              SELECT q_id, doc_id,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY score_bp DESC, doc_id) AS rk
+              FROM pairs0) WHERE rk <= 3),
+          fb AS (
+            SELECT s.q_id, tf.tok, CAST(SUM(tf.tf) AS BIGINT) AS ftf
+            FROM seed s JOIN tf ON tf.doc_id = s.doc_id
+            GROUP BY s.q_id, tf.tok),
+          exp AS (
+            SELECT q_id, tok FROM (
+              SELECT q_id, tok,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY ftf DESC,
+                         CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT))
+                       AS rk
+              FROM fb) WHERE rk <= 5),
+          qt1 AS (SELECT q_id, tok FROM qt
+                  UNION SELECT q_id, tok FROM exp),
+          ${bm25ScoreCtes("1", "qt1")}
+          SELECT q_id, doc_id, score_bp FROM (
+            SELECT q_id, doc_id, score_bp,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY score_bp DESC, doc_id) AS rk
+            FROM pairs1)
+          WHERE rk <= 3 ORDER BY q_id, score_bp DESC, doc_id""",
 
     "x128_pmi_collocations" ->
       s"""WITH tt AS (SELECT $mdToksNE AS tt FROM documents),

@@ -155,6 +155,92 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(surprise("abcdefgh") == 8L * (bits(8) - bits(1)))
   }
 
+  // ---- bm25PairScoresForTerms ----
+
+  test("bm25PairScoresForTerms with each query doc's own bigrams equals " +
+      "bm25PairScores exactly") {
+    val corpus = Seq[(Long, String)](
+      0L -> "the quick brown fox jumps over the lazy dog",
+      1L -> "quick brown fox seen near the river bank today",
+      2L -> "the lazy dog sleeps by the river bank",
+      3L -> "stock market closes higher on quiet trading day")
+    val docs = corpus.toDF("doc_id", "text")
+    val qids = Seq(0L, 2L).toDF("q_id")
+    val viaIds = RetrievalOps.bm25PairScores(docs, qids).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val qterms = Seq(0L, 2L).flatMap { q =>
+      refBigrams(corpus.find(_._1 == q).get._2).distinct.map(q -> _)
+    }.toDF("q_id", "tok")
+    val viaTerms = RetrievalOps.bm25PairScoresForTerms(docs, qterms)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(viaTerms == viaIds)
+  }
+
+  // ---- x129 agreement census invariants ----
+
+  test("x129: n_both <= min(n_lex, n_sem) <= 10, and agreement replays " +
+      "from the reported integers") {
+    val sf = SparkTestSession.sf0001
+    val out = SparkEntry.queries("x129_lex_sem_agreement")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nl, ns, nb) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nl <= 10 && ns <= 10, s"shortlists capped at 10: $r")
+      assert(nb <= math.min(nl, ns), s"overlap bound violated: $r")
+      val u = nl + ns - nb
+      if (u == 0) assert(r.isNullAt(4))
+      else {
+        val want = ((BigInt(nb) * 20000 + u) / (BigInt(u) * 2)).toLong / 10000.0
+        assert(r.getDouble(4) == want, s"agreement replay failed: $r")
+      }
+    }
+  }
+
+  // ---- x130 PRF invariants ----
+
+  test("x130: expansion only ADDS terms, so the expanded candidate set " +
+      "contains the seed candidate set, and output is top-3 per query") {
+    val sf = SparkTestSession.sf0001
+    val docs = Tables.documents(spark, sf)
+    val qids = docs.filter(pmod(col("doc_id"), lit(101)) === 0)
+      .select(col("doc_id").as("q_id"))
+    val seedCands = RetrievalOps.bm25PairScores(docs, qids).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = SparkEntry.queries("x130_bm25_prf")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.length <= 3, s"query $q emitted ${rs.length} rows")
+    }
+    // the re-scored pass sees every seed candidate (superset term set):
+    // any output row absent from the seed candidate set must have been
+    // reached via an expansion term, which is fine — but a seed TOP
+    // result can only be displaced, never dropped from candidacy. Check
+    // via the pair-scores form of the expanded pass:
+    import graft.operators.{StageIO, TextOps}
+    import graft.functions.AggExprs
+    val seed = RetrievalOps.bm25TopK(docs, qids, 3)
+      .select(col("q_id"), col("doc_id"))
+    val fb = RetrievalOps.termCounts(docs, 2).join(seed, "doc_id")
+      .groupBy("q_id", "tok").agg(sum(col("tf")).cast("long").as("ftf"))
+      .select(col("q_id"), col("tok"),
+        TextOps.md5Key60(col("tok")).as("hk"), col("ftf"))
+    val top5 = fb.groupBy("q_id")
+      .agg(AggExprs.topKByScore(col("ftf").cast("double"), col("hk"), 5)
+        .as("_tk"))
+      .select(col("q_id"), explode(col("_tk")).as("_e"))
+    val expansion = top5.join(fb.select(col("q_id").as("_q"),
+        col("hk").as("_hk"), col("tok")),
+        col("q_id") === col("_q") && col("_e.id") === col("_hk"))
+      .select(col("q_id"), col("tok"))
+    val qt = RetrievalOps.stageQueryTerms(docs, qids, 2)
+      .select(col("q_id"), col("tok")).union(expansion).distinct()
+    val expCands = RetrievalOps.bm25PairScoresForTerms(docs, qt).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(seedCands.subsetOf(expCands),
+      s"missing seed candidates: ${(seedCands -- expCands).take(5)}")
+  }
+
   // ---- x126 fusion invariants ----
 
   test("x126: every fused row carries at least one rank, rrf_bp is the " +
