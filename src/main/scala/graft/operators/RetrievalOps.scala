@@ -177,12 +177,18 @@ object RetrievalOps {
     */
   def bm25PairScoresFromState(tfState: DataFrame, dlState: DataFrame,
       docs: DataFrame, queryIds: DataFrame, ngram: Int = 2): DataFrame = {
-    val nDocs = dlState.count()
-    val totToks = dlState
-      .agg(coalesce(sum(col("dl")), lit(0L)).cast("long"))
-      .collect()(0).getLong(0)
+    val (nDocs, totToks) = dlScalars(dlState)
     scoreCore(tfState, dlState.filter(col("dl") > 0),
       stageQueryTerms(docs, queryIds, ngram), nDocs, totToks)
+  }
+
+  /** N and T off the length table in ONE job (two scalar collects would
+    * cost a scheduling barrier each on a multi-pass pipeline).
+    */
+  private def dlScalars(dlState: DataFrame): (Long, Long) = {
+    val r = dlState.agg(count(lit(1)).cast("long"),
+      coalesce(sum(col("dl")), lit(0L)).cast("long")).collect()(0)
+    (r.getLong(0), r.getLong(1))
   }
 
   /** Top-k BM25 results per query, best first — the pair scores reduced
@@ -213,6 +219,20 @@ object RetrievalOps {
       ngram: Int = 2): DataFrame =
     topKTail(bm25PairScoresFromState(tfState, dlState, docs, queryIds,
       ngram), k)
+
+  /** [[bm25PairScoresForTerms]] over maintained postings state — the
+    * multi-pass entry point: a pipeline that scores several query-term
+    * sets against one corpus (pseudo-relevance feedback, query
+    * rewriting sweeps) stages tf/dl ONCE and re-enters here per pass
+    * instead of re-tokenizing the corpus each time. The caller owns
+    * staging of `qterms`.
+    */
+  def bm25PairScoresForTermsFromState(tfState: DataFrame,
+      dlState: DataFrame, qterms: DataFrame): DataFrame = {
+    val (nDocs, totToks) = dlScalars(dlState)
+    scoreCore(tfState, dlState.filter(col("dl") > 0), qterms, nDocs,
+      totToks)
+  }
 
   /** Ranked (1-based) top-k per query: [[bm25TopK]]'s arrays positionally
     * exploded, so rank i is the heap's i-th best under the same total

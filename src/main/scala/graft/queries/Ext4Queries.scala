@@ -316,11 +316,22 @@ object Ext4Queries {
       val docs = Tables.documents(s, d)
       val qids = docs.filter(pmod(col("doc_id"), lit(101)) === 0)
         .select(col("doc_id").as("q_id"))
-      val seed = RetrievalOps.bm25TopK(docs, qids, 3)
+      // the corpus tokenizes ONCE: both scoring passes AND the feedback
+      // join run off one staged tf/dl pair through the from-state entry
+      // points (spec-pinned equal to the one-pass forms)
+      val tfStage = StageIO.resolve(s, None, "x130-tf")
+      RetrievalOps.termCounts(docs, 2)
+        .write.mode("overwrite").parquet(tfStage)
+      val tf = s.read.parquet(tfStage)
+      val dlStage = StageIO.resolve(s, None, "x130-dl")
+      RetrievalOps.docLengths(docs, 2)
+        .write.mode("overwrite").parquet(dlStage)
+      val dl = s.read.parquet(dlStage)
+      val seed = RetrievalOps
+        .bm25TopKFromState(tf, dl, docs, qids, 3)
         .select(col("q_id"), col("doc_id"))
       val stage = StageIO.resolve(s, None, "x130-fb")
-      RetrievalOps.termCounts(docs, 2)
-        .join(seed, "doc_id")
+      tf.join(seed, "doc_id")
         .groupBy("q_id", "tok").agg(sum(col("tf")).cast("long").as("ftf"))
         .select(col("q_id"), col("tok"),
           TextOps.md5Key60(col("tok")).as("hk"), col("ftf"))
@@ -341,7 +352,7 @@ object Ext4Queries {
         .write.mode("overwrite").parquet(qstage)
       val qt = s.read.parquet(qstage)
       RetrievalOps.topKTail(
-          RetrievalOps.bm25PairScoresForTerms(docs, qt, 2), 3)
+          RetrievalOps.bm25PairScoresForTermsFromState(tf, dl, qt), 3)
         .orderBy(col("q_id"), col("score_bp").desc, col("doc_id"))
     }),
 
