@@ -411,6 +411,11 @@ object DedupOps {
   def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
       thresholdBps: Long, maxShingleDf: Option[Long] = None,
       stageDir: Option[String] = None): DataFrame = {
+    // containment is a ratio in [0, 1]: a gate outside [0, 10⁴] bps is
+    // a unit error at the call site (percent? per-mille?), not a wider
+    // search — fail loudly rather than return everything/nothing
+    require(thresholdBps >= 0 && thresholdBps <= 10000,
+      s"thresholdBps must be in [0, 10000], got $thresholdBps")
     val sh0 = spreadByDoc(docs, idCol)
       .select(col(idCol).as("doc_id"),
         graft.functions.HashExprs.distinctShingles(tokens(col(textCol))).as("sharr"))

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.RetrievalOps
 
@@ -73,6 +74,22 @@ object PostingsStream {
     foldLog(spark, s"$storeDir/tf", Seq("doc_id", "tok"), "tf")
     foldLog(spark, s"$storeDir/dl", Seq("doc_id"), "dl")
   }
+
+  /** The resident driver: a streaming document source (columns doc_id,
+    * text) indexed into the log per micro-batch. foreachBatch +
+    * batch-keyed overwrite gives exactly-once effect under Structured
+    * Streaming's at-least-once replay, as everywhere in the counter-log
+    * family.
+    */
+  def startPostingsMaintenance(docs: DataFrame, storeDir: String,
+      checkpointDir: String, ngram: Int = 2): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyBatch(batch.toDF(), storeDir, batchId, ngram)
+      }
+      .start()
 
   private def foldLog(spark: SparkSession, dir: String,
       keys: Seq[String], valueCol: String): Unit = {

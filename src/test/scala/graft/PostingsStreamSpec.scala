@@ -53,6 +53,30 @@ class PostingsStreamSpec extends AnyFunSuite {
     assert(tfSet == wantTf && dlSet == wantDl, "compaction must preserve")
   }
 
+  test("the streaming driver maintains the same log shape as direct " +
+      "applyBatch (foreachBatch, batch-keyed overwrite)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = corpus.toDF("doc_id", "text")
+    val store = freshStore("postings-stream")
+    val input = MemoryStream[(Long, String)]
+    val q = PostingsStream.startPostingsMaintenance(
+      input.toDF().toDF("doc_id", "text"), store,
+      freshStore("postings-ckpt"))
+    try {
+      input.addData(corpus.take(3)); q.processAllAvailable()
+      input.addData(corpus.drop(3)); q.processAllAvailable()
+    } finally q.stop()
+    val tf = PostingsStream.readTf(spark, store).get.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val dl = PostingsStream.readDl(spark, store).get.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tf == RetrievalOps.termCounts(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet)
+    assert(dl == RetrievalOps.docLengths(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("bm25 from state equals the one-pass scores on a corpus WITH " +
       "degenerate docs (N and avgdl include them)") {
     val docs = corpus.toDF("doc_id", "text")
