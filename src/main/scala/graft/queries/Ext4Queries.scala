@@ -356,6 +356,35 @@ object Ext4Queries {
         .orderBy(col("q_id"), col("score_bp").desc, col("doc_id"))
     }),
 
+    // ---- host-graph PageRank — the crawl-prioritization / domain-
+    // authority signal (CommonCrawl's host-ranking role): damped
+    // PageRank in exact integer micro-units over the host link graph,
+    // 5 iterations, floor division everywhere so every rank matches
+    // the DuckDB replay bit for bit (GraphOps scaladoc has the
+    // arithmetic and the dropped-mass contract). The host mapping is
+    // x110's derived-host formula and links are a deterministic
+    // doc→doc function — the fixture has no real hyperlinks, so the
+    // graph is derived identically on both engines (the x110
+    // precedent). Scale shape: one staged weighted edge list, one
+    // equi-join + one aggregation per iteration, ranks re-staged per
+    // round so plan depth is O(1) in the iteration count.
+    "x131_host_pagerank" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val host = (id: org.apache.spark.sql.Column) => concat(
+        when(pmod(id, lit(7)) === 0, lit("sub.")).otherwise(lit("")),
+        lit("example"), pmod(id, lit(5)).cast("string"), lit(".com"))
+      val links = docs
+        .select(col("doc_id").as("a"),
+          pmod(col("doc_id") * 31 + 7, lit(n)).as("b"))
+        .select(host(col("a")).as("src"), host(col("b")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).cast("long").as("w"))
+      graft.operators.GraphOps.pageRankMicro(links, iters = 5)
+        .select(col("node").as("host"), col("rank_micro"), col("out_w"))
+        .orderBy(col("rank_micro").desc, col("host"))
+    }),
+
     // ---- PMI collocation mining — the phrase-extraction census feeding
     // tokenizer vocabularies and phrase-aware indexing: top-20 adjacent
     // word pairs by LIFT = p(a,b)/(p(a)·p(b)) = c_ab·N²/(B·c_a·c_b)
@@ -616,6 +645,48 @@ object Ext4Queries {
                      ORDER BY score_bp DESC, doc_id) AS rk
             FROM pairs1)
           WHERE rk <= 3 ORDER BY q_id, score_bp DESC, doc_id""",
+
+    "x131_host_pagerank" -> {
+      val hostOf = (e: String) =>
+        s"""(CASE WHEN ($e) % 7 = 0 THEN 'sub.' ELSE '' END)
+            || 'example' || CAST(($e) % 5 AS VARCHAR) || '.com'"""
+      val tgt = "(doc_id * 31 + 7) % (SELECT COUNT(*) FROM documents)"
+      val iters = (1 to 5).map { i =>
+        s"""r$i AS (
+              SELECT n.node,
+                     CAST((1500 * 1000000) // (10000 * (SELECT V FROM st))
+                       + (8500 * coalesce(c.cs, 0)) // 10000 AS BIGINT) AS r
+              FROM nodes n LEFT JOIN (
+                SELECT e.dst,
+                       CAST(SUM((p.r * e.w) // e.out_w) AS BIGINT) AS cs
+                FROM e JOIN r${i - 1} p ON e.src = p.node
+                GROUP BY e.dst) c
+              ON n.node = c.dst)"""
+      }.mkString(",\n")
+      s"""WITH hdoc AS (
+            SELECT ${hostOf("doc_id")} AS src, ${hostOf(tgt)} AS dst
+            FROM documents),
+          e0 AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+                 FROM hdoc WHERE src <> dst GROUP BY src, dst),
+          ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w
+                 FROM e0 GROUP BY src),
+          e AS (SELECT e0.src, e0.dst, e0.w, ow.out_w
+                FROM e0 JOIN ow USING (src)),
+          nodes AS (
+            SELECT node, coalesce(ow.out_w, 0) AS out_w FROM (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM e0
+                UNION ALL SELECT dst FROM e0))
+            LEFT JOIN ow ON node = ow.src),
+          st AS (SELECT (SELECT COUNT(*) FROM nodes) AS V),
+          r0 AS (SELECT node,
+                        CAST(1000000 // (SELECT V FROM st) AS BIGINT) AS r
+                 FROM nodes),
+          $iters
+          SELECT r5.node AS host, r5.r AS rank_micro, n.out_w
+          FROM r5 JOIN nodes n ON r5.node = n.node
+          ORDER BY rank_micro DESC, host"""
+    },
 
     "x128_pmi_collocations" ->
       s"""WITH tt AS (SELECT $mdToksNE AS tt FROM documents),
