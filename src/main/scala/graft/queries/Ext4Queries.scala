@@ -356,6 +356,52 @@ object Ext4Queries {
         .orderBy(col("q_id"), col("score_bp").desc, col("doc_id"))
     }),
 
+    // ---- retrieval-quality gate with DEDUP-DERIVED ground truth (the
+    // x34/x61 measured-recall discipline on the retrieval surface):
+    // every doc with a Jaccard-0.8 near-dup partner plays the query,
+    // its partners are the relevant set, and the row reports the rank
+    // at which phrase-BM25 first retrieves a partner plus the exact
+    // reciprocal-rank bps (0 when no partner is even a candidate —
+    // shares no informative phrase). Rank is computed WITHOUT a
+    // per-query window over the candidate set: a partner's rank is
+    // 1 + the count of strictly-better candidates (score desc, doc_id
+    // asc total order), one equi-join + aggregation.
+    "x132_bm25_mrr" -> ((s, d) => {
+      import graft.operators.{DedupOps, RetrievalOps, StageIO}
+      val docs = Tables.documents(s, d)
+      val dup = DedupOps.jaccardNearDups(docs, "text", "doc_id", 0.8)
+        .select(col("doc_a"), col("doc_b"))
+      val tstage = StageIO.resolve(s, None, "x132-truth")
+      dup.select(col("doc_a").as("q_id"), col("doc_b").as("rel"))
+        .union(dup.select(col("doc_b").as("q_id"), col("doc_a").as("rel")))
+        .write.mode("overwrite").parquet(tstage)
+      val truth = s.read.parquet(tstage)
+      val sstage = StageIO.resolve(s, None, "x132-scores")
+      RetrievalOps.bm25PairScores(docs, truth.select("q_id").distinct())
+        .write.mode("overwrite").parquet(sstage)
+      val sc = s.read.parquet(sstage)
+      val ps = truth.join(sc.select(col("q_id").as("_q"),
+          col("doc_id").as("_d"), col("score_bp").as("ps")),
+          col("q_id") === col("_q") && col("rel") === col("_d"))
+        .select(col("q_id"), col("rel"), col("ps"))
+      val better = ps.join(sc.select(col("q_id").as("_q"),
+          col("doc_id").as("_d"), col("score_bp").as("_s")),
+          col("q_id") === col("_q"))
+        .filter(col("_s") > col("ps") ||
+          (col("_s") === col("ps") && col("_d") < col("rel")))
+        .groupBy("q_id", "rel").agg(count(lit(1)).as("nb"))
+      val perQ = ps.join(better, Seq("q_id", "rel"), "left")
+        .select(col("q_id"),
+          (coalesce(col("nb"), lit(0L)) + 1).as("rank"))
+        .groupBy("q_id").agg(min(col("rank")).as("best_rank"))
+      truth.groupBy("q_id").agg(count(lit(1)).as("n_rel"))
+        .join(perQ, Seq("q_id"), "left")
+        .select(col("q_id"), col("n_rel"), col("best_rank"),
+          coalesce(Det.rat4BpBig(lit(1L), col("best_rank")), lit(0L))
+            .as("rr_bp"))
+        .orderBy("q_id")
+    }),
+
     // ---- host-graph PageRank — the crawl-prioritization / domain-
     // authority signal (CommonCrawl's host-ranking role): damped
     // PageRank in exact integer micro-units over the host link graph,
@@ -645,6 +691,61 @@ object Ext4Queries {
                      ORDER BY score_bp DESC, doc_id) AS rk
             FROM pairs1)
           WHERE rk <= 3 ORDER BY q_id, score_bp DESC, doc_id""",
+
+    // truth = the x4 jaccard oracle body (suffixed CTEs) at 0.8, both
+    // directions; scoring = the shared BM25 CTEs over the truth query
+    // set; rank = 1 + strictly-better count under (score desc, id asc)
+    "x132_bm25_mrr" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+          $bm25BaseCtes,
+          shj AS (
+            SELECT doc_id, unnest(sh) AS s FROM (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(t)-1),
+                       i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents))),
+          szj AS (SELECT doc_id, COUNT(*) AS n FROM shj GROUP BY doc_id),
+          pj AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM shj a JOIN shj b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          dup AS (
+            SELECT doc_a, doc_b FROM pj
+            JOIN szj sa ON doc_a = sa.doc_id
+            JOIN szj sb ON doc_b = sb.doc_id
+            WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+          truth AS (
+            SELECT doc_a AS q_id, doc_b AS rel FROM dup
+            UNION ALL SELECT doc_b AS q_id, doc_a AS rel FROM dup),
+          qt2 AS (
+            SELECT doc_id AS q_id,
+                   unnest(list_distinct($mdBigrams)) AS tok
+            FROM (SELECT doc_id, $mdToksNE AS tt FROM corpus
+                  WHERE doc_id IN (SELECT q_id FROM truth))),
+          ${bm25ScoreCtes("2", "qt2")},
+          ps AS (
+            SELECT t.q_id, t.rel, p.score_bp AS ps
+            FROM truth t JOIN pairs2 p
+              ON p.q_id = t.q_id AND p.doc_id = t.rel),
+          better AS (
+            SELECT ps.q_id, ps.rel, CAST(COUNT(*) AS BIGINT) AS nb
+            FROM ps JOIN pairs2 c ON c.q_id = ps.q_id
+            WHERE c.score_bp > ps.ps
+               OR (c.score_bp = ps.ps AND c.doc_id < ps.rel)
+            GROUP BY ps.q_id, ps.rel),
+          perq AS (
+            SELECT ps.q_id,
+                   CAST(MIN(coalesce(b.nb, 0) + 1) AS BIGINT) AS best_rank
+            FROM ps LEFT JOIN better b
+              ON ps.q_id = b.q_id AND ps.rel = b.rel
+            GROUP BY ps.q_id)
+          SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_rel, p.best_rank,
+                 CAST(coalesce((1 * 20000 + p.best_rank)
+                   // (2 * p.best_rank), 0) AS BIGINT) AS rr_bp
+          FROM truth t LEFT JOIN perq p ON t.q_id = p.q_id
+          GROUP BY t.q_id, p.best_rank
+          ORDER BY t.q_id""",
 
     "x131_host_pagerank" -> {
       val hostOf = (e: String) =>

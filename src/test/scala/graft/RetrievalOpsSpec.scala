@@ -241,6 +241,35 @@ class RetrievalOpsSpec extends AnyFunSuite {
       s"missing seed candidates: ${(seedCands -- expCands).take(5)}")
   }
 
+  // ---- x132 MRR gate invariants ----
+
+  test("x132: every near-dup query keeps a row, ranks are >= 1, rr_bp " +
+      "replays from best_rank, and the fixture's dup partners are " +
+      "retrieved at rank 1 (they share nearly all phrases)") {
+    val sf = SparkTestSession.sf0001
+    val out = SparkEntry.queries("x132_bm25_mrr")(spark, sf).collect()
+    assert(out.nonEmpty, "fixture plants near-dup families")
+    val truthQs = graft.operators.DedupOps
+      .jaccardNearDups(Tables.documents(spark, sf), "text", "doc_id", 0.8)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(out.map(_.getLong(0)).toSet == truthQs,
+      "one row per doc with a truth partner, exactly")
+    out.foreach { r =>
+      assert(r.getLong(1) >= 1, s"n_rel: $r")
+      if (r.isNullAt(2)) assert(r.getLong(3) == 0L, s"no-candidate rr: $r")
+      else {
+        val rank = r.getLong(2)
+        assert(rank >= 1, s"rank: $r")
+        val want = ((BigInt(1) * 20000 + rank) / (BigInt(rank) * 2)).toLong
+        assert(r.getLong(3) == want, s"rr replay: $r")
+      }
+    }
+    // near-verbatim duplicates share nearly every phrase: rank 1 is the
+    // expected fixture-wide outcome and pins truth/retrieval coherence
+    assert(out.forall(r => !r.isNullAt(2) && r.getLong(2) == 1L),
+      "a planted near-dup must be the top BM25 result for its twin")
+  }
+
   // ---- x126 fusion invariants ----
 
   test("x126: every fused row carries at least one rank, rrf_bp is the " +
