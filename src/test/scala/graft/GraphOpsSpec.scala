@@ -63,6 +63,54 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(r1 == ref(edges, 1) && r5 == ref(edges, 5))
   }
 
+  test("pageRankDeltas reports the exact per-iteration L1 movement of " +
+      "the rank vector (replayed from the reference iterates)") {
+    val edges = Seq[(String, String, Long)](
+      ("a", "b", 1L), ("c", "b", 3L), ("b", "d", 1L), ("d2", "a", 2L))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val iterates = (0 to 5).map {
+      case 0 => nodes.map(_ -> 1000000L / nodes.size).toMap
+      case i => ref(edges, i)
+    }
+    val want = (1 to 5).map(i => i.toLong ->
+      nodes.map(n => (iterates(i)(n) - iterates(i - 1)(n)).abs).sum).toMap
+    val got = GraphOps.pageRankDeltas(edges.toDF("src", "dst", "w"), 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"got $got\nwant $want")
+    assert(got(5L) < got(1L), "damped iteration must mix toward a fixpoint")
+  }
+
+  test("floor division stays exact past the 2^53 double envelope " +
+      "(rank·weight products beyond what double division can floor)") {
+    // r0 = 250000 (4 nodes); r·w ≈ 2.3·10^18 >> 2^53 — a long/long
+    // divide lowered to double can floor off-by-one here (advisor r16);
+    // odd near-max weights make the quotients non-round
+    val big = 9000000000001L // ~9·10^12, odd
+    val edges = Seq[(String, String, Long)](
+      ("a", "b", big), ("a", "c", big / 3), ("a", "d", 7L),
+      ("b", "a", big - 2), ("b", "d", 11L))
+    val got = run(edges, 3).view.mapValues(_._1).toMap
+    // BigInt replay of the documented arithmetic (the spec's long replay
+    // would itself overflow on r·w)
+    val outW = edges.groupBy(_._1).map { case (s, es) =>
+      s -> BigInt(es.map(_._3).sum) }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val v = nodes.size.toLong
+    val teleport = BigInt(1500) * 1000000L / (BigInt(10000) * v)
+    var r = nodes.map(_ -> BigInt(1000000L / v)).toMap
+    (1 to 3).foreach { _ =>
+      val in = scala.collection.mutable.Map.empty[String, BigInt]
+      edges.foreach { case (s, d, w) =>
+        in(d) = in.getOrElse(d, BigInt(0)) + (r(s) * w) / outW(s)
+      }
+      r = nodes.map(n =>
+        n -> (teleport + BigInt(8500) * in.getOrElse(n, BigInt(0)) / 10000))
+        .toMap
+    }
+    val want = r.view.mapValues(_.toLong).toMap
+    assert(got == want, s"got $got\nwant $want")
+  }
+
   test("argument guards reject bad damping and iteration counts") {
     val edges = Seq(("a", "b", 1L)).toDF("src", "dst", "w")
     intercept[IllegalArgumentException] {
