@@ -12,11 +12,14 @@ import graft.operators.RetrievalOps
   * `storeDir/tf/batch_id=<id>/` and its `(doc_id, dl)` length rows —
   * INCLUDING zero-term docs, which carry corpus size N and the avgdl
   * mass — under `storeDir/dl/batch_id=<id>/`. Term frequencies and
-  * lengths are mergeable by plain sum, so the merged log over any batch
-  * partition of a corpus equals the one-pass postings over its union,
-  * row for row, and [[graft.operators.RetrievalOps.bm25PairScoresFromState]]
+  * lengths are mergeable by plain sum, so the merged log over any
+  * DOC-DISJOINT batch partition of a corpus (each document's full text
+  * arriving in one batch — the unit every real ingest delivers) equals
+  * the one-pass postings over its union, row for row, and
+  * [[graft.operators.RetrievalOps.bm25PairScoresFromState]]
   * hash-matches the one-pass scores (the x124b gate pins this end to
-  * end).
+  * end). A document SPLIT across batches is outside the contract for
+  * `ngram` ≥ 2 — see [[readTf]].
   *
   * Same counter-log discipline as [[NgramStream]]/[[SketchStream]]: a
   * replayed batch OVERWRITES its own partitions (at-least-once in,
@@ -46,13 +49,41 @@ object PostingsStream {
   private def hasBatches(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    repair(fs, dir)
     fs.exists(p) && fs.listStatus(p)
       .exists(_.getPath.getName.startsWith("batch_id="))
   }
 
+  /** Finish a [[foldLog]] swap interrupted by a crash (advisor r16).
+    * The swap order is rename(dir → dir.old) → rename(dir.next → dir) →
+    * delete(dir.old), so at every instant the complete log exists under
+    * exactly one of `dir` / `dir.next`:
+    *   - `dir` missing with `dir.next` present ⇒ the crash hit between
+    *     the two renames and the FOLD is the complete copy — finish the
+    *     swap by renaming it into place;
+    *   - `dir` present ⇒ it is authoritative (the fold only renames it
+    *     aside after `.next` is fully written); a stray `dir.old` from a
+    *     crash before the final delete is dropped. A partial `dir.next`
+    *     next to a live `dir` is left alone here — the next [[foldLog]]
+    *     deletes and rewrites it (readers never look at `.next`).
+    */
+  private def repair(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val next = new org.apache.hadoop.fs.Path(dir + ".next")
+    val old = new org.apache.hadoop.fs.Path(dir + ".old")
+    if (!fs.exists(p) && fs.exists(next))
+      require(fs.rename(next, p), s"compaction repair failed: $next -> $p")
+    if (fs.exists(p) && fs.exists(old)) fs.delete(old, true)
+  }
+
   /** The merged postings — `(doc_id, tok, tf)` summed over every
-    * committed batch (sum-merge also covers a document split across
-    * batches), or None before the first commit.
+    * committed batch, or None before the first commit. Sum-merge equals
+    * the one-pass index when batches partition the corpus BY DOCUMENT
+    * (each document's full text arrives in one batch) — for `ngram` ≥ 2
+    * a document split across batches diverges (the n-gram spanning the
+    * fragment boundary is never emitted and each fragment contributes
+    * its own length), so split delivery is only sum-exact at ngram = 1.
     */
   def readTf(spark: SparkSession, storeDir: String): Option[DataFrame] =
     if (!hasBatches(spark, s"$storeDir/tf")) None
@@ -95,16 +126,23 @@ object PostingsStream {
       keys: Seq[String], valueCol: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!hasBatches(spark, dir)) return
+    if (!hasBatches(spark, dir)) return // hasBatches repairs a crashed swap
     val all = spark.read.parquet(dir)
     if (all.isEmpty) return
     val maxId = all.agg(max(col("batch_id").cast("long"))).head().getLong(0)
     val folded = all.groupBy(keys.map(col): _*)
       .agg(sum(valueCol).cast("long").as(valueCol))
     val next = new org.apache.hadoop.fs.Path(dir + ".next")
+    val old = new org.apache.hadoop.fs.Path(dir + ".old")
     if (fs.exists(next)) fs.delete(next, true)
     folded.write.mode("overwrite").parquet(s"$next/batch_id=$maxId")
-    fs.delete(p, true)
+    // crash-safe swap (advisor r16): the live dir is renamed ASIDE, never
+    // deleted before its replacement is in place — a crash anywhere in
+    // this sequence leaves the complete log under exactly one of
+    // dir / dir.next, and [[repair]] finishes the swap on the next read.
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(p, old), s"compaction swap failed: $p -> $old")
     require(fs.rename(next, p), s"compaction swap failed: $next -> $p")
+    fs.delete(old, true)
   }
 }

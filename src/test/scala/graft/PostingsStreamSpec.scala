@@ -77,6 +77,45 @@ class PostingsStreamSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("a compaction swap interrupted in either crash window recovers: " +
+      "the log survives intact and further compaction works") {
+    val docs = corpus.toDF("doc_id", "text")
+    val store = freshStore("postings-crash")
+    (0L to 2L).foreach { k =>
+      PostingsStream.applyBatch(
+        docs.filter(pmod(col("doc_id"), lit(3)) === k), store, k)
+    }
+    val wantTf = PostingsStream.readTf(spark, store).get.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+
+    // window 1: crash between rename(dir -> dir.old) and
+    // rename(dir.next -> dir) — the complete fold lives only in .next
+    PostingsStream.compact(spark, store) // a folded single-partition log
+    assert(fs.rename(path(s"$store/tf"), path(s"$store/tf.next")))
+    fs.mkdirs(path(s"$store/tf.old")) // stale aside-copy also present
+    val afterW1 = PostingsStream.readTf(spark, store).get.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(afterW1 == wantTf, "repair must finish the interrupted swap")
+    assert(!fs.exists(path(s"$store/tf.next")), "rescued .next is renamed")
+
+    // window 2: crash between rename(next -> dir) and delete(old) —
+    // the live dir is authoritative, the stray .old is dropped
+    fs.mkdirs(path(s"$store/tf.old"))
+    val afterW2 = PostingsStream.readTf(spark, store).get.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(afterW2 == wantTf)
+    assert(!fs.exists(path(s"$store/tf.old")), "stray .old is dropped")
+
+    // and the repaired log compacts again cleanly
+    PostingsStream.compact(spark, store)
+    val afterFold = PostingsStream.readTf(spark, store).get.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(afterFold == wantTf)
+  }
+
   test("bm25 from state equals the one-pass scores on a corpus WITH " +
       "degenerate docs (N and avgdl include them)") {
     val docs = corpus.toDF("doc_id", "text")
