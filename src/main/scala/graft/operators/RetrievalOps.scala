@@ -265,6 +265,47 @@ object RetrievalOps {
       totToks)
   }
 
+  /** POSITIONAL postings — `(doc_id, tok, pos)` with `pos` the 0-based
+    * position in the empty-dropping token stream. The positions the
+    * bag-of-terms tf log deliberately drops; staged once, they answer
+    * TRUE phrase queries (adjacency, not co-occurrence) by positional
+    * AND — see [[phraseOccurrences]].
+    */
+  def positionalPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(TextOps.tokensNonEmpty(col("text")))
+        .as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("tok"), col("pos").cast("long").as("pos"))
+
+  /** TRUE phrase occurrences by positional AND over an inverted
+    * positional index: `phrases` is the model-sized frame
+    * `(q_id, tok, off, plen)` — one row per phrase term at its 0-based
+    * offset, `plen` the phrase length — and a document matches at anchor
+    * `a` iff EVERY (tok, off) lands at position a + off. One broadcast
+    * equi-join on `tok` (the corpus never shuffles toward the phrases),
+    * then a count per (q_id, doc_id, anchor): each phrase offset can hit
+    * a given anchor at most once (its position is anchor + off), so
+    * count == plen ⟺ the full phrase sits at the anchor — the classic
+    * positional-AND merge, as one aggregation. This is what the
+    * bigram-bag BM25 row structurally CANNOT see: a doc containing
+    * "a b" and "b c" in different sentences co-occurs on both bigrams
+    * but has no anchor where "a b c" stands. A phrase's own document
+    * never matches itself (`doc_id ≠ q_id`, the BM25 rule). Returns
+    * `(q_id, doc_id, n_occurrences)` — occurrence counts, not a bit, so
+    * boilerplate repetition stays visible.
+    */
+  def phraseOccurrences(postings: DataFrame, phrases: DataFrame)
+      : DataFrame =
+    postings.join(broadcast(phrases), "tok")
+      .filter(col("doc_id") =!= col("q_id"))
+      .select(col("q_id"), col("doc_id"), col("plen"),
+        (col("pos") - col("off")).as("anchor"))
+      .groupBy("q_id", "doc_id", "anchor")
+      .agg(count(lit(1)).as("nhit"), first(col("plen")).as("plen"))
+      .filter(col("nhit") === col("plen"))
+      .groupBy("q_id", "doc_id")
+      .agg(count(lit(1)).as("n_occurrences"))
+
   /** [[topKTail]] with the heap position surfaced as a 1-based rank —
     * rank i is the heap's i-th best under the same (score desc, doc_id)
     * total order.

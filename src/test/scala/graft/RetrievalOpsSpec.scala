@@ -135,6 +135,29 @@ class RetrievalOpsSpec extends AnyFunSuite {
       RetrievalOps.bm25RanksFromState(tf2, dl2, docs, qids, 3)) == want)
   }
 
+  test("phraseOccurrences: positional AND sees ADJACENCY, not bigram " +
+      "co-occurrence; repeated true occurrences count; order matters") {
+    val docs = Seq[(Long, String)](
+      0L -> "a b c x", // the query doc: phrase = [a, b, c]
+      1L -> "z a b c z a b c", // two true occurrences
+      2L -> "a b x x b c", // BOTH bigrams present, NO phrase anchor
+      3L -> "a b c", // one occurrence
+      4L -> "c b a") // the tokens, wrong order
+      .toDF("doc_id", "text")
+    val pos = RetrievalOps.positionalPostings(docs)
+    val tt = graft.operators.TextOps.tokensNonEmpty(col("text"))
+    val phrases = docs.filter(col("doc_id") === 0)
+      .select(col("doc_id").as("q_id"),
+        posexplode(slice(tt, 1, 3)).as(Seq("off", "tok")))
+      .select(col("q_id"), col("tok"), col("off").cast("long").as("off"),
+        lit(3L).as("plen"))
+    val got = RetrievalOps.phraseOccurrences(pos, phrases).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 1L) -> 2L, (0L, 3L) -> 1L),
+      s"bigram co-occurrence must NOT match and dup occurrences must " +
+        s"count: $got")
+  }
+
   // ---- Det.rat4BpBig ----
 
   test("rat4BpBig: half-up integer basis points, exact past the long " +
