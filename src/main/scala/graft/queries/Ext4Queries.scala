@@ -254,6 +254,22 @@ object Ext4Queries {
       .orderBy("q_id")
   }
 
+  /** The x133 family's query-phrase frame — each %101 query doc's first
+    * 3 tokens as broadcast-ready (q_id, tok, off, plen) rows; ONE
+    * definition so the one-pass row (x133) and the from-log row (x133b)
+    * can never desynchronize.
+    */
+  private def phraseFrame(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tt = graft.operators.TextOps.tokensNonEmpty(col("text"))
+    docs.filter(pmod(col("doc_id"), lit(101)) === 0)
+      .filter(size(tt) >= 3)
+      .select(col("doc_id").as("q_id"),
+        posexplode(slice(tt, 1, 3)).as(Seq("off", "tok")))
+      .select(col("q_id"), col("tok"),
+        col("off").cast("long").as("off"), lit(3L).as("plen"))
+  }
+
   /** The embedded slice of the corpus (doc_id = vec_id; the fixture's
     * embeddings are a strict subset of documents) — the x126-family
     * working set, one definition for the exact row, the IVF row, and
@@ -315,7 +331,9 @@ object Ext4Queries {
   private def sliceSemRanksIvf(s: org.apache.spark.sql.SparkSession,
       d: String, slice: org.apache.spark.sql.DataFrame, k: Int)
       : org.apache.spark.sql.DataFrame = {
-    val base = ExtQueries.x54Build(s, d)
+    // shared build: the fusion rows consume the artifacts, they do not
+    // measure index construction (that is the x54 composite's job)
+    val base = ExtQueries.x54BuildShared(s, d)
     val qe = slice.filter(pmod(col("doc_id"), lit(101)) === 0)
       .select(col("doc_id").as("qid"), col("embedding").as("qv"))
     val w = Window.partitionBy("qid")
@@ -419,6 +437,25 @@ object Ext4Queries {
   private def bm25PairsCte =
     s"""$bm25BaseCtes,
     ${bm25ScoreCtes("", "qt")}"""
+
+  /** The DuckDB replay of [[phraseFrame]] + positional AND (x133/x133b
+    * shared twin).
+    */
+  private def phraseMatchSql =
+    s"""WITH tt AS (SELECT doc_id, $mdToksNE AS tt FROM documents),
+        pos AS (SELECT doc_id, unnest(tt) AS tok,
+                       unnest(range(len(tt))) AS pos
+                FROM tt),
+        ph AS (SELECT doc_id AS q_id, unnest(tt[1:3]) AS tok,
+                      unnest(range(3)) AS off
+               FROM tt WHERE doc_id % 101 = 0 AND len(tt) >= 3),
+        m AS (SELECT ph.q_id, p.doc_id, p.pos - ph.off AS anchor,
+                     COUNT(*) AS nhit
+              FROM pos p JOIN ph USING (tok) WHERE p.doc_id <> ph.q_id
+              GROUP BY 1, 2, 3)
+        SELECT q_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM m WHERE nhit = 3
+        GROUP BY q_id, doc_id ORDER BY q_id, doc_id"""
 
   private def bm25TopKSql =
     s"""WITH corpus AS (SELECT doc_id, text FROM documents),
@@ -745,19 +782,37 @@ object Ext4Queries {
     // long per posting); phrases are model-sized and broadcast; the
     // corpus never shuffles toward the queries.
     "x133_phrase_match" -> ((s, d) => {
-      import graft.operators.{RetrievalOps, StageIO, TextOps}
+      import graft.operators.{RetrievalOps, StageIO}
       val docs = Tables.documents(s, d)
       val pstage = StageIO.resolve(s, None, "x133-pos")
       RetrievalOps.positionalPostings(docs)
         .write.mode("overwrite").parquet(pstage)
-      val tt = TextOps.tokensNonEmpty(col("text"))
-      val phrases = docs.filter(pmod(col("doc_id"), lit(101)) === 0)
-        .filter(size(tt) >= 3)
-        .select(col("doc_id").as("q_id"),
-          posexplode(slice(tt, 1, 3)).as(Seq("off", "tok")))
-        .select(col("q_id"), col("tok"),
-          col("off").cast("long").as("off"), lit(3L).as("plen"))
-      RetrievalOps.phraseOccurrences(s.read.parquet(pstage), phrases)
+      RetrievalOps.phraseOccurrences(s.read.parquet(pstage),
+          phraseFrame(docs))
+        .orderBy("q_id", "doc_id")
+    }),
+
+    // ---- the same phrase match FROM THE MAINTAINED POSITIONAL LOG
+    // (the x124b discipline on the positional surface): the corpus
+    // arrives in three doc-disjoint waves through PostingsStream's
+    // positional sub-log; positions are per-doc absolute, so the UNION
+    // of committed batches IS the one-pass positional index — no merge
+    // arithmetic at all — and the matching hash-matches x133 exactly
+    // (shared oracle). The resident shape: a phrase index that stays
+    // current per ingest batch, queried without rescanning text.
+    "x133b_phrase_from_postings" -> ((s, d) => {
+      import graft.operators.{RetrievalOps, StageIO}
+      import graft.streaming.PostingsStream
+      val docs = Tables.documents(s, d)
+      val store = StageIO.resolve(s, None, "x133b-pos")
+      (0L to 2L).foreach { k =>
+        PostingsStream.applyBatch(
+          docs.filter(pmod(col("doc_id"), lit(3)) === k), store, k,
+          withPositions = true)
+      }
+      val pos = PostingsStream.readPos(s, store)
+        .getOrElse(sys.error("x133b: empty positions log"))
+      RetrievalOps.phraseOccurrences(pos, phraseFrame(docs))
         .orderBy("q_id", "doc_id")
     }),
 
@@ -1251,21 +1306,12 @@ object Ext4Queries {
 
     // x133: positions from zipped parallel unnests (DuckDB zips sibling
     // unnests), the same positional-AND as one grouped count
-    "x133_phrase_match" ->
-      s"""WITH tt AS (SELECT doc_id, $mdToksNE AS tt FROM documents),
-          pos AS (SELECT doc_id, unnest(tt) AS tok,
-                         unnest(range(len(tt))) AS pos
-                  FROM tt),
-          ph AS (SELECT doc_id AS q_id, unnest(tt[1:3]) AS tok,
-                        unnest(range(3)) AS off
-                 FROM tt WHERE doc_id % 101 = 0 AND len(tt) >= 3),
-          m AS (SELECT ph.q_id, p.doc_id, p.pos - ph.off AS anchor,
-                       COUNT(*) AS nhit
-                FROM pos p JOIN ph USING (tok) WHERE p.doc_id <> ph.q_id
-                GROUP BY 1, 2, 3)
-          SELECT q_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
-          FROM m WHERE nhit = 3
-          GROUP BY q_id, doc_id ORDER BY q_id, doc_id""",
+    "x133_phrase_match" -> phraseMatchSql,
+
+    // x133b's oracle IS x133's: matching from the maintained positional
+    // log must reproduce the one-pass matching exactly (doc-disjoint
+    // union — positions are per-doc absolute).
+    "x133b_phrase_from_postings" -> phraseMatchSql,
 
     "x131_host_pagerank" ->
       s"""WITH $pagerankCtes

@@ -60,6 +60,25 @@ object ExtQueries {
     s.read.parquet(dir)
   }
 
+  /** [[x54Build]] memoized per (dataset, JVM) — for consumers that need
+    * the ANN artifacts but do NOT claim to measure the build
+    * (x126b/x126c's semantic arm): the first caller in a JVM builds
+    * (overwrite — no stale-artifact leakage, the stagedCorpusState
+    * discipline), later callers reuse the deterministic artifacts. The
+    * x54-family rows keep calling [[x54Build]] directly so their
+    * adjudicated composite semantics (train + build + probe in-row) are
+    * untouched; a direct build after the memo is a same-content
+    * overwrite, so interleaving is safe in any order.
+    */
+  def x54BuildShared(s: org.apache.spark.sql.SparkSession, d: String)
+      : String = annBuilt.synchronized {
+    if (annBuilt.contains(d))
+      s"${graft.operators.StageIO.artifactRoot(s)}" +
+        s"/ann_index/${new java.io.File(d).getName}"
+    else { val base = x54Build(s, d); annBuilt += d; base }
+  }
+  private val annBuilt = scala.collection.mutable.Set.empty[String]
+
   def x54Build(s: org.apache.spark.sql.SparkSession, d: String,
       residual: Boolean = false): String = {
     import graft.operators.AnnIndex

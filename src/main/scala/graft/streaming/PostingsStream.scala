@@ -35,15 +35,24 @@ import graft.operators.RetrievalOps
 object PostingsStream {
 
   /** Index one micro-batch of documents into the log. Overwrite-keyed
-    * by batch id: replay is a no-op.
+    * by batch id: replay is a no-op. `withPositions` additionally
+    * appends the batch's POSITIONAL postings `(doc_id, tok, pos)` under
+    * `storeDir/pos/` — positions are per-doc absolute, so under the
+    * doc-disjoint delivery contract the union of committed batches IS
+    * the one-pass positional index, no merge arithmetic at all (and a
+    * split document is off-contract at every ngram here, since a
+    * fragment restarts its positions at 0).
     */
   def applyBatch(docs: DataFrame, storeDir: String, batchId: Long,
-      ngram: Int = 2): Unit = {
+      ngram: Int = 2, withPositions: Boolean = false): Unit = {
     if (docs.isEmpty) return
     RetrievalOps.termCounts(docs, ngram)
       .write.mode("overwrite").parquet(s"$storeDir/tf/batch_id=$batchId")
     RetrievalOps.docLengths(docs, ngram)
       .write.mode("overwrite").parquet(s"$storeDir/dl/batch_id=$batchId")
+    if (withPositions)
+      RetrievalOps.positionalPostings(docs)
+        .write.mode("overwrite").parquet(s"$storeDir/pos/batch_id=$batchId")
   }
 
   private def hasBatches(spark: SparkSession, dir: String): Boolean = {
@@ -96,6 +105,15 @@ object PostingsStream {
     else Some(spark.read.parquet(s"$storeDir/dl")
       .groupBy("doc_id").agg(sum("dl").cast("long").as("dl")))
 
+  /** The merged positional postings — the plain UNION of committed
+    * batches (see [[applyBatch]]'s positional contract), or None before
+    * the first positional commit.
+    */
+  def readPos(spark: SparkSession, storeDir: String): Option[DataFrame] =
+    if (!hasBatches(spark, s"$storeDir/pos")) None
+    else Some(spark.read.parquet(s"$storeDir/pos")
+      .select("doc_id", "tok", "pos"))
+
   /** Fold every batch partition of both sub-logs into ONE pre-summed
     * partition keyed by the max folded id — the [[NgramStream.compact]]
     * maintenance story. OFFLINE rule as everywhere: no batch writing
@@ -104,6 +122,9 @@ object PostingsStream {
   def compact(spark: SparkSession, storeDir: String): Unit = {
     foldLog(spark, s"$storeDir/tf", Seq("doc_id", "tok"), "tf")
     foldLog(spark, s"$storeDir/dl", Seq("doc_id"), "dl")
+    // positions fold by plain rewrite — row multiplicity is preserved
+    // exactly (no aggregation), only the batch-dir fan-in collapses
+    foldLog(spark, s"$storeDir/pos", Nil, "")
   }
 
   /** The resident driver: a streaming document source (columns doc_id,
@@ -113,12 +134,13 @@ object PostingsStream {
     * family.
     */
   def startPostingsMaintenance(docs: DataFrame, storeDir: String,
-      checkpointDir: String, ngram: Int = 2): StreamingQuery =
+      checkpointDir: String, ngram: Int = 2,
+      withPositions: Boolean = false): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        applyBatch(batch.toDF(), storeDir, batchId, ngram)
+        applyBatch(batch.toDF(), storeDir, batchId, ngram, withPositions)
       }
       .start()
 
@@ -130,8 +152,12 @@ object PostingsStream {
     val all = spark.read.parquet(dir)
     if (all.isEmpty) return
     val maxId = all.agg(max(col("batch_id").cast("long"))).head().getLong(0)
-    val folded = all.groupBy(keys.map(col): _*)
-      .agg(sum(valueCol).cast("long").as(valueCol))
+    // empty keys = a non-counter sub-log (positions): fold is a plain
+    // rewrite that preserves row multiplicity exactly
+    val folded =
+      if (keys.isEmpty) all.drop("batch_id")
+      else all.groupBy(keys.map(col): _*)
+        .agg(sum(valueCol).cast("long").as(valueCol))
     val next = new org.apache.hadoop.fs.Path(dir + ".next")
     val old = new org.apache.hadoop.fs.Path(dir + ".old")
     if (fs.exists(next)) fs.delete(next, true)

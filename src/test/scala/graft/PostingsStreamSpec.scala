@@ -77,6 +77,32 @@ class PostingsStreamSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("the positional sub-log unions to the one-pass positional " +
+      "postings under doc-disjoint batches; replay is a no-op; " +
+      "compaction preserves multiplicity") {
+    val docs = corpus.toDF("doc_id", "text")
+    val store = freshStore("postings-pos")
+    (0L to 2L).foreach { k =>
+      PostingsStream.applyBatch(
+        docs.filter(pmod(col("doc_id"), lit(3)) === k), store, k,
+        withPositions = true)
+    }
+    def posSeq = PostingsStream.readPos(spark, store).get.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val want = RetrievalOps.positionalPostings(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(posSeq == want)
+    assert(want.exists(_._1 == 0L) && !want.exists(_._1 == 3L),
+      "empty docs contribute no positions")
+    PostingsStream.applyBatch(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 1), store, 1L,
+      withPositions = true)
+    assert(posSeq == want, "replay must be a no-op")
+    PostingsStream.compact(spark, store)
+    assert(posSeq == want,
+      "plain-rewrite fold must preserve row multiplicity exactly")
+  }
+
   test("a compaction swap interrupted in either crash window recovers: " +
       "the log survives intact and further compaction works") {
     val docs = corpus.toDF("doc_id", "text")
