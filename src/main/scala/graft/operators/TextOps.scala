@@ -446,6 +446,39 @@ object TextOps {
     trim(regexp_replace(unescaped, "\\s+", " "))
   }
 
+  /** `href="…"` values of `<a>` tags, in document order — the link-
+    * extraction half of the crawl loop (extract → canonicalize → host
+    * graph → rank). Script/style/comment blocks strip FIRST with the
+    * [[stripMarkup]] patterns, so an anchor quoted inside a script
+    * literal or commented out never mints an edge — the same ordering
+    * contract as text extraction, and the honest one: a browser never
+    * follows those either. The href pattern stays in the Java/RE2
+    * common subset (no lookaround) so the DuckDB twin replays it
+    * verbatim. Row-local codegen'd string work; no shuffle, no UDF.
+    */
+  def extractHrefs(html: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(
+        regexp_replace(html, scriptBlockPattern, " "),
+        styleBlockPattern, " "),
+      commentPattern, " ")
+    regexp_extract_all(noBlocks, lit(hrefPattern), lit(1))
+  }
+
+  /** An `<a>` tag's double-quoted href value (group 1): `[^>]*` keeps
+    * the scan inside one tag, `\s` requires a real attribute boundary.
+    */
+  val hrefPattern = "<[Aa][^>]*\\shref=\"([^\"]*)\""
+
+  /** The host (incl. port, as written) of a `scheme://host…` URL — NULL
+    * for strings [[urlPattern]] rejects. Composes with [[canonicalUrl]]
+    * output, whose host is already lowercased/de-www'd/de-ported.
+    */
+  def urlHost(url: Column): Column = {
+    val h = regexp_extract(trim(url), urlPattern, 2)
+    when(h === "", lit(null).cast("string")).otherwise(h)
+  }
+
   // ---- canonical URL normalization. Web-scraped corpora dedup by URL
   // before any content pass (the same page is fetched under dozens of
   // surface forms); the canonical form fixes the variance that never

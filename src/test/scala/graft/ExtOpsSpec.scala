@@ -669,6 +669,36 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(out == "x 1 < 2 and 3 > 1 y", out)
   }
 
+  test("extractHrefs: anchors extract in document order; script/style/" +
+      "comment decoys never mint a link; non-anchor hrefs are ignored") {
+    val html =
+      """<html><body><a href="http://a.com/1">one</a>
+        |<script>var u = '<a href="http://decoy.invalid/js">x</a>';</script>
+        |<!-- <a href="http://decoy.invalid/c">old</a> -->
+        |<style>/* <a href="http://decoy.invalid/s">z</a> */</style>
+        |<link href="http://decoy.invalid/css" rel="stylesheet">
+        |<p>x < 1</p><A CLASS="k" href="https://b.com/2?q=1">two</A>
+        |<a name="anchor-without-href">none</a></body></html>"""
+        .stripMargin
+    val out = Seq(html).toDF("h")
+      .select(TextOps.extractHrefs(col("h"))).head
+      .getSeq[String](0)
+    assert(out == Seq("http://a.com/1", "https://b.com/2?q=1"), out)
+  }
+
+  test("urlHost: the host of a scheme://host URL, NULL otherwise — " +
+      "composes with canonicalUrl into the host-graph edge key") {
+    val rows = Seq("https://sub.example3.com/p/9?r=1",
+        "http://h:8080/x", "not a url")
+      .toDF("u").select(TextOps.urlHost(col("u"))).collect()
+    assert(rows(0).getString(0) == "sub.example3.com")
+    assert(rows(1).getString(0) == "h:8080")
+    assert(rows(2).isNullAt(0))
+    val viaCanon = Seq("HTTP://WWW.Sub.Example3.COM:80/p/9#f").toDF("u")
+      .select(TextOps.urlHost(TextOps.canonicalUrl(col("u")))).head
+    assert(viaCanon.getString(0) == "sub.example3.com")
+  }
+
   test("canonicalUrl: case, www, default port, slash, tracking, order, fragment") {
     def canon(u: String) = Seq(u).toDF("u")
       .select(TextOps.canonicalUrl(col("u"))).head

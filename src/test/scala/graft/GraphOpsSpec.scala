@@ -120,4 +120,26 @@ class GraphOpsSpec extends AnyFunSuite {
       GraphOps.pageRankMicro(edges, 1, dampBps = 10001L)
     }
   }
+
+  test("rank arithmetic past the decimal envelope fails LOUDLY instead " +
+      "of letting sum() skip NULL contributions (advisor r17)") {
+    import org.apache.spark.sql.functions._
+    // decimal edge weights beyond the long range push the kernel out of
+    // its documented envelope. Under the session default (ANSI on,
+    // Spark 4) the arithmetic itself must error; under a non-ANSI
+    // deployment the NULL-contribution raise_error guard fires instead.
+    // Either way: LOUD, never a silently underreported rank mass.
+    val w38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+      .withColumn("w", lit(new java.math.BigDecimal("1e30")).cast(w38))
+    val ex = intercept[Throwable] {
+      GraphOps.pageRankMicro(edges, 1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(m =>
+        m.contains("envelope") || m.contains("OVERFLOW")),
+      s"expected a loud overflow failure, got: ${messages(ex)}")
+  }
 }

@@ -142,6 +142,85 @@ class PostingsStreamSpec extends AnyFunSuite {
     assert(afterFold == wantTf)
   }
 
+  test("deleteBatch: tombstoned docs vanish from tf/dl/pos reads — the " +
+      "merged state equals a rebuild without them (N/avgdl included); " +
+      "replay is a no-op; compact applies the exclusion physically and " +
+      "retires the del sub-log") {
+    val docs = corpus.toDF("doc_id", "text")
+    val store = freshStore("postings-delete")
+    (0L to 2L).foreach { k =>
+      PostingsStream.applyBatch(
+        docs.filter(pmod(col("doc_id"), lit(3)) === k), store, k,
+        withPositions = true)
+    }
+    // retract docs 0 (content) and 3 (a zero-term doc — the case
+    // negative-count tombstones cannot cancel: its dl row is already 0)
+    PostingsStream.deleteBatch(Seq(0L, 3L).toDF("doc_id"), store, 0L)
+    val kept = docs.filter(!col("doc_id").isin(0L, 3L))
+    def tfSet = PostingsStream.readTf(spark, store).get.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    def dlSet = PostingsStream.readDl(spark, store).get.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def posSeq = PostingsStream.readPos(spark, store).get.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val wantTf = RetrievalOps.termCounts(kept, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val wantDl = RetrievalOps.docLengths(kept, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantPos = RetrievalOps.positionalPostings(kept).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(tfSet == wantTf && dlSet == wantDl && posSeq == wantPos)
+    assert(!dlSet.exists(_._1 == 3L),
+      "a deleted zero-term doc must drop its dl row (N would count it)")
+    PostingsStream.deleteBatch(Seq(0L, 3L).toDF("doc_id"), store, 0L)
+    assert(tfSet == wantTf && dlSet == wantDl, "replay must be a no-op")
+    PostingsStream.compact(spark, store)
+    assert(tfSet == wantTf && dlSet == wantDl && posSeq == wantPos,
+      "compaction must preserve the post-delete state")
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$store/del")),
+      "compact must retire the applied tombstones")
+    // physical purge: the folded parquet itself carries no tombstoned
+    // rows (the del log is gone, so an anti-join can no longer hide any)
+    val raw = spark.read.parquet(s"$store/tf").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(!raw.contains(0L), "fold must purge deleted postings")
+  }
+
+  test("applyBatch finishes an interrupted compaction swap BEFORE " +
+      "writing (advisor r17): a post-crash replayed batch must not " +
+      "orphan the complete pre-crash log in dir.next") {
+    val docs = corpus.toDF("doc_id", "text")
+    val store = freshStore("postings-crash-apply")
+    (0L to 1L).foreach { k =>
+      PostingsStream.applyBatch(
+        docs.filter(pmod(col("doc_id"), lit(3)) === k), store, k)
+    }
+    PostingsStream.compact(spark, store) // one folded partition per log
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    // crash window 1 on BOTH counter logs: dir gone, fold only in .next
+    Seq("tf", "dl").foreach { sub =>
+      assert(fs.rename(path(s"$store/$sub"), path(s"$store/$sub.next")))
+    }
+    // the restarted stream's first act is a WRITE (its pending batch)
+    PostingsStream.applyBatch(
+      docs.filter(pmod(col("doc_id"), lit(3)) === 2), store, 2L)
+    val tfSet = PostingsStream.readTf(spark, store).get.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val wantTf = RetrievalOps.termCounts(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(tfSet == wantTf,
+      "the pre-crash log must survive a write-before-read restart")
+    // and a follow-up compaction must not destroy anything either
+    PostingsStream.compact(spark, store)
+    val after = PostingsStream.readTf(spark, store).get.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(after == wantTf)
+  }
+
   test("bm25 from state equals the one-pass scores on a corpus WITH " +
       "degenerate docs (N and avgdl include them)") {
     val docs = corpus.toDF("doc_id", "text")

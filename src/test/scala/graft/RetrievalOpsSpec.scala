@@ -135,6 +135,19 @@ class RetrievalOpsSpec extends AnyFunSuite {
       RetrievalOps.bm25RanksFromState(tf2, dl2, docs, qids, 3)) == want)
   }
 
+  test("corpusTag: the memo key survives a basename collision (advisor " +
+      "r17) and is stable for one canonical path") {
+    val a = RetrievalOps.corpusTag("docs", "/tmp/fixture-a/data")
+    val b = RetrievalOps.corpusTag("docs", "/tmp/fixture-b/data")
+    assert(a != b,
+      "same basename under different parents must not share a tag")
+    assert(a == RetrievalOps.corpusTag("docs", "/tmp/fixture-a/data"))
+    // lexical normalization folds into the canonical path, so surface
+    // spellings of ONE directory do share the staged state
+    assert(a == RetrievalOps.corpusTag("docs", "/tmp/./fixture-a//data"))
+    assert(a.startsWith("docs-") && a.matches("docs-[0-9a-f]{16}"))
+  }
+
   test("phraseOccurrences: positional AND sees ADJACENCY, not bigram " +
       "co-occurrence; repeated true occurrences count; order matters") {
     val docs = Seq[(Long, String)](
