@@ -1139,6 +1139,49 @@ object Ext4Queries {
         .orderBy("qid", "vec_id")
     }),
 
+    // ---- deletion on the COUNTER surface — the last maintained store
+    // a retracted document lingered in (judge r17 #2's list: tf/dl/pos
+    // x134, ANN x134c, sketches HERE): the token stream arrives in
+    // three waves through SketchStream's count-min log, every
+    // doc_id % 7 == 3 document's tokens are then retracted through ONE
+    // NEGATED-counter batch (SketchStream.deleteBatch — counter
+    // addition is exact, so cancellation is exact; its scaladoc has why
+    // negative counters are the right shape here and an id-exclusion
+    // list is the right shape for tf/dl), and the x39 hot-token table
+    // over the SURVIVING corpus must hash-match a sketch rebuilt
+    // without those docs — estimates and exact counts both. HLL is
+    // deliberately NOT given this row: max-merge registers are not
+    // invertible (the scaladoc says so), and an honest engine documents
+    // the boundary instead of faking it.
+    "x136_sketch_delete" -> ((s, d) => {
+      import s.implicits._
+      import graft.operators.{SketchOps, StageIO, TextOps}
+      import graft.streaming.SketchStream
+      val docs = Tables.documents(s, d)
+      def toks(f: org.apache.spark.sql.DataFrame) =
+        f.select(explode(TextOps.tokens(col("text"))).as("tok"))
+      val store = StageIO.resolve(s, None, "x136-cms")
+      (0L to 2L).foreach { k =>
+        SketchStream.applyBatch(
+          toks(docs.filter(pmod(col("doc_id"), lit(3)) === k)),
+          "tok", store, k)
+      }
+      SketchStream.deleteBatch(
+        toks(docs.filter(pmod(col("doc_id"), lit(7)) === 3)),
+        "tok", store, 3L)
+      val kept = docs.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+      // the x39 shape on the survivors: bounded 20-row head collected
+      // once (referenced twice — probe side + join-back)
+      val top = toks(kept).groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(20)
+        .as[(String, Long)].collect().toSeq.toDF("tok", "cnt")
+      SketchOps.cmsEstimate(SketchStream.readSketch(s, store),
+          top.select("tok"), "tok")
+        .join(top, Seq("tok"))
+        .select(col("tok"), col("cnt"), col("est"))
+        .orderBy(col("cnt").desc, col("tok"))
+    }),
+
     // ---- PROXIMITY-weighted phrase BM25 (judge r17 #7) — the x124
     // integer BM25 RERANKED by x133's positional adjacency: every
     // in-order occurrence of the query's exact 3-token phrase adds
@@ -1716,6 +1759,37 @@ object Ext4Queries {
             FROM adc)
           WHERE rn <= 5
           ORDER BY qid, vec_id""",
+
+    // x136: the x39 count-min replay (same md5 buckets, same 4×1024
+    // geometry) REBUILT over the surviving corpus — the engine must
+    // reach identical estimates from the tombstoned counter log.
+    "x136_sketch_delete" ->
+      """WITH toks AS (
+            SELECT unnest(t) AS tok
+            FROM (SELECT string_split(text, ' ') AS t FROM documents
+                  WHERE doc_id % 7 <> 3)),
+          top AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM toks GROUP BY tok
+            ORDER BY cnt DESC, tok LIMIT 20),
+          rws AS (SELECT unnest(range(0, 4)) AS r),
+          sk AS (
+            SELECT r, b, CAST(COUNT(*) AS BIGINT) AS c FROM (
+              SELECT rws.r,
+                     CAST('0x' || substr(md5(tok || ':'
+                       || CAST(rws.r AS VARCHAR)), 1, 15) AS BIGINT)
+                       % 1024 AS b
+              FROM toks, rws)
+            GROUP BY r, b),
+          keyed AS (
+            SELECT t.tok, t.cnt, rws.r,
+                   CAST('0x' || substr(md5(t.tok || ':'
+                     || CAST(rws.r AS VARCHAR)), 1, 15) AS BIGINT)
+                     % 1024 AS b
+            FROM top t, rws)
+          SELECT k.tok, k.cnt, CAST(MIN(coalesce(s.c, 0)) AS BIGINT) AS est
+          FROM keyed k LEFT JOIN sk s ON s.r = k.r AND s.b = k.b
+          GROUP BY k.tok, k.cnt ORDER BY cnt DESC, tok""",
 
     // x135: x124's pairs CTE + x133's positional-AND CTEs, combined by
     // the same left join and the same integer boost constant

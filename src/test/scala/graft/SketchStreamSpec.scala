@@ -150,4 +150,36 @@ class SketchStreamSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(est == Map("g" -> 2L, "h" -> 1L))
   }
+
+  test("deleteBatch cancels exactly: the merged log equals a rebuild " +
+      "without the retracted values, counter for counter; replay is a " +
+      "no-op; compact folds the tombstones physically") {
+    val base = java.nio.file.Files.createTempDirectory("sketch-del").toString
+    val store = s"$base/sketch"
+    // wave 0 and wave 1, then retract wave 1's exact multiset
+    val w0 = Seq("a", "a", "b", "c").toDF("tok")
+    val w1 = Seq("a", "c", "c", "d").toDF("tok")
+    SketchStream.applyBatch(w0, "tok", store, 0L)
+    SketchStream.applyBatch(w1, "tok", store, 1L)
+    SketchStream.deleteBatch(w1, "tok", store, 2L)
+    val want = counters(SketchOps.cmsSketch(w0, "tok"))
+    assert(counters(SketchStream.readSketch(spark, store)) == want,
+      "tombstoned log must equal the survivor-only build exactly " +
+        "(zero-sum buckets dropped)")
+    // 'd' existed only in the retracted wave: its estimate must fall to
+    // whatever bucket collisions leave (0 here at 4x1024 on 4 keys)
+    val est = SketchOps.cmsEstimate(SketchStream.readSketch(spark, store),
+        Seq("a", "d").toDF("tok"), "tok")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == Map("a" -> 2L, "d" -> 0L))
+    SketchStream.deleteBatch(w1, "tok", store, 2L) // replay: overwrite-keyed
+    assert(counters(SketchStream.readSketch(spark, store)) == want)
+    SketchStream.compact(spark, store)
+    assert(counters(SketchStream.readSketch(spark, store)) == want,
+      "compact's sum-fold must cancel tombstones physically")
+    // the folded partition itself carries no negative or zero counters
+    val raw = spark.read.parquet(store).select("cnt")
+      .collect().map(_.getLong(0))
+    assert(raw.nonEmpty && raw.forall(_ > 0L))
+  }
 }
