@@ -461,6 +461,15 @@ object Ext4Queries {
     * and fusion_ok = false rather than NULL (advisor r17), in lockstep
     * with the twin — a gate must emit a verdict, and "no query
     * evidence" is a failing one.
+    *
+    * Budget sizing (measured, SCALE.md r18): the sample buys WALL, the
+    * budget buys VERDICT CONFIDENCE — a 30-entry census has binomial
+    * σ ≈ 0.09, so when the true overlap sits near the 60% floor (0.63
+    * at sf0.1) a 10-query sample's verdict is a coin flip (it read
+    * 0.5667 = FAIL there, honestly reported). Production rule: choose
+    * the residue so n_exact ≥ ~(3/margin)² census entries; at 10×
+    * the same 10-query budget reads TRUE with ≫10σ room because the
+    * better-trained quantizer pushes true overlap to ~1.0.
     */
   def fusionOverlapGate(s: org.apache.spark.sql.SparkSession, d: String,
       sampleMod: Option[Long]): org.apache.spark.sql.DataFrame = {
