@@ -447,6 +447,38 @@ object Ext4Queries {
     */
   private val proximityBoostBps = 2500L
 
+  /** The x135 family's rerank tail — ONE definition so the one-pass row
+    * (x135) and the from-log row (x135b) can never desynchronize:
+    * BM25 pairs left-join the phrase occurrences, each occurrence adds
+    * [[proximityBoostBps]], and the per-query top-3 recomputes under
+    * (prox_bp desc, doc_id) through the bounded TopKByScore heap. The
+    * combined frame stages once (it is referenced by the heap pass and
+    * the component join-back).
+    */
+  private def proxRerank(s: org.apache.spark.sql.SparkSession,
+      pairs: org.apache.spark.sql.DataFrame,
+      occ: org.apache.spark.sql.DataFrame, tag: String)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.functions.AggExprs
+    val xstage = graft.operators.StageIO.resolve(s, None, tag)
+    pairs.join(occ, Seq("q_id", "doc_id"), "left")
+      .select(col("q_id"), col("doc_id"), col("score_bp"),
+        coalesce(col("n_occurrences"), lit(0L)).as("n_occ"))
+      .withColumn("prox_bp",
+        col("score_bp") + lit(proximityBoostBps) * col("n_occ"))
+      .write.mode("overwrite").parquet(xstage)
+    val prox = s.read.parquet(xstage)
+    prox.groupBy("q_id")
+      .agg(AggExprs.topKByScore(col("prox_bp").cast("double"),
+        col("doc_id"), 3).as("_tk"))
+      .select(col("q_id"), explode(col("_tk")).as("_e"))
+      .select(col("q_id"), col("_e.id").as("doc_id"))
+      .join(prox, Seq("q_id", "doc_id"))
+      .select(col("q_id"), col("doc_id"), col("score_bp"),
+        col("n_occ"), col("prox_bp"))
+      .orderBy(col("q_id"), col("prox_bp").desc, col("doc_id"))
+  }
+
   /** The fusion-overlap-gate composite behind x126c/x126d, public so the
     * scale probe ([[graft.ProbeFusion]]) measures the identical pipeline
     * (the mrrGate discipline): both fused top-3 sets — exact brute-force
@@ -1148,6 +1180,42 @@ object Ext4Queries {
         .orderBy("qid", "vec_id")
     }),
 
+    // ---- the proximity reranker ENTIRELY off the resident store (the
+    // x124b/x133b discipline on the x135 composite): the corpus arrives
+    // in three doc-disjoint waves through PostingsStream with
+    // withPositions = true, and BOTH inputs of the proximity rerank —
+    // the BM25 tf/dl pair AND the positional index — read from the
+    // maintained log; nothing re-tokenizes the corpus. Results
+    // hash-match x135 exactly (shared oracle): sum-merged tf/dl equal
+    // the one-pass postings (x124b), the positional union IS the
+    // one-pass index (x133b), and the rerank arithmetic is shared, so
+    // the resident form is invisible in the output — which is the
+    // point. This is the shape a deployment actually runs: ingest
+    // maintains one store, retrieval (lexical + positional + fusion)
+    // fans off it.
+    "x135b_prox_from_postings" -> ((s, d) => {
+      import graft.operators.{RetrievalOps, StageIO}
+      import graft.streaming.PostingsStream
+      val docs = Tables.documents(s, d)
+      val store = StageIO.resolve(s, None, "x135b-store")
+      (0L to 2L).foreach { k =>
+        PostingsStream.applyBatch(
+          docs.filter(pmod(col("doc_id"), lit(3)) === k), store, k,
+          withPositions = true)
+      }
+      val tf = PostingsStream.readTf(s, store)
+        .getOrElse(sys.error("x135b: empty tf log"))
+      val dl = PostingsStream.readDl(s, store)
+        .getOrElse(sys.error("x135b: empty dl log"))
+      val pos = PostingsStream.readPos(s, store)
+        .getOrElse(sys.error("x135b: empty positions log"))
+      val qids = docs.filter(pmod(col("doc_id"), lit(101)) === 0)
+        .select(col("doc_id").as("q_id"))
+      val pairs = RetrievalOps.bm25PairScoresFromState(tf, dl, docs, qids)
+      val occ = RetrievalOps.phraseOccurrences(pos, phraseFrame(docs))
+      proxRerank(s, pairs, occ, "x135b-prox")
+    }),
+
     // ---- deletion on the COUNTER surface — the last maintained store
     // a retracted document lingered in (judge r17 #2's list: tf/dl/pos
     // x134, ANN x134c, sketches HERE): the token stream arrives in
@@ -1204,7 +1272,6 @@ object Ext4Queries {
     // the boost is exact integer arithmetic; the reranked top-3 runs
     // through the same bounded TopKByScore heap.
     "x135_bm25_phrase_prox" -> ((s, d) => {
-      import graft.functions.AggExprs
       import graft.operators.{RetrievalOps, StageIO}
       val docs = Tables.documents(s, d)
       val qids = docs.filter(pmod(col("doc_id"), lit(101)) === 0)
@@ -1217,23 +1284,7 @@ object Ext4Queries {
         .write.mode("overwrite").parquet(pstage)
       val occ = RetrievalOps.phraseOccurrences(s.read.parquet(pstage),
         phraseFrame(docs))
-      val xstage = StageIO.resolve(s, None, "x135-prox")
-      pairs.join(occ, Seq("q_id", "doc_id"), "left")
-        .select(col("q_id"), col("doc_id"), col("score_bp"),
-          coalesce(col("n_occurrences"), lit(0L)).as("n_occ"))
-        .withColumn("prox_bp",
-          col("score_bp") + lit(proximityBoostBps) * col("n_occ"))
-        .write.mode("overwrite").parquet(xstage)
-      val prox = s.read.parquet(xstage)
-      prox.groupBy("q_id")
-        .agg(AggExprs.topKByScore(col("prox_bp").cast("double"),
-          col("doc_id"), 3).as("_tk"))
-        .select(col("q_id"), explode(col("_tk")).as("_e"))
-        .select(col("q_id"), col("_e.id").as("doc_id"))
-        .join(prox, Seq("q_id", "doc_id"))
-        .select(col("q_id"), col("doc_id"), col("score_bp"),
-          col("n_occ"), col("prox_bp"))
-        .orderBy(col("q_id"), col("prox_bp").desc, col("doc_id"))
+      proxRerank(s, pairs, occ, "x135-prox")
     }),
 
     // ---- host-graph PageRank — the crawl-prioritization / domain-
@@ -1314,6 +1365,41 @@ object Ext4Queries {
         .orderBy(col("lift_bp").desc, col("w1"), col("w2"))
     })
   )
+
+  /** The DuckDB replay of [[proxRerank]] over the one-pass inputs —
+    * shared by x135 and x135b (the from-log form is result-invisible by
+    * the x124b/x133b merge contracts).
+    */
+  private def proxSql: String =
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+          $bm25PairsCte,
+          tt AS (SELECT doc_id, $mdToksNE AS tt FROM corpus),
+          pos AS (SELECT doc_id, unnest(tt) AS tok,
+                         unnest(range(len(tt))) AS pos
+                  FROM tt),
+          ph AS (SELECT doc_id AS q_id, unnest(tt[1:3]) AS tok,
+                        unnest(range(3)) AS off
+                 FROM tt WHERE doc_id % 101 = 0 AND len(tt) >= 3),
+          m AS (SELECT ph.q_id, p.doc_id, p.pos - ph.off AS anchor,
+                       COUNT(*) AS nhit
+                FROM pos p JOIN ph USING (tok) WHERE p.doc_id <> ph.q_id
+                GROUP BY 1, 2, 3),
+          occ AS (SELECT q_id, doc_id,
+                         CAST(COUNT(*) AS BIGINT) AS n_occ
+                  FROM m WHERE nhit = 3 GROUP BY q_id, doc_id),
+          prox AS (
+            SELECT p.q_id, p.doc_id, p.score_bp,
+                   coalesce(o.n_occ, 0) AS n_occ,
+                   p.score_bp + $proximityBoostBps * coalesce(o.n_occ, 0)
+                     AS prox_bp
+            FROM pairs p LEFT JOIN occ o
+              ON p.q_id = o.q_id AND p.doc_id = o.doc_id)
+          SELECT q_id, doc_id, score_bp, n_occ, prox_bp FROM (
+            SELECT q_id, doc_id, score_bp, n_occ, prox_bp,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY prox_bp DESC, doc_id) AS rk
+            FROM prox)
+          WHERE rk <= 3 ORDER BY q_id, prox_bp DESC, doc_id"""
 
   val oracles: Map[String, String] = Map(
 
@@ -1800,40 +1886,17 @@ object Ext4Queries {
           FROM keyed k LEFT JOIN sk s ON s.r = k.r AND s.b = k.b
           GROUP BY k.tok, k.cnt ORDER BY cnt DESC, tok""",
 
+    // x135b's oracle IS x135's: the rerank from the maintained tf/dl +
+    // positional logs must reproduce the one-pass rerank exactly
+    // (x124b count mergeability + x133b positional union, composed).
+    "x135b_prox_from_postings" -> proxSql,
+
     // x135: x124's pairs CTE + x133's positional-AND CTEs, combined by
     // the same left join and the same integer boost constant
     // (proximityBoostBps lockstep), reranked under (prox_bp desc,
     // doc_id).
-    "x135_bm25_phrase_prox" ->
-      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
-          $bm25PairsCte,
-          tt AS (SELECT doc_id, $mdToksNE AS tt FROM corpus),
-          pos AS (SELECT doc_id, unnest(tt) AS tok,
-                         unnest(range(len(tt))) AS pos
-                  FROM tt),
-          ph AS (SELECT doc_id AS q_id, unnest(tt[1:3]) AS tok,
-                        unnest(range(3)) AS off
-                 FROM tt WHERE doc_id % 101 = 0 AND len(tt) >= 3),
-          m AS (SELECT ph.q_id, p.doc_id, p.pos - ph.off AS anchor,
-                       COUNT(*) AS nhit
-                FROM pos p JOIN ph USING (tok) WHERE p.doc_id <> ph.q_id
-                GROUP BY 1, 2, 3),
-          occ AS (SELECT q_id, doc_id,
-                         CAST(COUNT(*) AS BIGINT) AS n_occ
-                  FROM m WHERE nhit = 3 GROUP BY q_id, doc_id),
-          prox AS (
-            SELECT p.q_id, p.doc_id, p.score_bp,
-                   coalesce(o.n_occ, 0) AS n_occ,
-                   p.score_bp + $proximityBoostBps * coalesce(o.n_occ, 0)
-                     AS prox_bp
-            FROM pairs p LEFT JOIN occ o
-              ON p.q_id = o.q_id AND p.doc_id = o.doc_id)
-          SELECT q_id, doc_id, score_bp, n_occ, prox_bp FROM (
-            SELECT q_id, doc_id, score_bp, n_occ, prox_bp,
-                   row_number() OVER (PARTITION BY q_id
-                     ORDER BY prox_bp DESC, doc_id) AS rk
-            FROM prox)
-          WHERE rk <= 3 ORDER BY q_id, prox_bp DESC, doc_id""",
+    "x135_bm25_phrase_prox" -> proxSql,
+
 
     "x131_host_pagerank" ->
       s"""WITH $pagerankCtes
