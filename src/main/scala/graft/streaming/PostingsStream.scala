@@ -127,28 +127,15 @@ object PostingsStream {
       .exists(_.getPath.getName.startsWith("batch_id="))
   }
 
-  /** Finish a [[foldLog]] swap interrupted by a crash (advisor r16).
-    * The swap order is rename(dir → dir.old) → rename(dir.next → dir) →
-    * delete(dir.old), so at every instant the complete log exists under
-    * exactly one of `dir` / `dir.next`:
-    *   - `dir` missing with `dir.next` present ⇒ the crash hit between
-    *     the two renames and the FOLD is the complete copy — finish the
-    *     swap by renaming it into place;
-    *   - `dir` present ⇒ it is authoritative (the fold only renames it
-    *     aside after `.next` is fully written); a stray `dir.old` from a
-    *     crash before the final delete is dropped. A partial `dir.next`
-    *     next to a live `dir` is left alone here — the next [[foldLog]]
-    *     deletes and rewrites it (readers never look at `.next`).
+  /** Finish a [[foldLog]] swap interrupted by a crash (advisor r16) —
+    * the rename-aside discipline, hoisted to
+    * [[graft.operators.SwapStore]] in r19 so the hardened stores
+    * (AnnIndex/IngestPipeline/DeltaManifest) and this log share ONE
+    * implementation; see its scaladoc for the invariant.
     */
   private def repair(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val next = new org.apache.hadoop.fs.Path(dir + ".next")
-    val old = new org.apache.hadoop.fs.Path(dir + ".old")
-    if (!fs.exists(p) && fs.exists(next))
-      require(fs.rename(next, p), s"compaction repair failed: $next -> $p")
-    if (fs.exists(p) && fs.exists(old)) fs.delete(old, true)
-  }
+      dir: String): Unit =
+    graft.operators.SwapStore.repair(fs, dir)
 
   /** The merged postings — `(doc_id, tok, tf)` summed over every
     * committed batch, or None before the first commit. Sum-merge equals
@@ -226,8 +213,6 @@ object PostingsStream {
   private def foldLog(spark: SparkSession, dir: String,
       keys: Seq[String], valueCol: String,
       excl: Option[DataFrame] = None): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!hasBatches(spark, dir)) return // hasBatches repairs a crashed swap
     val all0 = spark.read.parquet(dir)
     if (all0.isEmpty) return
@@ -239,17 +224,12 @@ object PostingsStream {
       if (keys.isEmpty) all.drop("batch_id")
       else all.groupBy(keys.map(col): _*)
         .agg(sum(valueCol).cast("long").as(valueCol))
-    val next = new org.apache.hadoop.fs.Path(dir + ".next")
-    val old = new org.apache.hadoop.fs.Path(dir + ".old")
-    if (fs.exists(next)) fs.delete(next, true)
-    folded.write.mode("overwrite").parquet(s"$next/batch_id=$maxId")
-    // crash-safe swap (advisor r16): the live dir is renamed ASIDE, never
-    // deleted before its replacement is in place — a crash anywhere in
-    // this sequence leaves the complete log under exactly one of
-    // dir / dir.next, and [[repair]] finishes the swap on the next read.
-    if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(p, old), s"compaction swap failed: $p -> $old")
-    require(fs.rename(next, p), s"compaction swap failed: $next -> $p")
-    fs.delete(old, true)
+    // crash-safe rename-aside swap (advisor r16; the shared
+    // [[graft.operators.SwapStore]] discipline since r19): the live dir
+    // is never deleted before its replacement is in place, and [[repair]]
+    // finishes an interrupted swap on the next read.
+    graft.operators.SwapStore.replace(spark, dir) { next =>
+      folded.write.mode("overwrite").parquet(s"$next/batch_id=$maxId")
+    }
   }
 }
