@@ -287,6 +287,34 @@ class TakedownSpec extends AnyFunSuite {
         "bit for bit")
   }
 
+  // ---- quantile log through the facade ----
+
+  test("TakedownOps.retract fans to the quantile-sketch log at the " +
+      "log's own pinned resolution — the merged sketch equals a " +
+      "survivor rebuild counter for counter") {
+    import graft.operators.SketchOps
+    import graft.streaming.QuantileStream
+    val docs = mkDocs((1L to 24L).map(i =>
+      (i, body(i.toInt), if (i % 3 == 0) "zh" else "en", "src1")))
+    val store = graft.operators.StageIO.resolve(spark, None, "takedown-q")
+    (0L to 1L).foreach { w =>
+      QuantileStream.applyBatch(docs.filter(pmod(col("doc_id"), lit(2)) === w),
+        Seq("lang"), "n_chars", store, w, bucketBits = 10)
+    }
+    TakedownOps.retract(docs.filter(pmod(col("doc_id"), lit(7)) === 3), 2L,
+      TakedownTargets(quantileStore = Some(store),
+        quantileGroupCols = Seq("lang"), quantileScoreCol = "n_chars"))
+    val kept = docs.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] =
+      df.select(col("lang"), col("qb").cast("long"), col("cnt").cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    assert(rows(QuantileStream.readSketch(spark, store)) ==
+      rows(SketchOps.quantileSketch(kept, Seq("lang"), "n_chars", 10)),
+      "the tombstoned log must read as a survivor-only sketch at the " +
+        "pinned resolution")
+  }
+
   // ---- MediaDedupStream deletion ----
 
   test("MediaDedupStream.deleteBatch: a retracted asset's hash stops " +
