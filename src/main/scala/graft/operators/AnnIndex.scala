@@ -53,14 +53,22 @@ object AnnIndex {
   private def geomPath(base: String) =
     new org.apache.hadoop.fs.Path(base, "_geometry")
 
+  /** Atomic (the CounterLog.writeGeometry discipline): bytes land in a
+    * tmp sidecar and RENAME into place, so a crash mid-write can never
+    * leave a torn `_geometry` that poisons every later read.
+    */
   private def writeGeometry(spark: SparkSession, base: String,
       kv: Seq[(String, Int)]): Unit = {
     val p = geomPath(base)
+    val tmp = new org.apache.hadoop.fs.Path(base,
+      s"._geometry.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
+    val out = fs.create(tmp, true)
     try out.write(kv.map { case (k, v) => s"$k=$v" }.mkString(" ")
       .getBytes("UTF-8"))
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false) // same-content replace only
+    if (!fs.rename(tmp, p)) fs.delete(tmp, false)
   }
 
   private def readGeometry(spark: SparkSession, base: String): Map[String, Int] = {
@@ -132,16 +140,31 @@ object AnnIndex {
       vecCol: String, base: String, kCells: Int, m: Int, kCodewords: Int,
       kmSeed: Long = 42L, pqIters: Int = 2,
       residual: Boolean = false, attrs: Seq[String] = Nil): Unit = {
-    val cents = SimilarityOps.trainCentroids(seedEmb, vecCol, kCells, kmSeed)
-    cents.coalesce(1).write.mode("overwrite").parquet(centroidsDir(base))
-    val trainInput =
-      if (!residual) seedEmb.select(col(idCol), col(vecCol))
-      else assignCells(seedEmb, idCol, vecCol, cents)
+    if (!residual)
+      // raw mode: the coarse quantizer's KMeans and the PQ codebook's
+      // Lloyd's both train on the seed alone — two independent
+      // driver-looped jobs, overlapped from threads (optimization guide
+      // §2.6). Both trainings are deterministic, so the written
+      // artifacts are byte-identical to the sequential build.
+      Par.run(
+        () => SimilarityOps.trainCentroids(seedEmb, vecCol, kCells, kmSeed)
+          .coalesce(1).write.mode("overwrite").parquet(centroidsDir(base)),
+        () => PqOps.pqTrain(seedEmb.select(col(idCol), col(vecCol)),
+            idCol, vecCol, m, kCodewords, pqIters)
+          .coalesce(1).write.mode("overwrite").parquet(codebookDir(base)))
+    else {
+      // residual mode trains the codebook on v − centroid(cell), so the
+      // codebook fit DEPENDS on the centroid fit — sequential.
+      val cents = SimilarityOps.trainCentroids(seedEmb, vecCol, kCells,
+        kmSeed)
+      cents.coalesce(1).write.mode("overwrite").parquet(centroidsDir(base))
+      val trainInput = assignCells(seedEmb, idCol, vecCol, cents)
         .join(broadcast(cellCents(cents)), Seq("cell"))
         .withColumn(vecCol, residualOf(col(vecCol), col("cv")))
         .select(col(idCol), col(vecCol))
-    PqOps.pqTrain(trainInput, idCol, vecCol, m, kCodewords, pqIters)
-      .coalesce(1).write.mode("overwrite").parquet(codebookDir(base))
+      PqOps.pqTrain(trainInput, idCol, vecCol, m, kCodewords, pqIters)
+        .coalesce(1).write.mode("overwrite").parquet(codebookDir(base))
+    }
     writeGeometry(spark, base,
       Seq("m" -> m, "kCells" -> kCells, "kCodewords" -> kCodewords,
         "residual" -> (if (residual) 1 else 0)))

@@ -101,60 +101,79 @@ object TakedownOps {
     val spark = docs.sparkSession
     val ids = docs.select("doc_id")
 
+    // every configured target owns a DISJOINT store, so the per-store
+    // tombstone writes are mutually independent — they run concurrently
+    // ([[Par]], optimization guide §2.6) instead of serializing a dozen
+    // small jobs on the driver. Store contents are unchanged: each
+    // branch is byte-for-byte the sequential call it replaces.
+    val arms = Seq.newBuilder[() => Unit]
+
     targets.postingsStore.foreach { store =>
-      graft.streaming.PostingsStream.deleteBatch(ids, store, batchId)
+      arms += (() =>
+        graft.streaming.PostingsStream.deleteBatch(ids, store, batchId))
     }
     targets.annBase.foreach { base =>
-      AnnIndex.deleteBatch(spark,
+      arms += (() => AnnIndex.deleteBatch(spark,
         docs.select(col("doc_id").as(targets.annIdCol)),
-        targets.annIdCol, base, batchId)
+        targets.annIdCol, base, batchId))
     }
     targets.tokenCmsStore.foreach { store =>
-      val (d, w) = graft.streaming.SketchStream.geometry(spark, store)
-        .getOrElse((4, 1024))
-      graft.streaming.SketchStream.deleteBatch(
-        docs.select(explode(TextOps.tokens(col("text"))).as("tok")),
-        "tok", store, batchId, d, w)
+      arms += { () =>
+        val (d, w) = graft.streaming.SketchStream.geometry(spark, store)
+          .getOrElse((4, 1024))
+        graft.streaming.SketchStream.deleteBatch(
+          docs.select(explode(TextOps.tokens(col("text"))).as("tok")),
+          "tok", store, batchId, d, w)
+      }
     }
     targets.ngramStore.foreach { store =>
-      graft.streaming.NgramStream.deleteBatch(docs, "text", store,
-        batchId, targets.ngramMaxOrder)
+      arms += (() => graft.streaming.NgramStream.deleteBatch(docs, "text",
+        store, batchId, targets.ngramMaxOrder))
     }
     targets.paragraphStore.foreach { store =>
-      graft.streaming.ParagraphStream.deleteBatch(ids, store, batchId)
+      arms += (() =>
+        graft.streaming.ParagraphStream.deleteBatch(ids, store, batchId))
     }
     targets.ingestStateDir.foreach { stateDir =>
-      DeltaManifest.deleteBatch(docs, stateDir, batchId)
-      IngestPipeline.deleteSignatures(spark, ids, stateDir, batchId)
-      graft.streaming.ClusterStream.deleteBatch(ids,
-        IngestPipeline.labelsDir(stateDir))
-      val sketchDir = IngestPipeline.sketchDir(stateDir)
-      graft.streaming.SketchStream.geometry(spark, sketchDir)
-        .foreach { case (d, w) =>
-          graft.streaming.SketchStream.deleteBatch(
-            docs.select(explode(graft.functions.HashExprs.distinctShingles(
-              TextOps.tokens(col("text")))).as("shingle")),
-            "shingle", sketchDir, batchId, d, w)
-        }
+      // the four ingest-state stores are themselves disjoint sub-dirs
+      // (manifest log / signature log / cluster labels / shingle sketch)
+      arms += (() => DeltaManifest.deleteBatch(docs, stateDir, batchId))
+      arms += (() =>
+        IngestPipeline.deleteSignatures(spark, ids, stateDir, batchId))
+      arms += (() => graft.streaming.ClusterStream.deleteBatch(ids,
+        IngestPipeline.labelsDir(stateDir)))
+      arms += { () =>
+        val sketchDir = IngestPipeline.sketchDir(stateDir)
+        graft.streaming.SketchStream.geometry(spark, sketchDir)
+          .foreach { case (d, w) =>
+            graft.streaming.SketchStream.deleteBatch(
+              docs.select(explode(graft.functions.HashExprs.distinctShingles(
+                TextOps.tokens(col("text")))).as("shingle")),
+              "shingle", sketchDir, batchId, d, w)
+          }
+      }
     }
     targets.gramStore.foreach { store =>
-      graft.streaming.GramStream.deleteBatch(docs, targets.gramVecCol,
-        store, batchId)
+      arms += (() => graft.streaming.GramStream.deleteBatch(docs,
+        targets.gramVecCol, store, batchId))
     }
     targets.driftStore.foreach { store =>
-      graft.streaming.DriftStream.deleteBatch(docs, targets.driftKeyCol,
-        store, batchId)
+      arms += (() => graft.streaming.DriftStream.deleteBatch(docs,
+        targets.driftKeyCol, store, batchId))
     }
     targets.quantileStore.foreach { store =>
-      // the log's pinned resolution drives the negation — a takedown
-      // must never guess a bucketBits (mixed-resolution buckets merge
-      // into garbage; the QuantileStream geometry contract)
-      graft.streaming.QuantileStream.bucketBitsOf(spark, store)
-        .foreach { bits =>
-          graft.streaming.QuantileStream.deleteBatch(docs,
-            targets.quantileGroupCols, targets.quantileScoreCol, store,
-            batchId, bits)
-        }
+      arms += { () =>
+        // the log's pinned resolution drives the negation — a takedown
+        // must never guess a bucketBits (mixed-resolution buckets merge
+        // into garbage; the QuantileStream geometry contract)
+        graft.streaming.QuantileStream.bucketBitsOf(spark, store)
+          .foreach { bits =>
+            graft.streaming.QuantileStream.deleteBatch(docs,
+              targets.quantileGroupCols, targets.quantileScoreCol, store,
+              batchId, bits)
+          }
+      }
     }
+    Par.run(arms.result(): _*)
   }
 }

@@ -287,7 +287,9 @@ object Ext2Queries {
       import graft.streaming.GramStream
       val emb = Tables.embeddings(s, d)
       val store = StageIO.resolve(s, None, "x82d-gram")
-      (0L to 2L).foreach { w =>
+      // order-independent batch commits (counter-log contract) run
+      // concurrently -- guide §2.6 via graft.operators.Par.waves
+      graft.operators.Par.waves(0L to 2L) { w =>
         GramStream.applyBatch(
           emb.filter(pmod(col("vec_id"), lit(3)) === w),
           "embedding", store, w)
@@ -315,7 +317,9 @@ object Ext2Queries {
       import graft.streaming.GramStream
       val emb = Tables.embeddings(s, d)
       val store = StageIO.resolve(s, None, "x138-gram")
-      (0L to 2L).foreach { w =>
+      // order-independent batch commits (counter-log contract) run
+      // concurrently -- guide §2.6 via graft.operators.Par.waves
+      graft.operators.Par.waves(0L to 2L) { w =>
         GramStream.applyBatch(
           emb.filter(pmod(col("vec_id"), lit(3)) === w),
           "embedding", store, w)
@@ -634,7 +638,9 @@ object Ext2Queries {
       import graft.streaming.NgramStream
       val docs = Tables.documents(s, d)
       val store = StageIO.resolve(s, None, "x93b-lm")
-      (0L to 2L).foreach { k =>
+      // order-independent batch commits (counter-log contract) run
+      // concurrently -- guide §2.6 via graft.operators.Par.waves
+      graft.operators.Par.waves(0L to 2L) { k =>
         NgramStream.applyBatch(
           docs.filter(pmod(col("doc_id"), lit(6)) === k * 2),
           "text", store, k)
@@ -660,7 +666,9 @@ object Ext2Queries {
       import graft.streaming.NgramStream
       val docs = Tables.documents(s, d)
       val store = StageIO.resolve(s, None, "x137-lm")
-      (0L to 2L).foreach { k =>
+      // order-independent batch commits (counter-log contract) run
+      // concurrently -- guide §2.6 via graft.operators.Par.waves
+      graft.operators.Par.waves(0L to 2L) { k =>
         NgramStream.applyBatch(
           docs.filter(pmod(col("doc_id"), lit(6)) === k * 2),
           "text", store, k)

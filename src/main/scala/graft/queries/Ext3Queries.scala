@@ -514,7 +514,9 @@ object Ext3Queries {
       val docs = Tables.documents(s, d)
       val pieces = s.read.parquet(x122Build(s, d))
       val store = graft.operators.StageIO.resolve(s, None, "x122c-log")
-      (0L to 2L).foreach { k =>
+      // order-independent batch commits (counter-log contract) run
+      // concurrently -- guide §2.6 via graft.operators.Par.waves
+      graft.operators.Par.waves(0L to 2L) { k =>
         UnigramStream.applyBatch(
           docs.filter(pmod(col("doc_id"), lit(3)) === k),
           "text", pieces, store, k)
@@ -542,7 +544,8 @@ object Ext3Queries {
       val ref = pieces.select(col("piece"), col("cnt").as("c1"))
       def arm(name: String, docs: org.apache.spark.sql.DataFrame) = {
         val store = StageIO.resolve(s, None, s"x122d-$name")
-        (0L to 2L).foreach { k =>
+        // order-independent batch commits: concurrent (Par.waves)
+        graft.operators.Par.waves(0L to 2L) { k =>
           UnigramStream.applyBatch(
             docs.filter(pmod(col("doc_id"), lit(3)) === k),
             "text", pieces, store, k)

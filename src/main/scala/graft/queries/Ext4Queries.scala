@@ -818,7 +818,9 @@ object Ext4Queries {
       import graft.streaming.PostingsStream
       val docs = Tables.documents(s, d)
       val store = StageIO.resolve(s, None, "x124b-postings")
-      (0L to 2L).foreach { k =>
+      // order-independent batch commits (counter-log contract) run
+      // concurrently -- guide §2.6 via graft.operators.Par.waves
+      graft.operators.Par.waves(0L to 2L) { k =>
         PostingsStream.applyBatch(
           docs.filter(pmod(col("doc_id"), lit(3)) === k), store, k)
       }
@@ -1134,7 +1136,9 @@ object Ext4Queries {
       import graft.streaming.PostingsStream
       val docs = Tables.documents(s, d)
       val store = StageIO.resolve(s, None, "x133b-pos")
-      (0L to 2L).foreach { k =>
+      // order-independent batch commits (counter-log contract) run
+      // concurrently -- guide §2.6 via graft.operators.Par.waves
+      graft.operators.Par.waves(0L to 2L) { k =>
         PostingsStream.applyBatch(
           docs.filter(pmod(col("doc_id"), lit(3)) === k), store, k,
           withPositions = true)
@@ -1160,7 +1164,9 @@ object Ext4Queries {
       import graft.streaming.PostingsStream
       val docs = Tables.documents(s, d)
       val store = StageIO.resolve(s, None, "x134-postings")
-      (0L to 2L).foreach { k =>
+      // order-independent batch commits (counter-log contract) run
+      // concurrently -- guide §2.6 via graft.operators.Par.waves
+      graft.operators.Par.waves(0L to 2L) { k =>
         PostingsStream.applyBatch(
           docs.filter(pmod(col("doc_id"), lit(3)) === k), store, k)
       }
@@ -1190,7 +1196,9 @@ object Ext4Queries {
       import graft.streaming.PostingsStream
       val docs = Tables.documents(s, d)
       val store = StageIO.resolve(s, None, "x134b-pos")
-      (0L to 2L).foreach { k =>
+      // order-independent batch commits (counter-log contract) run
+      // concurrently -- guide §2.6 via graft.operators.Par.waves
+      graft.operators.Par.waves(0L to 2L) { k =>
         PostingsStream.applyBatch(
           docs.filter(pmod(col("doc_id"), lit(3)) === k), store, k,
           withPositions = true)
@@ -1226,10 +1234,12 @@ object Ext4Queries {
         s"/ann_index_del/${new java.io.File(d).getName}"
       AnnIndex.init(s, emb.filter(col("vec_id") % 3 === 0),
         "vec_id", "embedding", base, kCells = 8, m = 16, kCodewords = 64)
-      AnnIndex.appendBatch(s, emb.filter(col("vec_id") % 3 === 1),
-        "vec_id", "embedding", base, batchId = 1L)
-      AnnIndex.appendBatch(s, emb.filter(col("vec_id") % 3 === 2),
-        "vec_id", "embedding", base, batchId = 2L)
+      // independent appends into disjoint batch dirs — overlapped (§2.6)
+      graft.operators.Par.run(
+        () => AnnIndex.appendBatch(s, emb.filter(col("vec_id") % 3 === 1),
+          "vec_id", "embedding", base, batchId = 1L),
+        () => AnnIndex.appendBatch(s, emb.filter(col("vec_id") % 3 === 2),
+          "vec_id", "embedding", base, batchId = 2L))
       AnnIndex.deleteBatch(s,
         emb.filter(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"),
         "vec_id", base, batchId = 3L)
@@ -1261,7 +1271,9 @@ object Ext4Queries {
       import graft.streaming.PostingsStream
       val docs = Tables.documents(s, d)
       val store = StageIO.resolve(s, None, "x135b-store")
-      (0L to 2L).foreach { k =>
+      // order-independent batch commits (counter-log contract) run
+      // concurrently -- guide §2.6 via graft.operators.Par.waves
+      graft.operators.Par.waves(0L to 2L) { k =>
         PostingsStream.applyBatch(
           docs.filter(pmod(col("doc_id"), lit(3)) === k), store, k,
           withPositions = true)
@@ -1301,7 +1313,9 @@ object Ext4Queries {
       def toks(f: org.apache.spark.sql.DataFrame) =
         f.select(explode(TextOps.tokens(col("text"))).as("tok"))
       val store = StageIO.resolve(s, None, "x136-cms")
-      (0L to 2L).foreach { k =>
+      // order-independent batch commits (counter-log contract) run
+      // concurrently -- guide §2.6 via graft.operators.Par.waves
+      graft.operators.Par.waves(0L to 2L) { k =>
         SketchStream.applyBatch(
           toks(docs.filter(pmod(col("doc_id"), lit(3)) === k)),
           "tok", store, k)
@@ -1337,8 +1351,8 @@ object Ext4Queries {
     // afterwards no maintained store can tell the retracted docs ever
     // existed.
     "x143_takedown_e2e" -> ((s, d) => {
-      import graft.operators.{AnnIndex, RetrievalOps, SketchOps, StageIO,
-        TakedownOps, TakedownTargets, TextOps}
+      import graft.operators.{AnnIndex, Par, RetrievalOps, SketchOps,
+        StageIO, TakedownOps, TakedownTargets, TextOps}
       import graft.streaming.{PostingsStream, SketchStream}
       import s.implicits._
       val docs = Tables.documents(s, d)
@@ -1350,17 +1364,37 @@ object Ext4Queries {
       val cStore = s"$root/cms"
       val annBase = s"${StageIO.artifactRoot(s)}" +
         s"/ann_takedown/${new java.io.File(d).getName}"
-      (0L to 2L).foreach { k =>
-        val wave = docs.filter(pmod(col("doc_id"), lit(3)) === k)
-        PostingsStream.applyBatch(wave, pStore, k)
-        SketchStream.applyBatch(toks(wave), "tok", cStore, k)
-      }
-      AnnIndex.init(s, emb.filter(col("vec_id") % 3 === 0),
-        "vec_id", "embedding", annBase, kCells = 8, m = 16, kCodewords = 64)
-      AnnIndex.appendBatch(s, emb.filter(col("vec_id") % 3 === 1),
-        "vec_id", "embedding", annBase, batchId = 1L)
-      AnnIndex.appendBatch(s, emb.filter(col("vec_id") % 3 === 2),
-        "vec_id", "embedding", annBase, batchId = 2L)
+      // the three store FAMILIES build concurrently (guide §2.6 /
+      // graft.operators.Par): disjoint store dirs, so the builds are
+      // independent by construction; each family's own waves stay
+      // sequential (its streaming-delivery shape). Final state is
+      // byte-identical to the sequential build — same batch dirs, same
+      // contents — only the driver stops serializing independent jobs.
+      Par.run(
+        // waves are independent batch commits too -- nested overlap
+        () => graft.operators.Par.waves(0L to 2L) { k =>
+          PostingsStream.applyBatch(
+            docs.filter(pmod(col("doc_id"), lit(3)) === k), pStore, k)
+        },
+        // waves are independent batch commits too -- nested overlap
+        () => graft.operators.Par.waves(0L to 2L) { k =>
+          SketchStream.applyBatch(
+            toks(docs.filter(pmod(col("doc_id"), lit(3)) === k)),
+            "tok", cStore, k)
+        },
+        () => {
+          AnnIndex.init(s, emb.filter(col("vec_id") % 3 === 0),
+            "vec_id", "embedding", annBase,
+            kCells = 8, m = 16, kCodewords = 64)
+          // ticks 1 and 2 write disjoint batch dirs off the frozen
+          // quantizers — independent (the AnnIndex idempotent-append
+          // contract), so they overlap too
+          Par.run(
+            () => AnnIndex.appendBatch(s, emb.filter(col("vec_id") % 3 === 1),
+              "vec_id", "embedding", annBase, batchId = 1L),
+            () => AnnIndex.appendBatch(s, emb.filter(col("vec_id") % 3 === 2),
+              "vec_id", "embedding", annBase, batchId = 2L))
+        })
       // ONE call clears all three stores
       TakedownOps.retract(
         docs.filter(pmod(col("doc_id"), lit(7)) === 3), 9L,
@@ -1368,10 +1402,12 @@ object Ext4Queries {
           annBase = Some(annBase), annIdCol = "vec_id",
           tokenCmsStore = Some(cStore)))
       // physical purge everywhere — the read below must not be able to
-      // tell the difference (and the tombstone logs retire)
-      PostingsStream.compact(s, pStore)
-      AnnIndex.compactPostings(s, annBase)
-      SketchStream.compact(s, cStore)
+      // tell the difference (and the tombstone logs retire). The three
+      // compactions touch disjoint stores: concurrent (guide §2.6).
+      Par.run(
+        () => PostingsStream.compact(s, pStore),
+        () => AnnIndex.compactPostings(s, annBase),
+        () => SketchStream.compact(s, cStore))
       val kept = docs.filter(pmod(col("doc_id"), lit(7)) =!= 3)
       // postings arm: the x134 read off the purged log
       val tf = PostingsStream.readTf(s, pStore)

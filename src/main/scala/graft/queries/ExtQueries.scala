@@ -95,10 +95,13 @@ object ExtQueries {
     AnnIndex.init(s, emb.filter(col("vec_id") % 3 === 0),
       "vec_id", "embedding", base, kCells = 8, m = 16, kCodewords = 64,
       residual = residual)
-    AnnIndex.appendBatch(s, emb.filter(col("vec_id") % 3 === 1),
-      "vec_id", "embedding", base, batchId = 1L)
-    AnnIndex.appendBatch(s, emb.filter(col("vec_id") % 3 === 2),
-      "vec_id", "embedding", base, batchId = 2L)
+    // ticks 1 and 2 encode against the frozen quantizers into disjoint
+    // batch dirs — independent appends, overlapped (guide §2.6)
+    graft.operators.Par.run(
+      () => AnnIndex.appendBatch(s, emb.filter(col("vec_id") % 3 === 1),
+        "vec_id", "embedding", base, batchId = 1L),
+      () => AnnIndex.appendBatch(s, emb.filter(col("vec_id") % 3 === 2),
+        "vec_id", "embedding", base, batchId = 2L))
     base
   }
 
@@ -159,10 +162,12 @@ object ExtQueries {
     AnnIndex.init(s, emb.filter(col("vec_id") % 3 === 0),
       "vec_id", "embedding", base, kCells = 8, m = 16, kCodewords = 64,
       attrs = Seq("label"))
-    AnnIndex.appendBatch(s, emb.filter(col("vec_id") % 3 === 1),
-      "vec_id", "embedding", base, batchId = 1L, attrs = Seq("label"))
-    AnnIndex.appendBatch(s, emb.filter(col("vec_id") % 3 === 2),
-      "vec_id", "embedding", base, batchId = 2L, attrs = Seq("label"))
+    // independent appends into disjoint batch dirs — overlapped (§2.6)
+    graft.operators.Par.run(
+      () => AnnIndex.appendBatch(s, emb.filter(col("vec_id") % 3 === 1),
+        "vec_id", "embedding", base, batchId = 1L, attrs = Seq("label")),
+      () => AnnIndex.appendBatch(s, emb.filter(col("vec_id") % 3 === 2),
+        "vec_id", "embedding", base, batchId = 2L, attrs = Seq("label")))
     base
   }
 
@@ -664,7 +669,9 @@ object ExtQueries {
         .select(col("doc_id"), col("lang"),
           (col("n_chars").cast("double") / nt.cast("double")).as("cpt"))
       val store = s"${StageIO.resolve(s, None, "x47b-qlog")}/qsketch"
-      (1L to 3L).foreach { b =>
+      // order-independent batch commits (counter-log contract) run
+      // concurrently -- guide §2.6 via graft.operators.Par.waves
+      graft.operators.Par.waves(1L to 3L) { b =>
         QuantileStream.applyBatch(
           scored.filter(pmod(col("doc_id"), lit(3)) === lit(b - 1L)),
           Seq("lang"), "cpt", store, b)
@@ -694,7 +701,9 @@ object ExtQueries {
         .select(col("doc_id"), col("lang"),
           (col("n_chars").cast("double") / nt.cast("double")).as("cpt"))
       val store = s"${StageIO.resolve(s, None, "x139-qlog")}/qsketch"
-      (1L to 3L).foreach { b =>
+      // order-independent batch commits (counter-log contract) run
+      // concurrently -- guide §2.6 via graft.operators.Par.waves
+      graft.operators.Par.waves(1L to 3L) { b =>
         QuantileStream.applyBatch(
           scored.filter(pmod(col("doc_id"), lit(3)) === lit(b - 1L)),
           Seq("lang"), "cpt", store, b)
@@ -1874,7 +1883,9 @@ object ExtQueries {
       import graft.streaming.DriftStream
       val docs = Tables.documents(s, d)
       val store = graft.operators.StageIO.resolve(s, None, "x69-grams")
-      (0L to 2L).foreach { w =>
+      // order-independent batch commits (counter-log contract) run
+      // concurrently -- guide §2.6 via graft.operators.Par.waves
+      graft.operators.Par.waves(0L to 2L) { w =>
         DriftStream.applyBatch(
           PackingOps.gramBuckets(
             docs.filter(pmod(col("doc_id"), lit(3)) === w),
@@ -2036,7 +2047,9 @@ object ExtQueries {
       val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
       val v2 = v2Mutation(docs)
       val store = graft.operators.StageIO.resolve(s, None, "x75-drift")
-      (0L to 2L).foreach { w =>
+      // order-independent batch commits (counter-log contract) run
+      // concurrently -- guide §2.6 via graft.operators.Par.waves
+      graft.operators.Par.waves(0L to 2L) { w =>
         DriftStream.applyBatch(
           v2.filter(pmod(col("doc_id"), lit(3)) === w).select("lang"),
           "lang", store, w)
@@ -2056,7 +2069,9 @@ object ExtQueries {
       val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
       val v2 = v2Mutation(docs)
       val store = graft.operators.StageIO.resolve(s, None, "x140-drift")
-      (0L to 2L).foreach { w =>
+      // order-independent batch commits (counter-log contract) run
+      // concurrently -- guide §2.6 via graft.operators.Par.waves
+      graft.operators.Par.waves(0L to 2L) { w =>
         DriftStream.applyBatch(
           v2.filter(pmod(col("doc_id"), lit(3)) === w).select("lang"),
           "lang", store, w)

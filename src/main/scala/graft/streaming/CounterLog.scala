@@ -50,14 +50,26 @@ private[streaming] object CounterLog {
     }
   }
 
+  /** Atomic: the bytes land in a `._geometry.tmp` sidecar first and
+    * RENAME into place. A direct `fs.create(p, true)` truncates the live
+    * file before writing, so a crash (or a concurrent reader) mid-write
+    * saw a torn/empty `_geometry` that poisons every later read of the
+    * store; rename-commit closes that window and makes the first-write
+    * race of concurrent same-geometry batches (graft.operators.Par —
+    * both writers rename identical bytes) benign.
+    */
   def writeGeometry(spark: SparkSession, storeDir: String,
       kv: Seq[(String, Int)]): Unit = {
     val p = geomPath(storeDir)
+    val tmp = new org.apache.hadoop.fs.Path(storeDir,
+      s"._geometry.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
+    val out = fs.create(tmp, true)
     try out.write(kv.map { case (k, v) => s"$k=$v" }.mkString(" ")
       .getBytes("UTF-8"))
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false) // same-content replace only
+    if (!fs.rename(tmp, p)) fs.delete(tmp, false)
   }
 
   private def geomPath(storeDir: String) =
