@@ -62,12 +62,16 @@ object DeltaManifest {
     val spark = gatedStage.sparkSession
     Seq("totals", "manifest").foreach(d =>
       SwapStore.repair(spark, s"$stateDir/$d"))
-    writeHashes(gatedStage.select(md5(col("text")).as("text_hash")),
-      stateDir, 0L)
-    manifest.write.mode("overwrite").parquet(s"$stateDir/manifest/batch=0")
-    manifest.groupBy("shard")
-      .agg(sum("tok_in_chunk").cast("long").as("n_tok"))
-      .write.mode("overwrite").parquet(s"$stateDir/totals/batch=0")
+    // three disjoint sub-log writes off two already-computed frames —
+    // independent, overlapped (guide §2.6)
+    Par.run(
+      () => writeHashes(gatedStage.select(md5(col("text")).as("text_hash")),
+        stateDir, 0L),
+      () => manifest.write.mode("overwrite")
+        .parquet(s"$stateDir/manifest/batch=0"),
+      () => manifest.groupBy("shard")
+        .agg(sum("tok_in_chunk").cast("long").as("n_tok"))
+        .write.mode("overwrite").parquet(s"$stateDir/totals/batch=0"))
   }
 
   /** The hash log's layout dial: each batch's hashes are sub-partitioned

@@ -161,12 +161,16 @@ object IngestPipeline {
     * counters. After this, no tick ever reads old document text again.
     */
   def init(gatedStage: DataFrame, manifest: DataFrame, stateDir: String,
-      sketchDepth: Int = 4, sketchWidth: Int = 1024): Unit = {
-    DeltaManifest.initFromFull(gatedStage, manifest, stateDir)
-    writeSignatures(gatedStage, stateDir, 0L)
-    graft.streaming.SketchStream.applyBatch(shingleRows(gatedStage),
-      "shingle", sketchDir(stateDir), 0L, sketchDepth, sketchWidth)
-  }
+      sketchDepth: Int = 4, sketchWidth: Int = 1024): Unit =
+    // the three seed writes all READ the staged gated frame and write
+    // DISJOINT stores (manifest log / signature log / sketch log) —
+    // independent, so they overlap (guide §2.6; the tick's concurrent
+    // write/sketch/probe block is the same shape)
+    Par.run(
+      () => DeltaManifest.initFromFull(gatedStage, manifest, stateDir),
+      () => writeSignatures(gatedStage, stateDir, 0L),
+      () => graft.streaming.SketchStream.applyBatch(shingleRows(gatedStage),
+        "shingle", sketchDir(stateDir), 0L, sketchDepth, sketchWidth))
 
   /** Process one arrivals batch end to end; returns the delta manifest
     * rows ([[DeltaManifest.applyBatch]]'s contract). Internal order —
