@@ -243,6 +243,19 @@ object Ext4Queries {
     * plays); `fromSharedState` scores off [[graft.operators
     * .RetrievalOps.stagedCorpusState]] instead of a one-pass tokenize.
     */
+  /** Wall-clock per phase to stderr when SPARK_GRAFT_PHASE_LOG is set —
+    * the IngestPipeline.phased discipline, for attributing the x132
+    * family's composite timings.
+    */
+  private def phased[T](name: String)(body: => T): T =
+    if (sys.env.contains("SPARK_GRAFT_PHASE_LOG")) {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(
+        f"[mrr] phase=$name%s sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      r
+    } else body
+
   def mrrGate(s: org.apache.spark.sql.SparkSession, d: String,
       cap: Option[Long], sampleMod: Option[Long],
       fromSharedState: Boolean): org.apache.spark.sql.DataFrame = {
@@ -254,20 +267,23 @@ object Ext4Queries {
     val truthAll = dup
       .select(col("doc_a").as("q_id"), col("doc_b").as("rel"))
       .union(dup.select(col("doc_b").as("q_id"), col("doc_a").as("rel")))
-    sampleMod.fold(truthAll)(m => truthAll
-        .filter(pmod(col("q_id"), lit(m)) === 0))
-      .write.mode("overwrite").parquet(tstage)
+    phased("truth") {
+      sampleMod.fold(truthAll)(m => truthAll
+          .filter(pmod(col("q_id"), lit(m)) === 0))
+        .write.mode("overwrite").parquet(tstage)
+    }
     val truth = s.read.parquet(tstage)
     val sstage = StageIO.resolve(s, None, "mrr-scores")
     val scores =
       if (fromSharedState) {
-        val (tf, dl) = RetrievalOps.stagedCorpusState(docs,
-          RetrievalOps.corpusTag("docs", d))
+        val (tf, dl) = phased("staged_state")(
+          RetrievalOps.stagedCorpusState(docs,
+            RetrievalOps.corpusTag("docs", d)))
         RetrievalOps.bm25PairScoresFromState(tf, dl, docs,
           truth.select("q_id").distinct())
       } else RetrievalOps.bm25PairScores(docs,
         truth.select("q_id").distinct())
-    scores.write.mode("overwrite").parquet(sstage)
+    phased("score")(scores.write.mode("overwrite").parquet(sstage))
     val sc = s.read.parquet(sstage)
     val ps = truth.join(sc.select(col("q_id").as("_q"),
         col("doc_id").as("_d"), col("score_bp").as("ps")),
@@ -1079,9 +1095,16 @@ object Ext4Queries {
     // per-query window over the candidate set: a partner's rank is
     // 1 + the count of strictly-better candidates (score desc, doc_id
     // asc total order), one equi-join + aggregation.
+    // fromSharedState since r19 (optimization round): the BM25 pass
+    // reads the judge-r16-blessed per-run staged postings state instead
+    // of re-tokenizing the corpus inside this row — from-state scoring
+    // is hash-pinned equal to the one-pass form (stagedCorpusState
+    // scaladoc; x124b), so the row's FULL-POPULATION reference
+    // semantics (uncapped truth, every truth doc a query) are
+    // untouched and the oracle hash is unchanged.
     "x132_bm25_mrr" -> ((s, d) =>
       mrrGate(s, d, cap = None, sampleMod = None,
-        fromSharedState = false)),
+        fromSharedState = true)),
 
     // ---- the SCALE form of the MRR gate (judge r16 #1 / BENCH_NOTES r16
     // addendum 4 — x132 stays in the suite as the oracle-checked
