@@ -104,22 +104,28 @@ object MediaDedupStream {
       admitted.persist()
       try {
         val keptIds = admitted.select("asset_id")
-        a.join(keptIds, Seq("asset_id"), "left_semi")
-          .unionByName(passThrough)
-          .write.mode("overwrite").parquet(s"$cleanDir/batch=$batchId")
-        a.join(keptIds, Seq("asset_id"), "left_anti")
-          .write.mode("overwrite").parquet(s"$droppedDir/batch=$batchId")
-        // adaptive bucket count + pfx-clustered write (the
-        // DeltaManifest.writePartitionedAdaptive discipline, numeric
-        // analog): a small batch writes 16 dirs, not 256 dirs of
-        // ~15 ms commit overhead each
-        val mod = if (admitted.count() <
-            graft.operators.DeltaManifest.adaptiveRowCutoff) 16 else 256
-        admitted.select(pmod(col("dh_r_lo"), lit(mod)).as("pfx") +:
-            words.map(col) :+ col("asset_id"): _*)
-          .repartition(col("pfx"))
-          .write.mode("overwrite").partitionBy("pfx")
-          .parquet(s"$storeDir/batch_id=$batchId")
+        // the three sink writes (clean / dropped / admitted-hash store)
+        // are independent — disjoint outputs off the persisted
+        // `a`/`admitted` parents — so they overlap (guide §2.6)
+        graft.operators.Par.run(
+          () => a.join(keptIds, Seq("asset_id"), "left_semi")
+            .unionByName(passThrough)
+            .write.mode("overwrite").parquet(s"$cleanDir/batch=$batchId"),
+          () => a.join(keptIds, Seq("asset_id"), "left_anti")
+            .write.mode("overwrite").parquet(s"$droppedDir/batch=$batchId"),
+          { () =>
+            // adaptive bucket count + pfx-clustered write (the
+            // DeltaManifest.writePartitionedAdaptive discipline, numeric
+            // analog): a small batch writes 16 dirs, not 256 dirs of
+            // ~15 ms commit overhead each
+            val mod = if (admitted.count() <
+                graft.operators.DeltaManifest.adaptiveRowCutoff) 16 else 256
+            admitted.select(pmod(col("dh_r_lo"), lit(mod)).as("pfx") +:
+                words.map(col) :+ col("asset_id"): _*)
+              .repartition(col("pfx"))
+              .write.mode("overwrite").partitionBy("pfx")
+              .parquet(s"$storeDir/batch_id=$batchId")
+          })
       } finally admitted.unpersist()
     } finally {
       hashes.unpersist()

@@ -94,17 +94,21 @@ object ParagraphStream {
             Seq("ph"), "left")
           .withColumn("_keep",
             coalesce(col("_ord") === col("_owner"), lit(false)))
-        DedupOps.reassembleParas(flagged, idCol, sep)
-          .write.mode("overwrite").parquet(s"$cleanDir/batch=$batchId")
-        // adaptive partitioned write (the DeltaManifest discipline):
-        // pfx-clustered so tasks don't fan files into every bucket, and
-        // bucket width sized to the batch — a small wave writes 16 dirs
-        // instead of paying ~4 s of 256-dir commit overhead. Each
-        // admitted hash carries its OWNER doc id — the key
-        // [[deleteBatch]] tombstones by.
-        graft.operators.DeltaManifest.writePartitionedAdaptive(
-          admitted.select(col("pfx"), col("ph"), col("owner")),
-          s"$storeDir/batch_id=$batchId", col("ph"))
+        // the clean-sink write and the admitted-hash store write are
+        // independent (disjoint outputs off the persisted `admitted`/
+        // `paras` parents) — overlapped (guide §2.6)
+        graft.operators.Par.run(
+          () => DedupOps.reassembleParas(flagged, idCol, sep)
+            .write.mode("overwrite").parquet(s"$cleanDir/batch=$batchId"),
+          // adaptive partitioned write (the DeltaManifest discipline):
+          // pfx-clustered so tasks don't fan files into every bucket, and
+          // bucket width sized to the batch — a small wave writes 16 dirs
+          // instead of paying ~4 s of 256-dir commit overhead. Each
+          // admitted hash carries its OWNER doc id — the key
+          // [[deleteBatch]] tombstones by.
+          () => graft.operators.DeltaManifest.writePartitionedAdaptive(
+            admitted.select(col("pfx"), col("ph"), col("owner")),
+            s"$storeDir/batch_id=$batchId", col("ph")))
       } finally {
         admitted.unpersist()
         winners.unpersist()
