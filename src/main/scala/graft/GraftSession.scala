@@ -16,6 +16,31 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+  /** A same-context session whose shuffle (hence state-store) partition
+    * count is sized to the INPUT instead of the core count — the
+    * optimization guide's "make partitioning scale-adaptive rather than
+    * a constant tuned for local mode or the cluster" applied to the
+    * streaming harness rows: a stateful micro-batch opens and commits
+    * one state store per shuffle partition per batch, so a model-sized
+    * MemoryStream harness at the session default (= cores) pays ~cores×
+    * fixed state-store overhead per batch for kilobytes of state
+    * (measured: x95 7.3 s at 32 partitions vs 4.2 s at 8 on the same
+    * box). The derivation: one partition per ~16 Ki input rows, floored
+    * at 1 and capped at the session's core count — a 100× bigger input
+    * scales back up to full parallelism, so nothing here is tuned to
+    * local[32]. Real deployments size state partitions to state volume
+    * the same way. SPARK_GRAFT_STREAM_SHUFFLE overrides for A/B runs.
+    */
+  def sizedStreamSession(s: org.apache.spark.sql.SparkSession,
+      inputRows: Long): org.apache.spark.sql.SparkSession = {
+    val parts = sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE").map(_.toInt)
+      .getOrElse(math.max(1L, math.min(inputRows / 16384L + 1L,
+        s.sparkContext.defaultParallelism.toLong)).toInt)
+    val ns = s.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    ns
+  }
+
   def build(appName: String = "graft"): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

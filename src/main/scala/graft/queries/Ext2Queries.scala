@@ -697,10 +697,14 @@ object Ext2Queries {
     // MemoryStream harness seam, as in x54c.
     "x94_neardup_stream" -> ((s, d) => {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
       val rows = Tables.documents(s, d).select("doc_id", "text")
         .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      // the stream runs on an input-sized session (state-store count
+      // derives from the harness input, not the core count — guide §2;
+      // GraftSession.sizedStreamSession has the derivation + numbers)
+      val ns = graft.GraftSession.sizedStreamSession(s, rows.size.toLong)
+      implicit val sq: org.apache.spark.sql.SQLContext = ns.sqlContext
+      import ns.implicits._
       val input = MemoryStream[(Long, String, Long)]
       val sink = s"x94_sink_${System.nanoTime}"
       val q = graft.streaming.NearDupStream.nearDupStream(
@@ -714,7 +718,7 @@ object Ext2Queries {
           q.processAllAvailable()
         }
       } finally q.stop()
-      s.table(sink).orderBy("doc_a", "doc_b")
+      ns.table(sink).orderBy("doc_a", "doc_b")
     }),
 
     // ---- the STREAMING as-of enrichment as an oracle row (the same
@@ -731,13 +735,16 @@ object Ext2Queries {
     // pushes the watermark past every real purchase.
     "x95_asof_stream" -> ((s, d) => {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"),
           (unix_micros(col("ts")) / lit(1000000L)).cast("long").as("tsec"))
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      // input-sized stream session (state-store count derives from the
+      // harness input, not cores — guide §2; see sizedStreamSession)
+      val ns = graft.GraftSession.sizedStreamSession(s, ev.length.toLong)
+      implicit val sq: org.apache.spark.sql.SQLContext = ns.sqlContext
+      import ns.implicits._
       val maxT = ev.map(_._4).max
       val delaySec = maxT - ev.map(_._4).min + 3600L
       val purchases = MemoryStream[(Long, Long, Long)]
@@ -765,7 +772,7 @@ object Ext2Queries {
         clicks.addData((-2L, -1L, flushT))
         q.processAllAvailable(); q.processAllAvailable()
       } finally q.stop()
-      s.table(sink).filter(col("user_id") >= 0)
+      ns.table(sink).filter(col("user_id") >= 0)
         .select("purchase_id", "user_id", "click_id")
         .orderBy("purchase_id")
     }),

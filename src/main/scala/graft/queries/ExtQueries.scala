@@ -119,16 +119,20 @@ object ExtQueries {
       s"/ann_index_stream/${new java.io.File(d).getName}"
     AnnIndex.init(s, emb.filter(col("vec_id") % 3 === 0),
       "vec_id", "embedding", base, kCells = 8, m = 16, kCodewords = 64)
-    implicit val sq: org.apache.spark.sql.SQLContext = s.sqlContext
-    import s.implicits._
-    val input = MemoryStream[(Long, Seq[Float])]
-    val q = graft.streaming.AnnIndexStream.startIndexMaintenance(
-      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
-      base, StageIO.resolve(s, None, "x54c-ckpt"))
     def wave(k: Int): Seq[(Long, Seq[Float])] =
       emb.filter(col("vec_id") % 3 === k)
         .select("vec_id", "embedding").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    // input-sized stream session (tick aggregations sized to arrivals,
+    // not cores — guide §2; see GraftSession.sizedStreamSession)
+    val ns = graft.GraftSession.sizedStreamSession(s,
+      emb.count())
+    implicit val sq: org.apache.spark.sql.SQLContext = ns.sqlContext
+    import ns.implicits._
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.AnnIndexStream.startIndexMaintenance(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      base, StageIO.resolve(s, None, "x54c-ckpt"))
     try {
       input.addData(wave(1)); q.processAllAvailable()
       input.addData(wave(2)); q.processAllAvailable()
