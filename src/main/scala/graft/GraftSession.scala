@@ -33,7 +33,11 @@ object GraftSession {
     */
   def sizedStreamSession(s: org.apache.spark.sql.SparkSession,
       inputRows: Long): org.apache.spark.sql.SparkSession = {
-    val parts = sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE").map(_.toInt)
+    val parts = sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE")
+      .map(v => try v.trim.toInt catch {
+        case e: NumberFormatException => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_STREAM_SHUFFLE must be an integer, got '$v'", e)
+      })
       .getOrElse(math.max(1L, math.min(inputRows / 16384L + 1L,
         s.sparkContext.defaultParallelism.toLong)).toInt)
     val ns = s.newSession()

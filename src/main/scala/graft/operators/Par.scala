@@ -35,10 +35,17 @@ object Par {
   def waves(ids: Seq[Long])(f: Long => Unit): Unit =
     run(ids.map(k => () => f(k)): _*)
 
+  /** Per-pool thread cap (advisor r19): overlap needs 2–3 jobs in
+    * flight per the guide, never an unbounded thread count — calls nest
+    * (x143 runs Par inside Par), so each pool is bounded and excess
+    * thunks queue FIFO, which is exactly the back-fill behaviour wanted.
+    */
+  private val maxPoolThreads = 8
+
   def run(thunks: (() => Unit)*): Unit = {
     if (thunks.sizeIs <= 1) { thunks.foreach(_.apply()); return }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      thunks.size)
+      math.min(thunks.size, maxPoolThreads))
     try {
       val futs = thunks.map { t =>
         pool.submit(new java.util.concurrent.Callable[Unit] {
@@ -47,6 +54,8 @@ object Par {
       }
       // collect every outcome first (no thunk left running against a
       // store a caller might touch next), then rethrow the first cause
+      // with every sibling failure attached as suppressed (advisor r19:
+      // concurrent store builds failing together must not lose signal)
       val errs = futs.flatMap { f =>
         try { f.get(); None }
         catch {
@@ -55,10 +64,18 @@ object Par {
           case e: Throwable => Some(e)
         }
       }
-      errs.headOption.foreach(throw _)
+      errs.headOption.foreach { first =>
+        errs.drop(1).foreach(sib => if (sib ne first) first.addSuppressed(sib))
+        throw first
+      }
     } finally {
       pool.shutdown()
-      ()
+      try {
+        pool.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
+        ()
+      } catch { case _: InterruptedException =>
+        Thread.currentThread().interrupt()
+      }
     }
   }
 }

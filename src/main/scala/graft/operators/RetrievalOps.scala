@@ -102,28 +102,36 @@ object RetrievalOps {
   private def scoreCore(tf: DataFrame, dl: DataFrame, qterms: DataFrame,
       nDocs: Long, totToks: Long): DataFrame = {
     // df only over the query-term slice of the postings: (doc, tok) is
-    // unique in tf, so a count per token IS the document frequency
+    // unique in tf, so a count per token IS the document frequency.
+    // SPREAD the postings before the per-posting kernel and the
+    // broadcast fan-out (r20, the spreadByDoc lesson / guide §2):
+    // staged tf parquet reads back as a handful of splits, and
+    // broadcast-join parallelism equals the STREAMED side's partition
+    // count — measured at sf0.1: 4 tasks carried the whole 6.7M-row
+    // query fan-out (~8 s of the x132 score phase). Gated inside
+    // spreadByDoc: inputs already at ≥ half the cluster's parallelism
+    // (the 100 TB case) keep their partitioning — no extra exchange.
     val qtoks = qterms.select("tok").distinct()
-    val tfm = tf.join(broadcast(qtoks), "tok")
+    val tfm = DedupOps.spreadByDoc(tf, "doc_id")
+      .join(broadcast(qtoks), "tok")
     val dfq = tfm.groupBy("tok").agg(count(lit(1)).as("df"))
       .withColumn("idf", bits(lit(nDocs)) - bits(col("df")))
       .filter(col("idf") >= 1) // stopword-grade terms carry no score
 
-    // num/den widen to decimal(38,0) BEFORE any multiply: at 100 TB the
-    // token mass T makes 22·idf·tf·T overflow a long inside the product
-    // (the rational round itself is already decimal-exact)
-    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val T = lit(totToks).cast(d38)
-    val N = lit(nDocs).cast(d38)
-    val num = lit(22L).cast(d38) * col("idf") * col("tf") * T
-    val den = lit(10L).cast(d38) * col("tf") * T + lit(3L).cast(d38) * T +
-      lit(9L).cast(d38) * col("dl") * N
-    tfm.join(broadcast(dfq), "tok")
-      .join(broadcast(qterms), "tok")
-      .filter(col("doc_id") =!= col("q_id"))
+    // bp ONCE per (tok, doc), BEFORE the query fan-out (r20, guide §1.2
+    // per-task work): the rational is a function of (idf, tf, dl) only,
+    // so computing it after the qterms join re-derived the identical
+    // decimal(38,0) value once per query sharing the token (~26×
+    // redundancy at sf0.1); the fanned rows now carry one 8-byte long
+    // into the pair aggregate (§2.3: project before the fan-out).
+    // Integer sums are order-independent, so per-pair totals are
+    // bit-identical to the fan-then-round form.
+    val scored = tfm.join(broadcast(dfq), "tok")
       .join(dl, "doc_id")
-      .select(col("q_id"), col("doc_id"),
-        graft.queries.Det.rat4BpBig(num, den).as("bp"))
+      .select(col("doc_id"), col("tok"),
+        bpExpr(nDocs, totToks).as("bp"))
+    scored.join(broadcast(qterms), "tok")
+      .filter(col("doc_id") =!= col("q_id"))
       .groupBy("q_id", "doc_id")
       .agg(sum(col("bp")).cast("long").as("score_bp"))
   }
@@ -321,7 +329,13 @@ object RetrievalOps {
     */
   def phraseOccurrences(postings: DataFrame, phrases: DataFrame)
       : DataFrame =
-    postings.join(broadcast(phrases), "tok")
+    // spread before the broadcast fan-out (r20): the positional log
+    // reads back as a few batch-partition splits, and broadcast-join
+    // parallelism equals the streamed side's partition count (the
+    // scoreCore / spreadByDoc lesson); gated, so an at-scale log with
+    // real partitioning is untouched
+    DedupOps.spreadByDoc(postings, "doc_id")
+      .join(broadcast(phrases), "tok")
       .filter(col("doc_id") =!= col("q_id"))
       .select(col("q_id"), col("doc_id"), col("plen"),
         (col("pos") - col("off")).as("anchor"))
@@ -330,6 +344,157 @@ object RetrievalOps {
       .filter(col("nhit") === col("plen"))
       .groupBy("q_id", "doc_id")
       .agg(count(lit(1)).as("n_occurrences"))
+
+  /** The shared BM25 per-term expression — identical arithmetic to
+    * [[scoreCore]] (decimal(38,0) widening before any multiply, half-up
+    * rounding); expects columns `idf`, `tf`, `dl` in scope.
+    */
+  private def bpExpr(nDocs: Long, totToks: Long): Column = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val T = lit(totToks).cast(d38)
+    val N = lit(nDocs).cast(d38)
+    val num = lit(22L).cast(d38) * col("idf") * col("tf") * T
+    val den = lit(10L).cast(d38) * col("tf") * T + lit(3L).cast(d38) * T +
+      lit(9L).cast(d38) * col("dl") * N
+    graft.queries.Det.rat4BpBig(num, den)
+  }
+
+  /** Exact BM25 scores RESTRICTED to an explicit pair frame
+    * `(q_id, doc_id)` — identical per-term arithmetic to [[scoreCore]]
+    * (same idf buckets from `dfq`, same rounding), evaluated only where
+    * the caller needs a score. `tfm` must already be restricted to the
+    * query-token slice of the postings; `dfq` must be the informative
+    * (idf ≥ 1) df table over the same slice, so term drops match the
+    * full pass exactly. The pair frame is model-sized by contract (it
+    * broadcasts).
+    */
+  private def scoreForPairs(tfm: DataFrame, dl: DataFrame,
+      qterms: DataFrame, dfq: DataFrame, pairs: DataFrame, nDocs: Long,
+      totToks: Long): DataFrame =
+    tfm.join(broadcast(pairs), "doc_id")
+      .join(broadcast(qterms), Seq("q_id", "tok"))
+      .join(broadcast(dfq), "tok")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(dl, "doc_id")
+      .select(col("q_id"), col("doc_id"),
+        bpExpr(nDocs, totToks).as("bp"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("bp")).cast("long").as("score_bp"))
+
+  /** The MRR gate's rank kernel with a PROVABLY-SAFE MaxScore candidate
+    * prune (optimization guide §2.3/§3.2 — shed rows before the pair-
+    * score fan-out join instead of scoring every (query, candidate)
+    * pair). Returns `(q_id, best_rank)` for every query with at least
+    * one scored rel; queries whose rels share no informative term with
+    * them produce no row (the caller's left join yields the same null
+    * the unpruned form produced).
+    *
+    * Exactness argument (pinned by Ext4OpsSpec pruned ≡ reference and
+    * the x132/x132b oracle rows):
+    *
+    *  1. `best_rank = min over rels of (1 + #better(rel))` where
+    *     `#better(r) = #{d : (s_d, −d) >lex (ps_r, −r)}` is ANTITONE in
+    *     `(ps_r, −r)`, so the min is attained at the rel maximizing
+    *     `(ps, −rel)` — call it `(ps*, r*)`; only candidates with
+    *     `(s_d, −d) >lex (ps*, −r*)` are ever counted.
+    *  2. The rel scores (a model-sized pair set — the truth frame) are
+    *     computed first through the exact pair-restricted kernel
+    *     ([[scoreForPairs]]) and the thresholds collected (≤ one row
+    *     per query — the size class every scoring join already
+    *     broadcasts); the counting pass then aggregates the same
+    *     scored-postings fan the full form used, but filters against
+    *     the broadcast thresholds and reduces to ONE count per query —
+    *     no (query × candidate) score table is ever written, and the
+    *     per-rel strictly-better fan join is gone.
+    *
+    * A term-level MaxScore candidate prune (essential-term prefix from
+    * exact per-term score bounds) was built and MEASURED OUT in r20:
+    * on this corpus family the bigram vocabulary is closed (931
+    * informative terms at sf0.1, minimum df ≈ hundreds), so the pruned
+    * candidate-doc set still covered 5000/5000 docs while the extra
+    * bound/candidate passes added four jobs — see OPTIMIZATION_r20.md.
+    */
+  private def bestRanksCore(tf: DataFrame, dl: DataFrame, docs: DataFrame,
+      truth: DataFrame, nDocs: Long, totToks: Long, ngram: Int)
+      : DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val qterms = stageQueryTerms(docs, truth.select("q_id").distinct(),
+      ngram)
+    val qtoks = qterms.select("tok").distinct()
+    val tfm = DedupOps.spreadByDoc(tf, "doc_id")
+      .join(broadcast(qtoks), "tok")
+    // informative df, collected ONCE (≤ |query-token vocab| rows) so
+    // the threshold pass and the counting pass never re-aggregate it
+    val dfRows = tfm.groupBy("tok").agg(count(lit(1)).as("df"))
+      .withColumn("idf", bits(lit(nDocs)) - bits(col("df")))
+      .filter(col("idf") >= 1)
+      .select(col("tok"), col("idf"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val empty = Seq.empty[(Long, Long)].toDF("q_id", "best_rank")
+    if (dfRows.isEmpty) return empty
+    val dfq = dfRows.toDF("tok", "idf")
+    // exact scores of the rel docs (the truth pairs) → per-query
+    // counting threshold (ps*, r*)
+    val relPairs = truth.select(col("q_id"), col("rel").as("doc_id"))
+    val thrRows = scoreForPairs(tfm, dl, qterms, dfq, relPairs, nDocs,
+        totToks)
+      .groupBy("q_id")
+      .agg(max(struct(col("score_bp").as("s"),
+        (-col("doc_id")).as("nd"))).as("m"))
+      .select(col("q_id"), col("m.s").as("thr_bp"),
+        (-col("m.nd")).as("thr_rel"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    if (thrRows.isEmpty) return empty
+    val thr = thrRows.toDF("q_id", "thr_bp", "thr_rel")
+    // the counting pass: the scoreCore fan shape (bp once per posting,
+    // long-only fan into the pair aggregate), reduced straight to the
+    // per-query strictly-better count against the broadcast thresholds
+    val scored = tfm.join(broadcast(dfq), "tok")
+      .join(dl, "doc_id")
+      .select(col("doc_id"), col("tok"),
+        bpExpr(nDocs, totToks).as("bp"))
+    val counted = scored.join(broadcast(qterms), "tok")
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("bp")).cast("long").as("score_bp"))
+      .join(broadcast(thr), "q_id")
+      .filter(col("score_bp") > col("thr_bp") ||
+        (col("score_bp") === col("thr_bp") &&
+          col("doc_id") < col("thr_rel")))
+      .groupBy("q_id").agg(count(lit(1)).as("nb"))
+    thr.select("q_id").join(counted, Seq("q_id"), "left")
+      .select(col("q_id"),
+        (coalesce(col("nb"), lit(0L)) + 1L).as("best_rank"))
+  }
+
+  /** [[bestRanksCore]] over maintained/staged postings state — the
+    * x132/x132b entry point (tf/dl from [[stagedCorpusState]] or a
+    * [[graft.streaming.PostingsStream]] log).
+    */
+  def bm25MrrBestRanksFromState(tfState: DataFrame, dlState: DataFrame,
+      docs: DataFrame, truth: DataFrame, ngram: Int = 2): DataFrame = {
+    val (nDocs, totToks) = dlScalars(dlState)
+    bestRanksCore(tfState, dlState.filter(col("dl") > 0), docs, truth,
+      nDocs, totToks, ngram)
+  }
+
+  /** [[bestRanksCore]] with a one-pass postings staging — the
+    * [[bm25PairScores]] shape for callers without shared state (the
+    * full-population scale probe).
+    */
+  def bm25MrrBestRanks(docs: DataFrame, truth: DataFrame,
+      ngram: Int = 2): DataFrame = {
+    val s = docs.sparkSession
+    val nDocs = docs.count()
+    val stage = StageIO.resolve(s, None, "bm25-tf")
+    termCounts(docs, ngram).write.mode("overwrite").parquet(stage)
+    val tf = s.read.parquet(stage)
+    val totToks = tf.agg(coalesce(sum(col("tf")), lit(0L)).cast("long"))
+      .collect()(0).getLong(0)
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).cast("long").as("dl"))
+    bestRanksCore(tf, dl, docs, truth, nDocs, totToks, ngram)
+  }
 
   /** [[topKTail]] with the heap position surfaced as a 1-based rank —
     * rank i is the heap's i-th best under the same (score desc, doc_id)

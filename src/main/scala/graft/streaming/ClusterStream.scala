@@ -81,10 +81,17 @@ object ClusterStream {
         else newEdges.unionByName(spark.read.parquet(labelsDir)
           .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b")))
       // fixed stage dir: the default would mint one UUID dir per batch and
-      // only clean at JVM exit — unbounded growth on a continuous stream
+      // only clean at JVM exit — unbounded growth on a continuous stream.
+      // The labeling is written ONCE: clusterLabels' own stage handoff is
+      // RENAMED into `.next` instead of being re-written through a second
+      // full parquet pass (write + scan + write → write + two renames);
+      // the crash discipline is unchanged — `.next` only ever holds a
+      // COMPLETE labeling, and rollForward promotes it.
       DedupOps.clusterLabels(edges, maxIter,
-          stageDir = Some(labelsDir + ".stage"))
-        .write.mode("overwrite").parquet(next.toString)
+        stageDir = Some(labelsDir + ".stage"))
+      if (fs.exists(next)) fs.delete(next, true)
+      fs.rename(new org.apache.hadoop.fs.Path(labelsDir + ".stage/labels"),
+        next)
       if (fs.exists(store)) fs.delete(store, true)
       fs.rename(next, store)
     }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.DedupOps
+import graft.queries.Ext4Queries
 
 /** Round-16 containment / collocation kernels: the asymmetric-containment
   * semantics Jaccard can't see, the DF-cap discipline on the containment
@@ -144,6 +145,33 @@ class Ext4OpsSpec extends AnyFunSuite {
           "rr_bp must replay 1/best_rank in half-up bps")
       } else assert(r.getLong(3) == 0L, "no-candidate queries score 0")
     }
+  }
+
+  test("mrrGate: the r20 MaxScore-pruned rank kernel is row-identical " +
+      "to the unpruned reference tail (full-population and " +
+      "capped+sampled forms)") {
+    val sf = SparkTestSession.sf0001
+    // full-population x132 shape (one-pass postings, uncapped truth)
+    val refFull = Ext4Queries.mrrGate(spark, sf, cap = None,
+      sampleMod = None, fromSharedState = false, pruned = false)
+      .collect().toSeq
+    val gotFull = Ext4Queries.mrrGate(spark, sf, cap = None,
+      sampleMod = None, fromSharedState = false, pruned = true)
+      .collect().toSeq
+    assert(refFull.nonEmpty, "planted dup families must produce queries")
+    assert(gotFull == refFull,
+      s"pruned != reference (full): ${gotFull.diff(refFull)} vs " +
+        s"${refFull.diff(gotFull)}")
+    // capped + sampled x132b shape off the shared staged state
+    val refS = Ext4Queries.mrrGate(spark, sf, cap = Some(8L),
+      sampleMod = Some(3L), fromSharedState = true, pruned = false)
+      .collect().toSeq
+    val gotS = Ext4Queries.mrrGate(spark, sf, cap = Some(8L),
+      sampleMod = Some(3L), fromSharedState = true, pruned = true)
+      .collect().toSeq
+    assert(gotS == refS,
+      s"pruned != reference (sampled): ${gotS.diff(refS)} vs " +
+        s"${refS.diff(gotS)}")
   }
 
   test("x126c: one gate row; n_both bounded by both arms; overlap_bp " +
